@@ -1,0 +1,63 @@
+"""Crawl configuration.
+
+Replaces the reference's ``defaultsettings.py`` + ``core/settings.py``
+(Settings object merging defaults with a user module — SURVEY §1.1).
+We use a frozen dataclass; plugin points (X1-X3) take import paths.
+
+Reference defaults mirrored (SURVEY C8/A2, FIXTURES.md A5):
+  prioritizer: num_priorities=10, delta_seconds=500
+  frontier:    per-queue budget 50, crawl-delay factor
+NOTE: /root/reference was empty at survey AND build time, so these
+constants are pinned as spec by the golden files (SURVEY §0, §5.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+
+T0 = datetime(2026, 1, 1, 0, 0, 0, tzinfo=timezone.utc)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # --- scheduling (SURVEY §2.5/§2.6) ---
+    num_queues: int = 8                 # Q2 hash(registered_domain) % NQ
+    active_queues: int = 4              # Q1 deterministic top-weight selection
+    per_queue_budget: int = 50          # A2 FRONTIER_QUEUE_BUDGET analog
+    heap_size: int = 500                # W2 per-queue top-k cap (HEAP_SIZE analog)
+    crawl_delay_default: float = 1.0    # W3 seconds between fetches on one host
+    # --- prioritizer (C8, SimpleTimestampPrioritizer analog) ---
+    num_priorities: int = 10            # PRIORITIZER_NUM_PRIORITIES analog
+    delta_seconds: int = 500            # PRIORITIZER_CRAWL_DELTA analog
+    # --- errors / retry (T4) ---
+    max_retries: int = 3
+    error_backoff_seconds: int = 3600
+    # --- dedup (F1, UniqueUriFilter analog) ---
+    shard_prefix_depth: int = 2         # hex-prefix shards of the seen-set
+    bloom_capacity_per_shard: int = 1 << 16
+    bloom_fpp: float = 0.01
+    use_bloom_prefilter: bool = True    # bloom prefilters, anti-join is authority
+    # --- virtual clock (T1) ---
+    t0: datetime = T0
+    tick_seconds: float = 1.0
+    # --- skew (north_rule: salted keys defuse hot-host skew) ---
+    skew_salt_buckets: int = 4
+    skew_threshold: int = 10_000        # pending-count above which a queue is salted
+    # --- extraction (C3/F5) ---
+    max_content_length: int = 2_000_000     # limiter size gate
+    allowed_content_types: str = r"^text/html"
+    user_agent: str = "sparkcrawl/0.1"
+    # --- scope (F2) ---
+    scope_positive: tuple[str, ...] = (r"^http",)
+    scope_negative: tuple[str, ...] = ()
+    # --- compaction of the append-only frontier store ---
+    compact_every: int = 4
+    # --- plugin points (X1-X3: import-path config like the reference's
+    #     custom_import; stage = Callable[[DataFrame], DataFrame]) ---
+    extractor_pipeline: tuple[str, ...] = ()
+    checkpoint_every: int = 1
+
+
+DEFAULT_CONFIG = CrawlConfig()

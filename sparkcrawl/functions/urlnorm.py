@@ -1,0 +1,112 @@
+"""URL canonicalization — C1 + F3 (session-id strip) + F4 (query cleanup).
+
+Re-expresses the reference's processor chain
+``htmllinkextractor(urljoin) -> stripsessions -> cleanupquerystring``
+(src/spyder/processor/{htmllinkextractor,stripsessions,cleanupquerystring}.py —
+see SURVEY §2.8 C1) as ONE vectorized pandas UDF. The plain-Python core
+(:func:`canonicalize_one`) is kept separate so golden/property tests and
+the DuckDB oracle harness can call it without Spark.
+
+Canonical form (pinned as spec by tests/golden — /root/reference was
+empty at build time, SURVEY §0):
+  1. resolve relative URL against base (``urllib.parse.urljoin``)
+  2. drop the fragment
+  3. lowercase scheme + host; strip default ports (http:80 / https:443)
+  4. strip session-id path segments (``;jsessionid=...``) and query
+     params whose lowercased name contains one of SESSION_TOKENS
+  5. drop empty query params, preserve remaining param order
+     (CleanupQueryString: strip trailing ``?``/``&``)
+  6. empty path -> "/"
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# F3: reference StripSessionIds token list (SURVEY F3).
+SESSION_TOKENS = ("jsessionid", "phpsessid", "aspsessionid", "sid")
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def strip_session_ids(query_pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """F3: drop params whose lowercased name contains a session token."""
+    return [
+        (k, v)
+        for k, v in query_pairs
+        if not any(tok in k.lower() for tok in SESSION_TOKENS)
+    ]
+
+
+def canonicalize_one(url: str, base: str | None = None) -> str:
+    """Canonicalize a single URL (the spec; vectorized path wraps this)."""
+    if url is None:
+        return None
+    url = url.strip()
+    if base:
+        url = urljoin(base, url)
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    host = parts.hostname.lower() if parts.hostname else ""
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    if parts.username:
+        cred = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{cred}@{netloc}"
+    path = parts.path or "/"
+    # F3 on path params: drop ;jsessionid=... style segments
+    if ";" in path:
+        segs = []
+        for seg in path.split("/"):
+            if ";" in seg:
+                head, *params = seg.split(";")
+                params = [
+                    p
+                    for p in params
+                    if not any(p.lower().startswith(tok + "=") for tok in SESSION_TOKENS)
+                ]
+                seg = ";".join([head, *params])
+            segs.append(seg)
+        path = "/".join(segs)
+    # F4 + F3 on the query string
+    pairs = parse_qsl(parts.query, keep_blank_values=False)
+    pairs = strip_session_ids(pairs)
+    query = urlencode(pairs)
+    return urlunsplit((scheme, netloc, path, query, ""))  # "" drops the fragment
+
+
+def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
+    """Vectorized canonicalization over a pandas batch."""
+    if bases is None:
+        return urls.map(lambda u: canonicalize_one(u) if u is not None else None)
+    return pd.Series(
+        [
+            canonicalize_one(u, b) if u is not None else None
+            for u, b in zip(urls, bases)
+        ],
+        index=urls.index,
+    )
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return canonicalize_series(urls)
+
+
+@F.pandas_udf(T.StringType())
+def host_of_udf(urls: pd.Series) -> pd.Series:
+    """Lowercased netloc host — the reference's queue-assignment key (C9)."""
+
+    def _host(u: str | None) -> str | None:
+        if u is None:
+            return None
+        h = urlsplit(u).hostname
+        return h.lower() if h else ""
+
+    return urls.map(_host)

@@ -1,0 +1,208 @@
+"""Link + interleaved-span extraction (C3, C4, C5, C6, F5).
+
+Re-expresses the reference extractor chain
+``limiter -> htmllinkextractor -> httpextractor``
+(src/spyder/processor/{limiter,htmllinkextractor,httpextractor}.py,
+SURVEY §2.8) as ONE ``mapInPandas`` pass over fetched batches.
+
+Parity notes:
+  - Parser is stdlib ``html.parser.HTMLParser`` — same family the
+    reference uses — so tag/attr handling matches row-for-row. lxml
+    would be faster but diverges on malformed HTML.
+  - Link tags: a/link/area/frame/iframe (href|src) honoring
+    ``<base href>``; media tags img/video/audio/source/embed (src).
+  - Spans (C5, the graft payload per BASELINE.json:input_hint):
+    document-order interleaving of text nodes (whitespace-collapsed,
+    non-empty) and media refs, ``offset`` = 0-based document order.
+    ``(kind, text, media_ref, order)`` tuples are the row-for-row
+    parity surface (golden/spans/*.json).
+  - F5 limiter: non-HTML content-type or oversize body sets
+    ``extraction_finished`` and skips parsing (the reference stuffs
+    CURI_EXTRACTION_FINISHED into optional_vars; we use a real column).
+  - C4: for 3xx responses the resolved ``Location`` header is emitted
+    as an extracted link (src/spyder/processor/httpextractor.py).
+  - C6: charset sniffed from Content-Type (src/spyder/encoding.py);
+    bodies arriving as bytes are decoded before parsing.
+
+The plain-Python core (:func:`parse_document`) is importable without
+Spark for golden tests.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.functions.urlnorm import canonicalize_one
+from sparkcrawl.schemas import SPAN_SCHEMA
+
+LINK_TAGS = {
+    "a": "href",
+    "link": "href",
+    "area": "href",
+    "frame": "src",
+    "iframe": "src",
+}
+MEDIA_TAGS = {"img", "video", "audio", "source", "embed"}
+_WS = re.compile(r"\s+")
+_CHARSET = re.compile(r"charset=([^;\s]+)", re.I)
+
+
+class SpanLinkParser(HTMLParser):
+    """Single-pass parser emitting links and interleaved spans in doc order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base: str | None = None
+        self.raw_links: list[str] = []
+        self.spans: list[tuple[str, str, str]] = []  # (kind, text, media_ref)
+        self._skip_depth = 0  # inside <script>/<style>
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        amap = {k: v for k, v in attrs if v is not None}
+        if tag == "base" and "href" in amap:
+            if self.base is None:  # first <base> wins (HTML spec)
+                self.base = amap["href"]
+            return
+        attr = LINK_TAGS.get(tag)
+        if attr and attr in amap and amap[attr].strip():
+            self.raw_links.append(amap[attr].strip())
+        if tag in MEDIA_TAGS and amap.get("src", "").strip():
+            self.spans.append(("media", "", amap["src"].strip()))
+
+    def handle_startendtag(self, tag, attrs):  # <img .../>
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("script", "style") and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        text = _WS.sub(" ", data).strip()
+        if text:
+            self.spans.append(("text", text, ""))
+
+
+def sniff_charset(content_type: str | None) -> str:
+    """C6: charset from Content-Type header, utf-8 fallback."""
+    if content_type:
+        m = _CHARSET.search(content_type)
+        if m:
+            return m.group(1).strip("\"'").lower()
+    return "utf-8"
+
+
+def parse_document(
+    url: str,
+    body: str | bytes | None,
+    content_type: str | None = "text/html",
+) -> tuple[list[str], list[dict]]:
+    """Parse one document -> (canonical links, interleaved spans).
+
+    Spans are ``{kind, text, media_ref, offset}`` dicts; media_ref is
+    the canonical (base-resolved) URL of the media asset.
+    """
+    if body is None:
+        return [], []
+    if isinstance(body, (bytes, bytearray)):
+        body = body.decode(sniff_charset(content_type), errors="replace")
+    parser = SpanLinkParser()
+    try:
+        parser.feed(body)
+        parser.close()
+    except Exception:
+        pass  # malformed HTML: keep whatever was extracted before the error
+    base = parser.base or url
+    links = [canonicalize_one(raw, base) for raw in parser.raw_links]
+    links = [u for u in links if u and u.startswith(("http://", "https://"))]
+    spans = [
+        {
+            "kind": kind,
+            "text": text,
+            "media_ref": canonicalize_one(ref, base) if ref else "",
+            "offset": i,
+        }
+        for i, (kind, text, ref) in enumerate(parser.spans)
+    ]
+    return links, spans
+
+
+def _extraction_finished(
+    status: int | None, content_type: str | None, body, cfg: CrawlConfig
+) -> bool:
+    """F5 limiter gate (src/spyder/processor/limiter.py semantics)."""
+    if status is None or status != 200:
+        return True
+    if not content_type or not re.match(cfg.allowed_content_types, content_type):
+        return True
+    if body is not None and len(body) > cfg.max_content_length:
+        return True
+    return False
+
+
+def extract_links_and_spans(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Add ``extraction_finished``, ``links``, ``spans`` columns.
+
+    The limiter predicate is evaluated as a cheap column expression and
+    the expensive parse runs inside mapInPandas only for rows that pass
+    — the stage ordering is explicit because Catalyst will not reorder
+    across a nondeterministic-looking Python stage (SURVEY §4.1).
+    """
+    out_schema = T.StructType(
+        list(fetched.schema.fields)
+        + [
+            T.StructField("extraction_finished", T.BooleanType(), False),
+            T.StructField("links", T.ArrayType(T.StringType()), False),
+            T.StructField("spans", T.ArrayType(SPAN_SCHEMA), False),
+        ]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            finished, links_col, spans_col = [], [], []
+            for url, status, ctype, loc, body in zip(
+                pdf["url"], pdf["status_code"], pdf["content_type"],
+                pdf["location"], pdf["body"],
+            ):
+                status = None if pd.isna(status) else int(status)
+                fin = _extraction_finished(status, ctype, body, cfg)
+                links: list[str] = []
+                spans: list[dict] = []
+                if not fin:
+                    links, spans = parse_document(url, body, ctype)
+                if status is not None and 300 <= status < 400 and loc:
+                    # C4: redirect Location is an extracted link
+                    resolved = canonicalize_one(loc, url)
+                    if resolved:
+                        links.append(resolved)
+                finished.append(fin)
+                links_col.append(links)
+                spans_col.append(spans)
+            pdf = pdf.copy()
+            pdf["extraction_finished"] = finished
+            pdf["links"] = links_col
+            pdf["spans"] = spans_col
+            yield pdf
+
+    return fetched.mapInPandas(_extract, schema=out_schema)
+
+
+def documents_from_fetch(extracted: DataFrame) -> DataFrame:
+    """Project the interleaved-documents table (input_hint schema):
+    (doc_id:string, spans:array<struct<kind,text,media_ref,offset>>)."""
+    return (
+        extracted.filter(~F.col("extraction_finished"))
+        .select(F.col("url").alias("doc_id"), F.col("spans"))
+    )

@@ -1,0 +1,140 @@
+"""Prefix-sharded bloom membership — the seen-URL set at scale (F1).
+
+Direct generalization of the reference's ``UniqueUriFilter``
+(src/spyder/core/uri_uniq.py, SURVEY F1): the reference shards its
+seen-set dict by the first ``depth`` hex chars of the URL digest; we
+shard bloom filters by the same prefix so each shard stays small and
+shards can be built/merged independently per partition.
+
+SAFETY INVARIANT (SURVEY §7 hard-part #2): bloom false positives would
+*drop* URLs and violate URL-seen parity, so the bloom is only ever a
+PREFILTER — candidates that miss the bloom are definitely-new and skip
+the expensive path; candidates that hit it go through the authoritative
+anti-join. ``bloom_prefilter ∘ anti_join ≡ anti_join`` is
+property-tested (tests/test_membership.py).
+
+Implementation: numpy bit arrays built per Spark partition via
+``mapInPandas``, OR-merged on the driver (bounded: shards × m/8 bytes),
+broadcast back for the membership probe. At 10^10 URLs, shard count is
+raised (depth=3 → 4096 shards) so each bloom stays ~MBs; the driver
+merge is a treeAggregate-shaped reduction over ~GBs total, which is the
+same order as Spark's own runtime bloom join build.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_HASH_ROUNDS = 2  # double-hashing: h1 + i*h2
+
+
+def _bloom_params(capacity: int, fpp: float) -> tuple[int, int]:
+    m = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+    m = 1 << (m - 1).bit_length()  # pow2 for cheap modulo
+    k = max(1, int(round(m / capacity * math.log(2))))
+    return m, min(k, 8)
+
+
+def _positions(hashes_hex: pd.Series, m: int, k: int) -> np.ndarray:
+    """k bit positions per 40-char sha1 hex digest, derived from two
+    independent 32-bit slices (double hashing)."""
+    h1 = np.array([int(h[:8], 16) for h in hashes_hex], dtype=np.uint64)
+    h2 = np.array([int(h[8:16], 16) | 1 for h in hashes_hex], dtype=np.uint64)
+    idx = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + idx * h2[None, :]) % np.uint64(m)).astype(np.int64)
+
+
+class ShardedBloom:
+    """Immutable sharded bloom built from a DataFrame of url_hash values."""
+
+    def __init__(self, shards: dict[str, np.ndarray], m: int, k: int, depth: int):
+        self.shards = shards  # prefix -> uint8 bit array (m/8 bytes)
+        self.m = m
+        self.k = k
+        self.depth = depth
+
+    @classmethod
+    def build(
+        cls,
+        hashes: DataFrame,
+        column: str = "url_hash",
+        depth: int = 2,
+        capacity_per_shard: int = 1 << 16,
+        fpp: float = 0.01,
+    ) -> "ShardedBloom":
+        m, k = _bloom_params(capacity_per_shard, fpp)
+        nbytes = m // 8
+
+        schema = T.StructType(
+            [
+                T.StructField("prefix", T.StringType()),
+                T.StructField("bits", T.BinaryType()),
+            ]
+        )
+
+        def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            local: dict[str, np.ndarray] = {}
+            for pdf in batches:
+                col = pdf[column].dropna()
+                if col.empty:
+                    continue
+                prefixes = col.str[:depth]
+                for prefix, grp in col.groupby(prefixes):
+                    arr = local.setdefault(prefix, np.zeros(nbytes, dtype=np.uint8))
+                    pos = _positions(grp, m, k).ravel()
+                    np.bitwise_or.at(arr, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            yield pd.DataFrame(
+                {"prefix": list(local), "bits": [a.tobytes() for a in local.values()]}
+            )
+
+        rows = hashes.select(column).mapInPandas(_build, schema=schema).collect()
+        shards: dict[str, np.ndarray] = {}
+        for r in rows:  # OR-merge partition-local shards on the driver
+            arr = np.frombuffer(r["bits"], dtype=np.uint8)
+            if r["prefix"] in shards:
+                shards[r["prefix"]] = shards[r["prefix"]] | arr
+            else:
+                shards[r["prefix"]] = arr
+        return cls(shards, m, k, depth)
+
+    def might_contain_series(self, hashes: pd.Series) -> pd.Series:
+        """Vectorized probe: False means definitely-new."""
+        out = np.zeros(len(hashes), dtype=bool)
+        if not self.shards or hashes.empty:
+            return pd.Series(out, index=hashes.index)
+        prefixes = hashes.str[: self.depth]
+        for prefix, grp in hashes.groupby(prefixes):
+            arr = self.shards.get(prefix)
+            if arr is None:
+                continue
+            pos = _positions(grp, self.m, self.k)  # (k, n)
+            bits = (arr[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            out[hashes.index.get_indexer(grp.index)] = bits.all(axis=0)
+        return pd.Series(out, index=hashes.index)
+
+    def prefilter(self, candidates: DataFrame, column: str = "url_hash") -> DataFrame:
+        """Tag candidates with ``maybe_seen``; maybe_seen=False rows can
+        safely skip the anti-join (no false negatives in a bloom)."""
+        spark = candidates.sparkSession
+        bc = spark.sparkContext.broadcast(
+            {"shards": {p: a.tobytes() for p, a in self.shards.items()},
+             "m": self.m, "k": self.k, "depth": self.depth}
+        )
+
+        @F.pandas_udf(T.BooleanType())
+        def _probe(hashes: pd.Series) -> pd.Series:
+            st = bc.value
+            bloom = ShardedBloom(
+                {p: np.frombuffer(b, dtype=np.uint8) for p, b in st["shards"].items()},
+                st["m"], st["k"], st["depth"],
+            )
+            return bloom.might_contain_series(hashes)
+
+        return candidates.withColumn("maybe_seen", _probe(F.col(column)))

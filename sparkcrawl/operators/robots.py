@@ -1,0 +1,122 @@
+"""robots.txt gating — R1, R2, R3 (SURVEY §2.9).
+
+The rules live in a small ``robots`` table
+``(host, agent, allow, path_prefix, crawl_delay)`` (R1 parses raw
+robots.txt bodies into it; in the sandbox the fixture provides it
+directly). The allow/deny gate (R2) is a broadcast join + longest-
+prefix-match window — pure relational, no UDF:
+
+  semantics (stdlib urllib.robotparser family, pinned by
+  golden/robots.json): among matching rules for (host, agent in
+  {'*', our UA}), the LONGEST path_prefix wins; allow wins ties;
+  a host with no rules is allow-all.
+
+R3: per-host ``crawl_delay`` feeds politeness slotting (W3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def parse_robots_bodies(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
+    """R1: (host, body) -> rules rows, vectorized.
+
+    Minimal robots.txt grammar: User-agent / Allow / Disallow /
+    Crawl-delay lines; group = consecutive user-agent lines + rules.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sparkcrawl.schemas import ROBOTS_SCHEMA
+
+    def _parse(pdfs):
+        for pdf in pdfs:
+            out = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                if not body:
+                    continue
+                agents: list[str] = []
+                in_rules = False
+                delay = None
+                for line in body.splitlines():
+                    line = line.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    key, _, val = line.partition(":")
+                    key, val = key.strip().lower(), val.strip()
+                    if key == "user-agent":
+                        if in_rules:
+                            agents, delay, in_rules = [], None, False
+                        agents.append(val)
+                    elif key in ("allow", "disallow") and agents:
+                        in_rules = True
+                        if val:
+                            for a in agents:
+                                out.append((host, a, key == "allow", val, delay))
+                        elif key == "disallow":  # empty Disallow == allow all
+                            for a in agents:
+                                out.append((host, a, True, "/", delay))
+                    elif key == "crawl-delay" and agents:
+                        in_rules = True
+                        try:
+                            delay = float(val)
+                        except ValueError:
+                            delay = None
+                        for a in agents:
+                            out.append((host, a, True, "/", delay))
+                yield_cols = ["host", "agent", "allow", "path_prefix", "crawl_delay"]
+                if out:
+                    yield pd.DataFrame(out, columns=yield_cols)
+                    out = []
+
+    return bodies.mapInPandas(_parse, schema=ROBOTS_SCHEMA)
+
+
+def robots_gate(batch: DataFrame, robots: DataFrame, user_agent: str = "*") -> DataFrame:
+    """R2: add ``robots_allowed`` to the fetch batch.
+
+    J2: broadcast join on host (robots tables are small — one row per
+    rule, hosts ≪ URLs), then longest-prefix-match resolution.
+    """
+    rules = robots.filter(F.col("agent").isin("*", user_agent)).select(
+        "host",
+        F.col("allow").alias("_r_allow"),
+        F.col("path_prefix").alias("_r_prefix"),
+    )
+    with_path = batch.withColumn(
+        "_path", F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    )
+    joined = with_path.join(F.broadcast(rules), "host", "left")
+    matched = joined.withColumn(
+        "_match",
+        F.col("_r_prefix").isNotNull()
+        & F.col("_path").startswith(F.col("_r_prefix")),
+    )
+    # longest prefix wins; allow wins ties; no matching rule -> allowed
+    w = W.partitionBy("url_hash").orderBy(
+        F.desc("_match"),
+        F.desc(F.when(F.col("_match"), F.length("_r_prefix")).otherwise(-1)),
+        F.desc("_r_allow"),
+    )
+    return (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn(
+            "robots_allowed",
+            F.when(F.col("_match"), F.col("_r_allow")).otherwise(F.lit(True)),
+        )
+        .drop("_rn", "_match", "_r_allow", "_r_prefix", "_path")
+    )
+
+
+def crawl_delays(robots: DataFrame, user_agent: str = "*") -> DataFrame:
+    """R3: (host, crawl_delay) for politeness slotting — max per host."""
+    return (
+        robots.filter(
+            F.col("agent").isin("*", user_agent) & F.col("crawl_delay").isNotNull()
+        )
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+    )

@@ -1,0 +1,137 @@
+"""Frontier scheduling — F6, Q1, W1, W2, W3, A2 (SURVEY §2.5/§2.6).
+
+Replaces the reference's in-memory heap + SQLite ``queue_head`` +
+``BiasedQueueSelector`` + budget bookkeeping
+(src/spyder/core/{frontier,sqlitequeues,queueselector}.py) with window
+functions over the frontier table.
+
+Determinism: every ordering carries a trailing ``url_hash`` tie-break
+(the reference relies on SQLite insertion order for ties — SURVEY W1);
+the total order is pinned by golden/crawl_order.json.
+
+Scale notes (10^10-row frontier):
+  - eligibility predicate (state/next_date) is a plain column filter →
+    Catalyst pushes it into the Parquet/Iceberg scan (partition + min/max
+    pruning on next_date).
+  - per-queue top-k is TWO-STAGE: local top-k per (queue, salt) shard
+    first, then top-k per queue over the reduced set — the hot-host
+    skew defusal demanded by north_rule ("salted keys"). The second
+    window sees at most num_queues * salt_buckets * cap rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.functions.hashing import md5_bucket
+
+
+def eligible(frontier: DataFrame, virtual_time) -> DataFrame:
+    """F6: pending rows whose next_date has arrived (pushed-down scan filter)."""
+    return frontier.filter(
+        (F.col("state") == "pending") & (F.col("next_date") <= F.lit(virtual_time))
+    )
+
+
+def active_queues(eligible_df: DataFrame, cfg: CrawlConfig) -> list[int]:
+    """Q1: deterministic re-expression of BiasedQueueSelector.
+
+    The reference picks queues weighted-randomly, biased toward
+    fuller/front queues (src/spyder/core/queueselector.py). For
+    reproducibility we take the top ``active_queues`` queues by
+    (pending count desc, queue asc) — the bias, without the RNG
+    (SURVEY Q1; pinned as spec by goldens). Returns a driver-side list:
+    queue cardinality is bounded by config, never by data.
+    """
+    counts = eligible_df.groupBy("queue").agg(F.count("*").alias("pending"))
+    rows = counts.orderBy(F.desc("pending"), F.asc("queue")).take(cfg.active_queues)
+    return [r["queue"] for r in rows]
+
+
+def per_queue_topk(eligible_df: DataFrame, cfg: CrawlConfig, k: int) -> DataFrame:
+    """W1+W2: top-k rows per queue ordered by (next_date, priority, url_hash).
+
+    Two-stage (salted) rank-limit: defuses hot-queue skew because the
+    first window partitions on (queue, salt) — no single task ever sees
+    a whole hot queue. Equivalent to a single top-k since per-shard
+    top-k is a superset of the global top-k members in that shard.
+    """
+    order = [F.asc("next_date"), F.asc("priority"), F.asc("url_hash")]
+    salted = eligible_df.withColumn(
+        "_salt", md5_bucket(F.col("url_hash"), cfg.skew_salt_buckets)
+    )
+    w_local = W.partitionBy("queue", "_salt").orderBy(*order)
+    local = (
+        salted.withColumn("_rn_local", F.row_number().over(w_local))
+        .filter(F.col("_rn_local") <= k)
+        .drop("_rn_local", "_salt")
+    )
+    w_queue = W.partitionBy("queue").orderBy(*order)
+    return (
+        local.withColumn("_rn", F.row_number().over(w_queue))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def politeness_slots(batch: DataFrame, cfg: CrawlConfig,
+                     crawl_delays: DataFrame | None = None) -> DataFrame:
+    """W3: per-host politeness-ordered fetch slots.
+
+    Re-expresses SingleHostFrontier's inter-request delay
+    (src/spyder/core/frontier.py::_next_possible_crawl, SURVEY W3):
+    within a superstep each host's URLs get sequential slots; the
+    ``scheduled_offset`` column (slot * crawl_delay(host)) orders the
+    per-host fetch batch. ``crawl_delays`` is an optional small
+    (host, crawl_delay) DataFrame from robots.txt (R3) — broadcast.
+    """
+    if crawl_delays is not None:
+        batch = batch.join(
+            F.broadcast(crawl_delays.select("host", "crawl_delay")), "host", "left"
+        )
+    else:
+        batch = batch.withColumn("crawl_delay", F.lit(None).cast("double"))
+    w_host = W.partitionBy("host").orderBy(
+        F.asc("next_date"), F.asc("priority"), F.asc("url_hash")
+    )
+    return (
+        batch.withColumn("slot", F.row_number().over(w_host) - F.lit(1))
+        .withColumn(
+            "effective_delay",
+            F.coalesce(F.col("crawl_delay"), F.lit(cfg.crawl_delay_default)),
+        )
+        .withColumn("scheduled_offset", F.col("slot") * F.col("effective_delay"))
+        .drop("crawl_delay")
+    )
+
+
+def select_fetch_batch(
+    frontier: DataFrame,
+    virtual_time,
+    cfg: CrawlConfig,
+    crawl_delays: DataFrame | None = None,
+) -> DataFrame:
+    """§3.4 steps 1-3: ELIGIBLE -> SELECT -> POLITE.
+
+    Returns the politeness-slotted fetch batch for this superstep:
+    per-queue budget applied (A2), deterministic total order
+    (slot, queue, host, url_hash).
+    """
+    elig = eligible(frontier, virtual_time)
+    act = active_queues(elig, cfg)
+    if not act:
+        return politeness_slots(elig.limit(0), cfg, crawl_delays)
+    k = min(cfg.heap_size, cfg.per_queue_budget)
+    picked = per_queue_topk(elig.filter(F.col("queue").isin(act)), cfg, k)
+    return politeness_slots(picked, cfg, crawl_delays)
+
+
+def queue_pending_counts(frontier: DataFrame) -> DataFrame:
+    """A1: per-queue pending counts (SQLite qsize analog)."""
+    return (
+        frontier.filter(F.col("state") == "pending")
+        .groupBy("queue")
+        .agg(F.count("*").alias("pending"))
+    )

@@ -1,0 +1,289 @@
+"""The frontier-scheduler superstep loop (SURVEY §3.4).
+
+Replaces the reference's master poll loop + ZMQ worker pipeline
+(src/spyder/core/master.py::ZmqMaster, src/spyder/workerprocess.py)
+with a deterministic driver loop; one superstep =
+
+  1 ELIGIBLE    scan frontier (state=pending, next_date<=T)      S2,F6
+  2 SELECT      active queues -> per-queue top-k (budget)        Q1,W1,W2,A2
+  3 POLITE      robots gate + per-host slotting                  R2,W3
+  4 FETCH       synthetic/HTTP fetch                             S4,J4
+  5 EXTRACT     links + interleaved spans -> documents append    C3,C5,S6
+  6 CANON+HASH  canonicalize + sha1 discovered links             C1,C2
+  7 DEDUP       batch distinct -> bloom prefilter -> anti-join   U2,F1,J1
+  8 PRIORITIZE  requeue math + error backoff                     C8,T4
+  9 MERGE       frontier' = requeued ∪ denied ∪ new              U1,J3
+ 10 CHECKPOINT  snapshot + counters                              T5,A3
+ 11 CLOCK       T' = max(T+tick, min pending next_date)          T1
+
+State lives only in tables; the driver touches counters and control
+decisions, never row data. Kill at any point -> resume() replays from
+the last committed manifest with an identical URL-seen set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.functions.hashing import queue_for_domain, url_sha1
+from sparkcrawl.functions.scope import in_scope
+from sparkcrawl.functions.urlnorm import canonicalize_udf, host_of_udf
+from sparkcrawl.operators.dedup import batch_distinct, filter_unseen
+from sparkcrawl.operators.extract import documents_from_fetch, extract_links_and_spans
+from sparkcrawl.operators.membership import ShardedBloom
+from sparkcrawl.operators.prioritize import apply_outcomes
+from sparkcrawl.operators.robots import crawl_delays, robots_gate
+from sparkcrawl.operators.schedule import select_fetch_batch
+from sparkcrawl.sources.fetch import synthetic_fetch
+from sparkcrawl.sources.store import CheckpointLog, DocumentsTable, FrontierTable
+
+
+@dataclass
+class SuperstepStats:
+    superstep: int
+    virtual_time: datetime
+    batch_size: int
+    fetched: int
+    denied: int
+    discovered: int
+    new_urls: int
+    pending_after: int
+    seen_total: int
+
+
+def frontier_rows_from_urls(
+    urls: DataFrame, cfg: CrawlConfig, superstep: int, t0: datetime, priority_col=None
+) -> DataFrame:
+    """C1+C2+Q2 on a (url[, priority]) DataFrame -> frontier-schema rows."""
+    prio = priority_col if priority_col is not None else F.lit(1)
+    canon = urls.withColumn("url", canonicalize_udf(F.col("url")))
+    return (
+        canon.withColumn("url_hash", url_sha1(F.col("url")))
+        .withColumn("host", host_of_udf(F.col("url")))
+        .withColumn("registered_domain", F.col("host"))  # parity mode (C9)
+        .withColumn("queue", queue_for_domain(F.col("registered_domain"), cfg.num_queues))
+        .withColumn("etag", F.lit(None).cast("string"))
+        .withColumn("mod_date", F.lit(None).cast("timestamp"))
+        .withColumn("next_date", F.lit(t0))
+        .withColumn("priority", prio.cast("int"))
+        .withColumn("error_count", F.lit(0))
+        .withColumn("state", F.lit("pending"))
+        .withColumn("discovered_superstep", F.lit(superstep))
+        .withColumn("lineage_partition", F.spark_partition_id())
+        .select(
+            "url", "url_hash", "host", "registered_domain", "queue", "etag",
+            "mod_date", "next_date", "priority", "error_count", "state",
+            "discovered_superstep", "lineage_partition",
+        )
+    )
+
+
+class CrawlRun:
+    """One crawl over one workdir; resumable."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        cfg: CrawlConfig,
+        web: DataFrame,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.web = web
+        self.robots = robots
+        self.frontier = FrontierTable(workdir)
+        self.documents = DocumentsTable(workdir)
+        self.checkpoints = CheckpointLog(workdir)
+        self._delays = crawl_delays(robots, cfg.user_agent) if robots is not None else None
+
+    # -- S1: seed injection ------------------------------------------------
+    def bootstrap(self, seeds: DataFrame) -> None:
+        rows = frontier_rows_from_urls(
+            seeds.select("url", "priority"),
+            self.cfg,
+            superstep=0,
+            t0=self.cfg.t0,
+            priority_col=F.col("priority"),
+        )
+        rows = batch_distinct(rows)
+        self.frontier.merge(rows, superstep=0)
+        self.checkpoints.commit(
+            self.spark, 0, self.cfg.t0, f"frontier-v{self.frontier.store.version}",
+            {"urls_seen": rows.count(), "fetched": 0, "discovered": 0}, {},
+        )
+
+    # -- resume state --------------------------------------------------------
+    def last_checkpoint(self) -> dict | None:
+        return self.checkpoints.last()
+
+    # -- one superstep -------------------------------------------------------
+    def run_superstep(self, superstep: int, virtual_time: datetime) -> SuperstepStats:
+        cfg = self.cfg
+        spark = self.spark
+        frontier = self.frontier.read(spark)
+        if frontier is None:
+            raise RuntimeError("frontier not bootstrapped")
+        frontier = frontier.persist()
+
+        # 1-3: ELIGIBLE -> SELECT -> POLITE
+        batch = select_fetch_batch(frontier, virtual_time, cfg, self._delays)
+        if self.robots is not None:
+            batch = robots_gate(batch, self.robots, cfg.user_agent)
+        else:
+            batch = batch.withColumn("robots_allowed", F.lit(True))
+        batch = batch.persist()
+        allowed = batch.filter(F.col("robots_allowed"))
+        denied = batch.filter(~F.col("robots_allowed"))
+
+        # 4-5: FETCH -> EXTRACT
+        fetch_cols = [
+            "url", "url_hash", "host", "registered_domain", "queue", "etag",
+            "mod_date", "next_date", "priority", "error_count", "state",
+            "discovered_superstep", "lineage_partition", "slot",
+        ]
+        fetched = synthetic_fetch(allowed.select(*fetch_cols), self.web)
+        extracted = extract_links_and_spans(fetched, cfg).persist()
+        docs = documents_from_fetch(extracted)
+        self.documents.append(docs, superstep)
+
+        # 6: discovered links, already canonical (extractor resolves + canonicalizes)
+        links = (
+            extracted.select(
+                F.col("url_hash").alias("src_url_hash"),
+                F.col("slot"),
+                F.explode_outer("links").alias("url"),
+            )
+            .filter(F.col("url").isNotNull())
+            .filter(in_scope(F.col("url"), cfg.scope_positive, cfg.scope_negative))
+        )
+        candidates = (
+            links.withColumn("url_hash", url_sha1(F.col("url")))
+            .withColumn("host", host_of_udf(F.col("url")))
+            .withColumn("registered_domain", F.col("host"))
+            .withColumn("queue", queue_for_domain(F.col("registered_domain"), cfg.num_queues))
+        )
+
+        # 7: DEDUP — batch distinct, bloom prefilter, authoritative anti-join
+        distinct_cands = batch_distinct(candidates)
+        seen = self.frontier.seen_keys(spark)
+        bloom = None
+        if cfg.use_bloom_prefilter and seen is not None:
+            bloom = ShardedBloom.build(
+                seen,
+                depth=cfg.shard_prefix_depth,
+                capacity_per_shard=cfg.bloom_capacity_per_shard,
+                fpp=cfg.bloom_fpp,
+            )
+        new_urls = filter_unseen(distinct_cands, seen, cfg, bloom)
+        new_rows = frontier_rows_from_urls(
+            new_urls.select("url"),
+            cfg,
+            superstep=superstep,
+            t0=virtual_time + timedelta(seconds=cfg.tick_seconds),
+        )
+
+        # 8: PRIORITIZE requeues
+        requeued = apply_outcomes(fetched_to_outcomes(extracted), virtual_time, cfg)
+        denied_rows = denied.select(
+            "url", "url_hash", "host", "registered_domain", "queue", "etag",
+            "mod_date", "next_date", "priority", "error_count",
+        ).withColumn("state", F.lit("gone")).select(
+            "url", "url_hash", "host", "registered_domain", "queue", "etag",
+            "mod_date", "next_date", "priority", "error_count", "state",
+        ).join(
+            batch.select("url_hash", "discovered_superstep", "lineage_partition"),
+            "url_hash",
+        ).select(*[f.name for f in new_rows.schema.fields])
+
+        # 9: MERGE (U1 + J3)
+        updates = requeued.unionByName(denied_rows).unionByName(new_rows)
+        snapshot_id = self.frontier.merge(updates, superstep)
+        if cfg.compact_every and superstep % cfg.compact_every == 0:
+            self.frontier.compact(spark)
+
+        # 10: CHECKPOINT + counters (A3)
+        batch_size = batch.count()
+        fetched_count = allowed.count()
+        denied_count = batch_size - fetched_count
+        discovered = distinct_cands.count()
+        new_count = new_rows.count()
+        merged = self.frontier.read(spark).persist()
+        pending_after = merged.filter(F.col("state") == "pending").count()
+        seen_total = merged.count()
+        per_part = {
+            str(r["lineage_partition"]): r["cnt"]
+            for r in merged.groupBy("lineage_partition").agg(F.count("*").alias("cnt")).collect()
+        }
+        next_time = self._advance_clock(merged, virtual_time)
+        self.checkpoints.commit(
+            spark, superstep, next_time, snapshot_id,
+            {"urls_seen": seen_total, "fetched": fetched_count, "discovered": discovered},
+            per_part,
+        )
+        for df in (frontier, batch, extracted, merged):
+            df.unpersist()
+        return SuperstepStats(
+            superstep, virtual_time, batch_size, fetched_count, denied_count,
+            discovered, new_count, pending_after, seen_total,
+        )
+
+    # -- T1: virtual clock ---------------------------------------------------
+    def _advance_clock(self, merged: DataFrame, virtual_time: datetime) -> datetime:
+        tick = timedelta(seconds=self.cfg.tick_seconds)
+        row = (
+            merged.filter(F.col("state") == "pending")
+            .agg(F.min("next_date").alias("m"))
+            .collect()[0]
+        )
+        floor = virtual_time + tick
+        if row["m"] is None:
+            return floor
+        m = row["m"]
+        if m.tzinfo is None:
+            m = m.replace(tzinfo=timezone.utc)
+        return max(floor, m)
+
+    # -- full runs -------------------------------------------------------------
+    def run(self, seeds: DataFrame, max_supersteps: int = 10) -> list[SuperstepStats]:
+        self.bootstrap(seeds)
+        return self.resume(max_supersteps)
+
+    def resume(self, max_supersteps: int = 10) -> list[SuperstepStats]:
+        """Continue from the last committed checkpoint (north_rule
+        resumability: identical URL-seen set after kill/resume)."""
+        ckpt = self.last_checkpoint()
+        if ckpt is None:
+            raise RuntimeError("nothing to resume: bootstrap first")
+        superstep = ckpt["superstep"]
+        t = ckpt["virtual_time"]
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=timezone.utc)
+        stats: list[SuperstepStats] = []
+        for _ in range(max_supersteps):
+            superstep += 1
+            st = self.run_superstep(superstep, t)
+            stats.append(st)
+            ckpt = self.last_checkpoint()
+            t = ckpt["virtual_time"]
+            if t.tzinfo is None:
+                t = t.replace(tzinfo=timezone.utc)
+            if st.batch_size == 0 and st.pending_after == 0:
+                break
+        return stats
+
+
+def fetched_to_outcomes(extracted: DataFrame) -> DataFrame:
+    """Project the columns apply_outcomes needs from the extract output."""
+    return extracted.select(
+        "url", "url_hash", "host", "registered_domain", "queue", "etag",
+        "mod_date", "next_date", "priority", "error_count", "state",
+        "discovered_superstep", "lineage_partition",
+        "status_code", "rep_etag", "rep_last_modified",
+    )

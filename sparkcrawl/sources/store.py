@@ -1,0 +1,214 @@
+"""Snapshot-atomic table store — T5, S2, S3, J3 (SURVEY §1.4, §2.10).
+
+The reference persists crawl state in SQLite with transactional
+checkpoints (src/spyder/core/sqlitequeues.py::SQLiteStore.checkpoint).
+The engine's production target is Iceberg (atomic snapshots, MERGE
+INTO); this sandbox has no Iceberg jars (SURVEY §0), so
+:class:`ParquetManifestStore` honestly emulates the part that matters
+for resumability:
+
+  - every table is an append-only list of parquet *delta* dirs,
+  - a ``manifest.json`` names the current snapshot = exact delta list,
+  - commits are write-temp-then-``os.replace`` (atomic on POSIX),
+  - a killed run resumes from the last committed manifest; orphan
+    delta dirs from the killed superstep are simply never referenced.
+
+Frontier reads resolve keep-latest-per-url_hash with a window over the
+delta sequence (W4) — the Parquet-fallback equivalent of Iceberg
+``MERGE INTO``; :meth:`FrontierTable.compact` bounds read amplification.
+
+At 10^10 rows the same layout holds: deltas are partitioned parquet,
+the keep-latest window shuffles on url_hash (uniform sha1 → no skew),
+and compaction is an ordinary Spark job. Swapping IcebergStore in
+changes only this module (FrontierStore abstraction, SURVEY §7 M7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+class ParquetManifestStore:
+    """Manifest-tracked append-only parquet table with atomic commits."""
+
+    def __init__(self, root: str, name: str):
+        self.root = os.path.join(root, name)
+        self.name = name
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        if not os.path.exists(self._manifest_path):
+            self._write_manifest({"deltas": [], "meta": {}, "version": 0})
+
+    # -- manifest plumbing ------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)  # atomic commit (T5)
+
+    # -- public API --------------------------------------------------------
+    def append(self, df: DataFrame, meta: dict | None = None) -> str:
+        """Write a delta dir and atomically commit it to the manifest.
+        Returns the new snapshot version id."""
+        manifest = self._read_manifest()
+        seq = len(manifest["deltas"])
+        delta_dir = os.path.join(self.root, "data", f"delta-{seq:06d}-{uuid.uuid4().hex[:8]}")
+        df.withColumn("_delta_seq", F.lit(seq)).write.mode("errorifexists").parquet(delta_dir)
+        manifest["deltas"].append({"path": delta_dir, "seq": seq})
+        manifest["version"] += 1
+        if meta:
+            manifest["meta"].update(meta)
+        self._write_manifest(manifest)
+        return f"{self.name}-v{manifest['version']}"
+
+    def read_raw(self, spark: SparkSession) -> DataFrame | None:
+        """Union of all committed deltas (with ``_delta_seq``)."""
+        manifest = self._read_manifest()
+        paths = [d["path"] for d in manifest["deltas"]]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def replace_all(self, df: DataFrame, meta: dict | None = None) -> str:
+        """Compaction commit: next snapshot = exactly this data."""
+        manifest = self._read_manifest()
+        seq = len(manifest["deltas"])
+        delta_dir = os.path.join(self.root, "data", f"compact-{seq:06d}-{uuid.uuid4().hex[:8]}")
+        df.withColumn("_delta_seq", F.lit(seq)).write.mode("errorifexists").parquet(delta_dir)
+        manifest["deltas"] = [{"path": delta_dir, "seq": seq}]
+        manifest["version"] += 1
+        if meta:
+            manifest["meta"].update(meta)
+        self._write_manifest(manifest)
+        return f"{self.name}-v{manifest['version']}"
+
+    @property
+    def meta(self) -> dict:
+        return self._read_manifest()["meta"]
+
+    @property
+    def version(self) -> int:
+        return self._read_manifest()["version"]
+
+    @property
+    def num_deltas(self) -> int:
+        return len(self._read_manifest()["deltas"])
+
+
+class FrontierTable:
+    """The frontier with MERGE-INTO (keep-latest) read semantics (J3/W4)."""
+
+    def __init__(self, root: str):
+        self.store = ParquetManifestStore(root, "frontier")
+
+    def merge(self, updates: DataFrame, superstep: int) -> str:
+        """J3: append requeued + newly-discovered rows; latest delta wins
+        per url_hash at read time."""
+        return self.store.append(updates, meta={"superstep": superstep})
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        raw = self.store.read_raw(spark)
+        if raw is None:
+            return None
+        w = W.partitionBy("url_hash").orderBy(F.desc("_delta_seq"))
+        return (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_delta_seq")
+        )
+
+    def compact(self, spark: SparkSession) -> None:
+        current = self.read(spark)
+        if current is not None:
+            self.store.replace_all(current)
+
+    def seen_keys(self, spark: SparkSession) -> DataFrame | None:
+        """The URL-seen set IS the frontier key set (reference: every URL
+        entering the frontier was added to UniqueUriFilter)."""
+        raw = self.store.read_raw(spark)
+        if raw is None:
+            return None
+        return raw.select("url_hash").distinct()
+
+
+class CheckpointLog:
+    """T5 checkpoints: one committed row per superstep; resume reads the
+    last row (analog: frontier.checkpoint() committing the SQLite txn)."""
+
+    def __init__(self, root: str):
+        self.store = ParquetManifestStore(root, "checkpoints")
+
+    def commit(
+        self,
+        spark: SparkSession,
+        superstep: int,
+        virtual_time: datetime,
+        snapshot_id: str,
+        counters: dict[str, int],
+        per_partition_counts: dict[str, int],
+    ) -> None:
+        from sparkcrawl.schemas import CHECKPOINT_SCHEMA
+
+        row = [
+            (
+                superstep,
+                virtual_time,
+                snapshot_id,
+                counters.get("urls_seen", 0),
+                counters.get("fetched", 0),
+                counters.get("discovered", 0),
+                {str(k): int(v) for k, v in per_partition_counts.items()},
+            )
+        ]
+        df = spark.createDataFrame(row, schema=CHECKPOINT_SCHEMA)
+        self.store.append(
+            df,
+            meta={
+                "last_superstep": superstep,
+                "last_virtual_time": virtual_time.isoformat(),
+                "last_snapshot": snapshot_id,
+            },
+        )
+
+    def last(self) -> dict | None:
+        meta = self.store.meta
+        if "last_superstep" not in meta:
+            return None
+        return {
+            "superstep": int(meta["last_superstep"]),
+            "virtual_time": datetime.fromisoformat(meta["last_virtual_time"]),
+            "snapshot_id": meta["last_snapshot"],
+        }
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        raw = self.store.read_raw(spark)
+        return None if raw is None else raw.drop("_delta_seq")
+
+
+class DocumentsTable:
+    """Append-only interleaved-documents sink (input_hint schema)."""
+
+    def __init__(self, root: str):
+        self.store = ParquetManifestStore(root, "documents")
+
+    def append(self, docs: DataFrame, superstep: int) -> str:
+        return self.store.append(docs, meta={"superstep": superstep})
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        raw = self.store.read_raw(spark)
+        return None if raw is None else raw.drop("_delta_seq")

@@ -1,0 +1,78 @@
+"""R1/R2/R3 robots semantics: longest prefix wins, allow wins ties."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from sparkcrawl.operators.robots import crawl_delays, parse_robots_bodies, robots_gate
+from sparkcrawl.schemas import ROBOTS_SCHEMA
+
+
+RULES = [
+    # deny.example: everything disallowed
+    ("deny.example", "*", False, "/", None),
+    # partial.example: /private disallowed, /private/open allowed (longer wins)
+    ("partial.example", "*", False, "/private", None),
+    ("partial.example", "*", True, "/private/open", None),
+    ("partial.example", "*", True, "/", 2.0),
+    # tie.example: allow and deny same prefix -> allow wins
+    ("tie.example", "*", True, "/x", None),
+    ("tie.example", "*", False, "/x", None),
+]
+
+
+def _batch(spark, urls):
+    rows = [
+        (u, hashlib.sha1(u.encode()).hexdigest(), u.split("/")[2])
+        for u in urls
+    ]
+    return spark.createDataFrame(rows, ["url", "url_hash", "host"])
+
+
+def test_robots_gate_decisions(spark):
+    robots = spark.createDataFrame(RULES, ROBOTS_SCHEMA)
+    urls = [
+        "http://deny.example/anything",
+        "http://partial.example/private/secret",
+        "http://partial.example/private/open/doc",
+        "http://partial.example/public",
+        "http://tie.example/x/y",
+        "http://norules.example/free",
+    ]
+    out = {r["url"]: r["robots_allowed"] for r in robots_gate(_batch(spark, urls), robots).collect()}
+    assert out == {
+        "http://deny.example/anything": False,
+        "http://partial.example/private/secret": False,
+        "http://partial.example/private/open/doc": True,
+        "http://partial.example/public": True,
+        "http://tie.example/x/y": True,
+        "http://norules.example/free": True,
+    }
+
+
+def test_crawl_delays(spark):
+    robots = spark.createDataFrame(RULES, ROBOTS_SCHEMA)
+    got = {r["host"]: r["crawl_delay"] for r in crawl_delays(robots).collect()}
+    assert got == {"partial.example": 2.0}
+
+
+def test_parse_robots_bodies(spark):
+    body = """
+# comment
+User-agent: *
+Disallow: /private
+Allow: /private/open
+Crawl-delay: 3
+
+User-agent: other
+Disallow: /
+"""
+    df = spark.createDataFrame([("h.example", body)], ["host", "body"])
+    rules = parse_robots_bodies(df).collect()
+    star = [(r["allow"], r["path_prefix"]) for r in rules if r["agent"] == "*"]
+    assert (False, "/private") in star
+    assert (True, "/private/open") in star
+    other = [(r["allow"], r["path_prefix"]) for r in rules if r["agent"] == "other"]
+    assert (False, "/") in other
+    delays = {(r["agent"], r["crawl_delay"]) for r in rules if r["crawl_delay"]}
+    assert ("*", 3.0) in delays

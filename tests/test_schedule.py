@@ -1,0 +1,119 @@
+"""W1/W2/W3/Q1/A2 scheduling semantics."""
+
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import functions as F
+
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.operators.schedule import (
+    active_queues,
+    eligible,
+    per_queue_topk,
+    politeness_slots,
+    select_fetch_batch,
+)
+
+T0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+def _frontier(spark, rows):
+    from sparkcrawl.schemas import FRONTIER_SCHEMA
+
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+def _row(i, queue=0, host="h0", next_offset=0, priority=1, state="pending"):
+    return (
+        f"http://{host}.example/p{i}",
+        f"{i:040d}",
+        f"{host}.example",
+        f"{host}.example",
+        queue,
+        None,
+        None,
+        T0 + timedelta(seconds=next_offset),
+        priority,
+        0,
+        state,
+        0,
+        0,
+    )
+
+
+def test_eligibility_filter(spark):
+    df = _frontier(spark, [_row(1), _row(2, next_offset=100), _row(3, state="gone")])
+    got = {r["url_hash"] for r in eligible(df, T0).collect()}
+    assert got == {f"{1:040d}"}
+
+
+def test_per_queue_topk_order_and_cap(spark, mini_cfg):
+    rows = [_row(i, queue=0, next_offset=10 - i) for i in range(10)]  # later i = earlier
+    rows += [_row(100 + i, queue=1, priority=(i % 3) + 1) for i in range(10)]
+    df = _frontier(spark, rows)
+    out = per_queue_topk(eligible(df, T0 + timedelta(seconds=60)), mini_cfg, k=3)
+    got = out.orderBy("queue", "next_date", "priority", "url_hash").collect()
+    q0 = [r["url_hash"] for r in got if r["queue"] == 0]
+    # queue 0: earliest next_date wins => i=9,8,7
+    assert q0 == [f"{9:040d}", f"{8:040d}", f"{7:040d}"]
+    q1 = [r["priority"] for r in got if r["queue"] == 1]
+    # queue 1: same next_date => priority then url_hash
+    assert q1 == [1, 1, 1]
+
+
+def test_topk_two_stage_equals_naive(spark, mini_cfg):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        _row(i, queue=rng.randrange(3), next_offset=rng.randrange(50),
+             priority=rng.randrange(1, 5))
+        for i in range(200)
+    ]
+    df = eligible(_frontier(spark, rows), T0 + timedelta(seconds=100))
+    k = 7
+    got = {r["url_hash"] for r in per_queue_topk(df, mini_cfg, k).collect()}
+    # naive reference: sort per queue in pandas
+    pdf = df.toPandas().sort_values(["queue", "next_date", "priority", "url_hash"])
+    expected = set(pdf.groupby("queue").head(k)["url_hash"])
+    assert got == expected
+
+
+def test_active_queue_selection_deterministic(spark):
+    cfg = CrawlConfig(active_queues=2)
+    rows = (
+        [_row(i, queue=0) for i in range(5)]
+        + [_row(10 + i, queue=1) for i in range(9)]
+        + [_row(30 + i, queue=2) for i in range(9)]
+        + [_row(50 + i, queue=3) for i in range(2)]
+    )
+    df = eligible(_frontier(spark, rows), T0)
+    # queue 1 and 2 tie at 9 -> lower queue id wins the tie; both beat 0
+    assert active_queues(df, cfg) == [1, 2]
+
+
+def test_politeness_slots_per_host(spark, mini_cfg):
+    rows = [_row(i, queue=0, host="a") for i in range(3)] + [_row(9, queue=0, host="b")]
+    df = _frontier(spark, rows)
+    out = politeness_slots(df, mini_cfg).collect()
+    slots = sorted((r["host"], r["slot"], r["scheduled_offset"]) for r in out)
+    assert slots == [
+        ("a.example", 0, 0.0),
+        ("a.example", 1, 1.0),
+        ("a.example", 2, 2.0),
+        ("b.example", 0, 0.0),
+    ]
+
+
+def test_crawl_delay_override(spark, mini_cfg):
+    rows = [_row(i, host="a") for i in range(2)]
+    delays = spark.createDataFrame([("a.example", 5.0)], ["host", "crawl_delay"])
+    out = politeness_slots(_frontier(spark, rows), mini_cfg, delays).collect()
+    assert sorted(r["scheduled_offset"] for r in out) == [0.0, 5.0]
+
+
+def test_budget_cap(spark):
+    cfg = CrawlConfig(num_queues=4, active_queues=4, per_queue_budget=2, heap_size=50)
+    rows = [_row(i, queue=i % 2) for i in range(20)]
+    batch = select_fetch_batch(_frontier(spark, rows), T0, cfg)
+    counts = batch.groupBy("queue").count().collect()
+    assert all(r["count"] <= 2 for r in counts)

@@ -1,0 +1,60 @@
+"""C1/F3/F4 canonicalization spec tests (SURVEY §2.8; hard-part #3)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkcrawl.functions.urlnorm import canonicalize_one
+
+
+CASES = [
+    # fragments dropped
+    ("http://a.example/p#frag", None, "http://a.example/p"),
+    # scheme+host lowercased, default port stripped
+    ("HTTP://A.Example:80/P", None, "http://a.example/P"),
+    ("https://a.example:443/x", None, "https://a.example/x"),
+    ("http://a.example:8080/x", None, "http://a.example:8080/x"),
+    # empty path -> /
+    ("http://a.example", None, "http://a.example/"),
+    # session ids stripped from query (F3)
+    ("http://a.example/p?sid=123", None, "http://a.example/p"),
+    ("http://a.example/p?a=1&PHPSESSID=x&b=2", None, "http://a.example/p?a=1&b=2"),
+    # ;jsessionid path param stripped (F3)
+    ("http://a.example/p;jsessionid=ABC", None, "http://a.example/p"),
+    ("http://a.example/p;x=1;jsessionid=ABC/q", None, "http://a.example/p;x=1/q"),
+    # empty params dropped, order preserved (F4)
+    ("http://a.example/p?", None, "http://a.example/p"),
+    ("http://a.example/p?b=2&a=1", None, "http://a.example/p?b=2&a=1"),
+    ("http://a.example/p?a=&b=2", None, "http://a.example/p?b=2"),
+    # relative resolution against base (C1)
+    ("/page/5", "http://h.example/section/", "http://h.example/page/5"),
+    ("page/5", "http://h.example/section/", "http://h.example/section/page/5"),
+    ("../up", "http://h.example/a/b/", "http://h.example/a/up"),
+    ("http://abs.example/x", "http://h.example/", "http://abs.example/x"),
+]
+
+
+@pytest.mark.parametrize("url,base,expected", CASES)
+def test_canonicalize_cases(url, base, expected):
+    assert canonicalize_one(url, base) == expected
+
+
+@given(
+    st.from_regex(r"http://[a-z]{1,8}\.example(:[0-9]{2,4})?/[a-zA-Z0-9/_.-]{0,20}(\?[a-z]=[0-9]&?[a-z]?=?[0-9]?)?(#[a-z0-9]{0,5})?", fullmatch=True)
+)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(url):
+    once = canonicalize_one(url)
+    assert canonicalize_one(once) == once
+
+
+def test_spark_udf_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.functions.urlnorm import canonicalize_udf
+
+    urls = [u for u, b, _ in CASES if b is None]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {r["url"]: r["canon"] for r in df.withColumn("canon", canonicalize_udf(F.col("url"))).collect()}
+    for u in urls:
+        assert got[u] == canonicalize_one(u)
