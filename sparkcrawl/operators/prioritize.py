@@ -60,7 +60,10 @@ def apply_outcomes(fetched: DataFrame, virtual_time, cfg: CrawlConfig) -> DataFr
         is_server_error,
         new_error_count.cast("long") * F.lit(int(cfg.error_backoff_seconds)),
     ).otherwise(new_priority.cast("long") * F.lit(int(cfg.delta_seconds)))
-    new_next_date = F.timestamp_add("SECOND", requeue_delay, t)
+    # gone rows are never rescheduled: next_date stays as-is (parity spec)
+    new_next_date = F.when(
+        new_state == "gone", F.col("next_date")
+    ).otherwise(F.timestamp_add("SECOND", requeue_delay, t))
 
     # S3 analog _uri_from_curi: etag/mod_date refreshed from response headers
     new_etag = F.when(is_success, F.col("rep_etag")).otherwise(F.col("etag"))

@@ -40,7 +40,12 @@ from sparkcrawl.operators.prioritize import apply_outcomes
 from sparkcrawl.operators.robots import crawl_delays, robots_gate
 from sparkcrawl.operators.schedule import select_fetch_batch
 from sparkcrawl.sources.fetch import synthetic_fetch
-from sparkcrawl.sources.store import CheckpointLog, DocumentsTable, FrontierTable
+from sparkcrawl.sources.store import (
+    CheckpointLog,
+    DocumentsTable,
+    FetchLogTable,
+    FrontierTable,
+)
 
 
 @dataclass
@@ -100,6 +105,7 @@ class CrawlRun:
         self.robots = robots
         self.frontier = FrontierTable(workdir)
         self.documents = DocumentsTable(workdir)
+        self.fetch_log = FetchLogTable(workdir)
         self.checkpoints = CheckpointLog(workdir)
         self._delays = crawl_delays(robots, cfg.user_agent) if robots is not None else None
 
@@ -152,6 +158,32 @@ class CrawlRun:
         extracted = extract_links_and_spans(fetched, cfg).persist()
         docs = documents_from_fetch(extracted)
         self.documents.append(docs, superstep)
+
+        # S6/A3: ordered fetch log — rank over the full batch's total order
+        # (slot, host, url_hash); window is single-partition but the batch
+        # is config-bounded (active_queues × budget), never data-sized.
+        from pyspark.sql import Window as W
+
+        from sparkcrawl.operators.prioritize import outcome_class
+
+        rank_w = W.orderBy(F.asc("slot"), F.asc("host"), F.asc("url_hash"))
+        log_df = (
+            batch.withColumn("rank", F.row_number().over(rank_w) - F.lit(1))
+            .filter(F.col("robots_allowed"))
+            .select("url_hash", "rank", "slot")
+            .join(extracted.select("url_hash", "status_code"), "url_hash", "left")
+            .select(
+                F.lit(superstep).alias("superstep"),
+                "rank",
+                "slot",
+                "url_hash",
+                "status_code",
+                outcome_class(F.col("status_code")).alias("outcome"),
+            )
+            .join(batch.select("url_hash", "url"), "url_hash")
+            .select("superstep", "rank", "slot", "url", "url_hash", "status_code", "outcome")
+        )
+        self.fetch_log.append(log_df, superstep)
 
         # 6: discovered links, already canonical (extractor resolves + canonicalizes)
         links = (

@@ -42,7 +42,7 @@ class ParquetManifestStore:
         self.name = name
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         if not os.path.exists(self._manifest_path):
-            self._write_manifest({"deltas": [], "meta": {}, "version": 0})
+            self._write_manifest({"deltas": [], "meta": {}, "version": 0, "next_seq": 0})
 
     # -- manifest plumbing ------------------------------------------------
     @property
@@ -66,7 +66,11 @@ class ParquetManifestStore:
         """Write a delta dir and atomically commit it to the manifest.
         Returns the new snapshot version id."""
         manifest = self._read_manifest()
-        seq = len(manifest["deltas"])
+        # seq is manifest-monotonic (NOT len(deltas)): compaction shrinks the
+        # delta list, and a reused lower seq would let keep-latest reads
+        # resurrect compacted rows over newer appends.
+        seq = manifest["next_seq"]
+        manifest["next_seq"] = seq + 1
         delta_dir = os.path.join(self.root, "data", f"delta-{seq:06d}-{uuid.uuid4().hex[:8]}")
         df.withColumn("_delta_seq", F.lit(seq)).write.mode("errorifexists").parquet(delta_dir)
         manifest["deltas"].append({"path": delta_dir, "seq": seq})
@@ -87,7 +91,8 @@ class ParquetManifestStore:
     def replace_all(self, df: DataFrame, meta: dict | None = None) -> str:
         """Compaction commit: next snapshot = exactly this data."""
         manifest = self._read_manifest()
-        seq = len(manifest["deltas"])
+        seq = manifest["next_seq"]
+        manifest["next_seq"] = seq + 1
         delta_dir = os.path.join(self.root, "data", f"compact-{seq:06d}-{uuid.uuid4().hex[:8]}")
         df.withColumn("_delta_seq", F.lit(seq)).write.mode("errorifexists").parquet(delta_dir)
         manifest["deltas"] = [{"path": delta_dir, "seq": seq}]
@@ -194,6 +199,22 @@ class CheckpointLog:
             "virtual_time": datetime.fromisoformat(meta["last_virtual_time"]),
             "snapshot_id": meta["last_snapshot"],
         }
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        raw = self.store.read_raw(spark)
+        return None if raw is None else raw.drop("_delta_seq")
+
+
+class FetchLogTable:
+    """Append-only ordered fetch log — the S6 sink's per-outcome callbacks
+    re-expressed as one table with an outcome column (SURVEY S6/A3).
+    Also the crawl-order parity surface (golden/crawl_order.json)."""
+
+    def __init__(self, root: str):
+        self.store = ParquetManifestStore(root, "fetch_log")
+
+    def append(self, log: DataFrame, superstep: int) -> str:
+        return self.store.append(log, meta={"superstep": superstep})
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         raw = self.store.read_raw(spark)
