@@ -1,10 +1,19 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the sparkcrawl engine (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl-schedule superstep query on
+sf0.001. ``queries()`` exposes one entry per implemented operator
+family from SURVEY.md §2 plus the training-data pipeline operators;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each
+SQL-expressible one (driver compares row-count + schema + order-
+insensitive value-hash at sf0.01).
+
+Cross-engine determinism rules used throughout:
+  - hashes are md5-hex (identical in Spark and DuckDB; the engine's
+    internal URL hash is sha1 for reference parity, pytest-checked);
+  - bucket ids derive from base-16 conv of md5 prefixes;
+  - int32/float32 outputs are widened to int64/float64;
+  - timestamps are emitted as epoch microseconds (BIGINT);
+  - doubles are rounded (6dp) AFTER deterministic tie-broken ranking.
 """
 
 from __future__ import annotations
@@ -12,27 +21,715 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NQ = 8                      # queues in the flagship schedule
+TOPK = 10                   # per-queue budget
+CUTOFF = "2024-01-02 00:00:00"  # eligibility cutoff (F6 virtual time)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+
+def _epoch_us(col) -> "F.Column":
+    """Epoch microseconds of a (possibly NTZ) timestamp column; session
+    timezone is UTC so NTZ -> TS cast is identity (matches DuckDB epoch_us)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+def _widen(df: DataFrame) -> DataFrame:
+    """int32 -> int64, float32 -> float64 so hashes match DuckDB."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.IntegerType):
+            cols.append(F.col(f.name).cast("long").alias(f.name))
+        elif isinstance(f.dataType, T.FloatType):
+            cols.append(F.col(f.name).cast("double").alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# flagship: one crawl-schedule superstep over a synthetic frontier
+# ---------------------------------------------------------------------------
+
+def _synthetic_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frontier derived from the events table (no external
+    data): each event is a pending URL; ts = next_date."""
+    from sparkcrawl.functions.hashing import md5_bucket
+
+    ev = _read(spark, sf_dir, "events")
+    host = F.concat(F.lit("host"), (F.col("user_id") % 50).cast("string"), F.lit(".example"))
+    url = F.concat(F.lit("http://"), host, F.lit("/e/"), F.col("event_id").cast("string"))
+    return ev.select(
+        url.alias("url"),
+        F.md5(url).alias("url_hash"),
+        host.alias("host"),
+        md5_bucket(host, NQ).cast("long").alias("queue"),
+        F.col("ts").alias("next_date"),
+        (F.col("event_id") % 3 + 1).cast("long").alias("priority"),
+    )
+
+
+def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.4 steps 1-3 on the synthetic frontier: eligibility -> two-stage
+    per-queue top-k -> politeness slots. The engine's real operators."""
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.operators.schedule import per_queue_topk, politeness_slots
+
+    cfg = CrawlConfig(num_queues=NQ, per_queue_budget=TOPK, heap_size=TOPK)
+    frontier = _synthetic_frontier(spark, sf_dir).filter(F.col("next_date") <= F.lit(CUTOFF))
+    picked = per_queue_topk(frontier, cfg, TOPK)
+    slotted = politeness_slots(picked, cfg)
+    return _widen(
+        slotted.select(
+            "url",
+            "queue",
+            F.col("priority"),
+            _epoch_us("next_date").alias("next_ts_us"),
+            F.col("slot").cast("long").alias("slot"),
+            F.round("scheduled_offset", 6).alias("scheduled_offset"),
+        )
+    )
+
+
+_CRAWL_SCHEDULE_SQL = f"""
+WITH frontier AS (
+  SELECT
+    'http://host' || CAST(user_id % 50 AS VARCHAR) || '.example/e/' || CAST(event_id AS VARCHAR) AS url,
+    md5('http://host' || CAST(user_id % 50 AS VARCHAR) || '.example/e/' || CAST(event_id AS VARCHAR)) AS url_hash,
+    'host' || CAST(user_id % 50 AS VARCHAR) || '.example' AS host,
+    CAST(concat('0x', substr(md5('host' || CAST(user_id % 50 AS VARCHAR) || '.example'),1,8)) AS BIGINT) % {NQ} AS queue,
+    ts AS next_date,
+    CAST(event_id % 3 + 1 AS BIGINT) AS priority
+  FROM events
+  WHERE ts <= TIMESTAMP '{CUTOFF}'
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY queue ORDER BY next_date, priority, url_hash) AS rn
+  FROM frontier
+),
+picked AS (SELECT * FROM ranked WHERE rn <= {TOPK}),
+slotted AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY next_date, priority, url_hash) - 1 AS slot
+  FROM picked
+)
+SELECT url, queue, priority, epoch_us(next_date) AS next_ts_us,
+       CAST(slot AS BIGINT) AS slot, round(slot * 1.0, 6) AS scheduled_offset
+FROM slotted
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return crawl_schedule(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sparkcrawl.operators import simsearch, textops
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def w1_w2_schedule_topk(spark, sf):
+        from pyspark.sql import Window as W
+
+        ev = _read(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return _widen(
+            ev.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3)
+            .select("user_id", "event_id", _epoch_us("ts").alias("ts_us"), "rn")
+        )
+
+    def w3_politeness_slots(spark, sf):
+        from pyspark.sql import Window as W
+
+        ev = _read(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        slot = F.row_number().over(w).cast("long") - 1
+        return ev.select(
+            "user_id",
+            "event_id",
+            slot.alias("slot"),
+            F.round(slot * 1.5, 6).alias("scheduled_offset"),
+        )
+
+    def q2_queue_assignment(spark, sf):
+        from sparkcrawl.functions.hashing import md5_bucket
+
+        docs = _read(spark, sf, "documents")
+        return (
+            docs.withColumn("queue", md5_bucket(F.col("source"), NQ).cast("long"))
+            .groupBy("queue")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def f6_eligibility(spark, sf):
+        ev = _read(spark, sf, "events")
+        return ev.filter(
+            (F.col("ts") <= F.lit(CUTOFF)) & (F.col("event_type") == "view")
+        ).select("event_id", _epoch_us("ts").alias("ts_us"))
+
+    def j1_anti_join_dedup(spark, sf):
+        cust = _read(spark, sf, "customer")
+        orders = _read(spark, sf, "orders")
+        return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+            "c_custkey", "c_name"
+        )
+
+    def j2_broadcast_lookup(spark, sf):
+        nation = _read(spark, sf, "nation")
+        region = _read(spark, sf, "region")
+        return nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_name", "r_name")
+
+    def j3_keep_latest_merge(spark, sf):
+        from pyspark.sql import Window as W
+
+        ev = _read(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", "event_id", _epoch_us("ts").alias("ts_us"))
+        )
+
+    def a1_group_counts(spark, sf):
+        ev = _read(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    def a2_budget_running_rank(spark, sf):
+        from pyspark.sql import Window as W
+
+        ev = _read(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_taken"))
+        )
+
+    def u1_requeue_union(spark, sf):
+        ev = _read(spark, sf, "events")
+        clicks = ev.filter(F.col("event_type") == "click")
+        views = ev.filter(F.col("event_type") == "view")
+        return (
+            clicks.unionByName(views)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def u2_first_discovery_distinct(spark, sf):
+        from pyspark.sql import Window as W
+
+        ev = _read(spark, sf, "events")
+        w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", "event_type", "event_id")
+        )
+
+    def c2_url_hash(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+
+    def c8_prioritizer_requeue(spark, sf):
+        ev = _read(spark, sf, "events")
+        status = (
+            F.when(F.col("value") < 0.2, 304)
+            .when(F.col("value") < 0.8, 200)
+            .otherwise(500)
+        )
+        prio_in = (F.col("event_id") % 3 + 1).cast("long")
+        prio = (
+            F.when(status == 200, F.lit(1))
+            .when(status == 304, F.least(F.lit(10), prio_in + 1))
+            .otherwise(prio_in)
+            .cast("long")
+        )
+        next_us = _epoch_us("ts") + prio * F.lit(500_000_000)
+        return ev.select(
+            "event_id",
+            status.cast("long").alias("status_code"),
+            prio.alias("priority"),
+            next_us.alias("next_ts_us"),
+        )
+
+    def dedup_exact(spark, sf):
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        dupped = docs.unionByName(
+            docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        )
+        return textops.exact_dedup(dupped).select("doc_id", F.md5("text").alias("text_md5"))
+
+    def dedup_groups(spark, sf):
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        dupped = docs.unionByName(
+            docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        )
+        return textops.duplicate_groups(dupped)
+
+    def dedup_ngram_jaccard(spark, sf):
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return textops.ngram_jaccard_pairs(docs, n=8, threshold=0.15)
+
+    def dedup_minhash_lsh(spark, sf):
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        dupped = docs.unionByName(
+            docs.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        return textops.minhash_lsh_pairs(dupped, num_perms=8, n=8)
+
+    def dedup_simhash(spark, sf):
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return textops.simhash(docs, bits=32)
+
+    def simsearch_bruteforce_topk(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        return _widen(textops_round_sim(simsearch.brute_force_topk(emb, q, k=5)))
+
+    def simsearch_lsh_bucketed(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        return _widen(textops_round_sim(simsearch.lsh_bucketed_topk(emb, q, k=5, n_planes=4)))
+
+    def embedding_near_dup_pairs(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        return _widen(simsearch.embedding_near_dup_pairs(emb, threshold=0.3, n_planes=2))
+
+    def text_language_id(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return _widen(textops.language_id(docs))
+
+    def text_quality_score(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return _widen(textops.quality_score(docs))
+
+    def text_token_counts(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return _widen(textops.token_counts(docs))
+
+    def text_doc_fingerprint(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return textops.doc_fingerprint(docs, n=8)
+
+    def tpch_q1_pricing_summary(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def tpch_q3_shipping_priority(spark, sf):
+        cust = _read(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        orders = _read(spark, sf, "orders")
+        li = _read(spark, sf, "lineitem")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10)
+        )
+
+    # --- non-SQL-expressible (rows-only checks): mapInPandas plumbing -----
+    def interleaved_span_extract(spark, sf):
+        """C3/C5 extractor over HTML synthesized from documents.text."""
+        from sparkcrawl.config import CrawlConfig
+        from sparkcrawl.operators.extract import extract_links_and_spans
+
+        docs = _read(spark, sf, "documents")
+        fetchlike = docs.select(
+            F.concat(F.lit("http://doc"), F.col("doc_id").cast("string"), F.lit(".example/")).alias("url"),
+            F.lit(200).alias("status_code"),
+            F.lit("text/html; charset=utf-8").alias("content_type"),
+            F.lit(None).cast("string").alias("location"),
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit('</p><img src="/img/'),
+                F.col("doc_id").cast("string"),
+                F.lit('.png"><a href="/next">n</a></body></html>'),
+            ).alias("body"),
+        )
+        out = extract_links_and_spans(fetchlike, CrawlConfig())
+        return out.select(
+            F.col("url").alias("doc_id"),
+            F.size("spans").cast("long").alias("n_spans"),
+            F.size("links").cast("long").alias("n_links"),
+            F.element_at("spans", 1)["kind"].alias("first_kind"),
+        )
+
+    def multimodal_media_features(spark, sf):
+        """Binary-column decode plumbing (deterministic fake decode)."""
+        from sparkcrawl.operators.multimodal import decode_and_featurize
+
+        docs = _read(spark, sf, "documents")
+        media = docs.select(
+            F.concat(F.lit("http://cdn.example/"), F.col("doc_id").cast("string"), F.lit(".png")).alias("media_ref"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            F.lit("image").alias("media_type"),
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        )
+        feats = decode_and_featurize(media)
+        return feats.select(
+            "media_ref", "n_bytes",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        )
+
+    def crawl_mini_superstep(spark, sf):
+        """Full engine superstep on an in-memory mini-web (rows-only):
+        exercises fetch→extract→dedup→requeue end-to-end in the harness."""
+        import tempfile
+
+        from sparkcrawl.config import CrawlConfig
+        from sparkcrawl.plans.superstep import CrawlRun
+        from sparkcrawl.schemas import ROBOTS_SCHEMA, SEEDS_SCHEMA, WEB_SCHEMA
+        from sparkcrawl.sources.fixtures import generate_web
+
+        web, robots, seeds = generate_web(seed=42, num_hosts=8, pages_per_host=4)
+        cfg = CrawlConfig(num_queues=4, compact_every=0)
+        run = CrawlRun(
+            spark,
+            tempfile.mkdtemp(prefix="entry-crawl-"),
+            cfg,
+            spark.createDataFrame(web, WEB_SCHEMA),
+            spark.createDataFrame(robots, ROBOTS_SCHEMA),
+        )
+        run.run(spark.createDataFrame(seeds, SEEDS_SCHEMA), max_supersteps=2)
+        return run.fetch_log.read(spark).select("superstep", "rank", "url", "outcome")
+
+    return {
+        "crawl_schedule_flagship": crawl_schedule,
+        "w1_w2_schedule_topk": w1_w2_schedule_topk,
+        "w3_politeness_slots": w3_politeness_slots,
+        "q2_queue_assignment": q2_queue_assignment,
+        "f6_eligibility": f6_eligibility,
+        "j1_anti_join_dedup": j1_anti_join_dedup,
+        "j2_broadcast_lookup": j2_broadcast_lookup,
+        "j3_keep_latest_merge": j3_keep_latest_merge,
+        "a1_group_counts": a1_group_counts,
+        "a2_budget_running_rank": a2_budget_running_rank,
+        "u1_requeue_union": u1_requeue_union,
+        "u2_first_discovery_distinct": u2_first_discovery_distinct,
+        "c2_url_hash": c2_url_hash,
+        "c8_prioritizer_requeue": c8_prioritizer_requeue,
+        "dedup_exact": dedup_exact,
+        "dedup_groups": dedup_groups,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "simsearch_bruteforce_topk": simsearch_bruteforce_topk,
+        "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "text_language_id": text_language_id,
+        "text_quality_score": text_quality_score,
+        "text_token_counts": text_token_counts,
+        "text_doc_fingerprint": text_doc_fingerprint,
+        "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+        "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+        "interleaved_span_extract": interleaved_span_extract,
+        "multimodal_media_features": multimodal_media_features,
+        "crawl_mini_superstep": crawl_mini_superstep,
+    }
+
+
+def textops_round_sim(df: DataFrame) -> DataFrame:
+    return df  # sims already rounded inside the operators
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT id, CAST(concat('0x', substr(md5(tok),1,8)) AS BIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT id, pos, SUM((CAST(floor(h / pow(2, pos)) AS BIGINT) % 2) * 2 - 1) AS s
+  FROM hashed CROSS JOIN generate_series(0, {bits - 1}) AS g(pos)
+  GROUP BY id, pos
+)
+SELECT id, CAST(SUM(CASE WHEN s >= 0 THEN 1 ELSE 0 END * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS simhash
+FROM votes GROUP BY id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    # generate_series cannot take lateral column bounds in DuckDB 1.0:
+    # cross-join a constant range and filter by doc length instead.
+    shingle8 = (
+        "SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle "
+        "FROM documents, generate_series(1, 2000) AS g(i) "
+        "WHERE i <= len(text) - 7"
+    )
+    dupped = (
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents"
+    )
+    return {
+        "crawl_schedule_flagship": _CRAWL_SCHEDULE_SQL,
+        "w1_w2_schedule_topk": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, rn FROM (
+              SELECT user_id, event_id, ts,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "w3_politeness_slots": """
+            SELECT user_id, event_id, rn - 1 AS slot, round((rn - 1) * 1.5, 6) AS scheduled_offset
+            FROM (SELECT user_id, event_id,
+                         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM events)
+        """,
+        "q2_queue_assignment": f"""
+            SELECT CAST(concat('0x', substr(md5(source),1,8)) AS BIGINT) % {NQ} AS queue,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "f6_eligibility": f"""
+            SELECT event_id, epoch_us(ts) AS ts_us FROM events
+            WHERE ts <= TIMESTAMP '{CUTOFF}' AND event_type = 'view'
+        """,
+        "j1_anti_join_dedup": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "j2_broadcast_lookup": """
+            SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "j3_keep_latest_merge": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
+              SELECT user_id, event_id, ts,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "a1_group_counts": """
+            SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "a2_budget_running_rank": """
+            SELECT user_id, count(*) AS n_taken FROM (
+              SELECT user_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn <= 5 GROUP BY user_id
+        """,
+        "u1_requeue_union": """
+            SELECT event_type, count(*) AS n FROM (
+              SELECT * FROM events WHERE event_type = 'click'
+              UNION ALL SELECT * FROM events WHERE event_type = 'view'
+            ) GROUP BY event_type
+        """,
+        "u2_first_discovery_distinct": """
+            SELECT user_id, event_type, event_id FROM (
+              SELECT user_id, event_type, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "c2_url_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "c8_prioritizer_requeue": """
+            SELECT event_id,
+                   CAST(status AS BIGINT) AS status_code,
+                   CAST(prio AS BIGINT) AS priority,
+                   epoch_us(ts) + prio * 500000000 AS next_ts_us
+            FROM (
+              SELECT event_id, ts, status,
+                     CASE WHEN status = 200 THEN 1
+                          WHEN status = 304 THEN least(10, prio_in + 1)
+                          ELSE prio_in END AS prio
+              FROM (
+                SELECT event_id, ts,
+                       CASE WHEN value < 0.2 THEN 304 WHEN value < 0.8 THEN 200 ELSE 500 END AS status,
+                       CAST(event_id % 3 + 1 AS BIGINT) AS prio_in
+                FROM events))
+        """,
+        "dedup_exact": f"""
+            SELECT doc_id, md5(text) AS text_md5 FROM (
+              SELECT doc_id, text,
+                     ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM ({dupped})) WHERE rn = 1
+        """,
+        "dedup_groups": f"""
+            SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+            FROM ({dupped}) GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS ({shingle8}),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.15
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+            sh AS (
+              SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle
+              FROM dup, generate_series(1, 2000) AS g(i)
+              WHERE i <= len(text) - 7),
+            sig AS (
+              SELECT id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
+              FROM sh CROSS JOIN generate_series(0, 7) AS p(perm)
+              GROUP BY id, perm)
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+            FROM sig a JOIN sig b ON a.perm = b.perm AND a.sig = b.sig AND a.id < b.id
+            GROUP BY 1, 2
+        """,
+        "dedup_simhash": _simhash_sql(32),
+        "simsearch_bruteforce_topk": """
+            SELECT query_id, cand_id, sim, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                     round((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
+            WHERE rank <= 5
+        """,
+        "simsearch_lsh_bucketed": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings)
+            SELECT query_id, cand_id, sim, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                     round((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) DESC,
+                                c.vec_id) AS rank
+              FROM b q JOIN b c ON q.bucket = c.bucket
+              WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
+            WHERE rank <= 5
+        """,
+        "embedding_near_dup_pairs": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                   round((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) * list_dot_product(CAST(b2.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])))), 6) AS sim
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            WHERE round((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) * list_dot_product(CAST(b2.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])))), 6) >= 0.3
+        """,
+        "text_language_id": _language_id_sql(),
+        "text_quality_score": _quality_sql(),
+        "text_token_counts": """
+            SELECT doc_id AS id,
+                   len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+            FROM documents
+        """,
+        "text_doc_fingerprint": f"""
+            WITH sh AS ({shingle8})
+            SELECT id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY id
+        """,
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        # interleaved_span_extract, multimodal_media_features,
+        # crawl_mini_superstep: mapInPandas / stateful-loop plumbing —
+        # not SQL-expressible; driver records rows-only checks.
+    }
+
+
+def _stopword_count_sql(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((len(' ' || lower(text) || ' ') - "
+        f"len(replace(' ' || lower(text) || ' ', '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+def _language_id_sql() -> str:
+    from sparkcrawl.operators.textops import STOPWORDS
+
+    score_exprs = []
+    for lang, words in STOPWORDS.items():
+        total = " + ".join(_stopword_count_sql(w) for w in words)
+        score_exprs.append(f"({total}) AS score_{lang}")
+    langs = list(STOPWORDS)
+    best = f"greatest({', '.join('score_' + l for l in langs)})"
+    pred = "coalesce(" + ", ".join(
+        f"CASE WHEN score_{l} = {best} AND {best} > 0 THEN '{l}' END" for l in langs
+    ) + ", 'unknown')"
+    return f"""
+        SELECT id, {', '.join('score_' + l for l in langs)}, {pred} AS pred_lang
+        FROM (SELECT doc_id AS id, {', '.join(score_exprs)} FROM documents)
     """
-    return {}
+
+
+def _quality_sql() -> str:
+    from sparkcrawl.operators.textops import STOPWORDS
+
+    stop_hits = " + ".join(_stopword_count_sql(w) for w in STOPWORDS["en"])
+    return f"""
+        SELECT doc_id AS id,
+               len(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               round(len(text) / len(string_split(text, ' ')), 4) AS avg_word_len,
+               round((len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / greatest(len(text), 1), 6) AS punct_ratio,
+               round(({stop_hits}) / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+               round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                     + least(({stop_hits}) / greatest(len(string_split(text, ' ')), 1) * 5, 1.0) * 0.5,
+                     6) AS quality
+        FROM documents
+    """

@@ -1,0 +1,113 @@
+"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+
+Media assets referenced by interleaved spans (media_ref) are treated as
+opaque ``binary`` columns with typed metadata, processed via Arrow-
+batched ``mapInPandas``. The image/audio decode libraries are NOT in
+this container, so the decode kernels are STUBS behind
+``SPARKCRAWL_FAKE_DECODE`` (deterministic fake) /
+``NotImplementedError`` — the Spark-side plumbing (schema, batching,
+partitioning, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_table_from_spans(docs_spans: DataFrame) -> DataFrame:
+    """Distinct media refs from interleaved documents, with a synthetic
+    deterministic payload (sandbox stand-in for the blob fetch)."""
+    refs = (
+        docs_spans.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    return refs.select(
+        "media_ref",
+        F.encode(F.col("media_ref"), "UTF-8").alias("payload"),
+        F.when(F.col("media_ref").rlike(r"\.(png|jpg|gif)$"), "image")
+        .when(F.col("media_ref").rlike(r"\.(mp3|wav)$"), "audio")
+        .when(F.col("media_ref").rlike(r"\.(mp4|webm)$"), "video")
+        .otherwise("unknown")
+        .alias("media_type"),
+        F.length(F.encode(F.col("media_ref"), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake decode: 8-dim feature from the payload digest.
+    Stands in for PIL/libav decode (libraries absent in this container)."""
+    d = hashlib.md5(payload or b"").digest()
+    width = 16 + d[0] % 64
+    height = 16 + d[1] % 64
+    feature = [b / 255.0 for b in d[:8]]
+    return width, height, feature
+
+
+def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode payloads -> (dims, feature vector) via Arrow-batched
+    mapInPandas. ``fake=False`` raises: real decoders are not shipped —
+    the seam where PIL/torchvision/librosa plug in on a real cluster.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/libav — not in this container"
+                )
+            dims = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "feature": [d[2] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: emits (media_ref, frame_idx) rows
+    for a deterministic fake frame count derived from n_bytes."""
+    return (
+        media.filter(F.col("media_type") == "video")
+        .withColumn("n_frames", (F.col("n_bytes") % 100 + 1).cast("int"))
+        .select(
+            "media_ref",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )

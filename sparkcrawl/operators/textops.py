@@ -1,0 +1,332 @@
+"""Text-analysis + deduplication operators for training-data pipelines.
+
+These extend the crawl engine with the operations a large-scale corpus
+pipeline needs (exact/near dedup, language ID, quality scoring, token
+counting, fingerprinting). All are pure DataFrame compositions —
+JVM-side, whole-stage-codegen'd, no Python in the hot path — and each
+has an ANSI-SQL equivalent the DuckDB oracle can run
+(__spark_entry__.py).
+
+Scale notes (100 TB corpus):
+  - exact dedup: hash-groupBy on a 64-hex digest — uniform keys, no skew.
+  - near-dup: MinHash-LSH generates candidate pairs via equi-join on
+    (perm, signature) — the only all-pairs-free path at scale; plain
+    n-gram Jaccard self-join is provided for verification at small SF
+    and as the LSH verifier.
+  - SimHash: fully relational bit arithmetic (explode bit positions),
+    one shuffle per groupBy, no UDF.
+
+Cross-engine determinism: every hash is md5-hex (identical in Spark and
+DuckDB); integers derived via base-16 conv of hex prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest-id row per identical text.
+
+    GroupBy on md5(text) (not raw text) so the shuffle key is 32 bytes
+    regardless of document size.
+    """
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(F.asc(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_dups, keeper_id) for groups with >1 member."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles / n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def char_shingles(docs: DataFrame, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct character n-grams per doc — (id, shingle). Relational:
+    sequence+transform+explode, no UDF."""
+    df = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+                    f" i -> substring({text_col}, i, {n}))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    return df.filter(F.length("shingle") == n)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold (id_a < id_b).
+
+    Exact but quadratic in shared-shingle pairs — the small-SF verifier.
+    At scale, run :func:`minhash_lsh_pairs` first and feed its candidate
+    pairs through this as the verify step.
+    """
+    sh = char_shingles(docs, n, text_col, id_col).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame, num_perms: int = 8, n: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, perm, sig): sig = min over shingles of md5(perm || shingle).
+
+    The permutation family is "prepend the perm index to the shingle and
+    md5" — deterministic and reproducible in any engine with md5.
+    """
+    sh = char_shingles(docs, n, text_col, id_col)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm")
+    return (
+        sh.select("id", "shingle", perms)
+        .groupBy("id", "perm")
+        .agg(F.min(F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_perms: int = 8, n: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ≥1 of num_perms
+    min-hashes (bands of 1 row). Equi-join on (perm, sig) — at scale
+    this is the shuffle-friendly LSH bucket join; no all-pairs blowup.
+    Returns (id_a, id_b, n_bands) with id_a < id_b.
+    """
+    sig = minhash_signatures(docs, num_perms, n, text_col, id_col)
+    return (
+        sig.alias("a")
+        .join(sig.alias("b"), on=["perm", "sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, simhash): sign-aggregated token-hash bits, fully relational.
+
+    token hash = first 8 hex chars of md5(token) as int32; bit j of the
+    simhash = majority sign of (2*bit_j(token_hash) - 1) over tokens.
+    Ties (sum == 0) resolve to bit 1 (>= 0).
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = tokens.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    )
+    bitted = hashed.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos"),
+        "h",
+    ).withColumn(
+        "vote", (F.floor(F.col("h") / F.pow(F.lit(2), F.col("pos"))).cast("bigint") % 2) * 2 - 1
+    )
+    return (
+        bitted.groupBy("id", "pos")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("bit", (F.col("s") >= 0).cast("bigint"))
+        .groupBy("id")
+        .agg(F.sum(F.col("bit") * F.pow(F.lit(2), F.col("pos")).cast("bigint")).alias("simhash"))
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+
+    Scale path: band the simhash into max_hamming+1 chunks and equi-join
+    on any matching chunk — pigeonhole guarantees ≤max_hamming flips
+    leave ≥1 chunk equal — then verify exact hamming via bit_count(xor).
+    """
+    n_chunks = max_hamming + 1
+    width = -(-bits // n_chunks)  # ceil
+    sh = simhash(docs, bits, text_col, id_col)
+    chunks = sh.select(
+        "id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
+    ).withColumn(
+        "chunk_val",
+        F.floor(F.col("simhash") / F.pow(F.lit(2), F.col("chunk") * width)).cast("bigint")
+        % F.lit(2**width),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), on=["chunk", "chunk_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID / quality / tokens / fingerprint
+# --------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "nicht"),
+    "fr": ("le", "la", "les", "et", "des"),
+}
+
+
+def _count_occurrences(text_col, word: str):
+    """Occurrences of ' word ' via the replace-length trick (portable SQL)."""
+    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID by stopword hit counts (argmax, ties -> lang asc)."""
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        *[
+            sum(
+                [_count_occurrences(F.col(text_col), w) for w in words],
+                F.lit(0).cast("bigint"),
+            ).alias(f"score_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.coalesce(
+        *[F.when((F.col(f"score_{l}") == best) & (best > 0), F.lit(l)) for l in langs],
+        F.lit("unknown"),
+    )
+    return scored.select("id", *[f"score_{l}" for l in langs], pred.alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length/punct/stopword-ratio quality features + composite score."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_words = F.size(F.split(text, " "))
+    stop_hits = sum(
+        [_count_occurrences(text, w) for w in STOPWORDS["en"]],
+        F.lit(0).cast("bigint"),
+    )
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(n_chars / n_words, 4).alias("avg_word_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
+            + F.least(stop_hits / F.greatest(n_words, F.lit(1)) * 5, F.lit(1.0)) * 0.5,
+            6,
+        ).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (words / numbers / punct runs)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("re_tokens"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, n: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Winnowing-lite fingerprint: min md5 n-gram per doc — a stable
+    content id robust to suffix edits (rolling-hash family)."""
+    sh = char_shingles(docs, n, text_col, id_col)
+    return sh.groupBy("id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+def spans_to_text(docs_spans: DataFrame) -> DataFrame:
+    """Adapter: interleaved-span documents (input_hint schema) -> flat text
+    (space-joined text spans, media refs dropped)."""
+    return docs_spans.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text"),
+    )

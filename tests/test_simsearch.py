@@ -1,0 +1,93 @@
+"""Similarity search: brute-force cosine top-k, LSH buckets, near-dup pairs."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcrawl.operators import simsearch
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),    # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 1
+        (5, [1.0, 0.01, 0.0, 0.0]),   # nearly identical to 1
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_brute_force_topk_order(vecs):
+    q = vecs.filter("vec_id = 1")
+    out = simsearch.brute_force_topk(vecs, q, k=3).orderBy("rank").collect()
+    assert [r["cand_id"] for r in out] == [5, 2, 3]
+    assert out[0]["sim"] == pytest.approx(
+        1.0 / math.sqrt(1 + 0.01**2), abs=1e-4
+    )
+
+
+def test_lsh_bucket_join_subset_of_bruteforce(vecs):
+    q = vecs.filter("vec_id = 1")
+    lsh = simsearch.lsh_bucketed_topk(vecs, q, k=3, n_planes=4).collect()
+    # bucket of vec 1 = signs (+,+,+,+) = 15; 2 and 5 share it; 3 shares it too
+    # (0.0 >= 0 counts as positive); 4 does not.
+    cands = {r["cand_id"] for r in lsh}
+    assert 4 not in cands
+    assert {2, 5} <= cands
+    # LSH sims must equal brute-force sims for shared candidates
+    bf = {r["cand_id"]: r["sim"] for r in simsearch.brute_force_topk(vecs, q, k=4).collect()}
+    for r in lsh:
+        assert r["sim"] == bf[r["cand_id"]]
+
+
+def test_near_dup_pairs(vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simsearch.embedding_near_dup_pairs(vecs, threshold=0.99).collect()}
+    assert (1, 5) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_on_real_testdata(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(2)
+    out = simsearch.brute_force_topk(emb, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(-1.0 <= r["sim"] <= 1.0 for r in rows)
+    ranks = sorted(r["rank"] for r in rows if r["query_id"] == rows[0]["query_id"])
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_multimodal_plumbing(spark):
+    from sparkcrawl.operators import multimodal
+    from sparkcrawl.schemas import DOCUMENTS_SCHEMA
+
+    rows = [
+        ("d1", [("text", "a", "", 0), ("media", "", "http://x/i.png", 1),
+                ("media", "", "http://x/v.mp4", 2)]),
+        ("d2", [("media", "", "http://x/i.png", 0)]),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    media = multimodal.media_table_from_spans(docs)
+    got = {r["media_ref"]: r["media_type"] for r in media.collect()}
+    assert got == {"http://x/i.png": "image", "http://x/v.mp4": "video"}
+
+    feats = multimodal.decode_and_featurize(media).collect()
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(16 <= r["width"] < 80 for r in feats)
+    # determinism
+    feats2 = multimodal.decode_and_featurize(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+    frames = multimodal.frame_sample_stub(media).collect()
+    assert all(r["media_ref"] == "http://x/v.mp4" for r in frames)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.decode_and_featurize(media, fake=False).collect()

@@ -1,0 +1,105 @@
+"""Training-data pipeline ops: dedup / minhash / simhash / text analysis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcrawl.operators import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog"),
+        (2, "the cat sat on the mat and looked at the dog"),      # exact dup of 1
+        (3, "the cat sat on the mat and looked at the cat"),      # near dup of 1
+        (4, "der hund und die katze sind nicht das problem"),     # german
+        (5, "le chat et la souris dans les champs des fleurs"),   # french
+        (6, "completely different content about spark engines!"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    kept = {r["doc_id"] for r in textops.exact_dedup(docs).collect()}
+    assert 1 in kept and 2 not in kept
+    assert {3, 4, 5, 6, 7} <= kept
+
+
+def test_duplicate_groups(docs):
+    groups = textops.duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keeper_id"] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in textops.ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0           # identical
+    assert 0.5 <= pairs[(1, 3)] < 1.0     # near dup
+    assert (1, 6) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cand = {(r["id_a"], r["id_b"]) for r in textops.minhash_lsh_pairs(docs, num_perms=8).collect()}
+    assert (1, 2) in cand
+    assert (1, 3) in cand
+
+
+def test_minhash_agreement_reflects_similarity(docs):
+    rows = {(r["id_a"], r["id_b"]): r["n_bands"]
+            for r in textops.minhash_lsh_pairs(docs, num_perms=8).collect()}
+    assert rows[(1, 2)] == 8              # identical docs agree on all perms
+    assert rows.get((1, 3), 0) < 8 or rows[(1, 2)] >= rows[(1, 3)]
+
+
+def test_simhash_dups_share_hash(docs):
+    sh = {r["id"]: r["simhash"] for r in textops.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    # near-dup within small hamming distance
+    h = bin(int(sh[1]) ^ int(sh[3])).count("1")
+    assert h <= 8
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in textops.simhash_near_pairs(docs.filter("doc_id != 7"), max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+
+
+def test_language_id(docs):
+    pred = {r["id"]: r["pred_lang"] for r in textops.language_id(docs).collect()}
+    assert pred[1] == "en" and pred[4] == "de" and pred[5] == "fr"
+    assert pred[7] == "unknown"
+
+
+def test_quality_and_tokens(docs):
+    q = {r["id"]: r for r in textops.quality_score(docs).collect()}
+    assert q[1]["n_words"] == 11
+    assert q[1]["stopword_ratio"] > q[6]["stopword_ratio"]
+    t = {r["id"]: r for r in textops.token_counts(docs).collect()}
+    assert t[1]["ws_tokens"] == 11
+    assert t[6]["re_tokens"] == 7  # 6 words + '!'
+
+
+def test_fingerprint_stable_under_suffix_edit(spark):
+    rows = [(1, "abcdefghijklmnop the core content 123"),
+            (2, "abcdefghijklmnop the core content 456")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {r["id"]: r["fingerprint"] for r in textops.doc_fingerprint(df, n=8).collect()}
+    # min-shingle fingerprint usually survives a suffix edit; at minimum deterministic
+    fp2 = {r["id"]: r["fingerprint"] for r in textops.doc_fingerprint(df, n=8).collect()}
+    assert fp == fp2
+
+
+def test_spans_to_text(spark):
+    from sparkcrawl.schemas import DOCUMENTS_SCHEMA
+
+    rows = [
+        ("d1", [("text", "hello", "", 0), ("media", "", "http://x/i.png", 1),
+                ("text", "world", "", 2)]),
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    out = textops.spans_to_text(df).collect()
+    assert out[0]["text"] == "hello world"
