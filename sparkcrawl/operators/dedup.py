@@ -27,18 +27,20 @@ def batch_distinct(candidates: DataFrame) -> DataFrame:
     page's politeness slot then source url_hash — mirrors the
     reference's sequential is_known(add_if_unknown=True) under the
     superstep's total fetch order.
+
+    Implemented as a hash aggregation (min_by over the order key), not a
+    window: no per-partition full sort, and partial map-side combine
+    shrinks the shuffle when duplicates are common — the scale-relevant
+    difference at 10^10 candidates.
     """
-    order = []
-    for c in ("slot", "src_url_hash"):
-        if c in candidates.columns:
-            order.append(F.asc(c))
-    order.append(F.asc("url"))
-    w = W.partitionBy("url_hash").orderBy(*order)
-    return (
-        candidates.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    order_cols = [c for c in ("slot", "src_url_hash") if c in candidates.columns]
+    order_key = F.struct(*[F.col(c) for c in order_cols], F.col("url"))
+    payload_cols = [c for c in candidates.columns if c != "url_hash"]
+    agg = candidates.groupBy("url_hash").agg(
+        F.min_by(F.struct(*payload_cols), order_key).alias("_row")
     )
+    return agg.select("url_hash", *[F.col(f"_row.{c}").alias(c) for c in payload_cols]) \
+        .select(*candidates.columns)
 
 
 def filter_unseen(

@@ -152,22 +152,30 @@ def _extraction_finished(
     return False
 
 
-def extract_links_and_spans(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def extract_links_and_spans(
+    fetched: DataFrame, cfg: CrawlConfig, keep_body: bool = False
+) -> DataFrame:
     """Add ``extraction_finished``, ``links``, ``spans`` columns.
 
     The limiter predicate is evaluated as a cheap column expression and
     the expensive parse runs inside mapInPandas only for rows that pass
     — the stage ordering is explicit because Catalyst will not reorder
     across a nondeterministic-looking Python stage (SURVEY §4.1).
+
+    ``body`` is consumed by the parse and NOT returned by default:
+    Catalyst cannot column-prune through an opaque mapInPandas, and
+    round-tripping bodies back over Arrow costs more than the parse.
     """
+    passthrough = [f for f in fetched.schema.fields if keep_body or f.name != "body"]
     out_schema = T.StructType(
-        list(fetched.schema.fields)
+        list(passthrough)
         + [
             T.StructField("extraction_finished", T.BooleanType(), False),
             T.StructField("links", T.ArrayType(T.StringType()), False),
             T.StructField("spans", T.ArrayType(SPAN_SCHEMA), False),
         ]
     )
+    out_cols = [f.name for f in out_schema.fields]
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,7 +202,7 @@ def extract_links_and_spans(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
             pdf["extraction_finished"] = finished
             pdf["links"] = links_col
             pdf["spans"] = spans_col
-            yield pdf
+            yield pdf[out_cols]
 
     return fetched.mapInPandas(_extract, schema=out_schema)
 

@@ -36,6 +36,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKCRAWL_DRIVER_MEM", "16g"))
     )
+    # local-mode shuffle goes through spark.local.dir on the driver host;
+    # route it through tmpfs when available so scaling measurements see
+    # CPU, not one shared disk (a real cluster shuffles per-executor).
+    local_dir = os.environ.get("SPARKCRAWL_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/sparkcrawl-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
