@@ -1,0 +1,28 @@
+#!/usr/bin/env python
+"""Build dist/sparkcrawl.zip for spark-submit --py-files (SURVEY M7)."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out: str | None = None) -> str:
+    out = out or os.path.join(ROOT, "dist", "sparkcrawl.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg = os.path.join(ROOT, "sparkcrawl")
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, ROOT))
+    return out
+
+
+if __name__ == "__main__":
+    print(build())

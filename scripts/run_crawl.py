@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""spark-submit entry point for a crawl run (SURVEY M7).
+
+    spark-submit --master <master> \
+        --py-files dist/sparkcrawl.zip \
+        scripts/run_crawl.py \
+        --workdir /data/crawl1 --seeds /data/seeds.parquet \
+        [--web /fixtures/web.parquet --robots /fixtures/robots.parquet] \
+        [--generate-fixtures N_HOSTS] [--max-supersteps K] [--resume]
+
+With --web, fetches resolve against the fixture table (sandbox / test
+clusters); without it the engine would use the live-HTTP fetch path
+(sparkcrawl.sources.fetch.http_fetch — no egress in this sandbox).
+The session comes from spark-submit's master; only job args live here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--seeds")
+    ap.add_argument("--web")
+    ap.add_argument("--robots")
+    ap.add_argument("--generate-fixtures", type=int, default=0,
+                    help="synthesize a mini-web with N hosts instead of --web/--robots")
+    ap.add_argument("--max-supersteps", type=int, default=10)
+    ap.add_argument("--num-queues", type=int, default=64)
+    ap.add_argument("--per-queue-budget", type=int, default=50)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("sparkcrawl-run").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.plans.superstep import CrawlRun
+
+    cfg = CrawlConfig(
+        num_queues=args.num_queues,
+        active_queues=min(args.num_queues, 8),
+        per_queue_budget=args.per_queue_budget,
+    )
+
+    if args.generate_fixtures:
+        from sparkcrawl.sources.fixtures import write_fixture_tables
+
+        paths = write_fixture_tables(
+            spark, args.workdir + "/fixtures", num_hosts=args.generate_fixtures
+        )
+        web = spark.read.parquet(paths["web"])
+        robots = spark.read.parquet(paths["robots"])
+        seeds = spark.read.parquet(paths["seeds"])
+    else:
+        web = spark.read.parquet(args.web) if args.web else None
+        robots = spark.read.parquet(args.robots) if args.robots else None
+        seeds = spark.read.parquet(args.seeds) if args.seeds else None
+
+    run = CrawlRun(spark, args.workdir, cfg, web, robots)
+    if args.resume:
+        stats = run.resume(max_supersteps=args.max_supersteps)
+    else:
+        stats = run.run(seeds, max_supersteps=args.max_supersteps)
+    for s in stats:
+        print(json.dumps({
+            "superstep": s.superstep, "batch": s.batch_size, "fetched": s.fetched,
+            "denied": s.denied, "discovered": s.discovered, "new": s.new_urls,
+            "pending": s.pending_after, "seen": s.seen_total,
+        }))
+
+
+if __name__ == "__main__":
+    main()

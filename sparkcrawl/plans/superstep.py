@@ -155,7 +155,12 @@ class CrawlRun:
             "discovered_superstep", "lineage_partition", "slot",
         ]
         fetched = synthetic_fetch(allowed.select(*fetch_cols), self.web)
-        extracted = extract_links_and_spans(fetched, cfg).persist()
+        extracted = extract_links_and_spans(fetched, cfg)
+        if cfg.extractor_pipeline:  # X1: import-path-configured stages
+            from sparkcrawl.functions.import_util import apply_pipeline
+
+            extracted = apply_pipeline(extracted, cfg, cfg.extractor_pipeline)
+        extracted = extracted.persist()
         docs = documents_from_fetch(extracted)
         self.documents.append(docs, superstep)
 

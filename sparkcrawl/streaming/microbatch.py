@@ -1,0 +1,59 @@
+"""Streaming seed ingestion — foreachBatch over a seed-URL stream.
+
+Replaces the reference's "add seeds to a live master" path: seeds
+arriving on a stream (file drop, Kafka, …) are merged into the frontier
+and each micro-batch triggers crawl supersteps. The superstep engine is
+unchanged — foreachBatch is just the ingestion wrapper SURVEY §2.10
+planned ("a foreachBatch wrapper can be added later without changing
+operators").
+
+Exactly-once: frontier/checkpoint commits are idempotent per url_hash
+(keep-latest MERGE semantics, J3), so at-least-once foreachBatch
+delivery composes to effectively-once state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from sparkcrawl.plans.superstep import CrawlRun, batch_distinct, frontier_rows_from_urls
+
+
+def stream_seeds_into_crawl(
+    run: CrawlRun,
+    seeds_stream: DataFrame,
+    supersteps_per_batch: int = 1,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Start a streaming query feeding ``seeds_stream`` (url, priority)
+    into ``run``'s frontier; runs ``supersteps_per_batch`` supersteps
+    after each non-empty micro-batch. Returns the StreamingQuery."""
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ckpt = run.last_checkpoint()
+        superstep = ckpt["superstep"] if ckpt else 0
+        rows = frontier_rows_from_urls(
+            batch_df.select("url"), run.cfg, superstep=superstep, t0=run.cfg.t0
+        )
+        rows = batch_distinct(rows)
+        seen = run.frontier.seen_keys(run.spark)
+        if seen is not None:
+            rows = rows.join(seen, "url_hash", "left_anti")
+        run.frontier.merge(rows, superstep)
+        if ckpt is None:
+            run.checkpoints.commit(
+                run.spark, 0, run.cfg.t0,
+                f"frontier-v{run.frontier.store.version}",
+                {"urls_seen": rows.count(), "fetched": 0, "discovered": 0}, {},
+            )
+        run.resume(max_supersteps=supersteps_per_batch)
+
+    writer = seeds_stream.writeStream.foreachBatch(_ingest).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

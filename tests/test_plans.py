@@ -1,0 +1,97 @@
+"""Physical-plan quality gates (SURVEY §4): the optimizations we rely on
+at 100 TB must be visible in .explain() output, or they silently rot.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry_mod.queries()
+
+
+def test_eligibility_filter_pushed_to_scan(spark, queries):
+    """F6: the eligibility predicate must reach the parquet scan —
+    partition/min-max pruning depends on it at 10^10-row scale."""
+    p = plan_of(queries["f6_eligibility"](spark, SF))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p).group(1)
+    assert "LessThanOrEqual(ts" in pushed
+    assert "EqualTo(event_type,view)" in pushed
+
+
+def test_column_pruning_reaches_scan(spark, queries):
+    """Projection must prune the scan schema (don't read 6 columns for 2)."""
+    p = plan_of(queries["f6_eligibility"](spark, SF))
+    schema = re.search(r"ReadSchema: ([^\n]*)", p).group(1)
+    assert "value" not in schema and "props" not in schema and "user_id" not in schema
+
+
+def test_small_dim_join_is_broadcast(spark, queries):
+    """J2: nation x region must be a broadcast hash join, never a shuffle."""
+    p = plan_of(queries["j2_broadcast_lookup"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_gets_rank_limit_pushdown(spark, queries):
+    """W1/W2: Catalyst must apply WindowGroupLimit (partial + final) to
+    the per-queue top-k — without it every row of a hot queue is sorted."""
+    p = plan_of(queries["crawl_schedule_flagship"](spark, SF), "simple")
+    assert p.count("WindowGroupLimit") >= 3  # salted stage (partial+final) + queue stage
+    assert "Partial" in p and "Final" in p
+
+
+def test_flagship_exchange_budget(spark, queries):
+    """The schedule pipeline needs exactly 3 shuffles: (queue,salt),
+    (queue), (host). More means a regression in operator composition."""
+    p = plan_of(queries["crawl_schedule_flagship"](spark, SF), "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 3
+
+
+def test_anti_join_stays_join_not_loop(spark, queries):
+    p = plan_of(queries["j1_anti_join_dedup"](spark, SF), "simple")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_batch_distinct_is_hash_agg_with_partial(spark):
+    """U2: batch distinct must be a hash aggregation with map-side
+    partial combine, not a window sort."""
+    from sparkcrawl.operators.dedup import batch_distinct
+
+    df = spark.range(100).selectExpr(
+        "cast(id % 7 as string) as url_hash", "cast(id as string) as url", "id as slot"
+    )
+    p = plan_of(batch_distinct(df), "simple")
+    # struct-typed min_by buffers aren't hash-aggregable in Spark — the
+    # plan is a SortAggregate, but the invariants that matter at scale
+    # hold: map-side partial combine, sort only on the group key, and
+    # no Window (which would sort the full order key per partition).
+    assert "partial_min_by" in p
+    assert "Window" not in p
+
+
+def test_no_python_udf_in_relational_ops(spark, queries):
+    """The relational operator suite must stay JVM-side (BatchEvalPython
+    = row-at-a-time python; ArrowEvalPython is allowed only in the
+    explicitly-python stages like canonicalize/extract)."""
+    for name in ("w1_w2_schedule_topk", "a1_group_counts", "c8_prioritizer_requeue",
+                 "dedup_exact", "dedup_simhash", "simsearch_bruteforce_topk"):
+        p = plan_of(queries[name](spark, SF), "simple")
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
