@@ -240,6 +240,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("user_id", "event_type", "event_id")
         )
 
+    def a4_distinct_count(spark, sf):
+        """A4: exact distinct-URL-set size per queue bucket (the parity
+        metric; approx_count_distinct is the scale variant, engine-
+        specific so not oracle-checked)."""
+        from sparkcrawl.functions.hashing import md5_bucket
+
+        ev = _read(spark, sf, "events")
+        return (
+            ev.withColumn("queue", md5_bucket(F.col("event_type"), 4).cast("long"))
+            .groupBy("queue")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count("*").alias("n_events"))
+        )
+
     def c2_url_hash(spark, sf):
         docs = _read(spark, sf, "documents")
         return docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
@@ -291,7 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("doc_id") + 10000).alias("doc_id"), "text"
             )
         )
-        return textops.minhash_lsh_pairs(dupped, num_perms=8, n=8)
+        return textops.minhash_lsh_pairs(dupped, num_perms=8, n=8, max_bucket_size=100)
 
     def dedup_simhash(spark, sf):
         docs = _read(spark, sf, "documents").select("doc_id", "text")
@@ -441,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_budget_running_rank": a2_budget_running_rank,
         "u1_requeue_union": u1_requeue_union,
         "u2_first_discovery_distinct": u2_first_discovery_distinct,
+        "a4_distinct_count": a4_distinct_count,
         "c2_url_hash": c2_url_hash,
         "c8_prioritizer_requeue": c8_prioritizer_requeue,
         "dedup_exact": dedup_exact,
@@ -556,6 +571,11 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
               FROM events) WHERE rn = 1
         """,
+        "a4_distinct_count": """
+            SELECT CAST(concat('0x', substr(md5(event_type),1,8)) AS BIGINT) % 4 AS queue,
+                   count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
         "c2_url_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "c8_prioritizer_requeue": """
             SELECT event_id,
@@ -606,9 +626,12 @@ def oracle_sql() -> dict[str, str]:
             sig AS (
               SELECT id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
               FROM sh CROSS JOIN generate_series(0, 7) AS p(perm)
-              GROUP BY id, perm)
+              GROUP BY id, perm),
+            ok AS (
+              SELECT perm, sig FROM sig GROUP BY perm, sig HAVING count(*) <= 100),
+            sig2 AS (SELECT sig.* FROM sig JOIN ok USING (perm, sig))
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
-            FROM sig a JOIN sig b ON a.perm = b.perm AND a.sig = b.sig AND a.id < b.id
+            FROM sig2 a JOIN sig2 b ON a.perm = b.perm AND a.sig = b.sig AND a.id < b.id
             GROUP BY 1, 2
         """,
         "dedup_simhash": _simhash_sql(32),

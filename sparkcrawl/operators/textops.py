@@ -140,13 +140,28 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     docs: DataFrame, num_perms: int = 8, n: int = 5,
     text_col: str = "text", id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ≥1 of num_perms
     min-hashes (bands of 1 row). Equi-join on (perm, sig) — at scale
     this is the shuffle-friendly LSH bucket join; no all-pairs blowup.
     Returns (id_a, id_b, n_bands) with id_a < id_b.
+
+    ``max_bucket_size`` drops (perm, sig) buckets larger than the cap
+    before the self-join — standard LSH practice: a bucket shared by
+    thousands of docs is a stop-shingle, not a near-dup signal, and its
+    C(n,2) pair blowup is the single biggest skew hazard of this
+    operator at corpus scale.
     """
     sig = minhash_signatures(docs, num_perms, n, text_col, id_col)
+    if max_bucket_size is not None:
+        ok = (
+            sig.groupBy("perm", "sig")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+        sig = sig.join(ok, ["perm", "sig"])
     return (
         sig.alias("a")
         .join(sig.alias("b"), on=["perm", "sig"])
