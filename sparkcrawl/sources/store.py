@@ -62,9 +62,20 @@ class ParquetManifestStore:
         os.replace(tmp, self._manifest_path)  # atomic commit (T5)
 
     # -- public API --------------------------------------------------------
-    def append(self, df: DataFrame, meta: dict | None = None) -> str:
+    def append(self, df: DataFrame, meta: dict | None = None,
+               partition_by: tuple[str, ...] = ()) -> str:
         """Write a delta dir and atomically commit it to the manifest.
         Returns the new snapshot version id."""
+        if partition_by and df.isEmpty():
+            # a zero-row partitioned write emits no parquet files at all
+            # (unreadable dir); an empty delta contributes nothing — commit
+            # only the metadata.
+            manifest = self._read_manifest()
+            manifest["version"] += 1
+            if meta:
+                manifest["meta"].update(meta)
+            self._write_manifest(manifest)
+            return f"{self.name}-v{manifest['version']}"
         manifest = self._read_manifest()
         # seq is manifest-monotonic (NOT len(deltas)): compaction shrinks the
         # delta list, and a reused lower seq would let keep-latest reads
@@ -72,7 +83,10 @@ class ParquetManifestStore:
         seq = manifest["next_seq"]
         manifest["next_seq"] = seq + 1
         delta_dir = os.path.join(self.root, "data", f"delta-{seq:06d}-{uuid.uuid4().hex[:8]}")
-        df.withColumn("_delta_seq", F.lit(seq)).write.mode("errorifexists").parquet(delta_dir)
+        writer = df.withColumn("_delta_seq", F.lit(seq)).write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(delta_dir)
         manifest["deltas"].append({"path": delta_dir, "seq": seq})
         manifest["version"] += 1
         if meta:
@@ -81,20 +95,33 @@ class ParquetManifestStore:
         return f"{self.name}-v{manifest['version']}"
 
     def read_raw(self, spark: SparkSession) -> DataFrame | None:
-        """Union of all committed deltas (with ``_delta_seq``)."""
+        """Union of all committed deltas (with ``_delta_seq``).
+
+        Each delta is read as its own table root (multi-root reads break
+        Spark's hive-partition discovery) and unioned by name — the
+        delta list is bounded by the compaction cadence.
+        """
         manifest = self._read_manifest()
         paths = [d["path"] for d in manifest["deltas"]]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        dfs = [spark.read.parquet(p) for p in paths]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
 
-    def replace_all(self, df: DataFrame, meta: dict | None = None) -> str:
+    def replace_all(self, df: DataFrame, meta: dict | None = None,
+                    partition_by: tuple[str, ...] = ()) -> str:
         """Compaction commit: next snapshot = exactly this data."""
         manifest = self._read_manifest()
         seq = manifest["next_seq"]
         manifest["next_seq"] = seq + 1
         delta_dir = os.path.join(self.root, "data", f"compact-{seq:06d}-{uuid.uuid4().hex[:8]}")
-        df.withColumn("_delta_seq", F.lit(seq)).write.mode("errorifexists").parquet(delta_dir)
+        writer = df.withColumn("_delta_seq", F.lit(seq)).write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(delta_dir)
         manifest["deltas"] = [{"path": delta_dir, "seq": seq}]
         manifest["version"] += 1
         if meta:
@@ -116,7 +143,13 @@ class ParquetManifestStore:
 
 
 class FrontierTable:
-    """The frontier with MERGE-INTO (keep-latest) read semantics (J3/W4)."""
+    """The frontier with MERGE-INTO (keep-latest) read semantics (J3/W4).
+
+    Deltas are hive-partitioned by ``queue`` (SURVEY §1.4: frontier
+    bucketed by queue): at 10^10 rows a scheduler that only activates a
+    subset of queues prunes whole partitions at scan time, and per-queue
+    parquet min/max stats on next_date prune cold files.
+    """
 
     def __init__(self, root: str):
         self.store = ParquetManifestStore(root, "frontier")
@@ -124,12 +157,27 @@ class FrontierTable:
     def merge(self, updates: DataFrame, superstep: int) -> str:
         """J3: append requeued + newly-discovered rows; latest delta wins
         per url_hash at read time."""
-        return self.store.append(updates, meta={"superstep": superstep})
+        part = ("queue",) if "queue" in updates.columns else ()
+        return self.store.append(
+            updates, meta={"superstep": superstep}, partition_by=part
+        )
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(self, spark: SparkSession, queues: list[int] | None = None) -> DataFrame | None:
+        """Keep-latest frontier view; ``queues`` prunes partitions.
+
+        Arbitrary predicates can NOT be pushed below the keep-latest
+        window (an old delta's row may satisfy them while the newest
+        does not — pre-filtering would resurrect stale state). ``queue``
+        is the exception: it is a pure function of the URL's domain,
+        identical in every version of a row, so filtering each delta
+        BEFORE the merge is safe and hits the hive partition dirs
+        (PartitionFilters in the scan — verified in tests/test_store.py).
+        """
         raw = self.store.read_raw(spark)
         if raw is None:
             return None
+        if queues is not None:
+            raw = raw.filter(F.col("queue").isin(queues))
         w = W.partitionBy("url_hash").orderBy(F.desc("_delta_seq"))
         return (
             raw.withColumn("_rn", F.row_number().over(w))
@@ -140,7 +188,8 @@ class FrontierTable:
     def compact(self, spark: SparkSession) -> None:
         current = self.read(spark)
         if current is not None:
-            self.store.replace_all(current)
+            part = ("queue",) if "queue" in current.columns else ()
+            self.store.replace_all(current, partition_by=part)
 
     def seen_keys(self, spark: SparkSession) -> DataFrame | None:
         """The URL-seen set IS the frontier key set (reference: every URL

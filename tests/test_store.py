@@ -43,6 +43,36 @@ def test_uncommitted_delta_invisible(spark, tmp_path):
     assert {r["val"] for r in rows} == {1}
 
 
+def test_queue_pruned_read_hits_partition_dirs(spark, tmp_path):
+    """The queues= read must show PartitionFilters in the parquet scan
+    (hive layout by queue) and return the same rows as post-filtering."""
+    import contextlib
+    import io
+    import re
+
+    rows = [(f"h{i:03d}", i % 4, i) for i in range(40)]
+    df = spark.createDataFrame(rows, ["url_hash", "queue", "val"])
+    ft = FrontierTable(str(tmp_path))
+    ft.merge(df, superstep=1)
+    ft.merge(df.filter("queue = 2").withColumn("val", _one(spark)), superstep=2)
+
+    pruned = ft.read(spark, queues=[2])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    pf = re.findall(r"PartitionFilters: \[[^\]]*queue[^\]]*\]", buf.getvalue())
+    assert pf, "queue filter did not reach the partitioned scan"
+
+    full = ft.read(spark).filter("queue = 2")
+    assert sorted(map(str, pruned.collect())) == sorted(map(str, full.collect()))
+
+
+def _one(spark):
+    from pyspark.sql import functions as F
+
+    return F.lit(999)
+
+
 def test_manifest_commit_is_atomic_replace(spark, tmp_path):
     store = ParquetManifestStore(str(tmp_path), "t")
     store.append(_df(spark, [("a", 1)]))
