@@ -6,12 +6,16 @@ seen-set dict by the first ``depth`` hex chars of the URL digest; we
 shard bloom filters by the same prefix so each shard stays small and
 shards can be built/merged independently per partition.
 
-SAFETY INVARIANT (SURVEY §7 hard-part #2): bloom false positives would
-*drop* URLs and violate URL-seen parity, so the bloom is only ever a
-PREFILTER — candidates that miss the bloom are definitely-new and skip
-the expensive path; candidates that hit it go through the authoritative
-anti-join. ``bloom_prefilter ∘ anti_join ≡ anti_join`` is
-property-tested (tests/test_membership.py).
+SAFETY INVARIANTS (SURVEY §7 hard-part #2):
+  1. The bloom is only ever a PREFILTER — candidates that miss it are
+     definitely-new and skip the expensive path; candidates that hit it
+     go through the authoritative anti-join. False positives therefore
+     cost a join probe, never a dropped URL.
+  2. The bloom must be a SUPERSET of the committed seen set: the bypass
+     in (1) is only sound if every committed hash is in the bloom. The
+     superstep engine therefore commits bloom updates BEFORE the
+     frontier merge (a kill between leaves harmless extra hashes).
+Both directions are pinned by tests/test_membership.py.
 
 Implementation: numpy bit arrays built per Spark partition via
 ``mapInPandas``, OR-merged on the driver (bounded: shards × m/8 bytes),
@@ -119,6 +123,14 @@ class ShardedBloom:
             out[hashes.index.get_indexer(grp.index)] = bits.all(axis=0)
         return pd.Series(out, index=hashes.index)
 
+    def merged_with(self, other: "ShardedBloom") -> "ShardedBloom":
+        """OR-merge two sharded blooms (same m/k/depth)."""
+        assert (self.m, self.k, self.depth) == (other.m, other.k, other.depth)
+        shards = dict(self.shards)
+        for p, arr in other.shards.items():
+            shards[p] = (shards[p] | arr) if p in shards else arr
+        return ShardedBloom(shards, self.m, self.k, self.depth)
+
     def prefilter(self, candidates: DataFrame, column: str = "url_hash") -> DataFrame:
         """Tag candidates with ``maybe_seen``; maybe_seen=False rows can
         safely skip the anti-join (no false negatives in a bloom)."""
@@ -138,3 +150,61 @@ class ShardedBloom:
             return bloom.might_contain_series(hashes)
 
         return candidates.withColumn("maybe_seen", _probe(F.col(column)))
+
+
+class BloomStore:
+    """Cross-superstep persistence of the seen-set bloom shards (M4).
+
+    The reference keeps its UniqueUriFilter in memory for the process
+    lifetime; our superstep engine is stateless between supersteps, so
+    the shards are persisted (npz blob) and updated INCREMENTALLY with
+    each superstep's newly-discovered hashes — no full seen-set rescan
+    per superstep, which at 10^10 URLs is the difference between O(new)
+    and O(all) work per iteration.
+
+    Commit protocol matches ParquetManifestStore: write-temp-then-rename
+    keyed by superstep; a killed run resumes from the last committed
+    blob. The bloom stays a PREFILTER — resume-safety of the exact
+    seen-set rests on the frontier table, not on this structure.
+    """
+
+    def __init__(self, root: str, depth: int = 2,
+                 capacity_per_shard: int = 1 << 16, fpp: float = 0.01):
+        import os
+
+        self.dir = os.path.join(root, "bloom")
+        os.makedirs(self.dir, exist_ok=True)
+        self.depth = depth
+        self.m, self.k = _bloom_params(capacity_per_shard, fpp)
+        self.capacity = capacity_per_shard
+        self.fpp = fpp
+
+    def _path(self) -> str:
+        import os
+
+        return os.path.join(self.dir, "shards.npz")
+
+    def load(self) -> ShardedBloom | None:
+        import os
+
+        if not os.path.exists(self._path()):
+            return None
+        with np.load(self._path()) as z:
+            shards = {p: z[p].copy() for p in z.files}
+        return ShardedBloom(shards, self.m, self.k, self.depth)
+
+    def update(self, new_hashes: DataFrame, column: str = "url_hash") -> ShardedBloom:
+        """Fold only the NEW hashes into the persisted shards; atomic commit."""
+        import os
+        import uuid
+
+        delta = ShardedBloom.build(
+            new_hashes, column=column, depth=self.depth,
+            capacity_per_shard=self.capacity, fpp=self.fpp,
+        )
+        current = self.load()
+        merged = delta if current is None else current.merged_with(delta)
+        tmp = self._path() + f".tmp.{uuid.uuid4().hex}.npz"
+        np.savez(tmp, **merged.shards)
+        os.replace(tmp, self._path())
+        return merged

@@ -35,7 +35,7 @@ from sparkcrawl.functions.scope import in_scope
 from sparkcrawl.functions.urlnorm import canonicalize_udf, host_of_udf
 from sparkcrawl.operators.dedup import batch_distinct, filter_unseen
 from sparkcrawl.operators.extract import documents_from_fetch, extract_links_and_spans
-from sparkcrawl.operators.membership import ShardedBloom
+from sparkcrawl.operators.membership import BloomStore
 from sparkcrawl.operators.prioritize import apply_outcomes
 from sparkcrawl.operators.robots import crawl_delays, robots_gate
 from sparkcrawl.operators.schedule import select_fetch_batch
@@ -107,6 +107,12 @@ class CrawlRun:
         self.documents = DocumentsTable(workdir)
         self.fetch_log = FetchLogTable(workdir)
         self.checkpoints = CheckpointLog(workdir)
+        self.bloom_store = BloomStore(
+            workdir,
+            depth=cfg.shard_prefix_depth,
+            capacity_per_shard=cfg.bloom_capacity_per_shard,
+            fpp=cfg.bloom_fpp,
+        )
         self._delays = crawl_delays(robots, cfg.user_agent) if robots is not None else None
 
     # -- S1: seed injection ------------------------------------------------
@@ -120,6 +126,8 @@ class CrawlRun:
         )
         rows = batch_distinct(rows)
         self.frontier.merge(rows, superstep=0)
+        if self.cfg.use_bloom_prefilter:
+            self.bloom_store.update(rows.select("url_hash"))
         self.checkpoints.commit(
             self.spark, 0, self.cfg.t0, f"frontier-v{self.frontier.store.version}",
             {"urls_seen": rows.count(), "fetched": 0, "discovered": 0}, {},
@@ -207,17 +215,19 @@ class CrawlRun:
             .withColumn("queue", queue_for_domain(F.col("registered_domain"), cfg.num_queues))
         )
 
-        # 7: DEDUP — batch distinct, bloom prefilter, authoritative anti-join
+        # 7: DEDUP — batch distinct, persisted bloom prefilter (loaded, not
+        # rebuilt: O(new) per superstep, M4), authoritative anti-join
         distinct_cands = batch_distinct(candidates)
         seen = self.frontier.seen_keys(spark)
         bloom = None
-        if cfg.use_bloom_prefilter and seen is not None:
-            bloom = ShardedBloom.build(
-                seen,
-                depth=cfg.shard_prefix_depth,
-                capacity_per_shard=cfg.bloom_capacity_per_shard,
-                fpp=cfg.bloom_fpp,
-            )
+        if cfg.use_bloom_prefilter:
+            bloom = self.bloom_store.load()
+            if bloom is None and seen is not None:
+                # bloom blob lost but frontier has state: an incremental
+                # restart would violate the superset invariant (stale
+                # bloom re-admits seen URLs) — rebuild once from the
+                # authoritative key set.
+                bloom = self.bloom_store.update(seen)
         new_urls = filter_unseen(distinct_cands, seen, cfg, bloom)
         new_rows = frontier_rows_from_urls(
             new_urls.select("url"),
@@ -241,6 +251,15 @@ class CrawlRun:
 
         # 9: MERGE (U1 + J3)
         updates = requeued.unionByName(denied_rows).unionByName(new_rows)
+        if cfg.use_bloom_prefilter:
+            # BEFORE the frontier commit — the bloom must always be a
+            # SUPERSET of frontier keys: bloom-unseen rows bypass the
+            # anti-join as definitely-new, so a bloom missing committed
+            # rows would re-admit them (dedup violation). A kill between
+            # bloom update and merge leaves extra hashes in the bloom,
+            # which only costs anti-join probes (tests/test_membership.py).
+            new_rows = new_rows.persist()
+            self.bloom_store.update(new_rows.select("url_hash"))
         snapshot_id = self.frontier.merge(updates, superstep)
         if cfg.compact_every and superstep % cfg.compact_every == 0:
             self.frontier.compact(spark)
@@ -264,7 +283,7 @@ class CrawlRun:
             {"urls_seen": seen_total, "fetched": fetched_count, "discovered": discovered},
             per_part,
         )
-        for df in (frontier, batch, extracted, merged):
+        for df in (frontier, batch, extracted, merged, new_rows):
             df.unpersist()
         return SuperstepStats(
             superstep, virtual_time, batch_size, fetched_count, denied_count,

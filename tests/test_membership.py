@@ -33,6 +33,64 @@ def test_prefilter_equals_authoritative_antijoin(spark):
     assert len(no_bloom) == 300
 
 
+def test_bloom_store_incremental_equals_rebuild(spark, tmp_path):
+    """M4: folding new hashes into the persisted shards must equal a
+    from-scratch build over the union — same bits, same probes."""
+    from sparkcrawl.operators.membership import BloomStore
+
+    store = BloomStore(str(tmp_path), depth=2, capacity_per_shard=1 << 12, fpp=0.01)
+    a = _hashes(spark, 0, 300)
+    b = _hashes(spark, 300, 300)
+    store.update(a.select("url_hash"))
+    incremental = store.update(b.select("url_hash"))
+    rebuilt = ShardedBloom.build(
+        a.unionByName(b).select("url_hash"), depth=2,
+        capacity_per_shard=1 << 12, fpp=0.01,
+    )
+    assert set(incremental.shards) == set(rebuilt.shards)
+    for p in rebuilt.shards:
+        assert (incremental.shards[p] == rebuilt.shards[p]).all(), p
+    # reload from disk round-trips
+    loaded = store.load()
+    for p in rebuilt.shards:
+        assert (loaded.shards[p] == rebuilt.shards[p]).all(), p
+
+
+def test_bloom_superset_is_safe_stale_is_not(spark, tmp_path):
+    """Safety direction of the prefilter: a bloom with EXTRA hashes
+    (ahead of the frontier — the kill-window state under bloom-before-
+    merge ordering) is exact; a bloom MISSING seen hashes re-admits
+    them — which is why the engine commits the bloom BEFORE the
+    frontier merge, keeping bloom ⊇ frontier keys at all times."""
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.operators.membership import BloomStore
+
+    cfg = CrawlConfig(use_bloom_prefilter=True)
+    seen = _hashes(spark, 0, 300)
+    candidates = _hashes(spark, 200, 300)  # 100 overlap
+    exact = {r["url_hash"] for r in filter_unseen(candidates, seen, cfg, None).collect()}
+
+    # AHEAD bloom: knows 200 hashes beyond the seen table -> exact result
+    ahead_store = BloomStore(str(tmp_path / "a"), depth=2,
+                             capacity_per_shard=1 << 12, fpp=0.01)
+    ahead_store.update(_hashes(spark, 0, 500).select("url_hash"))
+    got_ahead = {
+        r["url_hash"]
+        for r in filter_unseen(candidates, seen, cfg, ahead_store.load()).collect()
+    }
+    assert got_ahead == exact
+
+    # STALE bloom (missing seen hashes): violates dedup — documented hazard
+    stale_store = BloomStore(str(tmp_path / "s"), depth=2,
+                             capacity_per_shard=1 << 12, fpp=0.01)
+    stale_store.update(_hashes(spark, 0, 100).select("url_hash"))
+    got_stale = {
+        r["url_hash"]
+        for r in filter_unseen(candidates, seen, cfg, stale_store.load()).collect()
+    }
+    assert got_stale != exact  # pins WHY bloom-before-merge ordering matters
+
+
 def test_prefix_sharding_matches_reference_scheme(spark):
     """The shard key is the digest prefix — UniqueUriFilter's own scheme."""
     seen = _hashes(spark, 0, 200)
