@@ -23,6 +23,29 @@ def test_sha1_matches_hashlib(spark):
         assert got[u] == hashlib.sha1(u.encode("utf-8")).hexdigest()
 
 
+def test_salted_queue_subsplits_within_domain(spark):
+    """Q2-salted: hot-domain URLs spread across salt sub-queues, but all
+    sub-queues of a domain derive from the domain's base queue — the
+    politeness re-slot after the salted stage regroups them exactly."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.functions.hashing import queue_for_domain, salted_queue
+
+    nq, s = 8, 4
+    urls = [(f"http://hot.example/p{i}", "hot.example") for i in range(200)]
+    df = spark.createDataFrame(urls, ["url", "domain"])
+    out = df.select(
+        queue_for_domain(F.col("domain"), nq).alias("q"),
+        salted_queue(F.col("domain"), F.col("url"), nq, s).alias("sq"),
+    ).collect()
+    base = {r["q"] for r in out}
+    assert len(base) == 1  # one domain -> one base queue
+    q = base.pop()
+    sub = {r["sq"] for r in out}
+    assert sub <= {q * s + i for i in range(s)}  # sub-queues stay in the domain's band
+    assert len(sub) >= 2  # skew actually split
+
+
 def test_md5_bucket_matches_duckdb(spark):
     nq = 8
     df = spark.createDataFrame([(u,) for u in URLS], ["url"])
