@@ -265,19 +265,33 @@ class CrawlRun:
             self.frontier.compact(spark)
 
         # 10: CHECKPOINT + counters (A3)
-        batch_size = batch.count()
-        fetched_count = allowed.count()
+        # one agg pass over the (cached, config-bounded) batch ...
+        brow = batch.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("robots_allowed").cast("int")).alias("ok"),
+        ).collect()[0]
+        batch_size = brow["n"]
+        fetched_count = brow["ok"] or 0
         denied_count = batch_size - fetched_count
         discovered = distinct_cands.count()
         new_count = new_rows.count()
+        # ... and ONE scan of the merged frontier for pending count, seen
+        # total, and the virtual-clock minimum — at 10^10 rows each extra
+        # full-table action is a superstep-dominating cost, so the stats
+        # that need the whole table share a single aggregation.
         merged = self.frontier.read(spark).persist()
-        pending_after = merged.filter(F.col("state") == "pending").count()
-        seen_total = merged.count()
+        mrow = merged.agg(
+            F.count("*").alias("total"),
+            F.sum((F.col("state") == "pending").cast("long")).alias("pending"),
+            F.min(F.when(F.col("state") == "pending", F.col("next_date"))).alias("min_next"),
+        ).collect()[0]
+        seen_total = mrow["total"]
+        pending_after = mrow["pending"] or 0
         per_part = {
             str(r["lineage_partition"]): r["cnt"]
             for r in merged.groupBy("lineage_partition").agg(F.count("*").alias("cnt")).collect()
         }
-        next_time = self._advance_clock(merged, virtual_time)
+        next_time = self._advance_clock_from(mrow["min_next"], virtual_time)
         self.checkpoints.commit(
             spark, superstep, next_time, snapshot_id,
             {"urls_seen": seen_total, "fetched": fetched_count, "discovered": discovered},
@@ -291,17 +305,12 @@ class CrawlRun:
         )
 
     # -- T1: virtual clock ---------------------------------------------------
-    def _advance_clock(self, merged: DataFrame, virtual_time: datetime) -> datetime:
+    def _advance_clock_from(self, min_pending_next, virtual_time: datetime) -> datetime:
         tick = timedelta(seconds=self.cfg.tick_seconds)
-        row = (
-            merged.filter(F.col("state") == "pending")
-            .agg(F.min("next_date").alias("m"))
-            .collect()[0]
-        )
         floor = virtual_time + tick
-        if row["m"] is None:
+        if min_pending_next is None:
             return floor
-        m = row["m"]
+        m = min_pending_next
         if m.tzinfo is None:
             m = m.replace(tzinfo=timezone.utc)
         return max(floor, m)
