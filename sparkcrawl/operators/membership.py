@@ -17,6 +17,13 @@ SAFETY INVARIANTS (SURVEY §7 hard-part #2):
      frontier merge (a kill between leaves harmless extra hashes).
 Both directions are pinned by tests/test_membership.py.
 
+Background (public literature, see PAPERS.md): sizing/sharding follows
+the classic bloom formulae; the space-budget tradeoff across a shard
+*collection* is the subject of "Optimizing Collections of Bloom Filters
+within a Space Budget" (VLDB 2024), and cuckoo/vacuum filters
+(VLDB 2019) are drop-in upgrades behind this same interface if deletion
+or better space efficiency is needed at 10^10 keys.
+
 Implementation: numpy bit arrays built per Spark partition via
 ``mapInPandas``, OR-merged on the driver (bounded: shards × m/8 bytes),
 broadcast back for the membership probe. At 10^10 URLs, shard count is
