@@ -132,6 +132,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries + oracles
 # ---------------------------------------------------------------------------
 
+
+# inline robots rules shared by the r2 query and its oracle:
+# h0: fully denied; h1: /private denied but /private/open allowed;
+# h2: allow+deny tie on /public (allow wins); h3: no rules (default allow)
+_ROBOTS_RULES = [
+    ("h0.example", "*", False, "/", None),
+    ("h1.example", "*", False, "/private", None),
+    ("h1.example", "*", True, "/private/open", None),
+    ("h2.example", "*", True, "/public", None),
+    ("h2.example", "*", False, "/public", None),
+]
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparkcrawl.operators import simsearch, textops
 
@@ -168,6 +180,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("queue")
             .agg(F.count("*").alias("n"))
         )
+
+    def r2_robots_gate(spark, sf):
+        """R2: longest-prefix robots decisions over synthetic URLs derived
+        from events (rules inlined — matches the engine's robots_gate)."""
+        from sparkcrawl.operators.robots import robots_gate
+        from sparkcrawl.schemas import ROBOTS_SCHEMA
+
+        ev = _read(spark, sf, "events")
+        host = F.concat(F.lit("h"), (F.col("user_id") % 4).cast("string"), F.lit(".example"))
+        path_seg = F.when(F.col("event_id") % 3 == 0, F.lit("/private/doc"))\
+            .when(F.col("event_id") % 3 == 1, F.lit("/private/open/doc"))\
+            .otherwise(F.lit("/public/doc"))
+        batch = ev.select(
+            F.concat(F.lit("http://"), host, path_seg,
+                     F.lit("/"), F.col("event_id").cast("string")).alias("url"),
+            host.alias("host"),
+            F.col("event_id"),
+        ).withColumn("url_hash", F.md5(F.col("url")))
+        rules = spark.createDataFrame(_ROBOTS_RULES, ROBOTS_SCHEMA)
+        out = robots_gate(batch, rules)
+        return out.select("event_id", "url", "robots_allowed")
 
     def f6_eligibility(spark, sf):
         ev = _read(spark, sf, "events")
@@ -447,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_w2_schedule_topk": w1_w2_schedule_topk,
         "w3_politeness_slots": w3_politeness_slots,
         "q2_queue_assignment": q2_queue_assignment,
+        "r2_robots_gate": r2_robots_gate,
         "f6_eligibility": f6_eligibility,
         "j1_anti_join_dedup": j1_anti_join_dedup,
         "j2_broadcast_lookup": j2_broadcast_lookup,
@@ -531,6 +565,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(concat('0x', substr(md5(source),1,8)) AS BIGINT) % {NQ} AS queue,
                    count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "r2_robots_gate": """
+            WITH rules(host, agent, allow, path_prefix) AS (VALUES
+              ('h0.example', '*', FALSE, '/'),
+              ('h1.example', '*', FALSE, '/private'),
+              ('h1.example', '*', TRUE,  '/private/open'),
+              ('h2.example', '*', TRUE,  '/public'),
+              ('h2.example', '*', FALSE, '/public')),
+            batch AS (
+              SELECT event_id,
+                     'http://h' || CAST(user_id % 4 AS VARCHAR) || '.example' ||
+                     CASE WHEN event_id % 3 = 0 THEN '/private/doc'
+                          WHEN event_id % 3 = 1 THEN '/private/open/doc'
+                          ELSE '/public/doc' END ||
+                     '/' || CAST(event_id AS VARCHAR) AS url,
+                     'h' || CAST(user_id % 4 AS VARCHAR) || '.example' AS host,
+                     CASE WHEN event_id % 3 = 0 THEN '/private/doc'
+                          WHEN event_id % 3 = 1 THEN '/private/open/doc'
+                          ELSE '/public/doc' END ||
+                     '/' || CAST(event_id AS VARCHAR) AS path
+              FROM events),
+            matched AS (
+              SELECT b.event_id, b.url,
+                     r.allow, r.path_prefix,
+                     (r.path_prefix IS NOT NULL
+                      AND starts_with(b.path, r.path_prefix)) AS m,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY b.event_id
+                       ORDER BY (r.path_prefix IS NOT NULL
+                                 AND starts_with(b.path, r.path_prefix)) DESC,
+                                CASE WHEN r.path_prefix IS NOT NULL
+                                          AND starts_with(b.path, r.path_prefix)
+                                     THEN len(r.path_prefix) ELSE -1 END DESC,
+                                r.allow DESC) AS rn
+              FROM batch b LEFT JOIN rules r ON b.host = r.host)
+            SELECT event_id, url,
+                   CASE WHEN m THEN allow ELSE TRUE END AS robots_allowed
+            FROM matched WHERE rn = 1
         """,
         "f6_eligibility": f"""
             SELECT event_id, epoch_us(ts) AS ts_us FROM events
