@@ -354,6 +354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = emb.filter(F.col("vec_id") < 3)
         return _widen(textops_round_sim(simsearch.lsh_bucketed_topk(emb, q, k=5, n_planes=4)))
 
+    def simsearch_ivf_topk(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        return _widen(simsearch.ivf_topk(emb, q, k=5, n_cells=8))
+
     def embedding_near_dup_pairs(spark, sf):
         emb = _read(spark, sf, "embeddings")
         return _widen(simsearch.embedding_near_dup_pairs(emb, threshold=0.3, n_planes=2))
@@ -499,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "simsearch_bruteforce_topk": simsearch_bruteforce_topk,
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
+        "simsearch_ivf_topk": simsearch_ivf_topk,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "text_language_id": text_language_id,
         "text_quality_score": text_quality_score,
@@ -717,6 +723,30 @@ def oracle_sql() -> dict[str, str]:
                                 c.vec_id) AS rank
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
+            WHERE rank <= 5
+        """,
+        "simsearch_ivf_topk": """
+            WITH cents AS (
+              SELECT vec_id AS centroid_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT 8),
+            assigned AS (
+              SELECT id, centroid_id FROM (
+                SELECT v.vec_id AS id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY v.vec_id
+                         ORDER BY round((list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) DESC, c.centroid_id) AS rn
+                FROM embeddings v CROSS JOIN cents c) WHERE rn = 1)
+            SELECT query_id, cand_id, sim, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+                     round((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) DESC, e.vec_id) AS rank
+              FROM embeddings q
+              JOIN assigned aq ON aq.id = q.vec_id
+              JOIN assigned ae ON ae.centroid_id = aq.centroid_id
+              JOIN embeddings e ON e.vec_id = ae.id
+              WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
         """,
         "simsearch_lsh_bucketed": """

@@ -130,6 +130,81 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (argmax).
+
+    ``centroids`` is a small (centroid_id, vector) table — broadcast;
+    assignment is a broadcast cross join + rank-1 window, so the only
+    shuffle is the final window over |vectors| x |centroids| scored rows
+    (bounded: K is config-small). Deterministic: ties break on
+    centroid_id. For the sandbox, centroids are taken from the data
+    (see :func:`ivf_topk`); on a real cluster they come from a k-means
+    fit — the assignment/search operators are unchanged.
+    """
+    c = centroids.select(
+        F.col("centroid_id"), F.col("c_vec")
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).crossJoin(F.broadcast(c)).withColumn(
+        "sim", F.round(cosine(F.col("vec"), F.col("c_vec")), 6)
+    )
+    w = W.partitionBy("id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("id", "vec", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the query's cell (nprobe=1).
+
+    Sandbox-deterministic centroid choice: the ``n_cells`` vectors with
+    the lowest ids act as centroids (reproducible in the SQL oracle; a
+    k-means fit drops in without changing this operator). Candidate
+    generation is an equi-join on centroid_id — the same
+    shuffle-locality as the LSH variant, but with data-adaptive cells.
+    """
+    centroids = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    emb_cells = ivf_assign(embeddings, centroids, id_col, vec_col)
+    q_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        "centroid_id",
+    )
+    scored = (
+        emb_cells.withColumnRenamed("id", "cand_id").withColumnRenamed("vec", "c_vec2")
+        .join(F.broadcast(q_cells), "centroid_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec2")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,

@@ -52,6 +52,24 @@ def test_near_dup_pairs(vecs):
     assert (1, 4) not in pairs
 
 
+def test_ivf_topk_cell_restricted(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 2")
+    ivf = simsearch.ivf_topk(emb, q, k=5, n_cells=4).collect()
+    assert len(ivf) > 0
+    # IVF sims must equal brute-force sims for shared candidates
+    bf = {(r["query_id"], r["cand_id"]): r["sim"]
+          for r in simsearch.brute_force_topk(emb, q, k=200).collect()}
+    for r in ivf:
+        key = (r["query_id"], r["cand_id"])
+        if key in bf:
+            assert r["sim"] == bf[key]
+    # ranks well-formed per query
+    for qid in {r["query_id"] for r in ivf}:
+        ranks = sorted(r["rank"] for r in ivf if r["query_id"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
 def test_on_real_testdata(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.limit(2)
