@@ -105,11 +105,13 @@ def http_fetch(
             if row.etag and not pd.isna(row.etag):
                 headers["If-None-Match"] = row.etag
             if row.mod_date is not None and not pd.isna(row.mod_date):
+                from datetime import timezone as _tz
                 from email.utils import format_datetime
 
-                headers["If-Modified-Since"] = format_datetime(
-                    row.mod_date.to_pydatetime(), usegmt=True
-                )
+                dt = row.mod_date.to_pydatetime()
+                if dt.tzinfo is None:  # parquet NTZ timestamps arrive naive (UTC session)
+                    dt = dt.replace(tzinfo=_tz.utc)
+                headers["If-Modified-Since"] = format_datetime(dt, usegmt=True)
             try:
                 status, rep_headers, body = transport(row.url, headers)
             except Exception:

@@ -1,0 +1,71 @@
+"""S4 live-HTTP path plumbing via injected transport (no network in the
+sandbox): conditional-GET headers, RFC-1123 parsing, error rows.
+
+The fake transport runs inside Spark workers, so request headers are
+observed by echoing them back through the response body (worker-side
+globals never reach the driver), and it is defined as a local closure
+(locals pickle by value; module-level functions would need the test
+module importable on the worker).
+"""
+
+import json
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.schemas import FRONTIER_SCHEMA
+from sparkcrawl.sources.fetch import http_fetch
+
+T0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+def _batch(spark):
+    rows = [
+        ("http://a.example/fresh", "h1", "a.example", "a.example", 0, None, None,
+         T0, 1, 0, "pending", 0, 0),
+        ("http://a.example/conditional", "h2", "a.example", "a.example", 0, '"etag-1"',
+         T0, T0, 1, 0, "pending", 0, 0),
+        ("http://a.example/down", "h3", "a.example", "a.example", 0, None, None,
+         T0, 1, 0, "pending", 0, 0),
+    ]
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+def test_http_fetch_plumbing(spark):
+    def fake_transport(url, headers):
+        if url.endswith("/down"):
+            raise ConnectionError("refused")
+        if url.endswith("/conditional"):
+            # 304 only when BOTH conditional headers arrived — the 304 in
+            # the result is itself the proof they were sent
+            if headers.get("If-None-Match") == '"etag-1"' and "If-Modified-Since" in headers:
+                return 304, {"ETag": '"etag-1"'}, None
+            return 500, {}, None
+        return 200, {
+            "Content-Type": "text/html; charset=utf-8",
+            "ETag": '"etag-2"',
+            "Last-Modified": "Wed, 01 Jan 2025 12:00:00 GMT",
+        }, json.dumps(dict(headers))  # echo request headers for inspection
+
+    out = {
+        r["url"]: r
+        for r in http_fetch(_batch(spark), CrawlConfig(), _transport=fake_transport).collect()
+    }
+    # fresh: 200, Last-Modified parsed, NO conditional headers were sent
+    fresh = out["http://a.example/fresh"]
+    assert fresh["status_code"] == 200
+    assert fresh["rep_etag"] == '"etag-2"'
+    assert fresh["rep_last_modified"].replace(tzinfo=timezone.utc) == datetime(
+        2025, 1, 1, 12, 0, tzinfo=timezone.utc
+    )
+    sent = json.loads(fresh["body"])
+    assert "If-None-Match" not in sent and "If-Modified-Since" not in sent
+    # (User-Agent is attached by the default urllib transport itself,
+    # not by the header-building layer an injected transport sees)
+    # conditional: etag + mod_date produced both headers -> 304, no body
+    cond = out["http://a.example/conditional"]
+    assert cond["status_code"] == 304 and cond["body"] is None
+    # connection error: null status row (T4 routes it to backoff)
+    down = out["http://a.example/down"]
+    assert down["status_code"] is None and down["body"] is None
