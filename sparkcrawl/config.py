@@ -43,8 +43,10 @@ class CrawlConfig:
     t0: datetime = T0
     tick_seconds: float = 1.0
     # --- skew (north_rule: salted keys defuse hot-host skew) ---
+    # per_queue_topk salts UNCONDITIONALLY (two-stage rank-limit): a
+    # threshold knob would save nothing — the salted first stage is the
+    # same shuffle either way — and a conditional pre-count costs a pass.
     skew_salt_buckets: int = 4
-    skew_threshold: int = 10_000        # pending-count above which a queue is salted
     # --- extraction (C3/F5) ---
     max_content_length: int = 2_000_000     # limiter size gate
     allowed_content_types: str = r"^text/html"

@@ -64,8 +64,13 @@ def parse_robots_bodies(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
                             delay = float(val)
                         except ValueError:
                             delay = None
-                        for a in agents:
-                            out.append((host, a, True, "/", delay))
+                        # delay-only row: NULL path_prefix so the R2 gate
+                        # never treats it as an allow rule (a synthetic
+                        # allow '/' would tie-break-beat a real
+                        # 'Disallow: /' and open a fully-denied host).
+                        if delay is not None:
+                            for a in agents:
+                                out.append((host, a, True, None, delay))
                 yield_cols = ["host", "agent", "allow", "path_prefix", "crawl_delay"]
                 if out:
                     yield pd.DataFrame(out, columns=yield_cols)
@@ -80,10 +85,15 @@ def robots_gate(batch: DataFrame, robots: DataFrame, user_agent: str = "*") -> D
     J2: broadcast join on host (robots tables are small — one row per
     rule, hosts ≪ URLs), then longest-prefix-match resolution.
     """
-    rules = robots.filter(F.col("agent").isin("*", user_agent)).select(
-        "host",
-        F.col("allow").alias("_r_allow"),
-        F.col("path_prefix").alias("_r_prefix"),
+    rules = (
+        robots.filter(F.col("agent").isin("*", user_agent))
+        # delay-only rows (NULL prefix) carry R3 metadata, not gate rules
+        .filter(F.col("path_prefix").isNotNull())
+        .select(
+            "host",
+            F.col("allow").alias("_r_allow"),
+            F.col("path_prefix").alias("_r_prefix"),
+        )
     )
     with_path = batch.withColumn(
         "_path", F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))

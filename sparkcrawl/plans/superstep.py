@@ -96,12 +96,19 @@ class CrawlRun:
         spark: SparkSession,
         workdir: str,
         cfg: CrawlConfig,
-        web: DataFrame,
+        web: DataFrame | None,
         robots: DataFrame | None = None,
+        fetcher=None,
     ):
+        """``web`` is the synthetic-fetch fixture table; ``web=None``
+        selects the live path (S4): ``fetcher`` if given (a callable
+        batch-DataFrame -> fetched-DataFrame, e.g. a partially-applied
+        http_fetch with an injected transport), else the stdlib
+        http_fetch."""
         self.spark = spark
         self.cfg = cfg
         self.web = web
+        self.fetcher = fetcher
         self.robots = robots
         self.frontier = FrontierTable(workdir)
         self.documents = DocumentsTable(workdir)
@@ -125,12 +132,15 @@ class CrawlRun:
             priority_col=F.col("priority"),
         )
         rows = batch_distinct(rows)
-        self.frontier.merge(rows, superstep=0)
         if self.cfg.use_bloom_prefilter:
+            # bloom BEFORE merge: superset invariant (see run_superstep)
+            rows = rows.persist()
             self.bloom_store.update(rows.select("url_hash"))
+        self.frontier.merge(rows, superstep=0, tag="bootstrap")
         self.checkpoints.commit(
             self.spark, 0, self.cfg.t0, f"frontier-v{self.frontier.store.version}",
             {"urls_seen": rows.count(), "fetched": 0, "discovered": 0}, {},
+            frontier_snapshot=self.frontier.store.snapshot(),
         )
 
     # -- resume state --------------------------------------------------------
@@ -138,10 +148,17 @@ class CrawlRun:
         return self.checkpoints.last()
 
     # -- one superstep -------------------------------------------------------
-    def run_superstep(self, superstep: int, virtual_time: datetime) -> SuperstepStats:
+    def run_superstep(self, superstep: int, virtual_time: datetime,
+                      as_of: list[dict] | None = None) -> SuperstepStats:
+        """``as_of`` is the last checkpoint's frontier snapshot (delta
+        list): every read inside the superstep time-travels to it, so a
+        superstep replayed after a mid-step kill computes from the SAME
+        state the killed attempt saw — not from its half-committed
+        merges. With as_of=None (direct calls, benches) reads use the
+        latest manifest, which is identical when no kill occurred."""
         cfg = self.cfg
         spark = self.spark
-        frontier = self.frontier.read(spark)
+        frontier = self.frontier.read(spark, snapshot=as_of)
         if frontier is None:
             raise RuntimeError("frontier not bootstrapped")
         frontier = frontier.persist()
@@ -162,7 +179,15 @@ class CrawlRun:
             "mod_date", "next_date", "priority", "error_count", "state",
             "discovered_superstep", "lineage_partition", "slot",
         ]
-        fetched = synthetic_fetch(allowed.select(*fetch_cols), self.web)
+        batch_to_fetch = allowed.select(*fetch_cols)
+        if self.fetcher is not None:
+            fetched = self.fetcher(batch_to_fetch)
+        elif self.web is not None:
+            fetched = synthetic_fetch(batch_to_fetch, self.web)
+        else:
+            from sparkcrawl.sources.fetch import http_fetch
+
+            fetched = http_fetch(batch_to_fetch, cfg)
         extracted = extract_links_and_spans(fetched, cfg)
         if cfg.extractor_pipeline:  # X1: import-path-configured stages
             from sparkcrawl.functions.import_util import apply_pipeline
@@ -218,7 +243,7 @@ class CrawlRun:
         # 7: DEDUP — batch distinct, persisted bloom prefilter (loaded, not
         # rebuilt: O(new) per superstep, M4), authoritative anti-join
         distinct_cands = batch_distinct(candidates)
-        seen = self.frontier.seen_keys(spark)
+        seen = self.frontier.seen_keys(spark, snapshot=as_of)
         bloom = None
         if cfg.use_bloom_prefilter:
             bloom = self.bloom_store.load()
@@ -260,7 +285,9 @@ class CrawlRun:
             # which only costs anti-join probes (tests/test_membership.py).
             new_rows = new_rows.persist()
             self.bloom_store.update(new_rows.select("url_hash"))
-        snapshot_id = self.frontier.merge(updates, superstep)
+        snapshot_id = self.frontier.merge(
+            updates, superstep, tag=f"superstep-{superstep}"
+        )
         if cfg.compact_every and superstep % cfg.compact_every == 0:
             self.frontier.compact(spark)
 
@@ -296,6 +323,7 @@ class CrawlRun:
             spark, superstep, next_time, snapshot_id,
             {"urls_seen": seen_total, "fetched": fetched_count, "discovered": discovered},
             per_part,
+            frontier_snapshot=self.frontier.store.snapshot(),
         )
         for df in (frontier, batch, extracted, merged, new_rows):
             df.unpersist()
@@ -333,7 +361,9 @@ class CrawlRun:
         stats: list[SuperstepStats] = []
         for _ in range(max_supersteps):
             superstep += 1
-            st = self.run_superstep(superstep, t)
+            st = self.run_superstep(
+                superstep, t, as_of=ckpt.get("frontier_snapshot")
+            )
             stats.append(st)
             ckpt = self.last_checkpoint()
             t = ckpt["virtual_time"]

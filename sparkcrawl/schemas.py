@@ -58,12 +58,15 @@ WEB_SCHEMA = T.StructType(
 )
 
 # A4. robots rules (R1): one row per (host, agent, rule).
+# path_prefix is nullable: a Crawl-delay line emits a delay-only row with
+# NULL prefix that the allow/deny gate (R2) never matches — fabricating an
+# allow rule for it would beat a real "Disallow: /" on the tie-break.
 ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("agent", T.StringType(), False),
         T.StructField("allow", T.BooleanType(), False),
-        T.StructField("path_prefix", T.StringType(), False),
+        T.StructField("path_prefix", T.StringType(), True),
         T.StructField("crawl_delay", T.DoubleType(), True),
     ]
 )

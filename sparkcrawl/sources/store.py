@@ -63,9 +63,18 @@ class ParquetManifestStore:
 
     # -- public API --------------------------------------------------------
     def append(self, df: DataFrame, meta: dict | None = None,
-               partition_by: tuple[str, ...] = ()) -> str:
+               partition_by: tuple[str, ...] = (),
+               replace_tag: str | None = None) -> str:
         """Write a delta dir and atomically commit it to the manifest.
-        Returns the new snapshot version id."""
+        Returns the new snapshot version id.
+
+        ``replace_tag`` makes the commit idempotent per tag: any existing
+        delta carrying the same tag is dropped from the manifest in the
+        SAME atomic commit. Append-only tables (documents, fetch_log) tag
+        deltas by superstep so a kill between their append and the
+        superstep's checkpoint does not duplicate rows when resume()
+        replays the superstep (the frontier needs no tag — keep-latest
+        reads are already idempotent per url_hash)."""
         if partition_by and df.isEmpty():
             # a zero-row partitioned write emits no parquet files at all
             # (unreadable dir); an empty delta contributes nothing — commit
@@ -87,22 +96,43 @@ class ParquetManifestStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(delta_dir)
-        manifest["deltas"].append({"path": delta_dir, "seq": seq})
+        if replace_tag is not None:
+            # drop superseded deltas and commit the replacement atomically;
+            # the orphaned dirs are never referenced again (same guarantee
+            # as a killed run's uncommitted delta dirs)
+            manifest["deltas"] = [
+                d for d in manifest["deltas"] if d.get("tag") != replace_tag
+            ]
+        entry = {"path": delta_dir, "seq": seq}
+        if replace_tag is not None:
+            entry["tag"] = replace_tag
+        manifest["deltas"].append(entry)
         manifest["version"] += 1
         if meta:
             manifest["meta"].update(meta)
         self._write_manifest(manifest)
         return f"{self.name}-v{manifest['version']}"
 
-    def read_raw(self, spark: SparkSession) -> DataFrame | None:
+    def snapshot(self) -> list[dict]:
+        """The current committed delta list — a durable snapshot pointer
+        (delta dirs are never deleted; compaction only rewrites the
+        manifest), so a checkpoint can pin the exact table state it saw
+        (Iceberg snapshot-id analog)."""
+        return [dict(d) for d in self._read_manifest()["deltas"]]
+
+    def read_raw(self, spark: SparkSession,
+                 snapshot: list[dict] | None = None) -> DataFrame | None:
         """Union of all committed deltas (with ``_delta_seq``).
 
         Each delta is read as its own table root (multi-root reads break
         Spark's hive-partition discovery) and unioned by name — the
-        delta list is bounded by the compaction cadence.
+        delta list is bounded by the compaction cadence. ``snapshot``
+        (from :meth:`snapshot`) time-travels the read to that exact
+        delta list — T5: a replayed superstep must see the table as the
+        last checkpoint saw it, not the killed attempt's half-state.
         """
-        manifest = self._read_manifest()
-        paths = [d["path"] for d in manifest["deltas"]]
+        deltas = snapshot if snapshot is not None else self._read_manifest()["deltas"]
+        paths = [d["path"] for d in deltas]
         if not paths:
             return None
         dfs = [spark.read.parquet(p) for p in paths]
@@ -154,15 +184,20 @@ class FrontierTable:
     def __init__(self, root: str):
         self.store = ParquetManifestStore(root, "frontier")
 
-    def merge(self, updates: DataFrame, superstep: int) -> str:
+    def merge(self, updates: DataFrame, superstep: int,
+              tag: str | None = None) -> str:
         """J3: append requeued + newly-discovered rows; latest delta wins
-        per url_hash at read time."""
+        per url_hash at read time. ``tag`` makes the merge idempotent per
+        superstep (a replayed superstep replaces its killed attempt's
+        delta instead of shadowing it)."""
         part = ("queue",) if "queue" in updates.columns else ()
         return self.store.append(
-            updates, meta={"superstep": superstep}, partition_by=part
+            updates, meta={"superstep": superstep}, partition_by=part,
+            replace_tag=tag,
         )
 
-    def read(self, spark: SparkSession, queues: list[int] | None = None) -> DataFrame | None:
+    def read(self, spark: SparkSession, queues: list[int] | None = None,
+             snapshot: list[dict] | None = None) -> DataFrame | None:
         """Keep-latest frontier view; ``queues`` prunes partitions.
 
         Arbitrary predicates can NOT be pushed below the keep-latest
@@ -173,7 +208,7 @@ class FrontierTable:
         BEFORE the merge is safe and hits the hive partition dirs
         (PartitionFilters in the scan — verified in tests/test_store.py).
         """
-        raw = self.store.read_raw(spark)
+        raw = self.store.read_raw(spark, snapshot=snapshot)
         if raw is None:
             return None
         if queues is not None:
@@ -191,10 +226,11 @@ class FrontierTable:
             part = ("queue",) if "queue" in current.columns else ()
             self.store.replace_all(current, partition_by=part)
 
-    def seen_keys(self, spark: SparkSession) -> DataFrame | None:
+    def seen_keys(self, spark: SparkSession,
+                  snapshot: list[dict] | None = None) -> DataFrame | None:
         """The URL-seen set IS the frontier key set (reference: every URL
         entering the frontier was added to UniqueUriFilter)."""
-        raw = self.store.read_raw(spark)
+        raw = self.store.read_raw(spark, snapshot=snapshot)
         if raw is None:
             return None
         return raw.select("url_hash").distinct()
@@ -215,6 +251,7 @@ class CheckpointLog:
         snapshot_id: str,
         counters: dict[str, int],
         per_partition_counts: dict[str, int],
+        frontier_snapshot: list[dict] | None = None,
     ) -> None:
         from sparkcrawl.schemas import CHECKPOINT_SCHEMA
 
@@ -230,14 +267,16 @@ class CheckpointLog:
             )
         ]
         df = spark.createDataFrame(row, schema=CHECKPOINT_SCHEMA)
-        self.store.append(
-            df,
-            meta={
-                "last_superstep": superstep,
-                "last_virtual_time": virtual_time.isoformat(),
-                "last_snapshot": snapshot_id,
-            },
-        )
+        meta = {
+            "last_superstep": superstep,
+            "last_virtual_time": virtual_time.isoformat(),
+            "last_snapshot": snapshot_id,
+        }
+        if frontier_snapshot is not None:
+            # pin the exact frontier delta list this checkpoint saw, so a
+            # replayed superstep time-travels its reads (T5 exactly-once)
+            meta["last_frontier_snapshot"] = frontier_snapshot
+        self.store.append(df, meta=meta)
 
     def last(self) -> dict | None:
         meta = self.store.meta
@@ -247,6 +286,7 @@ class CheckpointLog:
             "superstep": int(meta["last_superstep"]),
             "virtual_time": datetime.fromisoformat(meta["last_virtual_time"]),
             "snapshot_id": meta["last_snapshot"],
+            "frontier_snapshot": meta.get("last_frontier_snapshot"),
         }
 
     def read(self, spark: SparkSession) -> DataFrame | None:
@@ -263,7 +303,13 @@ class FetchLogTable:
         self.store = ParquetManifestStore(root, "fetch_log")
 
     def append(self, log: DataFrame, superstep: int) -> str:
-        return self.store.append(log, meta={"superstep": superstep})
+        # tagged: a superstep replayed after a mid-superstep kill replaces
+        # (not duplicates) its rows — keeps the crawl-order parity surface
+        # exact under kill/resume (T5)
+        return self.store.append(
+            log, meta={"superstep": superstep},
+            replace_tag=f"superstep-{superstep}",
+        )
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         raw = self.store.read_raw(spark)
@@ -277,7 +323,11 @@ class DocumentsTable:
         self.store = ParquetManifestStore(root, "documents")
 
     def append(self, docs: DataFrame, superstep: int) -> str:
-        return self.store.append(docs, meta={"superstep": superstep})
+        # tagged: superstep replay replaces instead of duplicating (T5)
+        return self.store.append(
+            docs, meta={"superstep": superstep},
+            replace_tag=f"superstep-{superstep}",
+        )
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         raw = self.store.read_raw(spark)

@@ -57,7 +57,11 @@ class SeqCrawler:
         if not rules:
             return True
         path = urlsplit(url).path or "/"
-        matches = [r for r in rules if path.startswith(r.path_prefix)]
+        # delay-only rows carry a null path_prefix — never gate matches
+        matches = [
+            r for r in rules
+            if isinstance(r.path_prefix, str) and path.startswith(r.path_prefix)
+        ]
         if not matches:
             return True
         best = max(matches, key=lambda r: (len(r.path_prefix), bool(r.allow)))

@@ -69,3 +69,45 @@ def test_http_fetch_plumbing(spark):
     # connection error: null status row (T4 routes it to backoff)
     down = out["http://a.example/down"]
     assert down["status_code"] is None and down["body"] is None
+
+
+def test_live_mode_superstep_dispatch(spark, tmp_path, monkeypatch):
+    """Regression (ADVICE r1): web=None is the documented live-HTTP mode —
+    run_superstep must dispatch to the fetcher/http_fetch instead of
+    crashing on synthetic_fetch(web=None)."""
+    from pyspark.sql import DataFrame
+
+    from sparkcrawl.plans.superstep import CrawlRun
+    from sparkcrawl.schemas import SEEDS_SCHEMA
+
+    cfg = CrawlConfig(num_queues=2, active_queues=2, compact_every=0)
+
+    def fake_transport(url, headers):
+        body = '<html><body><p>hi</p><a href="/next">n</a></body></html>'
+        return 200, {"Content-Type": "text/html; charset=utf-8"}, body
+
+    def live_fetcher(batch: DataFrame) -> DataFrame:
+        return http_fetch(batch, cfg, _transport=fake_transport)
+
+    seeds = spark.createDataFrame([("http://live.example/", 1)], SEEDS_SCHEMA)
+    run = CrawlRun(spark, str(tmp_path / "live"), cfg, web=None,
+                   fetcher=live_fetcher)
+    stats = run.run(seeds, max_supersteps=2)
+    assert stats[0].fetched == 1
+    assert stats[0].discovered == 1  # /next was discovered over "HTTP"
+    urls = {r["url"] for r in run.frontier.read(spark).collect()}
+    assert "http://live.example/next" in urls
+
+    # with no fetcher either, the default live path is http_fetch
+    import sparkcrawl.sources.fetch as fetch_mod
+
+    calls = []
+
+    def spying_http_fetch(batch, cfg_, **kw):
+        calls.append(True)
+        return http_fetch(batch, cfg_, _transport=fake_transport)
+
+    monkeypatch.setattr(fetch_mod, "http_fetch", spying_http_fetch)
+    run2 = CrawlRun(spark, str(tmp_path / "live2"), cfg, web=None)
+    run2.run(seeds, max_supersteps=1)
+    assert calls

@@ -41,6 +41,50 @@ def test_kill_resume_identical(spark, mini_cfg, mini_web, tmp_path_factory):
     assert state_a == state_b
 
 
+def test_midstep_kill_no_duplicate_appends(spark, mini_cfg, mini_web, tmp_path_factory):
+    """Regression (ADVICE r1): a kill AFTER documents/fetch_log append but
+    BEFORE the superstep checkpoint must not duplicate rows on replay —
+    tagged deltas make the appends idempotent per superstep."""
+    work = str(tmp_path_factory.mktemp("midstep"))
+    run = CrawlRun(spark, work, mini_cfg, mini_web["web"], mini_web["robots"])
+    run.run(mini_web["seeds"], max_supersteps=2)
+
+    # superstep 3 "dies" between the appends and the checkpoint commit
+    real_commit = run.checkpoints.commit
+
+    def dying_commit(spark_, superstep, *a, **kw):
+        if superstep == 3:
+            raise RuntimeError("simulated kill before checkpoint")
+        return real_commit(spark_, superstep, *a, **kw)
+
+    run.checkpoints.commit = dying_commit
+    try:
+        run.resume(max_supersteps=1)
+    except RuntimeError:
+        pass
+    assert run.last_checkpoint()["superstep"] == 2  # checkpoint didn't land
+
+    # fresh process resumes: superstep 3 replays
+    run2 = CrawlRun(spark, work, mini_cfg, mini_web["web"], mini_web["robots"])
+    run2.resume(max_supersteps=1)
+    assert run2.last_checkpoint()["superstep"] == 3
+
+    log = run2.fetch_log.read(spark)
+    # no duplicated (superstep, rank) rows in the crawl-order surface
+    assert log.count() == log.select("superstep", "rank").distinct().count()
+
+    # and the end state (incl. documents row count) matches an
+    # uninterrupted 3-superstep run
+    run_c = CrawlRun(spark, str(tmp_path_factory.mktemp("clean3")), mini_cfg,
+                     mini_web["web"], mini_web["robots"])
+    run_c.run(mini_web["seeds"], max_supersteps=3)
+    assert run2.documents.read(spark).count() == run_c.documents.read(spark).count()
+    state_c, order_c = _final_state(run_c, spark)
+    state_b, order_b = _final_state(run2, spark)
+    assert order_b == order_c
+    assert state_b == state_c
+
+
 def test_orphan_delta_ignored_on_resume(spark, mini_cfg, mini_web, tmp_path_factory):
     """A superstep killed mid-write leaves an orphan parquet delta; resume
     must not see it (manifest is the source of truth)."""

@@ -76,3 +76,27 @@ Disallow: /
     assert (False, "/") in other
     delays = {(r["agent"], r["crawl_delay"]) for r in rules if r["crawl_delay"]}
     assert ("*", 3.0) in delays
+
+
+def test_crawl_delay_does_not_open_disallowed_host(spark):
+    """Regression (ADVICE r1): 'Crawl-delay + Disallow: /' must stay fully
+    denied — the parser must not fabricate an allow rule for the delay
+    line (it would win the longest-prefix tie against Disallow: /)."""
+    body = "User-agent: *\nCrawl-delay: 10\nDisallow: /\n"
+    df = spark.createDataFrame([("blocked.example", body)], ["host", "body"])
+    rules = parse_robots_bodies(df)
+
+    out = robots_gate(_batch(spark, ["http://blocked.example/anything"]), rules).collect()
+    assert [r["robots_allowed"] for r in out] == [False]
+
+    # the delay still reaches R3 politeness
+    got = {r["host"]: r["crawl_delay"] for r in crawl_delays(rules).collect()}
+    assert got == {"blocked.example": 10.0}
+
+    # delay-only rows never act as gate rules: delay-only host stays allow-all
+    body2 = "User-agent: *\nCrawl-delay: 2\n"
+    rules2 = parse_robots_bodies(
+        spark.createDataFrame([("open.example", body2)], ["host", "body"])
+    )
+    out2 = robots_gate(_batch(spark, ["http://open.example/x"]), rules2).collect()
+    assert [r["robots_allowed"] for r in out2] == [True]
