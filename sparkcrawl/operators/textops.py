@@ -34,13 +34,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Exact dedup: keep the lowest-id row per identical text.
 
     GroupBy on md5(text) (not raw text) so the shuffle key is 32 bytes
-    regardless of document size.
+    regardless of document size. min_by aggregation, NOT a row_number
+    window: the agg gets map-side partial combine and no per-partition
+    sort — at corpus scale the window variant full-sorts every hash
+    partition for nothing (same fix family as operators/dedup.py).
     """
-    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(F.asc(id_col))
+    cols = docs.columns
     return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        docs.groupBy(F.md5(F.col(text_col)).alias("_text_hash"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_keeper"))
+        .select("_keeper.*")
     )
 
 
@@ -191,20 +194,23 @@ def simhash(
     hashed = tokens.withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     )
-    bitted = hashed.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos"),
-        "h",
-    ).withColumn(
-        "vote", (F.floor(F.col("h") / F.pow(F.lit(2), F.col("pos"))).cast("bigint") % 2) * 2 - 1
+    # ONE hash-aggregation emitting per-bit conditional sums — not an
+    # explode of `bits` position rows per token, which multiplies the
+    # shuffle row count by `bits` (32x) for the same information.
+    # vote sum per bit = 2*popcount_j - n_tokens, so bit_j set iff
+    # 2*sum(bit_j(h)) >= n (ties -> 1, matching the documented rule).
+    sums = hashed.groupBy("id").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"_s{j}")
+            for j in range(bits)
+        ],
     )
-    return (
-        bitted.groupBy("id", "pos")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn("bit", (F.col("s") >= 0).cast("bigint"))
-        .groupBy("id")
-        .agg(F.sum(F.col("bit") * F.pow(F.lit(2), F.col("pos")).cast("bigint")).alias("simhash"))
-    )
+    sim = None
+    for j in range(bits):
+        term = (F.col(f"_s{j}") * 2 >= F.col("_n")).cast("bigint") * F.lit(1 << j)
+        sim = term if sim is None else sim + term
+    return sums.select("id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3,

@@ -86,6 +86,23 @@ def test_batch_distinct_is_hash_agg_with_partial(spark):
     assert "Window" not in p
 
 
+def test_exact_dedup_is_agg_not_window(spark, queries):
+    """exact_dedup must be a min_by hash-family aggregate (map-side
+    partial combine), not a row_number window that sorts every md5
+    partition."""
+    p = plan_of(queries["dedup_exact"](spark, SF), "simple")
+    assert "partial_min_by" in p
+    assert "Window" not in p
+
+
+def test_simhash_is_single_pass(spark, queries):
+    """simhash must shuffle once on id with 32 conditional sums — not
+    explode 32 bit-position rows per token (32x shuffle amplification)."""
+    p = plan_of(queries["dedup_simhash"](spark, SF), "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert p.count("Generate explode") == 1  # the token split only
+
+
 def test_no_python_udf_in_relational_ops(spark, queries):
     """The relational operator suite must stay JVM-side (BatchEvalPython
     = row-at-a-time python; ArrowEvalPython is allowed only in the
