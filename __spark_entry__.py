@@ -28,6 +28,48 @@ NQ = 8                      # queues in the flagship schedule
 TOPK = 10                   # per-queue budget
 CUTOFF = "2024-01-02 00:00:00"  # eligibility cutoff (F6 virtual time)
 
+# LSH config shared by the Spark queries and the generated oracle SQL —
+# the seeded ±1 sign matrices are inlined into BOTH engines' expressions.
+_EMB_DIM = 64
+_LSH_SEED = 0
+_LSH_BANDS = 2
+_LSH_PLANES = 4   # topk: 16 buckets/band
+_LSH_CAP = 100
+_ND_PLANES = 3    # near-dup: 8 buckets/band
+_ND_CAP = 150
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine over DOUBLE-cast float32 lists — the exact formula the
+    Spark operators fold (dot / sqrt(na*nb)), rounded by callers."""
+    def dp(x, y):
+        return f"list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+    return f"({dp(a, b)} / sqrt({dp(a, a)} * {dp(b, b)}))"
+
+
+def _bucket_sql(n_planes: int, band: int, vec: str = "e") -> str:
+    """The oracle-side twin of simsearch.hyperplane_bucket: same seeded
+    centered weights (repr round-trips to the identical double), same
+    left-associated double addition order."""
+    from sparkcrawl.operators.simsearch import hyperplane_weights
+
+    planes = hyperplane_weights(_EMB_DIM, n_planes, _LSH_SEED, band)
+    bits = []
+    for i, weights in enumerate(planes):
+        proj = " + ".join(f"({w!r} * {vec}[{d + 1}])" for d, w in enumerate(weights))
+        bits.append(f"(CASE WHEN (0.0 + {proj}) >= 0 THEN {2 ** i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _banded_bucket_cte(n_planes: int) -> str:
+    """CTE 'bb': (vec_id, embedding, band, bucket) over all bands."""
+    selects = [
+        f"SELECT vec_id, embedding, {b} AS band, {_bucket_sql(n_planes, b)} AS bucket "
+        f"FROM (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+        for b in range(_LSH_BANDS)
+    ]
+    return " UNION ALL ".join(selects)
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -352,7 +394,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simsearch_lsh_bucketed(spark, sf):
         emb = _read(spark, sf, "embeddings")
         q = emb.filter(F.col("vec_id") < 3)
-        return _widen(textops_round_sim(simsearch.lsh_bucketed_topk(emb, q, k=5, n_planes=4)))
+        return _widen(
+            simsearch.lsh_bucketed_topk(
+                emb, q, k=5, n_planes=_LSH_PLANES, dim=_EMB_DIM, seed=_LSH_SEED,
+                n_bands=_LSH_BANDS, max_bucket_size=_LSH_CAP,
+            )
+        )
 
     def simsearch_ivf_topk(spark, sf):
         emb = _read(spark, sf, "embeddings")
@@ -361,7 +408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def embedding_near_dup_pairs(spark, sf):
         emb = _read(spark, sf, "embeddings")
-        return _widen(simsearch.embedding_near_dup_pairs(emb, threshold=0.3, n_planes=2))
+        return _widen(
+            simsearch.embedding_near_dup_pairs(
+                emb, threshold=0.3, n_planes=_ND_PLANES, dim=_EMB_DIM,
+                seed=_LSH_SEED, n_bands=_LSH_BANDS, max_bucket_size=_ND_CAP,
+            )
+        )
 
     def text_language_id(spark, sf):
         docs = _read(spark, sf, "documents")
@@ -749,35 +801,44 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id)
             WHERE rank <= 5
         """,
-        "simsearch_lsh_bucketed": """
-            WITH b AS (
-              SELECT vec_id, embedding,
-                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-                    + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-                    + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-                    + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
-              FROM embeddings)
-            SELECT query_id, cand_id, sim, rank FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                     round((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS sim,
-                     ROW_NUMBER() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY round((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) DESC,
-                                c.vec_id) AS rank
-              FROM b q JOIN b c ON q.bucket = c.bucket
+        "simsearch_lsh_bucketed": f"""
+            WITH bb AS ({_banded_bucket_cte(_LSH_PLANES)}),
+            ok AS (
+              SELECT band, bucket FROM bb
+              GROUP BY band, bucket HAVING count(*) <= {_LSH_CAP}),
+            bc AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+              FROM bb q JOIN bc c ON q.band = c.band AND q.bucket = c.bucket
               WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
+            SELECT query_id, cand_id, sim, rank FROM (
+              SELECT query_id, cand_id,
+                     round({_cos_sql('q.embedding', 'c.embedding')}, 6) AS sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round({_cos_sql('q.embedding', 'c.embedding')}, 6) DESC,
+                                cand_id) AS rank
+              FROM cand
+              JOIN embeddings q ON q.vec_id = cand.query_id
+              JOIN embeddings c ON c.vec_id = cand.cand_id)
             WHERE rank <= 5
         """,
-        "embedding_near_dup_pairs": """
-            WITH b AS (
-              SELECT vec_id, embedding,
-                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-                    + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
-              FROM embeddings)
-            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-                   round((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) * list_dot_product(CAST(b2.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])))), 6) AS sim
-            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-            WHERE round((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) * list_dot_product(CAST(b2.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])))), 6) >= 0.3
+        "embedding_near_dup_pairs": f"""
+            WITH bb AS ({_banded_bucket_cte(_ND_PLANES)}),
+            ok AS (
+              SELECT band, bucket FROM bb
+              GROUP BY band, bucket HAVING count(*) <= {_ND_CAP}),
+            bc AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+              FROM bc a JOIN bc b2
+                ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+            SELECT id_a, id_b,
+                   round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS sim
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = cand.id_a
+            JOIN embeddings eb ON eb.vec_id = cand.id_b
+            WHERE round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) >= 0.3
         """,
         "text_language_id": _language_id_sql(),
         "text_quality_score": _quality_sql(),

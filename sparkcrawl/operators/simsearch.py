@@ -75,21 +75,90 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 4) -> Column:
-    """LSH bucket id: sign bits of the first n_planes dimensions.
+def hyperplane_weights(
+    dim: int, n_planes: int, seed: int = 0, band: int = 0
+) -> list[list[float]]:
+    """Seeded random-projection hyperplanes (n_planes×dim weight matrix).
 
-    A deterministic, engine-portable stand-in for random hyperplanes
-    (axis-aligned planes ARE hyperplanes; with seeded projections the
-    formula is the same — kept axis-aligned so DuckDB reproduces it).
+    Weights are md5-derived uniform values, MEAN-CENTERED per plane and
+    quantized to 4 decimals: centering makes each plane orthogonal to
+    the all-ones direction, so correlated / all-positive real embedding
+    dims (the r1 'first-dims sign bucket' failure mode) still split into
+    balanced buckets; quantized decimal literals parse to the identical
+    double in any engine, so the oracle SQL inlines them verbatim.
     """
-    bits = [
-        F.when(F.element_at(vec, i + 1) >= 0, F.lit(2**i)).otherwise(F.lit(0))
-        for i in range(n_planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        raw = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{band}|{p}|{d}".encode()).digest()
+            raw.append((h[0] * 256 + h[1]) / 65535.0 * 2 - 1)
+        mean = sum(raw) / len(raw)
+        planes.append([round(w - mean, 4) for w in raw])
+    return planes
+
+
+def weighted_projection(vec: Column, weights: list[float]) -> Column:
+    """Dot(vec, weights) folded left-to-right in double — bit-matches the
+    oracle's left-associated `w1*e[1] + w2*e[2] + ...` chain."""
+    arr = F.array(*[F.lit(w) for w in weights])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def hyperplane_bucket(
+    vec: Column, n_planes: int = 4, dim: int = 64, seed: int = 0, band: int = 0
+) -> Column:
+    """LSH bucket id: sign bits of n_planes seeded random projections."""
+    planes = hyperplane_weights(dim, n_planes, seed, band)
+    out = None
+    for i, weights in enumerate(planes):
+        bit = F.when(weighted_projection(vec, weights) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
     return out.cast("int")
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Drop LSH buckets larger than the cap BEFORE any self/equi join —
+    an oversized bucket is a degenerate projection cell, not a
+    similarity signal, and its O(n²) pair blowup is the #1 skew hazard
+    of bucketed ANN at corpus scale (mirrors textops.minhash_lsh_pairs)."""
+    if max_bucket_size is None:
+        return df
+    ok = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+    return df.join(ok, keys)
+
+
+def _banded_buckets(
+    df: DataFrame, n_planes: int, dim: int, seed: int, n_bands: int,
+    id_alias: str, vec_alias: str, id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id, vec, band, bucket) — one row per band; multi-band OR-ing
+    recovers the recall a single n_planes-bit bucket gives up."""
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    hyperplane_bucket(F.col(vec_col), n_planes, dim, seed, b).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    ).alias("_bb")
+    return df.select(
+        F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias), bands
+    ).select(id_alias, vec_alias, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
 def lsh_bucketed_topk(
@@ -97,31 +166,37 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 0,
+    n_bands: int = 1,
+    max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket(s).
 
-    Candidate generation is an equi-join on bucket — at 10^9 vectors
-    this shuffles by bucket instead of replicating every query against
-    every vector. Recall is tunable via n_planes (fewer planes = bigger
-    buckets = higher recall).
+    Candidate generation is an equi-join on (band, bucket) — at 10^9
+    vectors this shuffles by bucket instead of replicating every query
+    against every vector. Recall tunes via n_planes (fewer = bigger
+    buckets) and n_bands (more = more chances to collide); oversized
+    buckets are capped (``max_bucket_size``) so one degenerate cell
+    can't quadratically dominate the join.
     """
-    emb_b = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("c_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    emb_b = _banded_buckets(
+        embeddings, n_planes, dim, seed, n_bands, "cand_id", "c_vec", id_col, vec_col
     )
-    q_b = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    emb_b = _cap_buckets(emb_b, ["band", "bucket"], max_bucket_size)
+    q_b = _banded_buckets(
+        queries, n_planes, dim, seed, n_bands, "query_id", "q_vec", id_col, vec_col
     )
-    scored = (
-        emb_b.join(F.broadcast(q_b), "bucket")
+    cands = (
+        emb_b.join(F.broadcast(q_b), ["band", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        # a pair colliding in several bands scores once
+        .dropDuplicates(["query_id", "cand_id"])
     )
+    scored = cands.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -209,20 +284,32 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
     n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 0,
+    n_bands: int = 1,
+    max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucket self-join."""
-    emb_b = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    """Embedding-cosine near-duplicate pairs via (banded, capped) LSH
+    bucket self-join — the 100 TB shape: no all-pairs, no uncapped
+    degenerate bucket."""
+    emb_b = _banded_buckets(
+        embeddings, n_planes, dim, seed, n_bands, "id", "vec", id_col, vec_col
+    )
+    emb_b = _cap_buckets(emb_b, ["band", "bucket"], max_bucket_size)
+    pairs = (
+        emb_b.alias("a")
+        .join(emb_b.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        emb_b.alias("a")
-        .join(emb_b.alias("b"), "bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("sim", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6))
+        pairs.withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("sim") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "sim")
+        .select("id_a", "id_b", "sim")
     )

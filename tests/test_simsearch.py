@@ -33,12 +33,15 @@ def test_brute_force_topk_order(vecs):
 
 def test_lsh_bucket_join_subset_of_bruteforce(vecs):
     q = vecs.filter("vec_id = 1")
-    lsh = simsearch.lsh_bucketed_topk(vecs, q, k=3, n_planes=4).collect()
-    # bucket of vec 1 = signs (+,+,+,+) = 15; 2 and 5 share it; 3 shares it too
-    # (0.0 >= 0 counts as positive); 4 does not.
+    lsh = simsearch.lsh_bucketed_topk(
+        vecs, q, k=3, n_planes=2, dim=4, n_bands=2
+    ).collect()
     cands = {r["cand_id"] for r in lsh}
+    # 5 = (1, .01, 0, 0) ≈ 1 = (1, 0, 0, 0): every ±1 projection has the
+    # same sign for both (|±1*.01| < |±1*1|) -> collides in every band.
+    assert 5 in cands
+    # 4 = -1's projections are exactly negated -> never shares a bucket.
     assert 4 not in cands
-    assert {2, 5} <= cands
     # LSH sims must equal brute-force sims for shared candidates
     bf = {r["cand_id"]: r["sim"] for r in simsearch.brute_force_topk(vecs, q, k=4).collect()}
     for r in lsh:
@@ -47,9 +50,64 @@ def test_lsh_bucket_join_subset_of_bruteforce(vecs):
 
 def test_near_dup_pairs(vecs):
     pairs = {(r["id_a"], r["id_b"]) for r in
-             simsearch.embedding_near_dup_pairs(vecs, threshold=0.99).collect()}
+             simsearch.embedding_near_dup_pairs(vecs, threshold=0.99, dim=4).collect()}
     assert (1, 5) in pairs
     assert (1, 4) not in pairs
+
+
+def _skewed_fixture(spark, n=80, dim=8):
+    """All-positive-dim vectors: the axis-aligned sign bucket (r1's LSH)
+    collapses these into ONE bucket; seeded ±1 projections must not."""
+    rows = [
+        (i, [((i * 7 + d * 13) % 23 + 1) / 23.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_random_projection_buckets_balanced_on_skewed_data(spark):
+    vecs = _skewed_fixture(spark)
+    from pyspark.sql import functions as SF
+
+    b = vecs.select(
+        simsearch.hyperplane_bucket(F.col("embedding"), n_planes=3, dim=8).alias("bucket")
+    )
+    sizes = [r["n"] for r in b.groupBy("bucket").agg(SF.count("*").alias("n")).collect()]
+    assert len(sizes) >= 3          # axis-sign bucketing would yield exactly 1
+    assert max(sizes) <= 0.6 * 80   # no degenerate everything-bucket
+
+
+def test_lsh_recall_vs_bruteforce_on_skewed_data(spark):
+    vecs = _skewed_fixture(spark)
+    q = vecs.filter("vec_id < 4")
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in simsearch.brute_force_topk(vecs, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in simsearch.lsh_bucketed_topk(
+            vecs, q, k=5, n_planes=3, dim=8, n_bands=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_near_dup_bucket_cap_bounds_join(spark):
+    vecs = _skewed_fixture(spark)
+    uncapped = simsearch.embedding_near_dup_pairs(
+        vecs, threshold=0.8, n_planes=2, dim=8, n_bands=2
+    ).collect()
+    capped = simsearch.embedding_near_dup_pairs(
+        vecs, threshold=0.8, n_planes=2, dim=8, n_bands=2, max_bucket_size=10
+    ).collect()
+    # the cap only removes pairs (degenerate buckets), never invents them
+    assert {(r["id_a"], r["id_b"]) for r in capped} <= {
+        (r["id_a"], r["id_b"]) for r in uncapped
+    }
 
 
 def test_ivf_topk_cell_restricted(spark):
