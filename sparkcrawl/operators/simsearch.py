@@ -237,31 +237,115 @@ def ivf_assign(
     )
 
 
+def ivf_assign_topn(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``nprobe`` nearest cells per vector (query-side multi-probe:
+    searching the runner-up cells recovers the recall lost to vectors
+    sitting near cell boundaries). Same broadcast + rank-limit shape as
+    :func:`ivf_assign`."""
+    c = centroids.select(F.col("centroid_id"), F.col("c_vec"))
+    scored = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).crossJoin(F.broadcast(c)).withColumn(
+        "sim", F.round(cosine(F.col("vec"), F.col("c_vec")), 6)
+    )
+    w = W.partitionBy("id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("id", "vec", "centroid_id")
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Relational Lloyd k-means -> (centroid_id, c_vec) for IVF.
+
+    Init = the k lowest-id vectors (deterministic, same as the oracle
+    mode). Each iteration: broadcast-assign every vector to its nearest
+    centroid (one shuffle-free scored pass + rank window), then average
+    member vectors per (centroid, dim) — a posexplode + two hash-aggs,
+    all map-side-combinable. Only the k centroid rows themselves are
+    collected per iteration (config-bounded, like active_queues): that
+    truncates the iterative lineage, the standard Spark pattern for
+    Lloyd loops. Empty cells keep their previous centroid.
+    """
+    from pyspark.sql import types as T
+
+    spark = embeddings.sparkSession
+    cent_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType(), False),
+            T.StructField("c_vec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    init = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col).cast("long").alias("centroid_id"), F.col(vec_col).alias("c_vec"))
+        .collect()
+    )
+    cents = {r["centroid_id"]: [float(x) for x in r["c_vec"]] for r in init}
+    for _ in range(iters):
+        cdf = spark.createDataFrame(sorted(cents.items()), cent_schema)
+        assigned = ivf_assign(embeddings, cdf, id_col, vec_col)
+        new_rows = (
+            assigned.select("centroid_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_vec")
+            )
+            .collect()
+        )
+        for r in new_rows:
+            cents[r["centroid_id"]] = [float(x) for x in r["c_vec"]]
+    return spark.createDataFrame(sorted(cents.items()), cent_schema)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 8,
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate top-k: search only the query's cell (nprobe=1).
+    """IVF approximate top-k: search the query's ``nprobe`` nearest cells.
 
-    Sandbox-deterministic centroid choice: the ``n_cells`` vectors with
-    the lowest ids act as centroids (reproducible in the SQL oracle; a
-    k-means fit drops in without changing this operator). Candidate
-    generation is an equi-join on centroid_id — the same
-    shuffle-locality as the LSH variant, but with data-adaptive cells.
+    ``centroids=None`` selects the sandbox-deterministic oracle mode
+    (the ``n_cells`` lowest-id vectors act as centroids, reproducible in
+    SQL); pass :func:`kmeans_fit` output for data-adaptive cells —
+    the operator is unchanged either way. Candidate generation is an
+    equi-join on centroid_id — the same shuffle-locality as the LSH
+    variant, but with data-adaptive cells and a recall knob (nprobe).
     """
-    centroids = (
-        embeddings.orderBy(F.asc(id_col))
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(F.asc(id_col))
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+            )
         )
-    )
     emb_cells = ivf_assign(embeddings, centroids, id_col, vec_col)
-    q_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+    q_cells = ivf_assign_topn(queries, centroids, nprobe, id_col, vec_col).select(
         F.col("id").alias("query_id"),
         F.col("vec").alias("q_vec"),
         "centroid_id",
