@@ -463,24 +463,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
         )
 
-    # --- non-SQL-expressible (rows-only checks): mapInPandas plumbing -----
+    # --- mapInPandas / stateful plumbing, oracled via derivable SQL -------
     def interleaved_span_extract(spark, sf):
-        """C3/C5 extractor over HTML synthesized from documents.text."""
+        """C3/C5 extractor over HTML synthesized from documents.text.
+
+        The template varies by doc_id (media-first layout for %5==0,
+        extra absolute link for %3==0) so the oracle checks span ORDER
+        and link extraction, not just a constant shape."""
         from sparkcrawl.config import CrawlConfig
         from sparkcrawl.operators.extract import extract_links_and_spans
 
         docs = _read(spark, sf, "documents")
+        id_str = F.col("doc_id").cast("string")
+        img = F.concat(F.lit('<img src="/img/'), id_str, F.lit('.png">'))
+        extra_link = F.when(
+            F.col("doc_id") % 3 == 0, F.lit('<a href="http://ext.example/x">e</a>')
+        ).otherwise(F.lit(""))
+        media_first = F.col("doc_id") % 5 == 0
         fetchlike = docs.select(
-            F.concat(F.lit("http://doc"), F.col("doc_id").cast("string"), F.lit(".example/")).alias("url"),
+            F.concat(F.lit("http://doc"), id_str, F.lit(".example/")).alias("url"),
             F.lit(200).alias("status_code"),
             F.lit("text/html; charset=utf-8").alias("content_type"),
             F.lit(None).cast("string").alias("location"),
             F.concat(
-                F.lit("<html><body><p>"),
+                F.lit("<html><body>"),
+                F.when(media_first, img).otherwise(F.lit("")),
+                F.lit("<p>"),
                 F.col("text"),
-                F.lit('</p><img src="/img/'),
-                F.col("doc_id").cast("string"),
-                F.lit('.png"><a href="/next">n</a></body></html>'),
+                F.lit("</p>"),
+                extra_link,
+                F.when(media_first, F.lit("")).otherwise(img),
+                F.lit('<a href="/next">n</a></body></html>'),
             ).alias("body"),
         )
         out = extract_links_and_spans(fetchlike, CrawlConfig())
@@ -489,6 +502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("spans").cast("long").alias("n_spans"),
             F.size("links").cast("long").alias("n_links"),
             F.element_at("spans", 1)["kind"].alias("first_kind"),
+            F.element_at(
+                F.filter("spans", lambda s: s["kind"] == F.lit("media")), 1
+            )["media_ref"].alias("first_media_ref"),
         )
 
     def multimodal_media_features(spark, sf):
@@ -530,7 +546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.createDataFrame(robots, ROBOTS_SCHEMA),
         )
         run.run(spark.createDataFrame(seeds, SEEDS_SCHEMA), max_supersteps=2)
-        return run.fetch_log.read(spark).select("superstep", "rank", "url", "outcome")
+        return run.fetch_log.read(spark).select(
+            F.col("superstep").cast("long").alias("superstep"),
+            F.col("rank").cast("long").alias("rank"),
+            "url",
+            "outcome",
+        )
 
     return {
         "crawl_schedule_flagship": crawl_schedule,
@@ -870,10 +891,54 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
-        # interleaved_span_extract, multimodal_media_features,
-        # crawl_mini_superstep: mapInPandas / stateful-loop plumbing —
-        # not SQL-expressible; driver records rows-only checks.
+        # the extractor/decoder run opaque Python (mapInPandas), but their
+        # EXPECTED outputs on the synthesized inputs are pure functions of
+        # the documents columns — so the oracle derives them in SQL:
+        "interleaved_span_extract": """
+            SELECT 'http://doc' || CAST(doc_id AS VARCHAR) || '.example/' AS doc_id,
+                   CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_spans,
+                   CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_links,
+                   CASE WHEN doc_id % 5 = 0 THEN 'media' ELSE 'text' END AS first_kind,
+                   'http://doc' || CAST(doc_id AS VARCHAR) || '.example/img/'
+                     || CAST(doc_id AS VARCHAR) || '.png' AS first_media_ref
+            FROM documents
+        """,
+        # fake decode = md5(payload) digest bytes (multimodal._fake_decode);
+        # md5 of the same UTF-8 bytes is available in DuckDB, and the f0
+        # float32 round-trip is mirrored with CAST(CAST(.. AS FLOAT) AS DOUBLE)
+        "multimodal_media_features": """
+            SELECT 'http://cdn.example/' || CAST(doc_id AS VARCHAR) || '.png' AS media_ref,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) % 64 AS width,
+                   16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) % 64 AS height,
+                   round(CAST(CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) / 255.0
+                         AS FLOAT) AS DOUBLE), 6) AS f0
+            FROM documents
+        """,
+        # the mini-superstep's expected fetch log comes from the INDEPENDENT
+        # sequential simulator (tests/reference_sim.py), regenerated by
+        # scripts/gen_mini_superstep_golden.py and lifted into VALUES here
+        "crawl_mini_superstep": _mini_superstep_oracle_sql(),
     }
+
+
+def _mini_superstep_oracle_sql() -> str:
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", "mini_superstep_fetch_log.json")
+    with open(path) as f:
+        rows = json.load(f)
+    values = ",\n              ".join(
+        f"(CAST({s} AS BIGINT), CAST({r} AS BIGINT), '{u}', '{o}')"
+        for s, r, u, o in rows
+    )
+    return f"""
+        SELECT * FROM (VALUES
+              {values}
+        ) AS t(superstep, rank, url, outcome)
+    """
 
 
 def _stopword_count_sql(word: str) -> str:

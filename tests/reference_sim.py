@@ -49,6 +49,8 @@ class SeqCrawler:
                 self.rules.setdefault(r.host, []).append(r)
         self.frontier: dict[str, dict] = {}  # url_hash -> row
         self.fetch_log: list[tuple[int, int, str]] = []  # (superstep, slot_rank, url)
+        # same rows with the fetch status (for the outcome-column oracle)
+        self.fetch_log_full: list[tuple[int, int, str, int | None]] = []
 
     # -- robots (longest prefix, allow wins ties, default allow) -----------
     def allowed(self, url: str) -> bool:
@@ -128,13 +130,14 @@ class SeqCrawler:
                 continue
             self.fetch_log.append((s, rank, row["url"]))
             fetched += 1
-            self._fetch_one(row, t, discovered)
+            status = self._fetch_one(row, t, discovered)
+            self.fetch_log_full.append((s, rank, row["url"], status))
         # dedup sequential, first-discovery-wins, then add
         for url in discovered:
             self.add_url(url, s, t + timedelta(seconds=cfg.tick_seconds))
         return {"batch": len(ordered), "fetched": fetched}
 
-    def _fetch_one(self, row: dict, t: datetime, discovered: list[str]):
+    def _fetch_one(self, row: dict, t: datetime, discovered: list[str]) -> int | None:
         cfg = self.cfg
         page = self.web.get(row["url"])
         status = None if page is None else int(page.status_code)
@@ -173,6 +176,7 @@ class SeqCrawler:
                 row["next_date"] = t + timedelta(
                     seconds=cfg.error_backoff_seconds * row["error_count"]
                 )
+        return status
 
     # -- full run ----------------------------------------------------------------
     def run(self, seeds_pdf, max_supersteps: int) -> None:
