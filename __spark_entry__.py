@@ -329,6 +329,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.count("*").alias("n_events"))
         )
 
+    def c9_registered_domain(spark, sf):
+        """C9: eTLD+1 over synthetic multi-label hosts (public-suffix
+        snapshot) + the politeness queue it buckets into."""
+        from sparkcrawl.functions.domains import registered_domain
+        from sparkcrawl.functions.hashing import md5_bucket
+
+        ev = _read(spark, sf, "events")
+        host = (
+            F.when(F.col("user_id") % 4 == 0,
+                   F.concat(F.lit("a"), (F.col("user_id") % 7).cast("string"),
+                            F.lit(".shop.example.co.uk")))
+            .when(F.col("user_id") % 4 == 1,
+                  F.concat(F.lit("b"), (F.col("user_id") % 7).cast("string"),
+                           F.lit(".example.com.au")))
+            .when(F.col("user_id") % 4 == 2,
+                  F.concat(F.lit("c"), (F.col("user_id") % 7).cast("string"),
+                           F.lit(".github.io")))
+            .otherwise(
+                F.concat(F.lit("d"), (F.col("user_id") % 7).cast("string"),
+                         F.lit(".internal")))
+        )
+        rd = registered_domain(host)
+        return ev.select(
+            "event_id",
+            host.alias("host"),
+            rd.alias("registered_domain"),
+            md5_bucket(rd, NQ).cast("long").alias("queue"),
+        )
+
     def c2_url_hash(spark, sf):
         docs = _read(spark, sf, "documents")
         return docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
@@ -569,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u2_first_discovery_distinct": u2_first_discovery_distinct,
         "a4_distinct_count": a4_distinct_count,
         "c2_url_hash": c2_url_hash,
+        "c9_registered_domain": c9_registered_domain,
         "c8_prioritizer_requeue": c8_prioritizer_requeue,
         "dedup_exact": dedup_exact,
         "dedup_groups": dedup_groups,
@@ -728,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "c2_url_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "c9_registered_domain": _c9_sql(),
         "c8_prioritizer_requeue": """
             SELECT event_id,
                    CAST(status AS BIGINT) AS status_code,
@@ -920,6 +951,29 @@ def oracle_sql() -> dict[str, str]:
         # scripts/gen_mini_superstep_golden.py and lifted into VALUES here
         "crawl_mini_superstep": _mini_superstep_oracle_sql(),
     }
+
+
+def _c9_sql() -> str:
+    from sparkcrawl.functions.domains import registered_domain_sql
+
+    rd = registered_domain_sql("host")
+    return f"""
+        WITH hosts AS (
+          SELECT event_id,
+                 CASE WHEN user_id % 4 = 0
+                        THEN 'a' || CAST(user_id % 7 AS VARCHAR) || '.shop.example.co.uk'
+                      WHEN user_id % 4 = 1
+                        THEN 'b' || CAST(user_id % 7 AS VARCHAR) || '.example.com.au'
+                      WHEN user_id % 4 = 2
+                        THEN 'c' || CAST(user_id % 7 AS VARCHAR) || '.github.io'
+                      ELSE 'd' || CAST(user_id % 7 AS VARCHAR) || '.internal'
+                 END AS host
+          FROM events),
+        rds AS (SELECT event_id, host, {rd} AS registered_domain FROM hosts)
+        SELECT event_id, host, registered_domain,
+               CAST(concat('0x', substr(md5(registered_domain), 1, 8)) AS BIGINT) % {NQ} AS queue
+        FROM rds
+    """
 
 
 def _mini_superstep_oracle_sql() -> str:

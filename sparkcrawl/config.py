@@ -47,6 +47,12 @@ class CrawlConfig:
     # threshold knob would save nothing — the salted first stage is the
     # same shuffle either way — and a conditional pre-count costs a pass.
     skew_salt_buckets: int = 4
+    # --- registered domain (C9) ---
+    # False = host-based parity mode (pins the goldens; the reference
+    # groups by host). True = eTLD+1 via the bundled public-suffix
+    # snapshot (functions/domains.py) so subdomains of one registrable
+    # domain share a politeness queue, as north_star requires.
+    use_public_suffix: bool = False
     # --- extraction (C3/F5) ---
     max_content_length: int = 2_000_000     # limiter size gate
     allowed_content_types: str = r"^text/html"

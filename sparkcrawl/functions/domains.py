@@ -1,0 +1,113 @@
+"""Registered-domain (eTLD+1) extraction — C9 (SURVEY §2.7).
+
+The reference groups politeness queues by host; the north_star groups by
+registered DOMAIN, so `a.shop.example.co.uk` and `b.shop.example.co.uk`
+must share a politeness queue. That needs public-suffix knowledge: the
+snapshot below is a minimal, bundled subset of the PUBLIC Public Suffix
+List (publicsuffix.org, Mozilla-maintained public data) — the common
+ICANN 1- and 2-label suffixes plus a few well-known private registries.
+Semantics are the PSL "longest matching suffix + one label" rule,
+simplified: no wildcard (`*.ck`) or exception (`!www.ck`) rules are in
+the snapshot (swap in the full list file on a real deployment; the
+matching rule is unchanged).
+
+Everything is a pure column expression (an ordered longest-first
+when-chain of anchored regexes) — JVM-side, codegen'd, no UDF, no join;
+and :func:`registered_domain_sql` emits the identical CASE chain for
+the DuckDB oracle. Engine default stays HOST-based (cfg.use_public_suffix
+= False) to pin the host-parity goldens; the flag turns this on.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# minimal snapshot of publicsuffix.org (public data); longest rules first
+# at match time. 2-label ICANN suffixes + their 1-label parents + common
+# private registries.
+PUBLIC_SUFFIX_SNAPSHOT: tuple[str, ...] = (
+    # private registries (PSL private section)
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "appspot.com", "s3.amazonaws.com", "cloudfront.net",
+    # ICANN 2-label
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ac.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "co.za", "net.za", "org.za", "web.za",
+    "co.kr", "or.kr", "ne.kr", "go.kr",
+    "com.mx", "org.mx", "net.mx",
+    "com.tr", "org.tr", "net.tr",
+    "com.sg", "org.sg", "net.sg",
+    # ICANN 1-label
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "ai",
+    "uk", "de", "fr", "jp", "au", "br", "cn", "in", "nl", "se", "ch",
+    "it", "es", "pl", "ru", "nz", "za", "kr", "mx", "tr", "sg", "us",
+    "ca", "eu", "info", "biz", "dev", "app",
+)
+
+_IPV4 = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+_LAST_TWO = r"([^.]+\.[^.]+)$"
+
+
+def _ordered_suffixes() -> list[str]:
+    """Longest-match order: more labels first, then longer, then lexical
+    (deterministic chain ordering in both engines)."""
+    return sorted(
+        PUBLIC_SUFFIX_SNAPSHOT,
+        key=lambda s: (-s.count("."), -len(s), s),
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 of a lowercase host as a when-chain (longest suffix + one
+    label; IPv4 and unmatched hosts fall back sanely)."""
+    out = F.when(host.rlike(_IPV4), host)
+    for suffix in _ordered_suffixes():
+        esc = suffix.replace(".", r"\.")
+        pat = r"([^.]+\." + esc + r")$"
+        out = out.when(host.rlike(r"[^.]+\." + esc + r"$"),
+                       F.regexp_extract(host, pat, 1))
+    # unknown TLD: last two labels; single-label hosts stay themselves
+    return out.when(
+        host.rlike(r"[^.]+\.[^.]+$"), F.regexp_extract(host, _LAST_TWO, 1)
+    ).otherwise(host)
+
+
+def registered_domain_sql(col: str) -> str:
+    """The DuckDB twin of :func:`registered_domain` — identical rule
+    chain, for oracle queries."""
+    parts = [f"CASE WHEN regexp_matches({col}, '{_IPV4}') THEN {col}"]
+    for suffix in _ordered_suffixes():
+        esc = suffix.replace(".", r"\.")
+        parts.append(
+            f"WHEN regexp_matches({col}, '[^.]+\\.{esc}$') "
+            f"THEN regexp_extract({col}, '([^.]+\\.{esc})$', 1)"
+        )
+    parts.append(
+        f"WHEN regexp_matches({col}, '[^.]+\\.[^.]+$') "
+        f"THEN regexp_extract({col}, '{_LAST_TWO}', 1)"
+    )
+    parts.append(f"ELSE {col} END")
+    return " ".join(parts)
+
+
+def registered_domain_py(host: str) -> str:
+    """Plain-Python twin for the sequential simulator / tests."""
+    if re.match(_IPV4, host):
+        return host
+    for suffix in _ordered_suffixes():
+        m = re.search(r"([^.]+\." + re.escape(suffix) + r")$", host)
+        if m and host != suffix:
+            # require a label BEFORE the suffix (the regex [^.]+ may have
+            # consumed part of the suffix itself otherwise)
+            if host == m.group(1) or host.endswith("." + m.group(1)):
+                return m.group(1)
+    m = re.search(_LAST_TWO, host)
+    return m.group(1) if m else host

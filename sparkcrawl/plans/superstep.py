@@ -61,6 +61,15 @@ class SuperstepStats:
     seen_total: int
 
 
+def _registered_domain_col(cfg: CrawlConfig):
+    """C9: host (parity default) or eTLD+1 (cfg.use_public_suffix)."""
+    if cfg.use_public_suffix:
+        from sparkcrawl.functions.domains import registered_domain
+
+        return registered_domain(F.col("host"))
+    return F.col("host")
+
+
 def frontier_rows_from_urls(
     urls: DataFrame, cfg: CrawlConfig, superstep: int, t0: datetime, priority_col=None
 ) -> DataFrame:
@@ -70,7 +79,7 @@ def frontier_rows_from_urls(
     return (
         canon.withColumn("url_hash", url_sha1(F.col("url")))
         .withColumn("host", host_of_udf(F.col("url")))
-        .withColumn("registered_domain", F.col("host"))  # parity mode (C9)
+        .withColumn("registered_domain", _registered_domain_col(cfg))
         .withColumn("queue", queue_for_domain(F.col("registered_domain"), cfg.num_queues))
         .withColumn("etag", F.lit(None).cast("string"))
         .withColumn("mod_date", F.lit(None).cast("timestamp"))
@@ -236,7 +245,7 @@ class CrawlRun:
         candidates = (
             links.withColumn("url_hash", url_sha1(F.col("url")))
             .withColumn("host", host_of_udf(F.col("url")))
-            .withColumn("registered_domain", F.col("host"))
+            .withColumn("registered_domain", _registered_domain_col(cfg))
             .withColumn("queue", queue_for_domain(F.col("registered_domain"), cfg.num_queues))
         )
 

@@ -1,0 +1,64 @@
+"""C9: eTLD+1 registered-domain extraction (public-suffix snapshot)."""
+
+from pyspark.sql import functions as F
+
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.functions.domains import registered_domain, registered_domain_py
+
+CASES = {
+    # 2-label ICANN suffix: both subdomains share example.co.uk
+    "a.shop.example.co.uk": "example.co.uk",
+    "b.shop.example.co.uk": "example.co.uk",
+    "example.co.uk": "example.co.uk",
+    # plain gTLD
+    "foo.example.com": "example.com",
+    "example.com": "example.com",
+    # private registry: each user site is its own registrable domain
+    "alice.github.io": "alice.github.io",
+    "deep.alice.github.io": "alice.github.io",
+    # a public suffix used as a host stays itself
+    "co.uk": "co.uk",
+    # unknown TLD: last two labels
+    "host003.example": "host003.example",
+    "www.host003.example": "host003.example",
+    # IPv4 + single label
+    "192.168.0.1": "192.168.0.1",
+    "localhost": "localhost",
+    # label that merely ENDS with a suffix string is not a match
+    "xco.uk": "xco.uk",
+}
+
+
+def test_registered_domain_py():
+    for host, want in CASES.items():
+        assert registered_domain_py(host) == want, host
+
+
+def test_registered_domain_column_matches_py(spark):
+    df = spark.createDataFrame([(h,) for h in CASES], ["host"])
+    got = {
+        r["host"]: r["rd"]
+        for r in df.select("host", registered_domain(F.col("host")).alias("rd")).collect()
+    }
+    assert got == CASES
+
+
+def test_subdomains_share_politeness_queue(spark):
+    """north_star: grouping by registered domain puts sibling subdomains
+    in ONE politeness domain (host mode would split them)."""
+    from sparkcrawl.plans.superstep import frontier_rows_from_urls
+
+    urls = spark.createDataFrame(
+        [("http://a.shop.example.co.uk/p",), ("http://b.shop.example.co.uk/q",)],
+        ["url"],
+    )
+    cfg_on = CrawlConfig(use_public_suffix=True)
+    rows = frontier_rows_from_urls(urls, cfg_on, superstep=0, t0=cfg_on.t0).collect()
+    assert {r["registered_domain"] for r in rows} == {"example.co.uk"}
+    assert len({r["queue"] for r in rows}) == 1
+
+    cfg_off = CrawlConfig()  # parity default: host-based
+    rows = frontier_rows_from_urls(urls, cfg_off, superstep=0, t0=cfg_off.t0).collect()
+    assert {r["registered_domain"] for r in rows} == {
+        "a.shop.example.co.uk", "b.shop.example.co.uk"
+    }
