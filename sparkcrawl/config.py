@@ -31,6 +31,10 @@ class CrawlConfig:
     # --- prioritizer (C8, SimpleTimestampPrioritizer analog) ---
     num_priorities: int = 10            # PRIORITIZER_NUM_PRIORITIES analog
     delta_seconds: int = 500            # PRIORITIZER_CRAWL_DELTA analog
+    # A2: carry unused per-queue budget into the next superstep via the
+    # queue_state table (starved queues catch up). Off by default: the
+    # parity goldens pin the reset-every-superstep reference behavior.
+    budget_carry: bool = False
     # --- errors / retry (T4) ---
     max_retries: int = 3
     error_backoff_seconds: int = 3600

@@ -50,30 +50,46 @@ def active_queues(eligible_df: DataFrame, cfg: CrawlConfig) -> list[int]:
     return [r["queue"] for r in rows]
 
 
-def per_queue_topk(eligible_df: DataFrame, cfg: CrawlConfig, k: int) -> DataFrame:
+def per_queue_topk(eligible_df: DataFrame, cfg: CrawlConfig, k: int,
+                   carry: DataFrame | None = None) -> DataFrame:
     """W1+W2: top-k rows per queue ordered by (next_date, priority, url_hash).
 
     Two-stage (salted) rank-limit: defuses hot-queue skew because the
     first window partitions on (queue, salt) — no single task ever sees
     a whole hot queue. Equivalent to a single top-k since per-shard
     top-k is a superset of the global top-k members in that shard.
+
+    ``carry`` is an optional small (queue, carry) DataFrame (A2
+    cross-superstep budget remainder, broadcast): each queue's effective
+    k becomes min(heap_size, k + carry) — the W2 heap cap still bounds
+    the batch, so the superstep stays config-sized.
     """
     order = [F.asc("next_date"), F.asc("priority"), F.asc("url_hash")]
+    if carry is not None:
+        eligible_df = eligible_df.join(
+            F.broadcast(carry.select("queue", "carry")), "queue", "left"
+        )
+        k_eff = F.least(
+            F.lit(cfg.heap_size), F.lit(k) + F.coalesce(F.col("carry"), F.lit(0))
+        )
+    else:
+        k_eff = F.lit(k)
     salted = eligible_df.withColumn(
         "_salt", md5_bucket(F.col("url_hash"), cfg.skew_salt_buckets)
     )
     w_local = W.partitionBy("queue", "_salt").orderBy(*order)
     local = (
         salted.withColumn("_rn_local", F.row_number().over(w_local))
-        .filter(F.col("_rn_local") <= k)
+        .filter(F.col("_rn_local") <= k_eff)
         .drop("_rn_local", "_salt")
     )
     w_queue = W.partitionBy("queue").orderBy(*order)
-    return (
+    out = (
         local.withColumn("_rn", F.row_number().over(w_queue))
-        .filter(F.col("_rn") <= k)
+        .filter(F.col("_rn") <= k_eff)
         .drop("_rn")
     )
+    return out.drop("carry") if carry is not None else out
 
 
 def politeness_slots(batch: DataFrame, cfg: CrawlConfig,
@@ -112,20 +128,62 @@ def select_fetch_batch(
     virtual_time,
     cfg: CrawlConfig,
     crawl_delays: DataFrame | None = None,
+    carry: DataFrame | None = None,
 ) -> DataFrame:
     """§3.4 steps 1-3: ELIGIBLE -> SELECT -> POLITE.
 
     Returns the politeness-slotted fetch batch for this superstep:
-    per-queue budget applied (A2), deterministic total order
-    (slot, queue, host, url_hash).
+    per-queue budget applied (A2, plus optional carried remainder),
+    deterministic total order (slot, queue, host, url_hash).
     """
     elig = eligible(frontier, virtual_time)
     act = active_queues(elig, cfg)
     if not act:
         return politeness_slots(elig.limit(0), cfg, crawl_delays)
     k = min(cfg.heap_size, cfg.per_queue_budget)
-    picked = per_queue_topk(elig.filter(F.col("queue").isin(act)), cfg, k)
+    picked = per_queue_topk(elig.filter(F.col("queue").isin(act)), cfg, k, carry)
     return politeness_slots(picked, cfg, crawl_delays)
+
+
+def update_queue_state(
+    eligible_counts: DataFrame,
+    taken_counts: DataFrame,
+    carry_in: DataFrame | None,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """A2: next superstep's per-queue budget remainder.
+
+    Token-bucket semantics (SURVEY A2 "remainder kept in queue_state"):
+    a queue with eligible work this superstep accrues
+    ``min(heap_size - budget, budget + carry_in - taken)`` — so a queue
+    starved by Q1 selection (taken=0) banks its budget and catches up
+    with a larger k when finally selected; a queue with no eligible work
+    resets to 0 (nothing owed). The cap keeps effective k ≤ heap_size
+    (W2). All three inputs are queue-cardinality tables — config-sized,
+    broadcastable, never data-sized.
+    """
+    carry = (
+        carry_in.select("queue", F.col("carry").alias("_cin"))
+        if carry_in is not None
+        else None
+    )
+    df = eligible_counts.select("queue", F.col("pending").alias("_elig"))
+    df = df.join(taken_counts.select("queue", F.col("taken").alias("_tk")), "queue", "left")
+    if carry is not None:
+        df = df.join(carry, "queue", "left")
+    else:
+        df = df.withColumn("_cin", F.lit(0))
+    budget = min(cfg.heap_size, cfg.per_queue_budget)
+    carry_cap = max(0, cfg.heap_size - budget)
+    new_carry = F.least(
+        F.lit(carry_cap),
+        F.lit(budget) + F.coalesce(F.col("_cin"), F.lit(0))
+        - F.coalesce(F.col("_tk"), F.lit(0)),
+    )
+    return df.select(
+        "queue",
+        F.greatest(F.lit(0), new_carry).cast("int").alias("carry"),
+    ).filter(F.col("carry") > 0)
 
 
 def queue_pending_counts(frontier: DataFrame) -> DataFrame:

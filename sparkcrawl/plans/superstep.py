@@ -45,6 +45,7 @@ from sparkcrawl.sources.store import (
     DocumentsTable,
     FetchLogTable,
     FrontierTable,
+    QueueStateTable,
 )
 
 
@@ -123,6 +124,7 @@ class CrawlRun:
         self.documents = DocumentsTable(workdir)
         self.fetch_log = FetchLogTable(workdir)
         self.checkpoints = CheckpointLog(workdir)
+        self.queue_state = QueueStateTable(workdir) if cfg.budget_carry else None
         self.bloom_store = BloomStore(
             workdir,
             depth=cfg.shard_prefix_depth,
@@ -150,6 +152,10 @@ class CrawlRun:
             self.spark, 0, self.cfg.t0, f"frontier-v{self.frontier.store.version}",
             {"urls_seen": rows.count(), "fetched": 0, "discovered": 0}, {},
             frontier_snapshot=self.frontier.store.snapshot(),
+            queue_state_snapshot=(
+                self.queue_state.store.snapshot()
+                if self.queue_state is not None else None
+            ),
         )
 
     # -- resume state --------------------------------------------------------
@@ -158,7 +164,8 @@ class CrawlRun:
 
     # -- one superstep -------------------------------------------------------
     def run_superstep(self, superstep: int, virtual_time: datetime,
-                      as_of: list[dict] | None = None) -> SuperstepStats:
+                      as_of: list[dict] | None = None,
+                      as_of_queue_state: list[dict] | None = None) -> SuperstepStats:
         """``as_of`` is the last checkpoint's frontier snapshot (delta
         list): every read inside the superstep time-travels to it, so a
         superstep replayed after a mid-step kill computes from the SAME
@@ -172,8 +179,13 @@ class CrawlRun:
             raise RuntimeError("frontier not bootstrapped")
         frontier = frontier.persist()
 
-        # 1-3: ELIGIBLE -> SELECT -> POLITE
-        batch = select_fetch_batch(frontier, virtual_time, cfg, self._delays)
+        # 1-3: ELIGIBLE -> SELECT -> POLITE (+ A2 carried remainder)
+        carry_in = (
+            self.queue_state.read(spark, snapshot=as_of_queue_state)
+            if self.queue_state is not None
+            else None
+        )
+        batch = select_fetch_batch(frontier, virtual_time, cfg, self._delays, carry_in)
         if self.robots is not None:
             batch = robots_gate(batch, self.robots, cfg.user_agent)
         else:
@@ -297,6 +309,18 @@ class CrawlRun:
         snapshot_id = self.frontier.merge(
             updates, superstep, tag=f"superstep-{superstep}"
         )
+        if self.queue_state is not None:
+            # A2 carry bookkeeping: all three inputs are queue-cardinality
+            from sparkcrawl.operators.schedule import eligible, update_queue_state
+
+            elig_counts = (
+                eligible(frontier, virtual_time)
+                .groupBy("queue").agg(F.count("*").alias("pending"))
+            )
+            taken = batch.groupBy("queue").agg(F.count("*").alias("taken"))
+            self.queue_state.merge(
+                update_queue_state(elig_counts, taken, carry_in, cfg), superstep
+            )
         if cfg.compact_every and superstep % cfg.compact_every == 0:
             self.frontier.compact(spark)
 
@@ -333,6 +357,10 @@ class CrawlRun:
             {"urls_seen": seen_total, "fetched": fetched_count, "discovered": discovered},
             per_part,
             frontier_snapshot=self.frontier.store.snapshot(),
+            queue_state_snapshot=(
+                self.queue_state.store.snapshot()
+                if self.queue_state is not None else None
+            ),
         )
         for df in (frontier, batch, extracted, merged, new_rows):
             df.unpersist()
@@ -371,7 +399,9 @@ class CrawlRun:
         for _ in range(max_supersteps):
             superstep += 1
             st = self.run_superstep(
-                superstep, t, as_of=ckpt.get("frontier_snapshot")
+                superstep, t,
+                as_of=ckpt.get("frontier_snapshot"),
+                as_of_queue_state=ckpt.get("queue_state_snapshot"),
             )
             stats.append(st)
             ckpt = self.last_checkpoint()

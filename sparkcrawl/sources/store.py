@@ -236,6 +236,35 @@ class FrontierTable:
         return raw.select("url_hash").distinct()
 
 
+class QueueStateTable:
+    """A2 cross-superstep budget remainder: (queue, carry), keep-latest
+    per queue. Config-cardinality (≤ num_queues rows per snapshot) — the
+    table exists so scheduler state lives in tables like everything else
+    (T3), surviving kill/resume."""
+
+    def __init__(self, root: str):
+        self.store = ParquetManifestStore(root, "queue_state")
+
+    def merge(self, state: DataFrame, superstep: int) -> str:
+        return self.store.append(
+            state, meta={"superstep": superstep},
+            replace_tag=f"superstep-{superstep}",
+        )
+
+    def read(self, spark: SparkSession,
+             snapshot: list[dict] | None = None) -> DataFrame | None:
+        raw = self.store.read_raw(spark, snapshot=snapshot)
+        if raw is None:
+            return None
+        w = W.partitionBy("queue").orderBy(F.desc("_delta_seq"))
+        return (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_delta_seq")
+            .filter(F.col("carry") > 0)
+        )
+
+
 class CheckpointLog:
     """T5 checkpoints: one committed row per superstep; resume reads the
     last row (analog: frontier.checkpoint() committing the SQLite txn)."""
@@ -252,6 +281,7 @@ class CheckpointLog:
         counters: dict[str, int],
         per_partition_counts: dict[str, int],
         frontier_snapshot: list[dict] | None = None,
+        queue_state_snapshot: list[dict] | None = None,
     ) -> None:
         from sparkcrawl.schemas import CHECKPOINT_SCHEMA
 
@@ -276,6 +306,8 @@ class CheckpointLog:
             # pin the exact frontier delta list this checkpoint saw, so a
             # replayed superstep time-travels its reads (T5 exactly-once)
             meta["last_frontier_snapshot"] = frontier_snapshot
+        if queue_state_snapshot is not None:
+            meta["last_queue_state_snapshot"] = queue_state_snapshot
         self.store.append(df, meta=meta)
 
     def last(self) -> dict | None:
@@ -287,6 +319,7 @@ class CheckpointLog:
             "virtual_time": datetime.fromisoformat(meta["last_virtual_time"]),
             "snapshot_id": meta["last_snapshot"],
             "frontier_snapshot": meta.get("last_frontier_snapshot"),
+            "queue_state_snapshot": meta.get("last_queue_state_snapshot"),
         }
 
     def read(self, spark: SparkSession) -> DataFrame | None:

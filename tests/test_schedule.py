@@ -117,3 +117,65 @@ def test_budget_cap(spark):
     batch = select_fetch_batch(_frontier(spark, rows), T0, cfg)
     counts = batch.groupBy("queue").count().collect()
     assert all(r["count"] <= 2 for r in counts)
+
+
+def test_per_queue_topk_with_carry(spark, mini_cfg):
+    rows = [_row(i, queue=0) for i in range(10)] + [_row(20 + i, queue=1) for i in range(10)]
+    df = eligible(_frontier(spark, rows), T0)
+    carry = spark.createDataFrame([(0, 2)], ["queue", "carry"])
+    out = per_queue_topk(df, mini_cfg, k=3, carry=carry)
+    counts = {r["queue"]: r["count"] for r in out.groupBy("queue").count().collect()}
+    assert counts == {0: 5, 1: 3}  # queue 0 spends budget + carried 2
+    assert "carry" not in out.columns
+
+
+def test_starved_queue_catches_up_with_carry(spark):
+    """A2 cross-superstep carry: a queue starved by Q1 selection banks
+    its budget in queue_state and, once selected, fetches budget+carry."""
+    from sparkcrawl.operators.schedule import update_queue_state
+
+    cfg = CrawlConfig(
+        num_queues=4, active_queues=1, per_queue_budget=2, heap_size=10,
+        budget_carry=True,
+    )
+    # queue 0: 6 urls (hot, wins Q1 twice); queue 1: 3 urls (starved)
+    rows = [_row(i, queue=0, host=f"h{i}") for i in range(6)]
+    rows += [_row(10 + i, queue=1, host=f"g{i}") for i in range(3)]
+    remaining = _frontier(spark, rows).persist()
+    carry = None
+    took = []
+    for step in range(1, 4):
+        batch = select_fetch_batch(remaining, T0, cfg, carry=carry).persist()
+        elig_counts = (
+            eligible(remaining, T0).groupBy("queue").agg(F.count("*").alias("pending"))
+        )
+        taken = batch.groupBy("queue").agg(F.count("*").alias("taken"))
+        carry = update_queue_state(elig_counts, taken, carry, cfg).persist()
+        took.append({r["queue"]: r["n"] for r in
+                     batch.groupBy("queue").agg(F.count("*").alias("n")).collect()})
+        remaining = remaining.join(batch.select("url_hash"), "url_hash", "left_anti").persist()
+    # steps 1-2: queue 0 active (6 then 4 pending beat queue 1's 3), takes 2
+    assert took[0] == {0: 2} and took[1] == {0: 2}
+    # step 3: queue 1 (3 pending) beats queue 0 (2): budget 2 + carried 4
+    # (capped by eligible supply) -> takes ALL 3, catching up in one step
+    assert took[2] == {1: 3}
+
+
+def test_budget_carry_crawl_run_smoke(spark, mini_web, tmp_path):
+    """budget_carry=True: queue_state persists in the workdir, the crawl
+    completes, and kill/resume still works (snapshot-pinned carry)."""
+    from sparkcrawl.plans.superstep import CrawlRun
+
+    cfg = CrawlConfig(
+        num_queues=4, active_queues=2, per_queue_budget=5, heap_size=20,
+        budget_carry=True, compact_every=0,
+    )
+    work = str(tmp_path / "carrywork")
+    run = CrawlRun(spark, work, cfg, mini_web["web"], mini_web["robots"])
+    run.run(mini_web["seeds"], max_supersteps=3)
+    assert run.queue_state is not None
+    assert run.queue_state.store.num_deltas >= 1
+    # fresh process resumes with the carried state
+    run2 = CrawlRun(spark, work, cfg, mini_web["web"], mini_web["robots"])
+    stats = run2.resume(max_supersteps=1)
+    assert stats[0].superstep == 4
