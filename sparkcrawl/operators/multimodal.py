@@ -63,7 +63,7 @@ def media_table_from_spans(docs_spans: DataFrame) -> DataFrame:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """Deterministic fake decode: 8-dim feature from the payload digest.
-    Stands in for PIL/libav decode (libraries absent in this container)."""
+    Oracle mode — DuckDB reproduces it from md5 (__spark_entry__)."""
     d = hashlib.md5(payload or b"").digest()
     width = 16 + d[0] % 64
     height = 16 + d[1] % 64
@@ -71,19 +71,52 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_ihdr(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a PNG IHDR chunk, or None if not a PNG.
+
+    Pure byte parsing — the PNG header layout is fixed: 8-byte
+    signature, 4-byte chunk length, 'IHDR', then width/height as
+    big-endian uint32 (bytes 16..24). No image library needed."""
+    import struct
+
+    if not payload or len(payload) < 24 or not payload.startswith(_PNG_MAGIC):
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    return width, height
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """First real kernel: PNG header dims + an 8-bin normalized byte
+    histogram as the feature (a genuine payload statistic, no external
+    libs). Non-PNG payloads still need PIL/libav — guarded seam."""
+    dims = parse_png_ihdr(payload)
+    if dims is None:
+        raise NotImplementedError(
+            "real decode implemented for PNG headers only; other formats "
+            "need PIL/libav, absent in this container"
+        )
+    n = len(payload)
+    hist = [0] * 8
+    for b in payload:
+        hist[b >> 5] += 1
+    return dims[0], dims[1], [c / n for c in hist]
+
+
 def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode payloads -> (dims, feature vector) via Arrow-batched
-    mapInPandas. ``fake=False`` raises: real decoders are not shipped —
-    the seam where PIL/torchvision/librosa plug in on a real cluster.
-    """
+    mapInPandas. ``fake=True`` (default) is the deterministic oracle
+    kernel; ``fake=False`` runs the real PNG-header kernel and raises
+    for formats that genuinely need external decoders."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _fake_decode if fake else _real_decode
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/libav — not in this container"
-                )
-            dims = [_fake_decode(p) for p in pdf["payload"]]
+            dims = [kernel(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],

@@ -142,8 +142,70 @@ def http_fetch(
     return batch.mapInPandas(_fetch_batches, schema=out_schema)
 
 
+class DnsCache:
+    """Executor-local LRU+TTL resolver cache (S5, reference DnsCache
+    analog): a 1000-executor crawl fetching politeness batches would
+    otherwise hammer the resolver with one lookup per request to the
+    same few hosts. Keyed on the full getaddrinfo signature; injectable
+    resolver/clock for tests."""
+
+    def __init__(self, resolver=None, maxsize: int = 1024, ttl_s: float = 300.0,
+                 clock=None):
+        import socket
+        import time
+        from collections import OrderedDict
+
+        self._resolver = resolver or socket.getaddrinfo
+        self._clock = clock or time.monotonic
+        self.maxsize = maxsize
+        self.ttl_s = ttl_s
+        self._cache: "OrderedDict" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def getaddrinfo(self, host, port, family=0, type=0, proto=0, flags=0):
+        key = (host, port, family, type, proto, flags)
+        now = self._clock()
+        entry = self._cache.get(key)
+        if entry is not None and now - entry[0] <= self.ttl_s:
+            self._cache.move_to_end(key)
+            self.hits += 1
+            return entry[1]
+        result = self._resolver(host, port, family, type, proto, flags)
+        self.misses += 1
+        self._cache[key] = (now, result)
+        self._cache.move_to_end(key)
+        while len(self._cache) > self.maxsize:
+            self._cache.popitem(last=False)
+        return result
+
+    def install(self) -> None:
+        """Route this process's socket.getaddrinfo through the cache
+        (the wrapper is transparent on miss). First installer wins —
+        never stacks a second cache over an installed one."""
+        import socket
+
+        if getattr(socket, "_sparkcrawl_dns_cache", None) is None:
+            socket.getaddrinfo = self.getaddrinfo
+            socket._sparkcrawl_dns_cache = self
+
+
+def _install_dns_cache() -> DnsCache:
+    """Module-level singleton per python worker process."""
+    global _DNS_CACHE
+    if _DNS_CACHE is None:
+        _DNS_CACHE = DnsCache()
+        _DNS_CACHE.install()
+    return _DNS_CACHE
+
+
+_DNS_CACHE: DnsCache | None = None
+
+
 def _urllib_transport(timeout_s: float, user_agent: str):
     import urllib.request
+
+    _install_dns_cache()  # executor-local; idempotent per worker
 
     def transport(url: str, headers: dict) -> tuple[int, dict, str | None]:
         req = urllib.request.Request(url, headers={"User-Agent": user_agent, **headers})

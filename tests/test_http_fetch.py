@@ -71,6 +71,45 @@ def test_http_fetch_plumbing(spark):
     assert down["status_code"] is None and down["body"] is None
 
 
+def test_dns_cache_lru_ttl():
+    """S5: repeated lookups of one host hit the executor-local cache;
+    TTL expiry and LRU eviction re-resolve."""
+    from sparkcrawl.sources.fetch import DnsCache
+
+    calls = []
+    clock_now = [0.0]
+
+    def resolver(host, port, *a):
+        calls.append(host)
+        return [("fake-addrinfo", host, port)]
+
+    cache = DnsCache(resolver=resolver, maxsize=2, ttl_s=10.0,
+                     clock=lambda: clock_now[0])
+    for _ in range(5):
+        cache.getaddrinfo("a.example", 80)
+    assert calls == ["a.example"]           # 4 hits, 1 resolve
+    assert (cache.hits, cache.misses) == (4, 1)
+
+    clock_now[0] = 11.0                      # TTL expired
+    cache.getaddrinfo("a.example", 80)
+    assert calls == ["a.example"] * 2
+
+    cache.getaddrinfo("b.example", 80)       # fills maxsize=2
+    cache.getaddrinfo("c.example", 80)       # evicts a (LRU)
+    cache.getaddrinfo("a.example", 80)       # must re-resolve
+    assert calls.count("a.example") == 3
+
+    # the default urllib transport installs exactly one process cache
+    import socket
+
+    from sparkcrawl.sources.fetch import _urllib_transport
+
+    _urllib_transport(1.0, "ua")
+    installed = socket._sparkcrawl_dns_cache
+    _urllib_transport(1.0, "ua")
+    assert socket._sparkcrawl_dns_cache is installed  # no stacking
+
+
 def test_live_mode_superstep_dispatch(spark, tmp_path, monkeypatch):
     """Regression (ADVICE r1): web=None is the documented live-HTTP mode —
     run_superstep must dispatch to the fetcher/http_fetch instead of

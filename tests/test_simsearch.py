@@ -191,4 +191,34 @@ def test_multimodal_plumbing(spark):
     import pytest as _pytest
 
     with _pytest.raises(Exception):
+        # non-PNG payloads still need real decoders (guarded seam)
         multimodal.decode_and_featurize(media, fake=False).collect()
+
+
+def test_real_png_header_decode(spark):
+    """fake=False real kernel: IHDR width/height parsed from raw bytes."""
+    import struct
+
+    from sparkcrawl.operators import multimodal
+
+    def png(width, height):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", width, height)
+            + bytes([8, 6, 0, 0, 0]) + b"\x00" * 16  # depth/color + junk
+        )
+
+    assert multimodal.parse_png_ihdr(png(640, 480)) == (640, 480)
+    assert multimodal.parse_png_ihdr(b"notapng") is None
+
+    rows = [
+        ("ref1.png", png(640, 480), "image", 45),
+        ("ref2.png", png(32, 1080), "image", 45),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r["media_ref"]: (r["width"], r["height"], len(r["feature"]))
+        for r in multimodal.decode_and_featurize(media, fake=False).collect()
+    }
+    assert got == {"ref1.png": (640, 480, 8), "ref2.png": (32, 1080, 8)}
