@@ -21,6 +21,7 @@ empty at build time, SURVEY §0):
 
 from __future__ import annotations
 
+import re
 from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
 
 import pandas as pd
@@ -42,17 +43,26 @@ def strip_session_ids(query_pairs: list[tuple[str, str]]) -> list[tuple[str, str
     ]
 
 
-def canonicalize_one(url: str, base: str | None = None) -> str:
-    """Canonicalize a single URL (the spec; vectorized path wraps this)."""
+def canonicalize_one(url: str, base: str | None = None) -> str | None:
+    """Canonicalize a single URL (the spec; vectorized path wraps this).
+
+    Unparseable URLs (malformed port like ``http://h:0x/``, invalid
+    IPv6 brackets — things wild HTML really contains) return None, and
+    every consumer filters None links: a bad href must cost one dropped
+    link, never a crashed extract task."""
     if url is None:
         return None
     url = url.strip()
-    if base:
-        url = urljoin(base, url)
-    parts = urlsplit(url)
+    try:
+        if base:
+            url = urljoin(base, url)
+        parts = urlsplit(url)
+        port = parts.port  # raises ValueError on a non-numeric port
+        host = parts.hostname
+    except ValueError:
+        return None
     scheme = parts.scheme.lower()
-    host = parts.hostname.lower() if parts.hostname else ""
-    port = parts.port
+    host = host.lower() if host else ""
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
@@ -81,10 +91,31 @@ def canonicalize_one(url: str, base: str | None = None) -> str:
     return urlunsplit((scheme, netloc, path, query, ""))  # "" drops the fragment
 
 
+# Fast-path predicate: URLs canonicalize_one provably maps to themselves —
+# lowercase http(s) scheme, lowercase host (no port/userinfo: ':' '@'
+# excluded by the charsets), a non-empty plain path, no ';' segment
+# params, no query, no fragment. Everything else takes the full parse.
+# Equivalence is property-tested (tests/test_urlnorm.py): for any string
+# matching this regex, canonicalize_one(u) == u.
+_FAST_CANON_RE = re.compile(r"https?://[a-z0-9.\-]+/[A-Za-z0-9/._~%\-]*$")
+
+
 def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
-    """Vectorized canonicalization over a pandas batch."""
+    """Vectorized canonicalization over a pandas batch.
+
+    Most discovered links are already canonical; one C-level regex pass
+    skips the per-row urlsplit/parse/unsplit for those (the dominant
+    Python cost of the per-link hot path), and only the misses take
+    :func:`canonicalize_one`."""
     if bases is None:
-        return urls.map(lambda u: canonicalize_one(u) if u is not None else None)
+        mask = urls.str.match(_FAST_CANON_RE, na=False)
+        out = urls.copy()
+        slow = ~mask
+        if slow.any():
+            out[slow] = urls[slow].map(
+                lambda u: canonicalize_one(u) if u is not None else None
+            )
+        return out
     return pd.Series(
         [
             canonicalize_one(u, b) if u is not None else None
@@ -107,19 +138,34 @@ _CANON_HOST_SCHEMA = T.StructType(
 )
 
 
+# host of an already-CANONICAL url (lowercased netloc, optional
+# userinfo/port): one vectorized regex extract; rows it can't handle
+# (bracketed IPv6, no match) fall back to urlsplit.
+_HOST_OF_CANON_RE = re.compile(r"^[a-z0-9+.\-]+://(?:[^/?#@]*@)?([^/?#:\[]*)")
+
+
+def _host_one(u: str | None) -> str | None:
+    if u is None:
+        return None
+    h = urlsplit(u).hostname
+    return h.lower() if h else ""
+
+
+def host_of_canonical_series(canon: pd.Series) -> pd.Series:
+    hosts = canon.str.extract(_HOST_OF_CANON_RE, expand=False)
+    bad = (hosts.isna() & canon.notna()) | (hosts == "")
+    if bad.any():
+        hosts[bad] = canon[bad].map(_host_one)
+    return hosts
+
+
 @F.pandas_udf(_CANON_HOST_SCHEMA)
 def canonicalize_with_host_udf(urls: pd.Series) -> pd.DataFrame:
     """Fused canonicalize + host extraction: ONE Arrow round-trip instead
-    of two chained string UDFs (the hot path runs per discovered link)."""
+    of two chained string UDFs (the hot path runs per discovered link);
+    both halves are vectorized with C-level regex fast paths."""
     canon = canonicalize_series(urls)
-
-    def _host(u: str | None) -> str | None:
-        if u is None:
-            return None
-        h = urlsplit(u).hostname
-        return h.lower() if h else ""
-
-    return pd.DataFrame({"url": canon, "host": canon.map(_host)})
+    return pd.DataFrame({"url": canon, "host": host_of_canonical_series(canon)})
 
 
 @F.pandas_udf(T.StringType())

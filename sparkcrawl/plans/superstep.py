@@ -76,7 +76,11 @@ def frontier_rows_from_urls(
 ) -> DataFrame:
     """C1+C2+Q2 on a (url[, priority]) DataFrame -> frontier-schema rows."""
     prio = priority_col if priority_col is not None else F.lit(1)
-    canon = urls.withColumn("url", canonicalize_udf(F.col("url")))
+    # unparseable URLs canonicalize to NULL and are dropped (one bad
+    # seed/link must never produce a null-hash frontier row)
+    canon = urls.withColumn("url", canonicalize_udf(F.col("url"))).filter(
+        F.col("url").isNotNull()
+    )
     return (
         canon.withColumn("url_hash", url_sha1(F.col("url")))
         .withColumn("host", host_of_udf(F.col("url")))

@@ -79,6 +79,8 @@ class SeqCrawler:
 
     # -- frontier ops --------------------------------------------------------
     def add_url(self, url: str, superstep: int, next_date: datetime, priority: int = 1):
+        if url is None:  # unparseable seed/link (canonicalize_one -> None)
+            return
         h = _sha1(url)
         if h in self.frontier:  # is_known(add_if_unknown=True)
             return

@@ -31,6 +31,10 @@ CASES = [
     ("page/5", "http://h.example/section/", "http://h.example/section/page/5"),
     ("../up", "http://h.example/a/b/", "http://h.example/a/up"),
     ("http://abs.example/x", "http://h.example/", "http://abs.example/x"),
+    # unparseable (malformed port): None, never a raised exception —
+    # wild-web hrefs must cost a dropped link, not a crashed task
+    ("http://a.example:badport/x", None, None),
+    ("http://a.example:00;jsessionid=A", None, None),
 ]
 
 
@@ -46,6 +50,43 @@ def test_canonicalize_cases(url, base, expected):
 def test_canonicalize_idempotent(url):
     once = canonicalize_one(url)
     assert canonicalize_one(once) == once
+
+
+@given(
+    st.lists(
+        st.from_regex(
+            r"(https?|HTTP)://[a-zA-Z0-9.\-]{1,12}(\.example)?(:[0-9]{2,4})?"
+            r"(/[a-zA-Z0-9/_.~%\-]{0,16}(;jsessionid=[A-Z]{1,4})?)?"
+            r"(\?[a-z]{1,4}=[0-9]{0,3})?(#[a-z0-9]{0,4})?",
+            fullmatch=True,
+        ),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_vectorized_series_matches_scalar(urls):
+    """The fast-path regex in canonicalize_series must NEVER change the
+    result: batch output == per-row canonicalize_one, and the fused host
+    extraction == urlsplit hostname of the canonical form."""
+    import pandas as pd
+
+    from sparkcrawl.functions.urlnorm import (
+        canonicalize_series,
+        host_of_canonical_series,
+    )
+    from urllib.parse import urlsplit
+
+    s = pd.Series(urls)
+    got = list(canonicalize_series(s))
+    want = [canonicalize_one(u) for u in urls]
+    assert got == want
+
+    hosts = list(host_of_canonical_series(pd.Series(want)))
+    expect = [
+        (urlsplit(c).hostname or "").lower() if c is not None else None
+        for c in want
+    ]
+    assert hosts == expect
 
 
 def test_spark_udf_matches_python(spark):
