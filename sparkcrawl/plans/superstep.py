@@ -121,6 +121,7 @@ class CrawlRun:
         http_fetch."""
         self.spark = spark
         self.cfg = cfg
+        self.workdir = workdir
         self.web = web
         self.fetcher = fetcher
         self.robots = robots
@@ -389,6 +390,45 @@ class CrawlRun:
         self.bootstrap(seeds)
         return self.resume(max_supersteps)
 
+    # -- S7: management/control channel --------------------------------------
+    # The reference exposes a ZMQ mgmt socket (stop / add seeds to a live
+    # master). The batch-iterative analog is a control FILE in the
+    # workdir, polled between supersteps: atomic-rename-written JSON
+    #   {"stop": true}  and/or  {"add_seeds": [{"url":..., "priority":...}]}
+    # consumed exactly once (renamed to .consumed-<superstep> after read).
+    def _poll_control(self, superstep: int) -> dict:
+        import json
+        import os
+
+        path = os.path.join(self.workdir, "control.json")
+        if not os.path.exists(path):
+            return {}
+        try:
+            with open(path) as f:
+                cmd = json.load(f)
+        except (OSError, ValueError):
+            return {}
+        os.replace(path, f"{path}.consumed-{superstep}")
+        seeds = cmd.get("add_seeds")
+        if seeds:
+            from sparkcrawl.schemas import SEEDS_SCHEMA
+
+            rows = [(s["url"], int(s.get("priority", 1))) for s in seeds]
+            df = self.spark.createDataFrame(rows, SEEDS_SCHEMA)
+            frows = frontier_rows_from_urls(
+                df, self.cfg, superstep=superstep, t0=self.cfg.t0,
+                priority_col=F.col("priority"),
+            )
+            frows = batch_distinct(frows)
+            seen = self.frontier.seen_keys(self.spark)
+            if seen is not None:
+                frows = frows.join(seen, "url_hash", "left_anti")
+            if self.cfg.use_bloom_prefilter:
+                frows = frows.persist()
+                self.bloom_store.update(frows.select("url_hash"))
+            self.frontier.merge(frows, superstep)
+        return cmd
+
     def resume(self, max_supersteps: int = 10) -> list[SuperstepStats]:
         """Continue from the last committed checkpoint (north_rule
         resumability: identical URL-seen set after kill/resume)."""
@@ -402,6 +442,14 @@ class CrawlRun:
         stats: list[SuperstepStats] = []
         for _ in range(max_supersteps):
             superstep += 1
+            cmd = self._poll_control(superstep)
+            if cmd.get("stop"):
+                break
+            if cmd.get("add_seeds"):
+                # the control merge invalidates the pinned snapshot —
+                # re-pin so this superstep sees the injected seeds
+                ckpt = dict(ckpt)
+                ckpt["frontier_snapshot"] = self.frontier.store.snapshot()
             st = self.run_superstep(
                 superstep, t,
                 as_of=ckpt.get("frontier_snapshot"),

@@ -69,6 +69,33 @@ def test_documents_span_schema_and_order(crawl, spark):
     assert kinds <= {"text", "media"}
 
 
+def test_control_channel_stop_and_add_seeds(spark, mini_cfg, mini_web, tmp_path_factory):
+    """S7: the workdir control file stops the loop and injects seeds
+    into the live run (ZMQ mgmt channel re-expressed for batch)."""
+    import json
+    import os
+
+    work = str(tmp_path_factory.mktemp("ctl"))
+    run = CrawlRun(spark, work, mini_cfg, mini_web["web"], mini_web["robots"])
+    run.run(mini_web["seeds"].limit(3), max_supersteps=2)
+
+    # stop: command consumed, no superstep runs
+    with open(os.path.join(work, "control.json"), "w") as f:
+        json.dump({"stop": True}, f)
+    stats = run.resume(max_supersteps=3)
+    assert stats == []
+    assert run.last_checkpoint()["superstep"] == 2
+    assert not os.path.exists(os.path.join(work, "control.json"))
+
+    # add_seeds: new url enters the frontier and gets crawled this superstep
+    new_url = "http://host009.example/page/3"
+    with open(os.path.join(work, "control.json"), "w") as f:
+        json.dump({"add_seeds": [{"url": new_url, "priority": 2}]}, f)
+    run.resume(max_supersteps=1)
+    row = run.frontier.read(spark).filter(F.col("url") == new_url).collect()
+    assert len(row) == 1
+
+
 def test_determinism_same_seed_same_crawl(spark, mini_cfg, mini_web, tmp_path_factory):
     """Two fresh runs produce identical seen-sets and fetch counts."""
     runs = []
