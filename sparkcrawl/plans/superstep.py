@@ -18,7 +18,18 @@ with a deterministic driver loop; one superstep =
 
 State lives only in tables; the driver touches counters and control
 decisions, never row data. Kill at any point -> resume() replays from
-the last committed manifest with an identical URL-seen set.
+the last committed checkpoint with an identical URL-seen set AND
+identical documents/fetch-log rows: each checkpoint pins the exact
+frontier (and queue_state) delta list it saw, a replayed superstep
+reads as-of that snapshot, and every superstep's table writes are
+tagged so the replay REPLACES the killed attempt's deltas instead of
+shadowing or duplicating them (tests/test_resume.py, incl. a
+mid-superstep kill between appends and checkpoint).
+
+S7 control: an atomically-written ``control.json`` in the workdir is
+polled between supersteps — ``{"stop": true}`` /
+``{"add_seeds": [...]}`` — the batch re-expression of the reference's
+ZMQ management socket.
 """
 
 from __future__ import annotations
