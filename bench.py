@@ -50,10 +50,12 @@ BENCH_QUERIES = [
     "j1_anti_join_dedup",
     "a1_group_counts",
     "c8_prioritizer_requeue",
+    "c9_registered_domain",
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh",
     "simsearch_bruteforce_topk",
+    "simsearch_lsh_bucketed",
     "text_quality_score",
     "text_language_id",
     "tpch_q1_pricing_summary",

@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--num-queues", type=int, default=64)
     ap.add_argument("--per-queue-budget", type=int, default=50)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--use-public-suffix", action="store_true",
+                    help="group politeness queues by eTLD+1 (C9) instead of host")
+    ap.add_argument("--budget-carry", action="store_true",
+                    help="carry unused per-queue budget across supersteps (A2)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("sparkcrawl-run").getOrCreate()
@@ -46,6 +50,8 @@ def main() -> None:
         num_queues=args.num_queues,
         active_queues=min(args.num_queues, 8),
         per_queue_budget=args.per_queue_budget,
+        use_public_suffix=args.use_public_suffix,
+        budget_carry=args.budget_carry,
     )
 
     if args.generate_fixtures:

@@ -144,19 +144,44 @@ def minhash_lsh_pairs(
     docs: DataFrame, num_perms: int = 8, n: int = 5,
     text_col: str = "text", id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    rows_per_band: int = 1,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs agreeing on ≥1 of num_perms
-    min-hashes (bands of 1 row). Equi-join on (perm, sig) — at scale
-    this is the shuffle-friendly LSH bucket join; no all-pairs blowup.
+    """Candidate near-dup pairs: docs agreeing on ≥1 LSH band.
+    Equi-join on the band key — at scale this is the shuffle-friendly
+    LSH bucket join; no all-pairs blowup.
     Returns (id_a, id_b, n_bands) with id_a < id_b.
 
-    ``max_bucket_size`` drops (perm, sig) buckets larger than the cap
-    before the self-join — standard LSH practice: a bucket shared by
-    thousands of docs is a stop-shingle, not a near-dup signal, and its
-    C(n,2) pair blowup is the single biggest skew hazard of this
-    operator at corpus scale.
+    ``rows_per_band`` is the classic AND-OR knob: r min-hashes are
+    concatenated per band (AND — all r must agree for a band match),
+    bands are OR'd. r=1 (default, the oracle-pinned mode) maximizes
+    recall; r>1 sharpens the similarity threshold (collision
+    probability s^r per band) and slashes candidate volume — at corpus
+    scale the r>1 setting is what keeps the verify stage affordable.
+
+    ``max_bucket_size`` drops band buckets larger than the cap before
+    the self-join — standard LSH practice: a bucket shared by thousands
+    of docs is a stop-shingle, not a near-dup signal, and its C(n,2)
+    pair blowup is the single biggest skew hazard of this operator at
+    corpus scale.
     """
     sig = minhash_signatures(docs, num_perms, n, text_col, id_col)
+    if rows_per_band > 1:
+        # AND step: one row per (id, band) whose key concatenates the
+        # band's r signatures in perm order (hash agg, no window)
+        sig = (
+            sig.withColumn("band", F.floor(F.col("perm") / rows_per_band))
+            .groupBy("id", "band")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "sig"))),
+                        lambda s: s["sig"],
+                    ),
+                    "|",
+                ).alias("sig")
+            )
+            .withColumnRenamed("band", "perm")
+        )
     if max_bucket_size is not None:
         ok = (
             sig.groupBy("perm", "sig")

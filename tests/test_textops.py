@@ -53,6 +53,22 @@ def test_minhash_agreement_reflects_similarity(docs):
     assert rows.get((1, 3), 0) < 8 or rows[(1, 2)] >= rows[(1, 3)]
 
 
+def test_minhash_and_or_banding(docs):
+    """rows_per_band>1 (AND within band, OR across): candidates are a
+    subset of the r=1 set, identical docs always survive (every band
+    matches), and the sharper threshold prunes weaker pairs first."""
+    r1 = {(r["id_a"], r["id_b"]): r["n_bands"]
+          for r in textops.minhash_lsh_pairs(docs, num_perms=8).collect()}
+    r4 = {(r["id_a"], r["id_b"]): r["n_bands"]
+          for r in textops.minhash_lsh_pairs(
+              docs, num_perms=8, rows_per_band=4).collect()}
+    assert set(r4) <= set(r1)
+    assert r4[(1, 2)] == 2          # identical docs match all 8/4 = 2 bands
+    # each matched band implies its 4 perms all matched individually
+    for pair, nb in r4.items():
+        assert nb * 4 <= r1[pair]
+
+
 def test_simhash_dups_share_hash(docs):
     sh = {r["id"]: r["simhash"] for r in textops.simhash(docs).collect()}
     assert sh[1] == sh[2]
