@@ -329,6 +329,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.count("*").alias("n_events"))
         )
 
+    def t2_windowed_stats(spark, sf):
+        """T2/A3: tumbling-window fetch-outcome stats (the streaming
+        operator run in its batch mode; 1-day windows epoch-aligned in
+        both engines)."""
+        from sparkcrawl.operators.prioritize import outcome_class
+        from sparkcrawl.streaming.windows import windowed_outcome_stats
+
+        ev = _read(spark, sf, "events")
+        status = (
+            F.when(F.col("value") < 0.2, 304)
+            .when(F.col("value") < 0.8, 200)
+            .otherwise(500)
+        )
+        events = ev.select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            outcome_class(status).alias("outcome"),
+            F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        )
+        out = windowed_outcome_stats(events, "1 day", exact_hosts=True)
+        return out.select(
+            _epoch_us("window_start").alias("win_start_us"),
+            _epoch_us("window_end").alias("win_end_us"),
+            "outcome",
+            "n_fetches",
+            "n_hosts",
+        )
+
     def c9_registered_domain(spark, sf):
         """C9: eTLD+1 over synthetic multi-label hosts (public-suffix
         snapshot) + the politeness queue it buckets into."""
@@ -599,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_distinct_count": a4_distinct_count,
         "c2_url_hash": c2_url_hash,
         "c9_registered_domain": c9_registered_domain,
+        "t2_windowed_stats": t2_windowed_stats,
         "c8_prioritizer_requeue": c8_prioritizer_requeue,
         "dedup_exact": dedup_exact,
         "dedup_groups": dedup_groups,
@@ -759,6 +787,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c2_url_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "c9_registered_domain": _c9_sql(),
+        "t2_windowed_stats": """
+            SELECT epoch_us(date_trunc('day', ts)) AS win_start_us,
+                   epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS win_end_us,
+                   CASE WHEN value < 0.2 THEN 'not_modified'
+                        WHEN value < 0.8 THEN 'success'
+                        ELSE 'server_error' END AS outcome,
+                   count(*) AS n_fetches,
+                   count(DISTINCT 'h' || CAST(user_id % 50 AS VARCHAR)) AS n_hosts
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
         "c8_prioritizer_requeue": """
             SELECT event_id,
                    CAST(status AS BIGINT) AS status_code,

@@ -203,6 +203,48 @@ def minhash_lsh_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
+def verify_jaccard_pairs(
+    candidates: DataFrame,
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The verify stage behind LSH candidate generation: exact n-gram
+    Jaccard computed ONLY for the candidate (id_a, id_b) pairs.
+
+    At corpus scale this is the two-phase pattern the module docstring
+    promises: minhash_lsh_pairs prunes the O(n²) space to candidate
+    pairs, this joins shingles through the pair list — work is
+    O(candidates × shingles), never all-pairs. Returns
+    (id_a, id_b, jaccard) for pairs meeting the threshold.
+    """
+    sh = char_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pairs = candidates.select("id_a", "id_b")
+    inter = (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
+        # equi-join on (id_b, shingle): only SHARED shingles survive —
+        # never a per-pair sh_a × sh_b cross product
+        .join(sh.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(
     docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:

@@ -41,6 +41,75 @@ def test_stream_seeds_available_now(spark, mini_cfg, mini_web, tmp_path):
     assert after.count() >= before
 
 
+def test_windowed_stats_watermark_and_late_data(spark, tmp_path):
+    """T2/A3 streaming: tumbling windows emit once (append mode) when
+    the watermark passes; late events beyond the watermark are dropped;
+    closed windows are never re-emitted across restarts."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import types as T
+
+    from sparkcrawl.streaming.windows import windowed_outcome_stats
+
+    T0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("outcome", T.StringType()),
+        T.StructField("host", T.StringType()),
+    ])
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+        stream = spark.readStream.schema(schema).parquet(indir)
+        q = (
+            windowed_outcome_stats(
+                stream, window_duration="10 seconds", watermark_delay="10 seconds"
+            )
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+        try:
+            return spark.read.parquet(outdir).collect()
+        except Exception:
+            return []  # sink dir empty until the first window closes
+
+    # window A = [0,10): 3 fetches on 2 hosts; one row in [10,20);
+    # max ts 25s -> watermark 15s -> only window A closes
+    out1 = run_batch([
+        (T0, "success", "h1"), (T0 + timedelta(seconds=4), "success", "h2"),
+        (T0 + timedelta(seconds=8), "server_error", "h1"),
+        (T0 + timedelta(seconds=12), "success", "h1"),
+        (T0 + timedelta(seconds=25), "success", "h3"),
+    ])
+    got1 = {(r["window_start"], r["outcome"]): (r["n_fetches"], r["n_hosts"])
+            for r in out1}
+    assert got1 == {
+        (T0.replace(tzinfo=None), "success"): (2, 2),
+        (T0.replace(tzinfo=None), "server_error"): (1, 1),
+    }
+
+    # second run: a LATE success at t=3s (watermark already 15s -> must
+    # be dropped) plus t=45s (watermark 35s -> closes [10,20) and [20,30))
+    out2 = run_batch([
+        (T0 + timedelta(seconds=3), "success", "h9"),     # too late
+        (T0 + timedelta(seconds=45), "success", "h1"),
+    ])
+    got2 = {(r["window_start"], r["outcome"]): r["n_fetches"] for r in out2}
+    a_start = T0.replace(tzinfo=None)
+    # window A unchanged (no re-emission, late row not counted)
+    assert got2[(a_start, "success")] == 2
+    assert got2[(a_start + timedelta(seconds=10), "success")] == 1
+    assert got2[(a_start + timedelta(seconds=20), "success")] == 1
+
+
 def test_streamed_seed_priority_and_bloom(spark, mini_cfg, mini_web, tmp_path):
     """Regression (ADVICE r1): streamed seeds must (a) keep their priority
     column and (b) enter the bloom BEFORE the frontier merge, so a later

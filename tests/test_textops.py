@@ -69,6 +69,22 @@ def test_minhash_and_or_banding(docs):
         assert nb * 4 <= r1[pair]
 
 
+def test_lsh_then_verify_two_phase(docs):
+    """The corpus-scale shape: LSH candidates -> exact Jaccard verify.
+    Verified output must equal the all-pairs reference restricted to
+    the candidate set."""
+    cand = textops.minhash_lsh_pairs(docs, num_perms=8, n=5)
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in textops.verify_jaccard_pairs(
+                    cand, docs, n=5, threshold=0.5).collect()}
+    allpairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in textops.ngram_jaccard_pairs(
+                    docs, n=5, threshold=0.5).collect()}
+    cand_set = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert verified == {p: j for p, j in allpairs.items() if p in cand_set}
+    assert verified[(1, 2)] == 1.0
+
+
 def test_simhash_dups_share_hash(docs):
     sh = {r["id"]: r["simhash"] for r in textops.simhash(docs).collect()}
     assert sh[1] == sh[2]
