@@ -582,6 +582,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
         )
 
+    def streaming_host_sessions(spark, sf):
+        """Custom stateful streaming op (applyInPandasWithState): gap-
+        based per-host fetch sessions, driven end-to-end through a real
+        availableNow streaming query. Event times are deterministic
+        multiples of 600s, gap=1500s, watermark delay=1000s — margins
+        are >=100s by construction, so emitted = gap-closed sessions
+        (a later event exists on the host) plus timeout-closed ones
+        (session_end + gap < final watermark), which the oracle derives
+        relationally."""
+        import tempfile
+
+        from sparkcrawl.streaming.sessions import host_fetch_sessions
+
+        ev = _read(spark, sf, "events")
+        # ~5 events/host scattered over 48h of 600s slots: real gaps, so
+        # sessions split (gap 1500s) and idle hosts close via timeout
+        events = ev.select(
+            F.timestamp_seconds(
+                F.lit(1767225600) + (F.col("event_id") % 288) * 600
+            ).alias("ts"),
+            F.concat(F.lit("h"), (F.col("user_id") % 2000).cast("string")).alias("host"),
+        )
+        workdir = tempfile.mkdtemp(prefix="entry-sessions-")
+        indir, outdir, ckpt = (f"{workdir}/{d}" for d in ("in", "out", "ck"))
+        events.coalesce(1).write.parquet(indir)  # one file -> one micro-batch
+        stream = spark.readStream.schema(events.schema).parquet(indir)
+        q = (
+            host_fetch_sessions(stream, gap_seconds=1500,
+                                watermark_delay="1000 seconds")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=600)
+        out = spark.read.parquet(outdir)
+        return out.select(
+            "host",
+            _epoch_us("session_start").alias("start_us"),
+            _epoch_us("session_end").alias("end_us"),
+            "n_fetches",
+        )
+
     def crawl_mini_superstep(spark, sf):
         """Full engine superstep on an in-memory mini-web (rows-only):
         exercises fetch→extract→dedup→requeue end-to-end in the harness."""
@@ -645,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "interleaved_span_extract": interleaved_span_extract,
         "multimodal_media_features": multimodal_media_features,
+        "streaming_host_sessions": streaming_host_sessions,
         "crawl_mini_superstep": crawl_mini_superstep,
     }
 
@@ -984,6 +1030,44 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) / 255.0
                          AS FLOAT) AS DOUBLE), 6) AS f0
             FROM documents
+        """,
+        # relational derivation of the stateful sessionizer's emission set:
+        # lag-gap session split per host, then emitted = gap-closed (a later
+        # event exists on the host) OR timeout-closed (end + gap < final
+        # watermark = max ts - delay); margins are construction-guaranteed
+        "streaming_host_sessions": """
+            WITH ev AS (
+              SELECT 'h' || CAST(user_id % 2000 AS VARCHAR) AS host,
+                     to_timestamp(1767225600 + (event_id % 288) * 600) AS ts,
+                     event_id AS eid
+              FROM events),
+            ordered AS (
+              -- eid tiebreak: BOTH windows must walk ties in one total
+              -- order, or tied first rows split across session ids
+              SELECT host, ts, eid,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 1500 SECOND
+                          THEN 1 ELSE 0 END AS brk
+              FROM ev WINDOW w AS (PARTITION BY host ORDER BY ts, eid)),
+            sess AS (
+              SELECT host, ts,
+                     SUM(brk) OVER (PARTITION BY host ORDER BY ts, eid
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM ordered),
+            agg AS (
+              SELECT host, sid,
+                     min(ts) AS session_start, max(ts) AS session_end,
+                     count(*) AS n_fetches
+              FROM sess GROUP BY host, sid),
+            hostmax AS (SELECT host, max(ts) AS hmax FROM ev GROUP BY host),
+            wm AS (SELECT max(ts) - INTERVAL 1000 SECOND AS w FROM ev)
+            SELECT a.host,
+                   epoch_us(a.session_start) AS start_us,
+                   epoch_us(a.session_end) AS end_us,
+                   a.n_fetches
+            FROM agg a JOIN hostmax hm ON hm.host = a.host, wm
+            WHERE a.session_end < hm.hmax
+               OR a.session_end + INTERVAL 1500 SECOND < wm.w
         """,
         # the mini-superstep's expected fetch log comes from the INDEPENDENT
         # sequential simulator (tests/reference_sim.py), regenerated by

@@ -110,6 +110,65 @@ def test_windowed_stats_watermark_and_late_data(spark, tmp_path):
     assert got2[(a_start + timedelta(seconds=20), "success")] == 1
 
 
+def test_stateful_host_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-split within a batch,
+    event-time timeout closes idle sessions, state survives restarts."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import types as T
+
+    from sparkcrawl.streaming.sessions import host_fetch_sessions
+
+    T0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("host", T.StringType()),
+    ])
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+        stream = spark.readStream.schema(schema).parquet(indir)
+        q = (
+            host_fetch_sessions(stream, gap_seconds=10, watermark_delay="5 seconds")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+        try:
+            return spark.read.parquet(outdir).collect()
+        except Exception:
+            return []
+
+    # h1: burst at 0,2,4s then another at 60s (same batch: gap-split
+    # closes the first burst immediately); h2: single event at 1s whose
+    # session closes via event-time TIMEOUT (watermark 60-5=55 > 1+10)
+    out1 = run_batch([
+        (T0, "h1"), (T0 + timedelta(seconds=2), "h1"),
+        (T0 + timedelta(seconds=4), "h1"),
+        (T0 + timedelta(seconds=60), "h1"),
+        (T0 + timedelta(seconds=1), "h2"),
+    ])
+    got1 = {(r["host"], r["session_start"]): (r["session_end"], r["n_fetches"])
+            for r in out1}
+    t = T0.replace(tzinfo=None)
+    assert got1[("h1", t)] == (t + timedelta(seconds=4), 3)
+    assert got1[("h2", t + timedelta(seconds=1))] == (t + timedelta(seconds=1), 1)
+    assert len(got1) == 2  # h1's 60s session is still OPEN
+
+    # restart: state persisted; event at 120s advances the watermark and
+    # times out the open 60s session
+    out2 = run_batch([(T0 + timedelta(seconds=120), "h9")])
+    got2 = {(r["host"], r["session_start"]) for r in out2}
+    assert ("h1", t + timedelta(seconds=60)) in got2
+
+
 def test_streamed_seed_priority_and_bloom(spark, mini_cfg, mini_web, tmp_path):
     """Regression (ADVICE r1): streamed seeds must (a) keep their priority
     column and (b) enter the bloom BEFORE the frontier merge, so a later
