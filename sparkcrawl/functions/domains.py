@@ -65,37 +65,45 @@ def _ordered_suffixes() -> list[str]:
     )
 
 
+def _suffix_alternation() -> str:
+    """ONE anchored pattern `([^.]+\\.(?:s1|s2|...))$` covering every
+    snapshot suffix. Longest-suffix-wins falls out of match POSITION,
+    not alternation order: the earliest start yielding a match consumes
+    exactly one label + dot, and the remainder must EQUAL one suffix —
+    so a host matching both `x.co.uk` and `uk` rules matches at the
+    earlier (longer) position in any regex engine (leftmost match is
+    common to Java regex and RE2). One regex eval per row instead of a
+    |snapshot|-branch when-chain — the difference between 0.03s and
+    3.5s per 100k hosts in the measured plan."""
+    alts = "|".join(s.replace(".", r"\.") for s in _ordered_suffixes())
+    return r"([^.]+\.(?:" + alts + r"))$"
+
+
 def registered_domain(host: Column) -> Column:
-    """eTLD+1 of a lowercase host as a when-chain (longest suffix + one
-    label; IPv4 and unmatched hosts fall back sanely)."""
-    out = F.when(host.rlike(_IPV4), host)
-    for suffix in _ordered_suffixes():
-        esc = suffix.replace(".", r"\.")
-        pat = r"([^.]+\." + esc + r")$"
-        out = out.when(host.rlike(r"[^.]+\." + esc + r"$"),
-                       F.regexp_extract(host, pat, 1))
-    # unknown TLD: last two labels; single-label hosts stay themselves
-    return out.when(
-        host.rlike(r"[^.]+\.[^.]+$"), F.regexp_extract(host, _LAST_TWO, 1)
-    ).otherwise(host)
+    """eTLD+1 of a lowercase host (longest suffix + one label; IPv4 and
+    unmatched hosts fall back sanely). Single-regex column expression."""
+    pat = _suffix_alternation()
+    return (
+        F.when(host.rlike(_IPV4), host)
+        .when(host.rlike(pat), F.regexp_extract(host, pat, 1))
+        # unknown TLD: last two labels; single-label hosts stay themselves
+        .when(host.rlike(r"[^.]+\.[^.]+$"), F.regexp_extract(host, _LAST_TWO, 1))
+        .otherwise(host)
+    )
 
 
 def registered_domain_sql(col: str) -> str:
     """The DuckDB twin of :func:`registered_domain` — identical rule
     chain, for oracle queries."""
-    parts = [f"CASE WHEN regexp_matches({col}, '{_IPV4}') THEN {col}"]
-    for suffix in _ordered_suffixes():
-        esc = suffix.replace(".", r"\.")
-        parts.append(
-            f"WHEN regexp_matches({col}, '[^.]+\\.{esc}$') "
-            f"THEN regexp_extract({col}, '([^.]+\\.{esc})$', 1)"
-        )
-    parts.append(
+    pat = _suffix_alternation()
+    return (
+        f"CASE WHEN regexp_matches({col}, '{_IPV4}') THEN {col} "
+        f"WHEN regexp_matches({col}, '{pat}') "
+        f"THEN regexp_extract({col}, '{pat}', 1) "
         f"WHEN regexp_matches({col}, '[^.]+\\.[^.]+$') "
-        f"THEN regexp_extract({col}, '{_LAST_TWO}', 1)"
+        f"THEN regexp_extract({col}, '{_LAST_TWO}', 1) "
+        f"ELSE {col} END"
     )
-    parts.append(f"ELSE {col} END")
-    return " ".join(parts)
 
 
 def registered_domain_py(host: str) -> str:

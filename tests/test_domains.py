@@ -43,6 +43,23 @@ def test_registered_domain_column_matches_py(spark):
     assert got == CASES
 
 
+def test_alternation_matches_py_spec_fuzz(spark):
+    """The single-alternation-regex column must agree with the
+    longest-suffix-first Python spec on generated multi-label hosts."""
+    import itertools
+
+    labels = ["a", "b9", "shop", "xco", "blogspot", "s3", "co", "uk",
+              "com", "github", "io", "example", "internal"]
+    hosts = {".".join(p) for n in (1, 2, 3)
+             for p in itertools.islice(itertools.permutations(labels, n), 300)}
+    hosts |= {"x." + s for s in ("co.uk", "blogspot.com", "s3.amazonaws.com", "uk")}
+    df = spark.createDataFrame([(h,) for h in sorted(hosts)], ["host"])
+    got = {r["host"]: r["rd"] for r in
+           df.select("host", registered_domain(F.col("host")).alias("rd")).collect()}
+    for h in hosts:
+        assert got[h] == registered_domain_py(h), h
+
+
 def test_subdomains_share_politeness_queue(spark):
     """north_star: grouping by registered domain puts sibling subdomains
     in ONE politeness domain (host mode would split them)."""
