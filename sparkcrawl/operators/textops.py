@@ -164,7 +164,11 @@ def minhash_lsh_pairs(
     pair blowup is the single biggest skew hazard of this operator at
     corpus scale.
     """
-    sig = minhash_signatures(docs, num_perms, n, text_col, id_col)
+    # persist: the self-join references sig TWICE and Spark does not
+    # reuse the exchange across the aliased sides — without the cache
+    # the whole shingle->min-hash aggregation runs twice (measured 2x
+    # on the bench query)
+    sig = minhash_signatures(docs, num_perms, n, text_col, id_col).persist()
     if rows_per_band > 1:
         # AND step: one row per (id, band) whose key concatenates the
         # band's r signatures in perm order (hash agg, no window)
