@@ -381,7 +381,10 @@ def embedding_near_dup_pairs(
     emb_b = _banded_buckets(
         embeddings, n_planes, dim, seed, n_bands, "id", "vec", id_col, vec_col
     )
-    emb_b = _cap_buckets(emb_b, ["band", "bucket"], max_bucket_size)
+    # persist: the self-join evaluates this subplan twice (no exchange
+    # reuse across aliases) — without the cache every projection/bucket
+    # computation runs twice
+    emb_b = _cap_buckets(emb_b, ["band", "bucket"], max_bucket_size).persist()
     pairs = (
         emb_b.alias("a")
         .join(emb_b.alias("b"), ["band", "bucket"])

@@ -294,7 +294,9 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
     """
     n_chunks = max_hamming + 1
     width = -(-bits // n_chunks)  # ceil
-    sh = simhash(docs, bits, text_col, id_col)
+    # persist: the banded self-join below reads this twice (see
+    # minhash_lsh_pairs)
+    sh = simhash(docs, bits, text_col, id_col).persist()
     chunks = sh.select(
         "id", "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
