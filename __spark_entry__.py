@@ -438,6 +438,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.minhash_lsh_pairs(dupped, num_perms=8, n=8, max_bucket_size=100)
 
+    def dedup_lsh_verified(spark, sf):
+        """The two-phase corpus-dedup shape end-to-end: MinHash-LSH
+        candidate generation -> exact n-gram-Jaccard verify, only over
+        candidate pairs."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        dupped = docs.unionByName(
+            docs.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        cand = textops.minhash_lsh_pairs(dupped, num_perms=8, n=8, max_bucket_size=100)
+        return textops.verify_jaccard_pairs(cand, dupped, n=8, threshold=0.8)
+
     def dedup_simhash(spark, sf):
         docs = _read(spark, sf, "documents").select("doc_id", "text")
         return textops.simhash(docs, bits=32)
@@ -677,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": dedup_groups,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_lsh_verified": dedup_lsh_verified,
         "dedup_simhash": dedup_simhash,
         "simsearch_bruteforce_topk": simsearch_bruteforce_topk,
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
@@ -900,6 +914,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
             FROM sig2 a JOIN sig2 b ON a.perm = b.perm AND a.sig = b.sig AND a.id < b.id
             GROUP BY 1, 2
+        """,
+        "dedup_lsh_verified": """
+            WITH dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+            sh AS (
+              SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle
+              FROM dup, generate_series(1, 2000) AS g(i)
+              WHERE i <= len(text) - 7),
+            sig AS (
+              SELECT id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
+              FROM sh CROSS JOIN generate_series(0, 7) AS p(perm)
+              GROUP BY id, perm),
+            ok AS (
+              SELECT perm, sig FROM sig GROUP BY perm, sig HAVING count(*) <= 100),
+            sig2 AS (SELECT sig.* FROM sig JOIN ok USING (perm, sig)),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM sig2 a JOIN sig2 b ON a.perm = b.perm AND a.sig = b.sig AND a.id < b.id),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cand c
+              JOIN sh sa ON sa.id = c.id_a
+              JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter / (za.n_sh + zb.n_sh - inter), 6) AS jaccard
+            FROM inter JOIN sizes za ON za.id = id_a JOIN sizes zb ON zb.id = id_b
+            WHERE round(inter / (za.n_sh + zb.n_sh - inter), 6) >= 0.8
         """,
         "dedup_simhash": _simhash_sql(32),
         "simsearch_bruteforce_topk": """
