@@ -22,7 +22,9 @@ the classic bloom formulae; the space-budget tradeoff across a shard
 *collection* is the subject of "Optimizing Collections of Bloom Filters
 within a Space Budget" (VLDB 2024), and cuckoo/vacuum filters
 (VLDB 2019) are drop-in upgrades behind this same interface if deletion
-or better space efficiency is needed at 10^10 keys.
+or better space efficiency is needed at 10^10 keys —
+:class:`sparkcrawl.operators.cuckoo.ShardedCuckoo` ships that variant
+(same probe surface, plus delete_series).
 
 Implementation: numpy bit arrays built per Spark partition via
 ``mapInPandas``, OR-merged on the driver (bounded: shards × m/8 bytes),
