@@ -364,17 +364,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = _read(spark, sf, "events")
         host = (
-            F.when(F.col("user_id") % 4 == 0,
-                   F.concat(F.lit("a"), (F.col("user_id") % 7).cast("string"),
+            F.when(F.col("user_id") % 7 == 0,
+                   F.concat(F.lit("a"), (F.col("user_id") % 5).cast("string"),
                             F.lit(".shop.example.co.uk")))
-            .when(F.col("user_id") % 4 == 1,
-                  F.concat(F.lit("b"), (F.col("user_id") % 7).cast("string"),
+            .when(F.col("user_id") % 7 == 1,
+                  F.concat(F.lit("b"), (F.col("user_id") % 5).cast("string"),
                            F.lit(".example.com.au")))
-            .when(F.col("user_id") % 4 == 2,
-                  F.concat(F.lit("c"), (F.col("user_id") % 7).cast("string"),
+            .when(F.col("user_id") % 7 == 2,
+                  F.concat(F.lit("c"), (F.col("user_id") % 5).cast("string"),
                            F.lit(".github.io")))
+            # PSL wildcard *.ck: e<k>.island.ck registers as itself
+            .when(F.col("user_id") % 7 == 3,
+                  F.concat(F.lit("e"), (F.col("user_id") % 5).cast("string"),
+                           F.lit(".island.ck")))
+            # PSL exception !www.ck beats the wildcard: registers www.ck
+            .when(F.col("user_id") % 7 == 4,
+                  F.concat(F.lit("f"), (F.col("user_id") % 5).cast("string"),
+                           F.lit(".www.ck")))
+            # 2-label wildcard base *.kawasaki.jp
+            .when(F.col("user_id") % 7 == 5,
+                  F.concat(F.lit("g"), (F.col("user_id") % 5).cast("string"),
+                           F.lit(".pref.kawasaki.jp")))
             .otherwise(
-                F.concat(F.lit("d"), (F.col("user_id") % 7).cast("string"),
+                F.concat(F.lit("d"), (F.col("user_id") % 5).cast("string"),
                          F.lit(".internal")))
         )
         rd = registered_domain(host)
@@ -409,6 +421,128 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             status.cast("long").alias("status_code"),
             prio.alias("priority"),
             next_us.alias("next_ts_us"),
+        )
+
+    def f2_scope_filter(spark, sf):
+        """F2: regex scoper over synthetic URLs — positive pattern
+        keeps *.example/ hosts, negatives drop /private/ paths and
+        .png assets. Every URL is emitted WITH its kept flag so the
+        oracle checks both accept and reject directions (the patterns
+        use only constructs where Python re and DuckDB RE2 agree)."""
+        from sparkcrawl.functions.scope import in_scope
+
+        docs = _read(spark, sf, "documents")
+        id_str = F.col("doc_id").cast("string")
+        host = F.when(F.col("doc_id") % 5 == 0, F.lit("http://h1.other.test")).otherwise(
+            F.concat(F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".example"))
+        )
+        path = F.when(F.col("doc_id") % 3 == 0, F.lit("/private/")).otherwise(
+            F.lit("/page/")
+        )
+        ext = (
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".png"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(".html"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(""))
+            .otherwise(F.lit(".jpg"))
+        )
+        url = F.concat(host, path, id_str, ext)
+        return docs.select(
+            url.alias("url"),
+            in_scope(url, (r"^http://[^/]*\.example/",),
+                     (r"/private/", r"\.png$")).alias("kept"),
+        )
+
+    def c4_redirect_resolve(spark, sf):
+        """C4/J5: a 3xx Location header becomes an extracted link,
+        resolved against the request URL (httpextractor semantics).
+        Covers path-absolute, rootless-relative, absolute, and
+        fragment-bearing Locations (the canonicalizer strips #frag)."""
+        from sparkcrawl.config import CrawlConfig
+        from sparkcrawl.operators.extract import extract_links_and_spans
+
+        docs = _read(spark, sf, "documents")
+        id_str = F.col("doc_id").cast("string")
+        loc = (
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/new/"), id_str))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("moved"), id_str))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("http://other.example/abs/"), id_str))
+            .otherwise(F.concat(F.lit("/frag/"), id_str, F.lit("#sec")))
+        )
+        fetchlike = docs.select(
+            F.concat(F.lit("http://redir"), (F.col("doc_id") % 9).cast("string"),
+                     F.lit(".example/old/page")).alias("url"),
+            F.lit(301).alias("status_code"),
+            F.lit("text/html").alias("content_type"),
+            loc.alias("location"),
+            F.lit(None).cast("string").alias("body"),
+        )
+        out = extract_links_and_spans(fetchlike, CrawlConfig())
+        return out.select(
+            "url",
+            F.col("extraction_finished").alias("finished"),
+            F.element_at("links", 1).alias("resolved"),
+            F.size("links").cast("long").alias("n_links"),
+        )
+
+    def c6_charset_decode(spark, sf):
+        """C6: charset sniffed from Content-Type (quoted / unquoted /
+        absent-param fallback), byte bodies decoded BEFORE parsing.
+        Latin-1 bytes carrying non-ASCII text round-trip only if the
+        sniffed charset is honored — a utf-8 misread would emit
+        replacement chars and hash-mismatch the oracle."""
+        from sparkcrawl.config import CrawlConfig
+        from sparkcrawl.operators.extract import extract_links_and_spans
+
+        docs = _read(spark, sf, "documents")
+        id_str = F.col("doc_id").cast("string")
+        html = F.concat(
+            F.lit("<html><body><p>café "), id_str,
+            F.lit(" señor</p></body></html>"),
+        )
+        mod3 = F.col("doc_id") % 3
+        body = (
+            F.when(mod3 == 0, F.encode(html, "ISO-8859-1"))
+            .otherwise(F.encode(html, "UTF-8"))
+        )
+        ctype = (
+            F.when(mod3 == 0, F.lit("text/html; charset=iso-8859-1"))
+            .when(mod3 == 1, F.lit('text/html; charset="utf-8"'))
+            .otherwise(F.lit("text/html"))  # no param -> utf-8 fallback
+        )
+        fetchlike = docs.select(
+            F.concat(F.lit("http://c6-"), id_str, F.lit(".example/")).alias("url"),
+            F.lit(200).alias("status_code"),
+            ctype.alias("content_type"),
+            F.lit(None).cast("string").alias("location"),
+            body.alias("body"),
+        )
+        out = extract_links_and_spans(fetchlike, CrawlConfig())
+        return out.select(
+            "url",
+            F.element_at("spans", 1)["text"].alias("decoded_text"),
+            F.size("spans").cast("long").alias("n_spans"),
+        )
+
+    def c7_http_date_serde(spark, sf):
+        """C7: RFC-1123 HTTP-date round-trip — the engine's
+        If-Modified-Since formatter and Last-Modified parser
+        (sources/fetch.py http_date / parse_http_date, the exact
+        functions the fetcher calls). The wire format drops sub-second
+        precision; the reparsed epoch pins that truncation."""
+        from sparkcrawl.sources.fetch import http_date_udf, parse_http_date_udf
+
+        ev = _read(spark, sf, "events")
+        out = (
+            ev.select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+            .withColumn("http_date", http_date_udf("ts"))
+            .withColumn("reparsed", parse_http_date_udf("http_date"))
+        )
+        return out.select(
+            "event_id",
+            "http_date",
+            F.unix_micros("reparsed").alias("reparsed_us"),
         )
 
     def dedup_exact(spark, sf):
@@ -686,6 +820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_registered_domain": c9_registered_domain,
         "t2_windowed_stats": t2_windowed_stats,
         "c8_prioritizer_requeue": c8_prioritizer_requeue,
+        "f2_scope_filter": f2_scope_filter,
+        "c4_redirect_resolve": c4_redirect_resolve,
+        "c6_charset_decode": c6_charset_decode,
+        "c7_http_date_serde": c7_http_date_serde,
         "dedup_exact": dedup_exact,
         "dedup_groups": dedup_groups,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -873,6 +1011,54 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN value < 0.2 THEN 304 WHEN value < 0.8 THEN 200 ELSE 500 END AS status,
                        CAST(event_id % 3 + 1 AS BIGINT) AS prio_in
                 FROM events))
+        """,
+        "f2_scope_filter": r"""
+            WITH urls AS (
+              SELECT (CASE WHEN doc_id % 5 = 0 THEN 'http://h1.other.test'
+                           ELSE 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example' END)
+                  || (CASE WHEN doc_id % 3 = 0 THEN '/private/' ELSE '/page/' END)
+                  || CAST(doc_id AS VARCHAR)
+                  || (CASE WHEN doc_id % 4 = 0 THEN '.png'
+                           WHEN doc_id % 4 = 1 THEN '.html'
+                           WHEN doc_id % 4 = 2 THEN ''
+                           ELSE '.jpg' END) AS url
+              FROM documents)
+            SELECT url,
+                   (regexp_matches(url, '^http://[^/]*\.example/')
+                    AND NOT regexp_matches(url, '/private/')
+                    AND NOT regexp_matches(url, '\.png$')) AS kept
+            FROM urls
+        """,
+        "c4_redirect_resolve": """
+            WITH r AS (
+              SELECT doc_id,
+                     'http://redir' || CAST(doc_id % 9 AS VARCHAR)
+                        || '.example' AS origin
+              FROM documents)
+            SELECT origin || '/old/page' AS url,
+                   TRUE AS finished,
+                   CASE WHEN doc_id % 4 = 0
+                          THEN origin || '/new/' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 4 = 1
+                          THEN origin || '/old/moved' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 4 = 2
+                          THEN 'http://other.example/abs/' || CAST(doc_id AS VARCHAR)
+                        ELSE origin || '/frag/' || CAST(doc_id AS VARCHAR)
+                   END AS resolved,
+                   CAST(1 AS BIGINT) AS n_links
+            FROM r
+        """,
+        "c6_charset_decode": """
+            SELECT 'http://c6-' || CAST(doc_id AS VARCHAR) || '.example/' AS url,
+                   'café ' || CAST(doc_id AS VARCHAR) || ' señor' AS decoded_text,
+                   CAST(1 AS BIGINT) AS n_spans
+            FROM documents
+        """,
+        "c7_http_date_serde": """
+            SELECT event_id,
+                   strftime(ts, '%a, %d %b %Y %H:%M:%S GMT') AS http_date,
+                   epoch_us(date_trunc('second', ts)) AS reparsed_us
+            FROM events
         """,
         "dedup_exact": f"""
             SELECT doc_id, md5(text) AS text_md5 FROM (
@@ -1127,13 +1313,19 @@ def _c9_sql() -> str:
     return f"""
         WITH hosts AS (
           SELECT event_id,
-                 CASE WHEN user_id % 4 = 0
-                        THEN 'a' || CAST(user_id % 7 AS VARCHAR) || '.shop.example.co.uk'
-                      WHEN user_id % 4 = 1
-                        THEN 'b' || CAST(user_id % 7 AS VARCHAR) || '.example.com.au'
-                      WHEN user_id % 4 = 2
-                        THEN 'c' || CAST(user_id % 7 AS VARCHAR) || '.github.io'
-                      ELSE 'd' || CAST(user_id % 7 AS VARCHAR) || '.internal'
+                 CASE WHEN user_id % 7 = 0
+                        THEN 'a' || CAST(user_id % 5 AS VARCHAR) || '.shop.example.co.uk'
+                      WHEN user_id % 7 = 1
+                        THEN 'b' || CAST(user_id % 5 AS VARCHAR) || '.example.com.au'
+                      WHEN user_id % 7 = 2
+                        THEN 'c' || CAST(user_id % 5 AS VARCHAR) || '.github.io'
+                      WHEN user_id % 7 = 3
+                        THEN 'e' || CAST(user_id % 5 AS VARCHAR) || '.island.ck'
+                      WHEN user_id % 7 = 4
+                        THEN 'f' || CAST(user_id % 5 AS VARCHAR) || '.www.ck'
+                      WHEN user_id % 7 = 5
+                        THEN 'g' || CAST(user_id % 5 AS VARCHAR) || '.pref.kawasaki.jp'
+                      ELSE 'd' || CAST(user_id % 5 AS VARCHAR) || '.internal'
                  END AS host
           FROM events),
         rds AS (SELECT event_id, host, {rd} AS registered_domain FROM hosts)

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "simsearch_bruteforce_topk",
     "simsearch_lsh_bucketed",
+    "simsearch_ivf_topk",
+    "embedding_near_dup_pairs",
     "text_quality_score",
     "text_language_id",
     "tpch_q1_pricing_summary",
@@ -299,6 +301,8 @@ def main() -> None:
     north = north_metric(spark, sf_dir)
     spark.catalog.clearCache()
 
+    from sparkcrawl.operators import release_caches
+
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -307,6 +311,11 @@ def main() -> None:
         t0 = time.perf_counter()
         _noop_write(df)
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release operator-internal caches (tracked_persist) so query N's
+        # signature/bucket tables don't squeeze query N+1's memory — the
+        # r2 bruteforce-topk regression was exactly this accumulation
+        release_caches()
+        spark.catalog.clearCache()
     print(
         json.dumps(
             {

@@ -43,6 +43,18 @@ class CrawlConfig:
     bloom_capacity_per_shard: int = 1 << 16
     bloom_fpp: float = 0.01
     use_bloom_prefilter: bool = True    # bloom prefilters, anti-join is authority
+    # membership structure behind the prefilter seam: "bloom" (default;
+    # OR-mergeable, replay-trivially-idempotent) or "cuckoo" (same probe
+    # surface + DELETION, so retired keys' slots recycle at 10^10 keys).
+    membership_kind: str = "bloom"
+    # cuckoo only: retire state=gone URLs (robots-denied, 404, retries
+    # exhausted) from the prefilter at merge time so their slots
+    # recycle. Documented trade-off (plans/superstep.py): a
+    # RE-discovered gone URL is re-admitted once and re-resolved to
+    # gone — idempotent, no duplicate document rows, but it occupies
+    # batch slots, so the flag is off by default to pin the crawl-order
+    # goldens exactly.
+    retire_gone_urls: bool = False
     # --- virtual clock (T1) ---
     t0: datetime = T0
     tick_seconds: float = 1.0

@@ -6,13 +6,16 @@ must share a politeness queue. That needs public-suffix knowledge: the
 snapshot below is a minimal, bundled subset of the PUBLIC Public Suffix
 List (publicsuffix.org, Mozilla-maintained public data) — the common
 ICANN 1- and 2-label suffixes plus a few well-known private registries.
-Semantics are the PSL "longest matching suffix + one label" rule,
-simplified: no wildcard (`*.ck`) or exception (`!www.ck`) rules are in
-the snapshot (swap in the full list file on a real deployment; the
-matching rule is unchanged).
+Semantics are the full PSL rule set: "longest matching suffix + one
+label", including WILDCARD rules (``*.ck`` — any single label under the
+base is itself a public suffix) and EXCEPTION rules (``!www.ck`` — the
+named domain is registrable despite a covering wildcard; exceptions
+take precedence, as in the PSL algorithm). The snapshot uses the PSL
+file's own ``*.`` / ``!`` syntax, so a real deployment can swap in the
+full publicsuffix.org list unchanged.
 
-Everything is a pure column expression (an ordered longest-first
-when-chain of anchored regexes) — JVM-side, codegen'd, no UDF, no join;
+Everything is a pure column expression (exception when-branches + ONE
+anchored alternation regex) — JVM-side, codegen'd, no UDF, no join;
 and :func:`registered_domain_sql` emits the identical CASE chain for
 the DuckDB oracle. Engine default stays HOST-based (cfg.use_public_suffix
 = False) to pin the host-parity goldens; the flag turns this on.
@@ -29,6 +32,10 @@ from pyspark.sql import functions as F
 # at match time. 2-label ICANN suffixes + their 1-label parents + common
 # private registries.
 PUBLIC_SUFFIX_SNAPSHOT: tuple[str, ...] = (
+    # wildcard + exception rules (PSL syntax; ICANN section)
+    "*.ck", "!www.ck",
+    "*.jm",
+    "*.kawasaki.jp", "!city.kawasaki.jp",
     # private registries (PSL private section)
     "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
     "appspot.com", "s3.amazonaws.com", "cloudfront.net",
@@ -55,19 +62,41 @@ PUBLIC_SUFFIX_SNAPSHOT: tuple[str, ...] = (
 _IPV4 = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
 _LAST_TWO = r"([^.]+\.[^.]+)$"
 
+# rule classes, parsed once from the PSL-syntax snapshot
+_EXCEPTIONS: tuple[str, ...] = tuple(
+    s[1:] for s in PUBLIC_SUFFIX_SNAPSHOT if s.startswith("!")
+)
+_WILDCARDS: tuple[str, ...] = tuple(
+    s[2:] for s in PUBLIC_SUFFIX_SNAPSHOT if s.startswith("*.")
+)
+_NORMAL: tuple[str, ...] = tuple(
+    s for s in PUBLIC_SUFFIX_SNAPSHOT if not s.startswith(("!", "*."))
+)
 
-def _ordered_suffixes() -> list[str]:
-    """Longest-match order: more labels first, then longer, then lexical
-    (deterministic chain ordering in both engines)."""
-    return sorted(
-        PUBLIC_SUFFIX_SNAPSHOT,
-        key=lambda s: (-s.count("."), -len(s), s),
-    )
+
+def _ordered_exceptions() -> list[str]:
+    """Exception rules, most-labels first (PSL: exceptions beat wildcards)."""
+    return sorted(_EXCEPTIONS, key=lambda s: (-s.count("."), -len(s), s))
+
+
+def _ordered_rules() -> list[tuple[int, str]]:
+    """(label_count, suffix_regex) longest-match order: normal suffixes
+    are literal patterns; a wildcard base ``b`` contributes the pattern
+    ``[^.]+\\.b`` (any ONE label under the base is itself a public
+    suffix), counting one extra label."""
+    rules = [(s.count(".") + 1, len(s), s.replace(".", r"\.")) for s in _NORMAL]
+    rules += [
+        (b.count(".") + 2, len(b) + 2, r"[^.]+\." + b.replace(".", r"\."))
+        for b in _WILDCARDS
+    ]
+    rules.sort(key=lambda r: (-r[0], -r[1], r[2]))
+    return [(r[0], r[2]) for r in rules]
 
 
 def _suffix_alternation() -> str:
     """ONE anchored pattern `([^.]+\\.(?:s1|s2|...))$` covering every
-    snapshot suffix. Longest-suffix-wins falls out of match POSITION,
+    snapshot suffix (wildcard rules contribute `[^.]+\\.base`
+    alternatives). Longest-suffix-wins falls out of match POSITION,
     not alternation order: the earliest start yielding a match consumes
     exactly one label + dot, and the remainder must EQUAL one suffix —
     so a host matching both `x.co.uk` and `uk` rules matches at the
@@ -75,17 +104,24 @@ def _suffix_alternation() -> str:
     common to Java regex and RE2). One regex eval per row instead of a
     |snapshot|-branch when-chain — the difference between 0.03s and
     3.5s per 100k hosts in the measured plan."""
-    alts = "|".join(s.replace(".", r"\.") for s in _ordered_suffixes())
+    alts = "|".join(pat for _, pat in _ordered_rules())
     return r"([^.]+\.(?:" + alts + r"))$"
 
 
 def registered_domain(host: Column) -> Column:
     """eTLD+1 of a lowercase host (longest suffix + one label; IPv4 and
-    unmatched hosts fall back sanely). Single-regex column expression."""
+    unmatched hosts fall back sanely). Exception rules resolve to their
+    literal domain first (PSL: `!www.ck` is registrable, so any host at
+    or under it registers as www.ck); everything else is the single
+    alternation regex."""
     pat = _suffix_alternation()
+    expr = F.when(host.rlike(_IPV4), host)
+    for exc in _ordered_exceptions():
+        expr = expr.when(
+            (host == F.lit(exc)) | host.endswith(F.lit("." + exc)), F.lit(exc)
+        )
     return (
-        F.when(host.rlike(_IPV4), host)
-        .when(host.rlike(pat), F.regexp_extract(host, pat, 1))
+        expr.when(host.rlike(pat), F.regexp_extract(host, pat, 1))
         # unknown TLD: last two labels; single-label hosts stay themselves
         .when(host.rlike(r"[^.]+\.[^.]+$"), F.regexp_extract(host, _LAST_TWO, 1))
         .otherwise(host)
@@ -96,8 +132,13 @@ def registered_domain_sql(col: str) -> str:
     """The DuckDB twin of :func:`registered_domain` — identical rule
     chain, for oracle queries."""
     pat = _suffix_alternation()
+    exc_branches = "".join(
+        f"WHEN ({col} = '{exc}' OR {col} LIKE '%.{exc}') THEN '{exc}' "
+        for exc in _ordered_exceptions()
+    )
     return (
         f"CASE WHEN regexp_matches({col}, '{_IPV4}') THEN {col} "
+        f"{exc_branches}"
         f"WHEN regexp_matches({col}, '{pat}') "
         f"THEN regexp_extract({col}, '{pat}', 1) "
         f"WHEN regexp_matches({col}, '[^.]+\\.[^.]+$') "
@@ -107,15 +148,17 @@ def registered_domain_sql(col: str) -> str:
 
 
 def registered_domain_py(host: str) -> str:
-    """Plain-Python twin for the sequential simulator / tests."""
+    """Plain-Python twin for the sequential simulator / tests —
+    independent longest-suffix-first LOOP (not the alternation regex),
+    so the fuzz test cross-checks two different implementations."""
     if re.match(_IPV4, host):
         return host
-    for suffix in _ordered_suffixes():
-        m = re.search(r"([^.]+\." + re.escape(suffix) + r")$", host)
-        if m and host != suffix:
-            # require a label BEFORE the suffix (the regex [^.]+ may have
-            # consumed part of the suffix itself otherwise)
-            if host == m.group(1) or host.endswith("." + m.group(1)):
-                return m.group(1)
+    for exc in _ordered_exceptions():
+        if host == exc or host.endswith("." + exc):
+            return exc
+    for _, pat in _ordered_rules():
+        m = re.search(r"([^.]+\." + pat + r")$", host)
+        if m and (host == m.group(1) or host.endswith("." + m.group(1))):
+            return m.group(1)
     m = re.search(_LAST_TWO, host)
     return m.group(1) if m else host

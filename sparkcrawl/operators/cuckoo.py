@@ -28,6 +28,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SLOTS = 4
@@ -111,13 +112,40 @@ class CuckooShard:
         return False
 
 
-class ShardedCuckoo:
-    """ShardedBloom-compatible membership filter with deletion."""
+def _merge_table_into(target: CuckooShard, incoming: np.ndarray) -> int:
+    """Re-insert an incoming same-shard table's fingerprints into
+    ``target`` (slot-exact union is not defined for cuckoo tables,
+    unlike bloom OR). Each occupied position bi is either the key's i1
+    or i2; inserting at bi keeps lookups correct because contains()
+    probes bi and alt(bi, f). Returns how many inserts FAILED."""
+    dropped = 0
+    occ = np.argwhere(incoming != 0)
+    for bi, si in occ:
+        if not target.insert(int(bi), int(incoming[bi, si])):
+            dropped += 1
+    return dropped
 
-    def __init__(self, shards: dict[str, CuckooShard], m: int, depth: int):
+
+class ShardedCuckoo:
+    """ShardedBloom-compatible membership filter with deletion.
+
+    ``dropped`` counts fingerprints LOST to shard overflow (insert
+    failed after MAX_KICKS). A dropped fingerprint voids the advertised
+    no-false-negative contract, so ``lossy`` filters refuse the
+    miss-bypass: :meth:`prefilter` marks every row maybe_seen and the
+    authoritative anti-join handles all of them — correctness degrades
+    to "no prefilter", never to re-admitted URLs (r2 ADVICE)."""
+
+    def __init__(self, shards: dict[str, CuckooShard], m: int, depth: int,
+                 dropped: int = 0):
         self.shards = shards
         self.m = m
         self.depth = depth
+        self.dropped = dropped
+
+    @property
+    def lossy(self) -> bool:
+        return self.dropped > 0
 
     @classmethod
     def build(
@@ -134,11 +162,13 @@ class ShardedCuckoo:
             [
                 T.StructField("prefix", T.StringType()),
                 T.StructField("table", T.BinaryType()),
+                T.StructField("dropped", T.LongType()),
             ]
         )
 
         def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             local: dict[str, CuckooShard] = {}
+            drops: dict[str, int] = {}
             for pdf in batches:
                 col = pdf[column].dropna()
                 if col.empty:
@@ -149,31 +179,55 @@ class ShardedCuckoo:
                     i1s = _i1(grp, m)
                     fps = _fingerprints(grp)
                     for i1, fp in zip(i1s, fps):
-                        shard.insert(int(i1), int(fp))
+                        if not shard.insert(int(i1), int(fp)):
+                            drops[prefix] = drops.get(prefix, 0) + 1
             yield pd.DataFrame(
                 {"prefix": list(local),
-                 "table": [s.table.tobytes() for s in local.values()]}
+                 "table": [s.table.tobytes() for s in local.values()],
+                 "dropped": [drops.get(p, 0) for p in local]}
             )
 
         rows = hashes.select(column).mapInPandas(_build, schema=schema).collect()
         shards: dict[str, CuckooShard] = {}
+        dropped = 0
         for r in rows:
+            dropped += int(r["dropped"])
             incoming = np.frombuffer(r["table"], dtype=np.uint16).reshape(-1, SLOTS).copy()
             if r["prefix"] not in shards:
                 shards[r["prefix"]] = CuckooShard(m, incoming)
             else:
-                # same-shard tables from different partitions: re-insert
-                # the smaller table's fingerprints (slot-exact union is
-                # not defined for cuckoo tables, unlike bloom OR)
-                target = shards[r["prefix"]]
-                occ = np.argwhere(incoming != 0)
-                for bi, si in occ:
-                    f = int(incoming[bi, si])
-                    # recover i1 candidates: bi is either i1 or i2; insert
-                    # at bi — partial-key hashing keeps lookups correct
-                    # because contains() probes bi and alt(bi, f)
-                    target.insert(int(bi), f)
-        return cls(shards, m, depth_)
+                # same-shard tables from different partitions
+                dropped += _merge_table_into(shards[r["prefix"]], incoming)
+        return cls(shards, m, depth_, dropped=dropped)
+
+    def prefilter(self, candidates: DataFrame, column: str = "url_hash") -> DataFrame:
+        """Tag candidates with ``maybe_seen`` (ShardedBloom.prefilter
+        twin). A lossy filter marks EVERY row maybe_seen: the bypass is
+        only sound with zero dropped fingerprints."""
+        spark = candidates.sparkSession
+        if self.lossy:
+            return candidates.withColumn("maybe_seen", F.lit(True))
+        bc = spark.sparkContext.broadcast(
+            {"shards": {p: s.table.tobytes() for p, s in self.shards.items()},
+             "m": self.m, "depth": self.depth}
+        )
+
+        @F.pandas_udf(T.BooleanType())
+        def _probe(hashes: pd.Series) -> pd.Series:
+            st = bc.value
+            filt = ShardedCuckoo(
+                {
+                    p: CuckooShard(
+                        st["m"],
+                        np.frombuffer(b, dtype=np.uint16).reshape(-1, SLOTS).copy(),
+                    )
+                    for p, b in st["shards"].items()
+                },
+                st["m"], st["depth"],
+            )
+            return filt.might_contain_series(hashes)
+
+        return candidates.withColumn("maybe_seen", _probe(F.col(column)))
 
     def might_contain_series(self, hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(hashes), dtype=bool)
@@ -200,4 +254,142 @@ class ShardedCuckoo:
                 continue
             for i1, fp in zip(_i1(grp, self.m), _fingerprints(grp)):
                 n += bool(shard.delete(int(i1), int(fp)))
+        return n
+
+
+class CuckooStore:
+    """Cross-superstep persistence of the cuckoo seen-set shards — the
+    deletion-capable twin of :class:`membership.BloomStore` (M4), wired
+    behind ``cfg.membership_kind = "cuckoo"``.
+
+    Same commit protocol (write-temp-then-rename npz blob), same
+    incremental-update contract (fold only NEW hashes per superstep),
+    plus:
+
+      - ``delete(hashes)`` retires fingerprints (e.g. ``gone`` URLs) so
+        their slots recycle — the operation blooms cannot do;
+      - per-channel superstep tags in the blob make update/delete
+        IDEMPOTENT under kill/replay. Replaying an insert would only
+        waste slots (duplicate copies), but replaying a DELETE is the
+        dangerous one: the second delete can remove a colliding live
+        key's fingerprint copy -> false negative -> re-admitted URL.
+        The tag skips already-applied steps instead.
+      - overflow is surfaced, never silent: update/delete RAISE if any
+        fingerprint was dropped (capacity_per_shard is the config knob;
+        a lossy persistent seen-set prefilter is a misconfiguration).
+    """
+
+    def __init__(self, root: str, depth: int = 2,
+                 capacity_per_shard: int = 1 << 16, fpp: float = 0.01):
+        import os
+
+        self.dir = os.path.join(root, "cuckoo")
+        os.makedirs(self.dir, exist_ok=True)
+        self.depth = depth
+        self.m = _params(capacity_per_shard)
+        self.capacity = capacity_per_shard
+        # fpp accepted for BloomStore interface parity; a 16-bit-fp
+        # 4-slot cuckoo filter's FP rate is ~2*SLOTS/2^16 < 0.1% fixed.
+        self.fpp = fpp
+
+    def _path(self) -> str:
+        import os
+
+        return os.path.join(self.dir, "shards.npz")
+
+    def _load_raw(self) -> tuple[dict[str, np.ndarray], dict] | None:
+        import json
+        import os
+
+        if not os.path.exists(self._path()):
+            return None
+        with np.load(self._path()) as z:
+            meta = {}
+            shards = {}
+            for p in z.files:
+                if p == "__meta__":
+                    meta = json.loads(str(z[p][0]))
+                else:
+                    shards[p] = z[p].copy()
+        return shards, meta
+
+    def _save(self, shards: dict[str, np.ndarray], meta: dict) -> None:
+        import json
+        import os
+        import uuid
+
+        tmp = self._path() + f".tmp.{uuid.uuid4().hex}.npz"
+        np.savez(tmp, __meta__=np.array([json.dumps(meta)]), **shards)
+        os.replace(tmp, self._path())
+
+    def load(self) -> ShardedCuckoo | None:
+        raw = self._load_raw()
+        if raw is None:
+            return None
+        shards, meta = raw
+        return ShardedCuckoo(
+            {p: CuckooShard(self.m, a.reshape(-1, SLOTS).copy()) for p, a in shards.items()},
+            self.m, self.depth, dropped=int(meta.get("dropped", 0)),
+        )
+
+    def _applied(self, meta: dict, channel: str, superstep: int | None) -> bool:
+        return superstep is not None and meta.get(channel) == superstep
+
+    def update(self, new_hashes: DataFrame, column: str = "url_hash",
+               channel: str = "update", superstep: int | None = None) -> ShardedCuckoo:
+        """Fold only the NEW hashes into the persisted shards; atomic
+        commit; idempotent per (channel, superstep); raises on overflow."""
+        raw = self._load_raw()
+        shards, meta = raw if raw is not None else ({}, {})
+        if self._applied(meta, channel, superstep):
+            return self.load()
+        delta = ShardedCuckoo.build(
+            new_hashes, column=column, depth=self.depth,
+            capacity_per_shard=self.capacity,
+        )
+        dropped = delta.dropped
+        for prefix, shard in delta.shards.items():
+            if prefix not in shards:
+                shards[prefix] = shard.table
+            else:
+                target = CuckooShard(self.m, shards[prefix].reshape(-1, SLOTS).copy())
+                dropped += _merge_table_into(target, shard.table)
+                shards[prefix] = target.table
+        if dropped:
+            raise RuntimeError(
+                f"cuckoo seen-set overflow: {dropped} fingerprints dropped — "
+                f"raise bloom_capacity_per_shard (now {self.capacity}) or "
+                f"shard_prefix_depth (now {self.depth})"
+            )
+        if superstep is not None:
+            meta[channel] = superstep
+        self._save(shards, meta)
+        return self.load()
+
+    def delete(self, gone_hashes: DataFrame, column: str = "url_hash",
+               superstep: int | None = None) -> int:
+        """Retire fingerprints of GONE urls so their slots recycle.
+
+        Only keys previously inserted may be deleted (standard cuckoo
+        caveat — deleting a non-member can evict a colliding member's
+        copy); the engine only passes frontier rows, which were all
+        inserted at discovery. The per-superstep batch is config-bounded
+        (denied rows <= batch size), so the driver-side collect here is
+        cardinality-bounded like the engine's other control collects.
+        Returns deletions applied (0 on an already-applied replay)."""
+        raw = self._load_raw()
+        if raw is None:
+            return 0
+        shards, meta = raw
+        if self._applied(meta, "delete", superstep):
+            return 0
+        rows = [r[0] for r in gone_hashes.select(column).collect() if r[0] is not None]
+        filt = ShardedCuckoo(
+            {p: CuckooShard(self.m, a.reshape(-1, SLOTS).copy()) for p, a in shards.items()},
+            self.m, self.depth,
+        )
+        n = filt.delete_series(pd.Series(rows)) if rows else 0
+        if superstep is not None:
+            meta["delete"] = superstep
+        self._save({p: s.table for p, s in filt.shards.items()}, meta)
         return n

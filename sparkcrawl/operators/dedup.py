@@ -47,14 +47,16 @@ def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
     cfg: CrawlConfig,
-    bloom: ShardedBloom | None = None,
+    bloom: "ShardedBloom | object | None" = None,
 ) -> DataFrame:
     """F1+J1: keep candidates whose url_hash is not in the seen set.
 
     ``seen`` is a (url_hash) DataFrame — in practice the frontier's key
-    projection. The anti-join is ALWAYS the authority; the bloom only
-    routes definitely-new rows around it (false positives merely pay
-    the join, never drop a URL).
+    projection. The anti-join is ALWAYS the authority; the membership
+    prefilter only routes definitely-new rows around it (false positives
+    merely pay the join, never drop a URL). ``bloom`` is any structure
+    with the ``prefilter(df, column)`` surface — ShardedBloom or the
+    deletion-capable ShardedCuckoo (cfg.membership_kind).
     """
     seen_keys = seen.select("url_hash").distinct()
     if bloom is None or not cfg.use_bloom_prefilter:

@@ -202,8 +202,12 @@ class BloomStore:
             shards = {p: z[p].copy() for p in z.files}
         return ShardedBloom(shards, self.m, self.k, self.depth)
 
-    def update(self, new_hashes: DataFrame, column: str = "url_hash") -> ShardedBloom:
-        """Fold only the NEW hashes into the persisted shards; atomic commit."""
+    def update(self, new_hashes: DataFrame, column: str = "url_hash",
+               channel: str = "update", superstep: int | None = None) -> ShardedBloom:
+        """Fold only the NEW hashes into the persisted shards; atomic
+        commit. ``channel``/``superstep`` are accepted for CuckooStore
+        interface parity and ignored: re-ORing a bloom delta on replay
+        is naturally idempotent, no tag needed."""
         import os
         import uuid
 

@@ -4,7 +4,7 @@ The rules live in a small ``robots`` table
 ``(host, agent, allow, path_prefix, crawl_delay)`` (R1 parses raw
 robots.txt bodies into it; in the sandbox the fixture provides it
 directly). The allow/deny gate (R2) is a broadcast join + longest-
-prefix-match window — pure relational, no UDF:
+prefix-match argmax aggregation — pure relational, no UDF, no window:
 
   semantics (stdlib urllib.robotparser family, pinned by
   golden/robots.json): among matching rules for (host, agent in
@@ -16,7 +16,7 @@ R3: per-host ``crawl_delay`` feeds politeness slotting (W3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -104,20 +104,29 @@ def robots_gate(batch: DataFrame, robots: DataFrame, user_agent: str = "*") -> D
         F.col("_r_prefix").isNotNull()
         & F.col("_path").startswith(F.col("_r_prefix")),
     )
-    # longest prefix wins; allow wins ties; no matching rule -> allowed
-    w = W.partitionBy("url_hash").orderBy(
-        F.desc("_match"),
-        F.desc(F.when(F.col("_match"), F.length("_r_prefix")).otherwise(-1)),
-        F.desc("_r_allow"),
+    # longest prefix wins; allow wins ties; no matching rule -> allowed.
+    # Winner-per-URL is an argmax -> max_by hash aggregation, NOT a
+    # row_number window: the agg gets map-side partial combine and no
+    # per-url_hash sort (a window here opens one partition per URL in
+    # the batch — bounded but pure overhead; same fix family as
+    # batch_distinct / ivf_assign).
+    order_key = F.struct(
+        F.col("_match").cast("int").alias("m"),
+        F.when(F.col("_match"), F.length("_r_prefix")).otherwise(F.lit(-1)).alias("l"),
+        F.col("_r_allow").cast("int").alias("a"),
     )
-    return (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn(
-            "robots_allowed",
-            F.when(F.col("_match"), F.col("_r_allow")).otherwise(F.lit(True)),
-        )
-        .drop("_rn", "_match", "_r_allow", "_r_prefix", "_path")
+    allowed = F.when(F.col("_match"), F.col("_r_allow")).otherwise(F.lit(True))
+    payload_cols = [c for c in batch.columns if c != "url_hash"]
+    best = matched.groupBy("url_hash").agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols], allowed.alias("robots_allowed")),
+            order_key,
+        ).alias("_w")
+    )
+    return best.select(
+        *[F.col(f"_w.{c}").alias(c) if c != "url_hash" else F.col("url_hash")
+          for c in batch.columns],
+        F.col("_w.robots_allowed").alias("robots_allowed"),
     )
 
 

@@ -161,6 +161,16 @@ def update_queue_state(
     resets to 0 (nothing owed). The cap keeps effective k ≤ heap_size
     (W2). All three inputs are queue-cardinality tables — config-sized,
     broadcastable, never data-sized.
+
+    EXPLICIT carry=0 rows are emitted (never filtered out here): the
+    queue_state table reads keep-latest per queue across deltas, so a
+    spent or drained queue must WRITE its reset — dropping the row would
+    leave the stale positive carry visible to every later superstep
+    (the queue would permanently over-fetch). The outer join with
+    ``carry_in`` covers queues that banked a carry but have no eligible
+    work this superstep: they reset to 0. The read side filters
+    carry>0 (QueueStateTable.read), so the scheduler never joins
+    zero rows.
     """
     carry = (
         carry_in.select("queue", F.col("carry").alias("_cin"))
@@ -170,7 +180,7 @@ def update_queue_state(
     df = eligible_counts.select("queue", F.col("pending").alias("_elig"))
     df = df.join(taken_counts.select("queue", F.col("taken").alias("_tk")), "queue", "left")
     if carry is not None:
-        df = df.join(carry, "queue", "left")
+        df = df.join(carry, "queue", "full_outer")
     else:
         df = df.withColumn("_cin", F.lit(0))
     budget = min(cfg.heap_size, cfg.per_queue_budget)
@@ -182,8 +192,13 @@ def update_queue_state(
     )
     return df.select(
         "queue",
-        F.greatest(F.lit(0), new_carry).cast("int").alias("carry"),
-    ).filter(F.col("carry") > 0)
+        # no eligible work this superstep (outer-join row from carry_in,
+        # or a drained queue) -> documented reset to 0
+        F.when(F.col("_elig").isNull() | (F.col("_elig") <= 0), F.lit(0))
+        .otherwise(F.greatest(F.lit(0), new_carry))
+        .cast("int")
+        .alias("carry"),
+    )
 
 
 def queue_pending_counts(frontier: DataFrame) -> DataFrame:

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from sparkcrawl.operators._caching import tracked_persist
+
 
 def dot(a: Column, b: Column) -> Column:
     # cast elements to double BEFORE multiplying: float32*float32 rounds
@@ -214,12 +216,16 @@ def ivf_assign(
     """IVF cell assignment: nearest centroid by cosine (argmax).
 
     ``centroids`` is a small (centroid_id, vector) table — broadcast;
-    assignment is a broadcast cross join + rank-1 window, so the only
-    shuffle is the final window over |vectors| x |centroids| scored rows
-    (bounded: K is config-small). Deterministic: ties break on
-    centroid_id. For the sandbox, centroids are taken from the data
-    (see :func:`ivf_topk`); on a real cluster they come from a k-means
-    fit — the assignment/search operators are unchanged.
+    assignment is a broadcast cross join + a ``max_by`` hash aggregation
+    over the |vectors| x K scored rows. An argmax needs no window: the
+    agg gets map-side partial combine and never sorts a partition
+    (same fix family as operators/dedup.py batch_distinct; the
+    rank-limit window survives only in :func:`ivf_assign_topn`, where
+    nprobe>1 genuinely needs ranking). Deterministic: the order key is
+    (sim, -centroid_id), so ties break to the LOWEST centroid_id.
+    For the sandbox, centroids are taken from the data (see
+    :func:`ivf_topk`); on a real cluster they come from a k-means fit —
+    the assignment/search operators are unchanged.
     """
     c = centroids.select(
         F.col("centroid_id"), F.col("c_vec")
@@ -229,11 +235,14 @@ def ivf_assign(
     ).crossJoin(F.broadcast(c)).withColumn(
         "sim", F.round(cosine(F.col("vec"), F.col("c_vec")), 6)
     )
-    w = W.partitionBy("id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("id", "vec", "centroid_id")
+    order_key = F.struct(
+        F.col("sim").alias("s"), (-F.col("centroid_id")).alias("nc")
+    )
+    best = scored.groupBy("id").agg(
+        F.max_by(F.struct(F.col("vec"), F.col("centroid_id")), order_key).alias("_b")
+    )
+    return best.select(
+        "id", F.col("_b.vec").alias("vec"), F.col("_b.centroid_id").alias("centroid_id")
     )
 
 
@@ -384,7 +393,8 @@ def embedding_near_dup_pairs(
     # persist: the self-join evaluates this subplan twice (no exchange
     # reuse across aliases) — without the cache every projection/bucket
     # computation runs twice
-    emb_b = _cap_buckets(emb_b, ["band", "bucket"], max_bucket_size).persist()
+    # tracked: release via operators._caching.release_caches() (r2 ADVICE)
+    emb_b = tracked_persist(_cap_buckets(emb_b, ["band", "bucket"], max_bucket_size))
     pairs = (
         emb_b.alias("a")
         .join(emb_b.alias("b"), ["band", "bucket"])

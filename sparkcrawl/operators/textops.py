@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from sparkcrawl.operators._caching import tracked_persist
+
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -94,7 +96,8 @@ def ngram_jaccard_pairs(
     At scale, run :func:`minhash_lsh_pairs` first and feed its candidate
     pairs through this as the verify step.
     """
-    sh = char_shingles(docs, n, text_col, id_col).persist()
+    # tracked: release via operators._caching.release_caches() (r2 ADVICE)
+    sh = tracked_persist(char_shingles(docs, n, text_col, id_col))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -168,7 +171,7 @@ def minhash_lsh_pairs(
     # reuse the exchange across the aliased sides — without the cache
     # the whole shingle->min-hash aggregation runs twice (measured 2x
     # on the bench query)
-    sig = minhash_signatures(docs, num_perms, n, text_col, id_col).persist()
+    sig = tracked_persist(minhash_signatures(docs, num_perms, n, text_col, id_col))
     if rows_per_band > 1:
         # AND step: one row per (id, band) whose key concatenates the
         # band's r signatures in perm order (hash agg, no window)
@@ -296,7 +299,7 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
     width = -(-bits // n_chunks)  # ceil
     # persist: the banded self-join below reads this twice (see
     # minhash_lsh_pairs)
-    sh = simhash(docs, bits, text_col, id_col).persist()
+    sh = tracked_persist(simhash(docs, bits, text_col, id_col))
     chunks = sh.select(
         "id", "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from sparkcrawl.config import CrawlConfig
 from sparkcrawl.functions.hashing import queue_for_domain, url_sha1
 from sparkcrawl.functions.scope import in_scope
-from sparkcrawl.functions.urlnorm import canonicalize_udf, host_of_udf
+from sparkcrawl.functions.urlnorm import canonicalize_with_host_udf, host_of_udf
 from sparkcrawl.operators.dedup import batch_distinct, filter_unseen
 from sparkcrawl.operators.extract import documents_from_fetch, extract_links_and_spans
 from sparkcrawl.operators.membership import BloomStore
@@ -88,13 +88,18 @@ def frontier_rows_from_urls(
     """C1+C2+Q2 on a (url[, priority]) DataFrame -> frontier-schema rows."""
     prio = priority_col if priority_col is not None else F.lit(1)
     # unparseable URLs canonicalize to NULL and are dropped (one bad
-    # seed/link must never produce a null-hash frontier row)
-    canon = urls.withColumn("url", canonicalize_udf(F.col("url"))).filter(
-        F.col("url").isNotNull()
+    # seed/link must never produce a null-hash frontier row).
+    # Fused canonicalize+host UDF: ONE Arrow round-trip on the
+    # per-discovered-link hot path instead of two chained string UDFs.
+    canon = (
+        urls.withColumn("_ch", canonicalize_with_host_udf(F.col("url")))
+        .withColumn("url", F.col("_ch.url"))
+        .withColumn("host", F.col("_ch.host"))
+        .drop("_ch")
+        .filter(F.col("url").isNotNull())
     )
     return (
         canon.withColumn("url_hash", url_sha1(F.col("url")))
-        .withColumn("host", host_of_udf(F.col("url")))
         .withColumn("registered_domain", _registered_domain_col(cfg))
         .withColumn("queue", queue_for_domain(F.col("registered_domain"), cfg.num_queues))
         .withColumn("etag", F.lit(None).cast("string"))
@@ -141,7 +146,17 @@ class CrawlRun:
         self.fetch_log = FetchLogTable(workdir)
         self.checkpoints = CheckpointLog(workdir)
         self.queue_state = QueueStateTable(workdir) if cfg.budget_carry else None
-        self.bloom_store = BloomStore(
+        # F1 membership seam: bloom (default) or the deletion-capable
+        # cuckoo store — same probe/update surface, chosen by config.
+        # The attribute keeps its historical name; both stores satisfy
+        # load()/update(), and only the cuckoo one has delete().
+        if cfg.membership_kind == "cuckoo":
+            from sparkcrawl.operators.cuckoo import CuckooStore
+
+            store_cls = CuckooStore
+        else:
+            store_cls = BloomStore
+        self.bloom_store = store_cls(
             workdir,
             depth=cfg.shard_prefix_depth,
             capacity_per_shard=cfg.bloom_capacity_per_shard,
@@ -162,7 +177,9 @@ class CrawlRun:
         if self.cfg.use_bloom_prefilter:
             # bloom BEFORE merge: superset invariant (see run_superstep)
             rows = rows.persist()
-            self.bloom_store.update(rows.select("url_hash"))
+            self.bloom_store.update(
+                rows.select("url_hash"), channel="bootstrap", superstep=0
+            )
         self.frontier.merge(rows, superstep=0, tag="bootstrap")
         self.checkpoints.commit(
             self.spark, 0, self.cfg.t0, f"frontier-v{self.frontier.store.version}",
@@ -289,7 +306,7 @@ class CrawlRun:
                 # restart would violate the superset invariant (stale
                 # bloom re-admits seen URLs) — rebuild once from the
                 # authoritative key set.
-                bloom = self.bloom_store.update(seen)
+                bloom = self.bloom_store.update(seen, channel="rebuild")
         new_urls = filter_unseen(distinct_cands, seen, cfg, bloom)
         new_rows = frontier_rows_from_urls(
             new_urls.select("url"),
@@ -321,10 +338,32 @@ class CrawlRun:
             # bloom update and merge leaves extra hashes in the bloom,
             # which only costs anti-join probes (tests/test_membership.py).
             new_rows = new_rows.persist()
-            self.bloom_store.update(new_rows.select("url_hash"))
+            self.bloom_store.update(
+                new_rows.select("url_hash"), channel="superstep", superstep=superstep
+            )
         snapshot_id = self.frontier.merge(
             updates, superstep, tag=f"superstep-{superstep}"
         )
+        if (
+            cfg.use_bloom_prefilter
+            and cfg.retire_gone_urls
+            and hasattr(self.bloom_store, "delete")
+        ):
+            # Cuckoo-only: retire this superstep's gone URLs — robots-
+            # denied AND outcome-gone (404 / retries exhausted, T4) — so
+            # their prefilter slots recycle. AFTER the frontier commit
+            # (a kill in between replays the merge tagged, then deletes
+            # once — CuckooStore's superstep tag makes the delete
+            # idempotent, which matters: replaying a delete could remove
+            # a colliding live key's fingerprint copy). Semantics: a
+            # re-discovered gone URL re-enters the frontier once and is
+            # re-resolved — robots-denied rows are re-gated (never
+            # fetched); a 404 re-fetch re-resolves to gone with no
+            # document rows (extraction_finished short-circuits).
+            gone_keys = denied.select("url_hash").unionByName(
+                requeued.filter(F.col("state") == "gone").select("url_hash")
+            )
+            self.bloom_store.delete(gone_keys, superstep=superstep)
         if self.queue_state is not None:
             # A2 carry bookkeeping: all three inputs are queue-cardinality
             from sparkcrawl.operators.schedule import eligible, update_queue_state
@@ -419,7 +458,11 @@ class CrawlRun:
                 cmd = json.load(f)
         except (OSError, ValueError):
             return {}
-        os.replace(path, f"{path}.consumed-{superstep}")
+        # Effect FIRST, consume SECOND (r2 ADVICE): renaming before the
+        # seed merge loses the seeds if we crash in between — the file
+        # is consumed but its effect never committed. The reverse order
+        # is crash-safe because re-applying on replay is idempotent
+        # (the seen-keys anti-join drops already-merged seeds).
         seeds = cmd.get("add_seeds")
         if seeds:
             from sparkcrawl.schemas import SEEDS_SCHEMA
@@ -436,8 +479,11 @@ class CrawlRun:
                 frows = frows.join(seen, "url_hash", "left_anti")
             if self.cfg.use_bloom_prefilter:
                 frows = frows.persist()
-                self.bloom_store.update(frows.select("url_hash"))
+                self.bloom_store.update(
+                    frows.select("url_hash"), channel="control", superstep=superstep
+                )
             self.frontier.merge(frows, superstep)
+        os.replace(path, f"{path}.consumed-{superstep}")
         return cmd
 
     def resume(self, max_supersteps: int = 10) -> list[SuperstepStats]:

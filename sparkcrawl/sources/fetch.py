@@ -39,6 +39,43 @@ FETCH_SCHEMA_ADD = [
 ]
 
 
+def http_date(dt) -> str:
+    """C7: RFC-1123 wire format for If-Modified-Since — stdlib
+    ``email.utils.format_datetime(usegmt=True)``, the same serde family
+    the reference uses (src/spyder/processor/fetcher.py builds the
+    conditional-GET headers; src/spyder/time.py serializes HTTP dates).
+    Naive timestamps are pinned to UTC (parquet NTZ, UTC session)."""
+    from datetime import timezone as _tz
+    from email.utils import format_datetime
+
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_tz.utc)
+    return format_datetime(dt, usegmt=True)
+
+
+def parse_http_date(s: str | None):
+    """C7: parse a Last-Modified / RFC-1123 header; None on garbage
+    (the reference tolerates unparseable server dates)."""
+    from email.utils import parsedate_to_datetime
+
+    try:
+        return parsedate_to_datetime(s) if s else None
+    except (TypeError, ValueError):
+        return None
+
+
+@F.pandas_udf(T.StringType())
+def http_date_udf(ts: pd.Series) -> pd.Series:
+    """Vectorized C7 formatter (oracle surface for the engine serde)."""
+    return ts.map(lambda d: None if pd.isna(d) else http_date(d.to_pydatetime()))
+
+
+@F.pandas_udf(T.TimestampType())
+def parse_http_date_udf(s: pd.Series) -> pd.Series:
+    """Vectorized C7 parser (tz-aware UTC; session TZ is UTC)."""
+    return s.map(parse_http_date)
+
+
 def synthetic_fetch(batch: DataFrame, web: DataFrame) -> DataFrame:
     """J4: fetch batch ⋈ web fixture on url (broadcast the batch side
     when small, else plain equi-join that AQE plans).
@@ -105,25 +142,14 @@ def http_fetch(
             if row.etag and not pd.isna(row.etag):
                 headers["If-None-Match"] = row.etag
             if row.mod_date is not None and not pd.isna(row.mod_date):
-                from datetime import timezone as _tz
-                from email.utils import format_datetime
-
-                dt = row.mod_date.to_pydatetime()
-                if dt.tzinfo is None:  # parquet NTZ timestamps arrive naive (UTC session)
-                    dt = dt.replace(tzinfo=_tz.utc)
-                headers["If-Modified-Since"] = format_datetime(dt, usegmt=True)
+                # parquet NTZ timestamps arrive naive (UTC session)
+                headers["If-Modified-Since"] = http_date(row.mod_date.to_pydatetime())
             try:
                 status, rep_headers, body = transport(row.url, headers)
             except Exception:
                 return dict(status_code=None, content_type=None, location=None,
                             rep_etag=None, rep_last_modified=None, body=None)
-            from email.utils import parsedate_to_datetime
-
-            lm = rep_headers.get("Last-Modified")
-            try:
-                lm = parsedate_to_datetime(lm) if lm else None
-            except (TypeError, ValueError):
-                lm = None
+            lm = parse_http_date(rep_headers.get("Last-Modified"))
             return dict(
                 status_code=status,
                 content_type=rep_headers.get("Content-Type"),

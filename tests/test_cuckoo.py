@@ -54,3 +54,107 @@ def test_interface_matches_bloom(built):
     for method in ("might_contain_series",):
         assert callable(getattr(ShardedCuckoo, method))
         assert callable(getattr(ShardedBloom, method))
+
+
+def test_overflow_surfaced_and_prefilter_safe(spark):
+    """r2 ADVICE: a shard past its load ceiling must not silently drop
+    fingerprints — build counts drops, flags lossy, and a lossy filter's
+    prefilter marks EVERY row maybe_seen (anti-join stays the authority:
+    a consumer can never use the miss-bypass to re-add seen URLs)."""
+    from pyspark.sql import functions as F
+
+    keys = _hashes(3000)
+    df = spark.createDataFrame([(h,) for h in keys], ["url_hash"])
+    ck = ShardedCuckoo.build(df, depth=0, capacity_per_shard=64)
+    assert ck.dropped > 0
+    assert ck.lossy
+    tagged = ck.prefilter(df)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_store_roundtrip_update_delete(spark, tmp_path):
+    from sparkcrawl.operators.cuckoo import CuckooStore
+
+    keys = _hashes(500)
+    df = spark.createDataFrame([(h,) for h in keys], ["url_hash"])
+    store = CuckooStore(str(tmp_path), depth=2, capacity_per_shard=1 << 12)
+    store.update(df, channel="superstep", superstep=1)
+    ck = store.load()
+    assert bool(ck.might_contain_series(pd.Series(keys)).all())
+
+    gone = spark.createDataFrame([(h,) for h in keys[:50]], ["url_hash"])
+    assert store.delete(gone, superstep=2) == 50
+    # kill/replay: the same superstep's delete must NOT apply twice (a
+    # second delete could strip a colliding live key's fingerprint copy)
+    assert store.delete(gone, superstep=2) == 0
+    ck2 = store.load()
+    assert bool(ck2.might_contain_series(pd.Series(keys[50:])).all())
+    assert ck2.might_contain_series(pd.Series(keys[:50])).mean() < 0.05
+
+
+def test_store_update_replay_skipped(spark, tmp_path):
+    """Replaying a superstep's update is a no-op (tag match): no
+    duplicate fingerprint copies are stacked into the shards."""
+    import numpy as np
+
+    from sparkcrawl.operators.cuckoo import CuckooStore
+
+    df = spark.createDataFrame([(h,) for h in _hashes(200)], ["url_hash"])
+    store = CuckooStore(str(tmp_path), depth=2, capacity_per_shard=1 << 12)
+    store.update(df, channel="superstep", superstep=3)
+    before = {p: s.table.copy() for p, s in store.load().shards.items()}
+    store.update(df, channel="superstep", superstep=3)  # replay
+    after = store.load().shards
+    assert set(before) == set(after)
+    for p in before:
+        assert np.array_equal(before[p], after[p].table)
+
+
+def test_store_overflow_raises(spark, tmp_path):
+    from sparkcrawl.operators.cuckoo import CuckooStore
+
+    df = spark.createDataFrame([(h,) for h in _hashes(2000)], ["url_hash"])
+    store = CuckooStore(str(tmp_path), depth=0, capacity_per_shard=64)
+    with pytest.raises(RuntimeError, match="overflow"):
+        store.update(df)
+
+
+def test_gone_slot_reusable():
+    """The point of the cuckoo variant: deleting a retired key frees a
+    slot a NEW key can occupy — blooms can never do this."""
+    from sparkcrawl.operators.cuckoo import CuckooShard
+
+    sh = CuckooShard(8)
+    inserted, failed = [], None
+    for f in range(1, 500):
+        if sh.insert(f % 8, f):
+            inserted.append((f % 8, f))
+        else:
+            failed = (f % 8, f)
+            break
+    assert failed is not None, "shard never filled"
+    i1, fp = inserted[0]
+    assert sh.delete(i1, fp)
+    assert sh.insert(*failed), "freed slot must be reusable"
+
+
+def test_engine_retires_gone_urls(spark, mini_cfg, mini_web, tmp_path):
+    """cfg.membership_kind='cuckoo' + retire_gone_urls: after a crawl,
+    robots-denied (gone) frontier keys are retired from the prefilter
+    while every live key still probes present (no false negatives)."""
+    import dataclasses
+
+    from sparkcrawl.plans.superstep import CrawlRun
+
+    cfg = dataclasses.replace(
+        mini_cfg, membership_kind="cuckoo", retire_gone_urls=True
+    )
+    run = CrawlRun(spark, str(tmp_path), cfg, mini_web["web"], mini_web["robots"])
+    run.run(mini_web["seeds"], max_supersteps=4)
+    frontier = run.frontier.read(spark)
+    gone = [r["url_hash"] for r in frontier.filter("state = 'gone'").collect()]
+    live = [r["url_hash"] for r in frontier.filter("state <> 'gone'").collect()]
+    assert gone, "fixture must produce robots-denied URLs"
+    ck = run.bloom_store.load()
+    assert bool(ck.might_contain_series(pd.Series(live)).all())
+    assert ck.might_contain_series(pd.Series(gone)).mean() < 0.3

@@ -26,6 +26,18 @@ CASES = {
     "localhost": "localhost",
     # label that merely ENDS with a suffix string is not a match
     "xco.uk": "xco.uk",
+    # wildcard rule *.ck: any single label under .ck is a public suffix
+    "foo.bar.ck": "foo.bar.ck",
+    "deep.foo.bar.ck": "foo.bar.ck",
+    # a wildcard public suffix used as a host falls back (last two)
+    "bar.ck": "bar.ck",
+    # exception rule !www.ck beats the covering wildcard
+    "www.ck": "www.ck",
+    "a.www.ck": "www.ck",
+    # 2-label wildcard base *.kawasaki.jp + its exception
+    "x.y.kawasaki.jp": "x.y.kawasaki.jp",
+    "city.kawasaki.jp": "city.kawasaki.jp",
+    "sub.city.kawasaki.jp": "city.kawasaki.jp",
 }
 
 

@@ -160,3 +160,32 @@ def test_golden_requeue_math():
         assert r["error_count"] == e_out, (status, p_in)
         if delta is not None and state == "pending":
             assert (r["next_date"].replace(tzinfo=timezone.utc) - t).total_seconds() == delta, (status, p_in)
+
+
+# ---- cuckoo membership: pure prefilter swap, full parity ------------------
+
+@pytest.fixture(scope="module")
+def engine_cuckoo(spark, mini_cfg, mini_web, tmp_path_factory):
+    import dataclasses
+
+    cfg = dataclasses.replace(mini_cfg, membership_kind="cuckoo")
+    run = CrawlRun(
+        spark, str(tmp_path_factory.mktemp("parity-cuckoo")), cfg,
+        mini_web["web"], mini_web["robots"],
+    )
+    run.run(mini_web["seeds"], max_supersteps=N_SUPERSTEPS)
+    return run
+
+
+def test_cuckoo_membership_crawl_order_parity(engine_cuckoo, sim, spark):
+    """membership_kind='cuckoo' (retirement off) is a pure prefilter
+    swap: crawl order must still match the sequential reference."""
+    assert _engine_fetch_order(engine_cuckoo, spark) == sim.fetch_log
+
+
+def test_cuckoo_membership_seen_set_parity(engine_cuckoo, sim, spark):
+    engine_seen = sorted(
+        r["url_hash"]
+        for r in engine_cuckoo.frontier.read(spark).select("url_hash").collect()
+    )
+    assert engine_seen == sim.seen_hashes

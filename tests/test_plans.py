@@ -112,3 +112,31 @@ def test_no_python_udf_in_relational_ops(spark, queries):
         p = plan_of(queries[name](spark, SF), "simple")
         assert "BatchEvalPython" not in p, name
         assert "ArrowEvalPython" not in p, name
+
+
+def test_robots_gate_is_agg_not_window(spark, queries):
+    """R2: winner-per-URL is an argmax -> max_by agg with map-side
+    partial combine; a window would open one sort partition per URL."""
+    p = plan_of(queries["r2_robots_gate"](spark, SF), "simple")
+    assert "Window" not in p
+    assert "partial_max_by" in p
+
+
+def test_ivf_assign_is_agg_not_window(spark):
+    """IVF nprobe=1 cell assignment is an argmax -> max_by agg; the
+    rank-limit window is allowed only in ivf_assign_topn (nprobe>1)."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.simsearch import ivf_assign
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(cast(id as float), cast(id + 1 as float))").alias("embedding"),
+    )
+    cents = spark.range(4).select(
+        F.col("id").alias("centroid_id"),
+        F.expr("array(cast(id as double), 1.0)").alias("c_vec"),
+    )
+    p = plan_of(ivf_assign(emb, cents), "simple")
+    assert "Window" not in p
+    assert "partial_max_by" in p

@@ -161,6 +161,41 @@ def test_starved_queue_catches_up_with_carry(spark):
     assert took[2] == {1: 3}
 
 
+def test_spent_carry_resets_to_zero(spark, tmp_path):
+    """r2 ADVICE regression: queue_state reads keep-latest per queue, so
+    a spent (or drained-queue) carry must be WRITTEN as an explicit 0
+    row — filtering carry<=0 rows before the merge left the stale
+    positive carry visible forever (permanent over-fetch)."""
+    from sparkcrawl.operators.schedule import update_queue_state
+    from sparkcrawl.sources.store import QueueStateTable
+
+    cfg = CrawlConfig(
+        num_queues=4, active_queues=1, per_queue_budget=2, heap_size=10,
+        budget_carry=True,
+    )
+    qs = QueueStateTable(str(tmp_path))
+    no_taken = spark.createDataFrame([], "queue INT, taken LONG")
+
+    # superstep 1: queue 0 starved (eligible 5, taken 0) -> banks carry 2
+    elig = spark.createDataFrame([(0, 5)], ["queue", "pending"])
+    qs.merge(update_queue_state(elig, no_taken, None, cfg), superstep=1)
+    carry1 = {r["queue"]: r["carry"] for r in qs.read(spark).collect()}
+    assert carry1 == {0: 2}
+
+    # superstep 2: queue 0 selected, spends budget+carry (takes 4)
+    taken = spark.createDataFrame([(0, 4)], ["queue", "taken"])
+    qs.merge(update_queue_state(elig, taken, qs.read(spark), cfg), superstep=2)
+    assert qs.read(spark).count() == 0  # 2 + 2 - 4 = 0, written explicitly
+
+    # stale-carry variant: a banked queue with NO eligible work resets
+    qs2 = QueueStateTable(str(tmp_path / "b"))
+    qs2.merge(update_queue_state(elig, no_taken, None, cfg), superstep=1)
+    assert qs2.read(spark).count() == 1
+    no_elig = spark.createDataFrame([], "queue INT, pending LONG")
+    qs2.merge(update_queue_state(no_elig, no_taken, qs2.read(spark), cfg), superstep=2)
+    assert qs2.read(spark).count() == 0  # reset row supersedes the bank
+
+
 def test_budget_carry_crawl_run_smoke(spark, mini_web, tmp_path):
     """budget_carry=True: queue_state persists in the workdir, the crawl
     completes, and kill/resume still works (snapshot-pinned carry)."""

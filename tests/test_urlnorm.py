@@ -43,6 +43,22 @@ def test_canonicalize_cases(url, base, expected):
     assert canonicalize_one(url, base) == expected
 
 
+def test_fast_path_rejects_trailing_newline():
+    """Regression (r2 ADVICE): '$' in the fast-path regex matches before
+    a trailing newline, letting 'http://h/a\\n' through unchanged while
+    canonicalize_one strips it — one logical URL, two url_hash values.
+    The \\Z anchor must route such rows to the slow path."""
+    import pandas as pd
+
+    from sparkcrawl.functions.urlnorm import canonicalize_series
+
+    urls = ["http://h.example/a\n", "http://h.example/a", "http://h.example/a\nx"]
+    got = list(canonicalize_series(pd.Series(urls)))
+    want = [canonicalize_one(u) for u in urls]
+    assert got == want
+    assert got[0] == "http://h.example/a"  # newline stripped, same hash key
+
+
 @given(
     st.from_regex(r"http://[a-z]{1,8}\.example(:[0-9]{2,4})?/[a-zA-Z0-9/_.-]{0,20}(\?[a-z]=[0-9]&?[a-z]?=?[0-9]?)?(#[a-z0-9]{0,5})?", fullmatch=True)
 )
