@@ -79,7 +79,13 @@ def _events_repartitioned(spark, sf_dir: str):
     # events is ONE small parquet file -> 1 scan partition; without an
     # explicit repartition all derived multi-million-row compute would
     # run single-core (a real 10^10 frontier arrives as thousands of files).
-    par = spark.sparkContext.defaultParallelism * 2
+    # SPARK_GRAFT_BENCH_PARTITIONS pins the count: the N->4N scaling
+    # protocol must present BOTH legs the same work units (a real
+    # frontier's file count does not change when executors are added);
+    # a parallelism-derived count also makes per-task Arrow batches 4x
+    # larger on the small leg — enough to OOM its executors.
+    par = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "0")) \
+        or spark.sparkContext.defaultParallelism * 2
     return (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("event_id", "user_id", "ts")

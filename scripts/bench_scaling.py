@@ -51,10 +51,18 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=400,
                     help="input = replicas x |events| raw URLs (400 -> 40M at sf0.1)")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--partitions", type=int, default=128,
+                    help="FIXED input+shuffle partition count used by both "
+                         "legs — a real frontier's file count does not "
+                         "change when executors are added, and a "
+                         "parallelism-derived count gives the small leg "
+                         "4x-larger Arrow batches (OOM) and different "
+                         "work units (unfair comparison)")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
+    os.environ["SPARK_GRAFT_BENCH_PARTITIONS"] = str(args.partitions)
     master = args.master or f"local-cluster[{args.executors},{args.cores},{args.mem}]"
     total_cores = (
         args.executors * args.cores if master.startswith("local-cluster")
@@ -67,10 +75,12 @@ def main() -> None:
     spark = get_spark(
         app_name=f"sparkcrawl-scaling-{master}",
         master=master,
-        shuffle_partitions=total_cores,
-        # executor-shaped runs ship the package the spark-submit way
-        extra_conf={"spark.default.parallelism": str(total_cores)}
-        if total_cores else None,
+        # FIXED across legs (see --partitions); AQE coalesces post-shuffle
+        shuffle_partitions=args.partitions,
+        # local-cluster's mem operand only sizes the WORKER's allotment;
+        # the executor JVM still takes spark.executor.memory (default
+        # 1g) — set it explicitly or every leg runs on 1g heaps.
+        extra_conf={"spark.executor.memory": f"{args.mem}m"},
     )
     if master.startswith("local-cluster"):
         from scripts.build_pyfiles import build
@@ -84,6 +94,7 @@ def main() -> None:
         executors=args.executors if master.startswith("local-cluster") else None,
         cores_per_executor=args.cores if master.startswith("local-cluster") else None,
         total_cores=total_cores,
+        partitions=args.partitions,
         sf_dir=args.sf_dir,
     )
     print(json.dumps(result))
