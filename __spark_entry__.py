@@ -585,6 +585,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cand = textops.minhash_lsh_pairs(dupped, num_perms=8, n=8, max_bucket_size=100)
         return textops.verify_jaccard_pairs(cand, dupped, n=8, threshold=0.8)
 
+    def dedup_connected_components(spark, sf):
+        """Min-label connected components over a deterministic synthetic
+        graph on the documents ids: chains (doc_id -> doc_id+1 where
+        doc_id%10 < 4) and stars (doc_id%100 in 50..52 -> its x00 hub),
+        which overlap at hub ids so chain+star components merge. The
+        oracle re-derives components with a recursive CTE."""
+        ids = _read(spark, sf, "documents").select("doc_id")
+        e1 = (
+            ids.alias("i")
+            .join(ids.alias("j"), F.col("j.doc_id") == F.col("i.doc_id") + 1)
+            .filter(F.col("i.doc_id") % 10 < 4)
+            .select(F.col("i.doc_id").alias("id_a"), F.col("j.doc_id").alias("id_b"))
+        )
+        hub = F.col("i.doc_id") - F.col("i.doc_id") % 100
+        e2 = (
+            ids.alias("i")
+            .join(ids.alias("j"), F.col("j.doc_id") == hub)
+            .filter((F.col("i.doc_id") % 100 >= 50) & (F.col("i.doc_id") % 100 <= 52))
+            .select(F.col("i.doc_id").alias("id_a"), F.col("j.doc_id").alias("id_b"))
+        )
+        return textops.connected_components(e1.unionByName(e2))
+
+    def dedup_corpus_canonical(spark, sf):
+        """The END-TO-END corpus dedup policy: LSH candidates -> exact
+        verify -> connected components -> keep min doc_id per cluster.
+        Triplicated docs (<25) form 3-cliques, so the component step's
+        transitivity is actually exercised — pair-level dedup alone
+        would double-delete or leave dups."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        dupped = (
+            docs.unionByName(
+                docs.filter(F.col("doc_id") < 50).select(
+                    (F.col("doc_id") + 10000).alias("doc_id"), "text"
+                )
+            ).unionByName(
+                docs.filter(F.col("doc_id") < 25).select(
+                    (F.col("doc_id") + 20000).alias("doc_id"), "text"
+                )
+            )
+        )
+        kept = textops.dedup_corpus_canonical(
+            dupped, num_perms=8, n=8, threshold=0.8, max_bucket_size=100
+        )
+        return kept.select("doc_id", F.md5("text").alias("text_md5"))
+
     def dedup_simhash(spark, sf):
         docs = _read(spark, sf, "documents").select("doc_id", "text")
         return textops.simhash(docs, bits=32)
@@ -829,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_lsh_verified": dedup_lsh_verified,
+        "dedup_connected_components": dedup_connected_components,
+        "dedup_corpus_canonical": dedup_corpus_canonical,
         "dedup_simhash": dedup_simhash,
         "simsearch_bruteforce_topk": simsearch_bruteforce_topk,
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
@@ -1130,6 +1177,71 @@ def oracle_sql() -> dict[str, str]:
                    round(inter / (za.n_sh + zb.n_sh - inter), 6) AS jaccard
             FROM inter JOIN sizes za ON za.id = id_a JOIN sizes zb ON zb.id = id_b
             WHERE round(inter / (za.n_sh + zb.n_sh - inter), 6) >= 0.8
+        """,
+        "dedup_connected_components": """
+            WITH RECURSIVE
+            ids AS (SELECT doc_id FROM documents),
+            e1 AS (
+              SELECT i.doc_id AS a, j.doc_id AS b
+              FROM ids i JOIN ids j ON j.doc_id = i.doc_id + 1
+              WHERE i.doc_id % 10 < 4),
+            e2 AS (
+              SELECT i.doc_id AS a, j.doc_id AS b
+              FROM ids i JOIN ids j ON j.doc_id = i.doc_id - i.doc_id % 100
+              WHERE i.doc_id % 100 BETWEEN 50 AND 52),
+            edges AS (SELECT a, b FROM e1 UNION ALL SELECT a, b FROM e2),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            nodes AS (SELECT DISTINCT a AS id FROM sym),
+            reach AS (
+              SELECT id, id AS comp FROM nodes
+              UNION
+              SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id)
+            SELECT id, CAST(min(comp) AS BIGINT) AS comp
+            FROM reach GROUP BY id
+        """,
+        "dedup_corpus_canonical": """
+            WITH RECURSIVE
+            dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+              UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 25),
+            sh AS (
+              SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle
+              FROM dup, generate_series(1, 2000) AS g(i)
+              WHERE i <= len(text) - 7),
+            sig AS (
+              SELECT id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
+              FROM sh CROSS JOIN generate_series(0, 7) AS p(perm)
+              GROUP BY id, perm),
+            ok AS (
+              SELECT perm, sig FROM sig GROUP BY perm, sig HAVING count(*) <= 100),
+            sig2 AS (SELECT sig.* FROM sig JOIN ok USING (perm, sig)),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM sig2 a JOIN sig2 b ON a.perm = b.perm AND a.sig = b.sig AND a.id < b.id),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cand c
+              JOIN sh sa ON sa.id = c.id_a
+              JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2),
+            ver AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sizes za ON za.id = id_a JOIN sizes zb ON zb.id = id_b
+              WHERE round(inter / (za.n_sh + zb.n_sh - inter), 6) >= 0.8),
+            sym AS (SELECT id_a AS a, id_b AS b FROM ver
+                    UNION SELECT id_b, id_a FROM ver),
+            nodes AS (SELECT DISTINCT a AS id FROM sym),
+            reach AS (
+              SELECT id, id AS comp FROM nodes
+              UNION
+              SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+            comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+            losers AS (SELECT id FROM comp WHERE id <> comp)
+            SELECT d.doc_id, md5(d.text) AS text_md5
+            FROM dup d LEFT JOIN losers l ON l.id = d.doc_id
+            WHERE l.id IS NULL
         """,
         "dedup_simhash": _simhash_sql(32),
         "simsearch_bruteforce_topk": """

@@ -414,6 +414,110 @@ def doc_fingerprint(docs: DataFrame, n: int = 8, text_col: str = "text",
     return sh.groupBy("id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list -> (id, comp)
+    where ``comp`` is the MINIMUM node id reachable from ``id``. Only
+    nodes that appear in an edge are returned (singletons are the
+    caller's anti-join, see :func:`dedup_corpus_canonical`).
+
+    Iterative min-label propagation, fully relational:
+
+        lbl(x) <- min(lbl(x), min over neighbors of lbl(n))
+
+    Each round is one equi-join + one min hash-aggregation (map-side
+    combine) — a single shuffle per round; rounds needed = graph
+    diameter. For near-dup clustering that diameter is tiny: banded
+    LSH emits near-cliques, so 2-4 rounds close real corpora. For
+    arbitrary high-diameter graphs the O(log n)-round large-star/
+    small-star contraction would slot behind this same signature; it
+    is deliberately NOT used here because dedup graphs do not need it
+    and min-propagation's per-round plan is one shuffle cheaper.
+
+    Scale notes: labels only ever DECREASE, so ``sum(comp)`` is
+    strictly monotone while anything changes — convergence costs one
+    scalar aggregate per round (config-bounded driver data, the repo's
+    collect rule). ``localCheckpoint`` truncates the per-round lineage
+    (without it the plan doubles each iteration and round k replays
+    rounds 1..k-1).
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .persist()
+    )
+    lbl = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = lbl.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = sym.join(lbl, sym["dst"] == lbl["id"]).groupBy("src").agg(
+            F.min("comp").alias("_nbr_min")
+        )
+        new_lbl = (
+            lbl.join(nbr, lbl["id"] == nbr["src"], "left")
+            .select(
+                lbl["id"],
+                F.least(
+                    F.col("comp"), F.coalesce("_nbr_min", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new_lbl.agg(F.sum("comp")).collect()[0][0]
+        lbl = new_lbl
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return lbl
+
+
+def dedup_corpus_canonical(
+    docs: DataFrame,
+    num_perms: int = 8,
+    n: int = 8,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 100,
+) -> DataFrame:
+    """The full corpus-dedup pipeline, end to end:
+
+        MinHash-LSH candidates -> exact-Jaccard verify (candidate
+        pairs only) -> connected components -> keep the MIN doc id
+        per cluster.
+
+    Returns the SURVIVING rows of ``docs``: one canonical per near-dup
+    cluster plus every singleton. Pair-level dedup alone is not a
+    dedup policy — near-duplication is transitive in practice (A~B,
+    B~C but A!~C), and without the component step a kill-one-of-each-
+    pair rule either over-deletes or leaves dups behind. Every stage
+    is the capped/banded/two-phase shape documented on the underlying
+    operators; nothing here is all-pairs.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, num_perms=num_perms, n=n, text_col=text_col, id_col=id_col,
+        max_bucket_size=max_bucket_size,
+    )
+    verified = verify_jaccard_pairs(
+        pairs, docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    comp = connected_components(verified)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def spans_to_text(docs_spans: DataFrame) -> DataFrame:
     """Adapter: interleaved-span documents (input_hint schema) -> flat text
     (space-joined text spans, media refs dropped)."""

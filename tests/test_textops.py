@@ -135,3 +135,56 @@ def test_spans_to_text(spark):
     df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
     out = textops.spans_to_text(df).collect()
     assert out[0]["text"] == "hello world"
+
+
+# --------------------------------------------------------------------------
+# connected components + end-to-end canonical dedup
+# --------------------------------------------------------------------------
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {r["id"]: r["comp"]
+            for r in textops.connected_components(df).collect()}
+
+
+def test_cc_chain_star_disjoint(spark):
+    # chain 1-2-3-4, star 10-(11,12,13), disjoint pair 20-21
+    comp = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13),
+                       (20, 21)])
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10, 13: 10,
+                    20: 20, 21: 20}
+
+
+def test_cc_merges_through_bridge(spark):
+    # two cliques joined by one bridge edge -> single component, min id wins
+    comp = _cc(spark, [(5, 6), (6, 7), (30, 31), (31, 32), (7, 30)])
+    assert set(comp.values()) == {5}
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    comp = _cc(spark, [(2, 1), (1, 2), (2, 1), (3, 2)])
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_high_diameter_path_converges(spark):
+    # a 12-node path is far beyond any LSH clique diameter; min-label
+    # propagation still closes it within max_iters
+    edges = [(i, i + 1) for i in range(100, 111)]
+    comp = _cc(spark, edges)
+    assert set(comp.values()) == {100} and len(comp) == 12
+
+
+def test_dedup_corpus_canonical(spark):
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog today"),
+        (2, "the cat sat on the mat and looked at the dog today"),   # dup of 1
+        (3, "the cat sat on the mat and looked at the dog tonight"), # near 1/2
+        (6, "completely different content about spark engines ok"),
+        (7, "another unrelated document with its own words here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r["doc_id"] for r in textops.dedup_corpus_canonical(
+        docs, num_perms=8, n=5, threshold=0.5).collect()}
+    # transitive cluster {1,2,3} -> canonical 1; singletons survive
+    assert kept == {1, 6, 7}
