@@ -55,6 +55,11 @@ class CrawlConfig:
     # batch slots, so the flag is off by default to pin the crawl-order
     # goldens exactly.
     retire_gone_urls: bool = False
+    # content-seen dedup (S6 + exact-dedup composed into the engine):
+    # mirrors/aliases fetch identical bodies under different URLs; when
+    # on, only the FIRST document per content hash is stored. Off by
+    # default to pin the documents-table goldens exactly.
+    dedup_documents: bool = False
     # --- virtual clock (T1) ---
     t0: datetime = T0
     tick_seconds: float = 1.0

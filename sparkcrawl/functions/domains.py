@@ -120,10 +120,16 @@ def registered_domain(host: Column) -> Column:
         expr = expr.when(
             (host == F.lit(exc)) | host.endswith(F.lit("." + exc)), F.lit(exc)
         )
+    # regexp_extract returns "" on no-match and both capture groups are
+    # non-empty by construction, so extract-once + ""-test halves the
+    # regex evaluations vs rlike-then-extract (the alternation regex is
+    # the whole cost of this function; measured on the c9 bench query).
+    etld1 = F.regexp_extract(host, pat, 1)
+    # unknown TLD: last two labels; single-label hosts stay themselves
+    last2 = F.regexp_extract(host, _LAST_TWO, 1)
     return (
-        expr.when(host.rlike(pat), F.regexp_extract(host, pat, 1))
-        # unknown TLD: last two labels; single-label hosts stay themselves
-        .when(host.rlike(r"[^.]+\.[^.]+$"), F.regexp_extract(host, _LAST_TWO, 1))
+        expr.when(etld1 != "", etld1)
+        .when(last2 != "", last2)
         .otherwise(host)
     )
 

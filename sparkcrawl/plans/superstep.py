@@ -249,6 +249,8 @@ class CrawlRun:
             extracted = apply_pipeline(extracted, cfg, cfg.extractor_pipeline)
         extracted = extracted.persist()
         docs = documents_from_fetch(extracted)
+        if cfg.dedup_documents:
+            docs = self._dedup_documents(spark, docs, superstep)
         self.documents.append(docs, superstep)
 
         # S6/A3: ordered fetch log — rank over the full batch's total order
@@ -425,6 +427,48 @@ class CrawlRun:
         )
 
     # -- T1: virtual clock ---------------------------------------------------
+    def _dedup_documents(
+        self, spark, docs: DataFrame, superstep: int
+    ) -> DataFrame:
+        """Content-seen dedup — the exact-dedup operator composed into
+        the crawl (cfg.dedup_documents). Mirrors and URL aliases fetch
+        byte-identical pages under different URLs; at 10^10 scale
+        storing each copy multiplies the corpus for zero value.
+
+        Content key = md5 over the canonical JSON of the span sequence
+        (the same (kind,text,media_ref,offset) tuples the parity
+        surface pins — two docs are "the same content" iff their
+        interleaved spans are equal). Batch-level first-wins is a
+        min_by hash aggregation (map-side combine, no window; same
+        family as operators/dedup.py batch_distinct). Cross-superstep
+        seen-ness is an anti-join against the content_hash COLUMN
+        persisted on the documents table itself — one column scan of
+        the corpus, never a recompute of old spans; the same O(seen)
+        anti-join shape the URL dedup already pays. Replay-safe: the
+        prior-hash read EXCLUDES this superstep's tagged delta, so a
+        replayed superstep reproduces the same survivor set and
+        replace-on-append swaps its delta (T5)."""
+        hashed = docs.withColumn("content_hash", F.md5(F.to_json("spans")))
+        first = (
+            hashed.groupBy("content_hash")
+            .agg(
+                F.min_by(
+                    F.struct("doc_id", "spans"), F.col("doc_id")
+                ).alias("_d")
+            )
+            .select(
+                F.col("_d.doc_id").alias("doc_id"),
+                F.col("_d.spans").alias("spans"),
+                "content_hash",
+            )
+        )
+        prior = self.documents.content_hashes(
+            spark, exclude_superstep=superstep
+        )
+        if prior is not None:
+            first = first.join(prior, "content_hash", "left_anti")
+        return first
+
     def _advance_clock_from(self, min_pending_next, virtual_time: datetime) -> datetime:
         tick = timedelta(seconds=self.cfg.tick_seconds)
         floor = virtual_time + tick

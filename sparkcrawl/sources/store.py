@@ -365,3 +365,24 @@ class DocumentsTable:
     def read(self, spark: SparkSession) -> DataFrame | None:
         raw = self.store.read_raw(spark)
         return None if raw is None else raw.drop("_delta_seq")
+
+    def content_hashes(
+        self, spark: SparkSession, exclude_superstep: int | None = None
+    ) -> DataFrame | None:
+        """The stored ``content_hash`` column (present when the engine
+        runs with cfg.dedup_documents) — a COLUMN scan of the corpus,
+        never a recompute of old spans. ``exclude_superstep`` drops that
+        superstep's tagged delta from the read: a REPLAYED superstep
+        must not see its own killed attempt's rows as "prior content"
+        (it would dedup everything away and then replace the delta with
+        nothing — T5)."""
+        deltas = self.store.snapshot()
+        if exclude_superstep is not None:
+            deltas = [
+                d for d in deltas
+                if d.get("tag") != f"superstep-{exclude_superstep}"
+            ]
+        raw = self.store.read_raw(spark, snapshot=deltas)
+        if raw is None or "content_hash" not in raw.columns:
+            return None  # empty table, or written before the flag was on
+        return raw.select("content_hash")
