@@ -679,6 +679,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return textops.doc_fingerprint(docs, n=8)
 
+    def text_tfidf_topterms(spark, sf):
+        """Top-3 characteristic terms per doc by smoothed TF-IDF
+        (tokens, tf, df, idf all re-derived relationally in DuckDB)."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return textops.tfidf_top_terms(docs, k=3)
+
+    def text_bm25_query(spark, sf):
+        """Okapi BM25 of every doc against a fixed query term set —
+        corpus-cardinality output (no-match docs score 0)."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return textops.bm25_scores(docs, ("spark", "join", "window"))
+
     def tpch_q1_pricing_summary(spark, sf):
         li = _read(spark, sf, "lineitem")
         return (
@@ -885,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": text_quality_score,
         "text_token_counts": text_token_counts,
         "text_doc_fingerprint": text_doc_fingerprint,
+        "text_tfidf_topterms": text_tfidf_topterms,
+        "text_bm25_query": text_bm25_query,
         "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "interleaved_span_extract": interleaved_span_extract,
@@ -1330,6 +1344,54 @@ def oracle_sql() -> dict[str, str]:
         "text_doc_fingerprint": f"""
             WITH sh AS ({shingle8})
             SELECT id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY id
+        """,
+        "text_tfidf_topterms": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+              FROM documents),
+            tf AS (
+              SELECT id, tok, count(*) AS tf FROM toks
+              WHERE tok <> '' GROUP BY id, tok),
+            dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.id, tf.tok,
+                     round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1)) + 1.0), 6)
+                       AS tfidf
+              FROM tf JOIN dfq USING (tok) CROSS JOIN n)
+            SELECT id, tok, tfidf, rank FROM (
+              SELECT id, tok, tfidf,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY id ORDER BY tfidf DESC, tok ASC) AS rank
+              FROM scored)
+            WHERE rank <= 3
+        """,
+        "text_bm25_query": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+              FROM documents),
+            toks2 AS (SELECT id, tok FROM toks WHERE tok <> ''),
+            lens AS (SELECT id, count(*) AS dl FROM toks2 GROUP BY id),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            avgl AS (SELECT avg(dl) AS avgdl FROM lens),
+            tf AS (
+              SELECT id, tok, count(*) AS tf FROM toks2
+              WHERE tok IN ('spark', 'join', 'window') GROUP BY id, tok),
+            dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            per_term AS (
+              SELECT tf.id,
+                     ln((n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / avgl.avgdl))
+                       AS s
+              FROM tf JOIN dfq USING (tok) JOIN lens USING (id)
+              CROSS JOIN n CROSS JOIN avgl),
+            scores AS (SELECT id, sum(s) AS bm25 FROM per_term GROUP BY id)
+            SELECT d.doc_id AS id,
+                   round(coalesce(s.bm25, 0.0), 6) AS bm25
+            FROM documents d LEFT JOIN scores s ON s.id = d.doc_id
         """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

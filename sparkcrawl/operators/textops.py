@@ -414,6 +414,105 @@ def doc_fingerprint(docs: DataFrame, n: int = 8, text_col: str = "text",
     return sh.groupBy("id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
 
 
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok) — lowercase whitespace tokens, empty tokens dropped.
+    Plain split/explode: JVM-side, codegen'd, no UDF."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the standard add-one-smoothed form) —
+    the corpus-level primitive behind keyword extraction, topical
+    clustering and near-topic filtering in a training-data pipeline.
+
+    Shape at scale: tf is a (id, tok) hash aggregation with map-side
+    combine; df is a (tok) aggregation over DISTINCT (id, tok) — both
+    shuffle once on bounded keys. The df table is |vocab|-sized and
+    joined back on tok (AQE broadcasts it when small). The only window
+    is the final per-doc rank over |doc|-bounded term lists —
+    WindowGroupLimit prunes it to top-k per partition before the sort.
+    Ties break on the token string (deterministic, oracle-matched).
+    """
+    toks = _tokens(docs, text_col, id_col)
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = tf.join(df_tbl, "tok").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * (
+                F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+            ),
+            6,
+        ),
+    )
+    w = W.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "tok", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed term set —
+    the standard relevance/quality ranking primitive (Robertson et al.,
+    public formula):
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*len/avglen))
+        idf(t)   = ln((N - df + 0.5)/(df + 0.5) + 1)
+
+    Everything is hash aggregation + one broadcastable |query|-sized
+    join; avg doc length is a scalar aggregate folded into the
+    expression. Documents matching no query term score 0 (left join +
+    coalesce), so the output is corpus-cardinality — usable as a filter
+    column."""
+    toks = _tokens(docs, text_col, id_col)
+    lens = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    avgdl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0
+    q = [t.lower() for t in query_terms]
+    tf = (
+        toks.filter(F.col("tok").isin(q))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    per_term = tf.join(df_tbl, "tok").join(lens, "id").select(
+        "id",
+        (
+            idf * F.col("tf") * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
+        ).alias("s"),
+    )
+    scores = per_term.groupBy("id").agg(F.sum("s").alias("bm25"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scores, "id", "left")
+        .select("id", F.round(F.coalesce("bm25", F.lit(0.0)), 6).alias("bm25"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",

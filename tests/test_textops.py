@@ -188,3 +188,48 @@ def test_dedup_corpus_canonical(spark):
         docs, num_perms=8, n=5, threshold=0.5).collect()}
     # transitive cluster {1,2,3} -> canonical 1; singletons survive
     assert kept == {1, 6, 7}
+
+
+# --------------------------------------------------------------------------
+# TF-IDF / BM25
+# --------------------------------------------------------------------------
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    rows = [
+        (1, "spark spark join"),
+        (2, "join window"),
+        (3, "window window window table"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["id"], r["rank"]): (r["tok"], r["tfidf"])
+           for r in textops.tfidf_top_terms(docs, k=2).collect()}
+    # doc 1: 'spark' tf=2, df=1 -> 2*(ln(4/2)+1); 'join' tf=1, df=2
+    assert out[(1, 1)][0] == "spark"
+    assert out[(1, 1)][1] == pytest.approx(2 * (math.log(4 / 2) + 1), abs=1e-6)
+    # doc 3: 'window' dominates; 'table' (df=1, rarer) beats nothing else
+    assert out[(3, 1)][0] == "window"
+    assert out[(3, 2)][0] == "table"
+
+
+def test_bm25_scores(spark):
+    import math
+
+    rows = [
+        (1, "spark join table"),
+        (2, "table scan row"),
+        (3, "spark spark spark"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r["bm25"]
+           for r in textops.bm25_scores(docs, ("spark",)).collect()}
+    # doc 2 has no query term -> exactly 0; corpus-cardinality output
+    assert set(out) == {1, 2, 3}
+    assert out[2] == 0.0
+    # tf saturation: doc 3 (tf=3) > doc 1 (tf=1), but < 3x doc 1
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    k1, b = 1.2, 0.75
+    s1 = idf * 1 * (k1 + 1) / (1 + k1 * (1 - b + b * 3 / 3.0))
+    assert out[1] == pytest.approx(s1, abs=1e-6)
+    assert out[1] < out[3] < 3 * out[1]
