@@ -626,7 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         kept = textops.dedup_corpus_canonical(
-            dupped, num_perms=8, n=8, threshold=0.8, max_bucket_size=100
+            dupped, num_perms=16, n=8, threshold=0.8, max_bucket_size=100,
+            rows_per_band=4,
         )
         return kept.select("doc_id", F.md5("text").alias("text_md5"))
 
@@ -1223,10 +1224,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle
               FROM dup, generate_series(1, 2000) AS g(i)
               WHERE i <= len(text) - 7),
-            sig AS (
+            sigp AS (
               SELECT id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
-              FROM sh CROSS JOIN generate_series(0, 7) AS p(perm)
+              FROM sh CROSS JOIN generate_series(0, 15) AS p(perm)
               GROUP BY id, perm),
+            sig AS (
+              -- AND banding (rows_per_band=4): band key concatenates the
+              -- band's 4 signatures in perm order (textops twin)
+              SELECT id, CAST(floor(perm / 4) AS BIGINT) AS perm,
+                     string_agg(sig, '|' ORDER BY perm) AS sig
+              FROM sigp GROUP BY id, floor(perm / 4)),
             ok AS (
               SELECT perm, sig FROM sig GROUP BY perm, sig HAVING count(*) <= 100),
             sig2 AS (SELECT sig.* FROM sig JOIN ok USING (perm, sig)),

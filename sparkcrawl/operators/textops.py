@@ -582,12 +582,13 @@ def connected_components(
 
 def dedup_corpus_canonical(
     docs: DataFrame,
-    num_perms: int = 8,
+    num_perms: int = 16,
     n: int = 8,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = 100,
+    rows_per_band: int = 4,
 ) -> DataFrame:
     """The full corpus-dedup pipeline, end to end:
 
@@ -605,7 +606,7 @@ def dedup_corpus_canonical(
     """
     pairs = minhash_lsh_pairs(
         docs, num_perms=num_perms, n=n, text_col=text_col, id_col=id_col,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, rows_per_band=rows_per_band,
     )
     verified = verify_jaccard_pairs(
         pairs, docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
