@@ -14,7 +14,7 @@ Output: {"metric": "urls_scheduled_deduped_per_sec", "value": N,
          "unit": "urls/sec", "queries": {name: sec}, "sf": ...}
 
 Protocol: one untimed warm-up superstep (JIT/codegen/page-cache), then
-best of $SPARK_GRAFT_BENCH_REPS (default 2) timed supersteps — local
+best of $SPARK_GRAFT_BENCH_REPS (default 4) timed supersteps — local
 JVM warm-up otherwise dominates at this scale.
 
 Scaling-evidence protocol (BASELINE.md / BENCH/):
@@ -38,7 +38,7 @@ from sparkcrawl.config import CrawlConfig  # noqa: E402
 from sparkcrawl.functions.hashing import md5_bucket, url_sha1  # noqa: E402
 from sparkcrawl.functions.urlnorm import (  # noqa: E402
     canonicalize_udf,
-    canonicalize_with_host_udf,
+    with_canonical_host,
 )
 from sparkcrawl.operators.dedup import batch_distinct, filter_unseen  # noqa: E402
 from sparkcrawl.operators.schedule import per_queue_topk, politeness_slots  # noqa: E402
@@ -72,7 +72,7 @@ BENCH_QUERIES = [
 EAGER_QUERIES = {"dedup_corpus_canonical"}
 
 FRONTIER_REPLICAS = int(os.environ.get("SPARK_GRAFT_FRONTIER_REPLICAS", "20"))
-BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
 NQ_BENCH = 256
 K_BENCH = 200
 
@@ -100,10 +100,18 @@ def _events_repartitioned(spark, sf_dir: str):
     )
 
 
-def synthetic_raw_urls(spark, sf_dir: str, replicas: int):
+def synthetic_raw_urls(spark, sf_dir: str, replicas: int, slow_noise: bool = False):
     """~replicas x |events| RAW discovered URLs: session-id noise,
     fragments, upper-case hosts — what the extractor emits before
-    canonicalization. Host skew follows the user_id distribution."""
+    canonicalization. Host skew follows the user_id distribution.
+
+    The base shape sits inside urlnorm's JVM fast class (lowercasable
+    authority, session path params, fragments — no query strings), so
+    the headline north leg measures the codegen path the engine takes
+    on the typical link. ``slow_noise=True`` adds a query string with a
+    session param to 1/6 of rows — parse_qsl/urlencode territory, which
+    only the pandas UDF handles — so the hybrid's Python lane is
+    benched too (reported as ``north_mixed``, same protocol)."""
     rep = _events_repartitioned(spark, sf_dir).select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r")
     )
@@ -114,12 +122,23 @@ def synthetic_raw_urls(spark, sf_dir: str, replicas: int):
         F.col("r") % 3 == 0,
         F.concat(F.lit(";jsessionid="), F.col("event_id").cast("string")),
     ).otherwise(F.lit(""))
+    query = (
+        F.when(
+            F.col("r") % 6 == 1,
+            F.concat(
+                F.lit("?page="), F.col("r").cast("string"),
+                F.lit("&PHPSESSID="), F.col("event_id").cast("string"),
+            ),
+        ).otherwise(F.lit(""))
+        if slow_noise
+        else F.lit("")
+    )
     frag = F.when(F.col("r") % 4 == 0, F.lit("#top")).otherwise(F.lit(""))
     return rep.select(
         F.concat(
             F.lit("http://"), host, F.lit("/e/"),
             F.col("event_id").cast("string"), F.lit("/"), F.col("r").cast("string"),
-            noise, frag,
+            noise, query, frag,
         ).alias("url"),
         F.col("ts"),
         ((F.col("event_id") + F.col("r")) % 3 + 1).cast("int").alias("priority"),
@@ -134,14 +153,9 @@ def _superstep_pipeline(raw, seen_keys, cfg):
     feeds multiple downstream branches; recomputing a pandas UDF chain
     per branch would double the Python cost).
     """
-    canon = raw.withColumn("_ch", canonicalize_with_host_udf(F.col("url")))
     hashed = (
-        canon.select(
-            F.col("_ch.url").alias("url"),
-            F.col("_ch.host").alias("host"),
-            F.col("ts").alias("next_date"),
-            "priority",
-        )
+        with_canonical_host(raw)
+        .select("url", "host", F.col("ts").alias("next_date"), "priority")
         .withColumn("url_hash", url_sha1(F.col("url")))
         .withColumn("queue", md5_bucket(F.col("host"), NQ_BENCH))
         .persist()
@@ -154,12 +168,12 @@ def _superstep_pipeline(raw, seen_keys, cfg):
 
 
 def north_metric(spark, sf_dir: str, replicas: int = FRONTIER_REPLICAS,
-                 reps: int = BENCH_REPS) -> dict:
+                 reps: int = BENCH_REPS, slow_noise: bool = False) -> dict:
     cfg = CrawlConfig(
         num_queues=NQ_BENCH, per_queue_budget=K_BENCH, heap_size=K_BENCH,
         skew_salt_buckets=4, use_bloom_prefilter=False,
     )
-    raw = synthetic_raw_urls(spark, sf_dir, replicas).persist()
+    raw = synthetic_raw_urls(spark, sf_dir, replicas, slow_noise=slow_noise).persist()
     n_urls = raw.count()  # materialize input outside the timed region
     # seen set: ~1/3 of the canonical hashes (pre-computed, persisted)
     seen_keys = (
@@ -263,10 +277,8 @@ def full_superstep_metric(spark, sf_dir: str, replicas: int = FRONTIER_REPLICAS,
         links = extracted.select(F.explode("links").alias("url")).persist()
         links.count()
         hashed = (
-            links.select(canonicalize_with_host_udf(F.col("url")).alias("_ch"))
-            .select(
-                F.col("_ch.url").alias("url"), F.col("_ch.host").alias("host")
-            )
+            with_canonical_host(links)
+            .select("url", "host")
             .withColumn("url_hash", url_sha1(F.col("url")))
             .withColumn("queue", md5_bucket(F.col("host"), NQ_BENCH))
             .withColumn("next_date", F.lit("2026-01-01 00:00:00").cast("timestamp"))
@@ -313,6 +325,11 @@ def main() -> None:
     # GC/cache state behind that inflates a subsequent measurement.
     north = north_metric(spark, sf_dir)
     spark.catalog.clearCache()
+    # same protocol, 1/6 of URLs carry query-string session noise: the
+    # class only the pandas UDF lane canonicalizes. Keeps the hybrid's
+    # Python path an always-measured number, not a trust-me.
+    north_mixed = north_metric(spark, sf_dir, slow_noise=True)
+    spark.catalog.clearCache()
 
     from sparkcrawl.operators import release_caches
 
@@ -355,6 +372,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "north": north,
+                "north_mixed": north_mixed,
                 "query_total_sec": round(sum(timings.values()), 3),
             }
         )

@@ -51,6 +51,10 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=400,
                     help="input = replicas x |events| raw URLs (400 -> 40M at sf0.1)")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--slow-noise", action="store_true",
+                    help="add query-string session noise to 1/6 of URLs "
+                         "(forces the pandas-UDF slow lane; see "
+                         "bench.synthetic_raw_urls)")
     ap.add_argument("--partitions", type=int, default=128,
                     help="FIXED input+shuffle partition count used by both "
                          "legs — a real frontier's file count does not "
@@ -87,8 +91,8 @@ def main() -> None:
 
         spark.sparkContext.addPyFile(build())
 
-    result = bench.north_metric(spark, args.sf_dir,
-                                replicas=args.replicas, reps=args.reps)
+    result = bench.north_metric(spark, args.sf_dir, replicas=args.replicas,
+                                reps=args.reps, slow_noise=args.slow_noise)
     result.update(
         master=master,
         executors=args.executors if master.startswith("local-cluster") else None,

@@ -183,3 +183,106 @@ def host_of_udf(urls: pd.Series) -> pd.Series:
     fall back to per-row urlsplit — identical semantics, ~10x cheaper
     on the per-discovered-link hot path."""
     return host_of_canonical_series(urls)
+
+
+# ---------------------------------------------------------------------------
+# JVM fast class: canonicalization as pure Catalyst expressions.
+#
+# The Python fast path above still pays the Arrow round-trip: every URL
+# string is serialized to a Python worker and back even when the work per
+# row is one C regex match. For the class of URLs below, canonicalization
+# is expressible ENTIRELY with built-in column functions (whole-stage
+# codegen, zero Python bytes moved):
+#
+#   scheme     http/https, any case            -> lowercased
+#   authority  [A-Za-z0-9.-]+ (no port, no userinfo, no IPv6)  -> lowercased
+#   path       chars from [A-Za-z0-9/._~%-], optionally interleaved with
+#              ;<session-token>=<value> params (the ONLY ';' params
+#              admitted — anything else falls through to Python) -> session
+#              params stripped, empty path -> "/"
+#   query      none admitted (parse_qsl/urlencode re-encoding is Python's)
+#   fragment   #... -> dropped
+#
+# All quantifiers are POSSESSIVE (Java regex ++/*+): the gate runs on
+# wild-HTML link strings inside executors, and the segment/param
+# alternation would otherwise backtrack exponentially on adversarial
+# near-misses. Anchored \z, not '$' — Java '$' shares Python's
+# before-trailing-newline match (the r2 ADVICE bug class). '.' does not
+# match \n/\r, so any embedded newline fails the gate into the Python
+# path, which strips it exactly like canonicalize_one.
+#
+# Equivalence with canonicalize_one over this class is pinned by
+# tests/test_urlnorm.py::test_jvm_fast_path_matches_python (handpicked
+# edges + seeded random fast-class corpus, compared row-for-row).
+_SESSION_PARAM_JAVA = r";(?:jsessionid|phpsessid|aspsessionid|sid)=[A-Za-z0-9._~%\-]*+"
+JVM_FAST_CANON_PATTERN = (
+    # \A…\z double anchor: RLIKE is Java find() — substring-match
+    # semantics — so an unanchored start would match ' http://h/a'
+    # from index 1 (and '$'/'\Z' alone would admit trailing newlines).
+    r"(?i)\Ahttps?://[A-Za-z0-9.\-]++"
+    r"(?:/(?:[A-Za-z0-9/._~%\-]++|" + _SESSION_PARAM_JAVA + r")*+)?+"
+    r"(?:#.*)?\z"
+)
+
+# host-of-canonical gate: lowercase scheme, no userinfo/port/IPv6 in the
+# authority (negated class bans @ : [ ]), then anything starting with
+# / ? # or end-of-string. Canonical URLs (our own output) always pass;
+# uppercase schemes / IPv6 / ports fall through to the pandas UDF.
+JVM_CANON_HOST_PATTERN = (
+    r"\A[a-z][a-z0-9+.\-]*+://[^/?#@:\[\]]*+(?:[/?#].*)?\z"
+)
+
+
+def _jvm_canon_host_struct(u):
+    """(url, host) struct for rows matched by JVM_FAST_CANON_PATTERN.
+
+    Valid ONLY under that gate; callers wrap it in F.when(is_fast, ...).
+    """
+    no_frag = F.substring_index(u, "#", 1)
+    scheme_auth = F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/]*", 0)
+    raw_path = no_frag.substr(
+        F.length(scheme_auth) + F.lit(1), F.length(no_frag)
+    )
+    path = F.when(raw_path == "", F.lit("/")).otherwise(
+        F.regexp_replace(raw_path, "(?i)" + _SESSION_PARAM_JAVA, "")
+    )
+    return F.struct(
+        F.concat(F.lower(scheme_auth), path).alias("url"),
+        F.lower(F.regexp_extract(no_frag, r"^[A-Za-z]+://([^/]*)", 1)).alias("host"),
+    )
+
+
+def with_canonical_host(df, url_col: str = "url",
+                        out_url: str = "url", out_host: str = "host"):
+    """C1+Q2-key hot path, hybrid JVM/Python, ONE pass over the input.
+
+    Fast-class rows are canonicalized by codegen'd column expressions;
+    the pandas UDF receives NULL for them (the CASE WHEN sits INSIDE the
+    UDF argument), so Arrow ships only the slow minority's string bytes
+    to Python. No split/union — upstream (often a mapInPandas extractor)
+    is scanned exactly once. NULL input and unparseable URLs come back
+    as NULL url, exactly like canonicalize_with_host_udf alone.
+    """
+    u = F.col(url_col)
+    is_fast = u.rlike(JVM_FAST_CANON_PATTERN)
+    slow = canonicalize_with_host_udf(
+        F.when(is_fast, F.lit(None).cast("string")).otherwise(u)
+    )
+    ch = F.when(is_fast, _jvm_canon_host_struct(u)).otherwise(slow)
+    return (
+        df.withColumn("__ch", ch)
+        .withColumn(out_url, F.col("__ch.url"))
+        .withColumn(out_host, F.col("__ch.host"))
+        .drop("__ch")
+    )
+
+
+def host_of_canonical_col(u):
+    """Hybrid host-of-canonical-URL column: JVM regexp_extract for the
+    no-userinfo/no-port/no-IPv6 class (all of this engine's own canonical
+    output), pandas UDF for the rest. Same NULL-gated single-pass shape
+    as :func:`with_canonical_host`."""
+    is_fast = u.rlike(JVM_CANON_HOST_PATTERN)
+    fast = F.lower(F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://([^/?#]*)", 1))
+    slow = host_of_udf(F.when(is_fast, F.lit(None).cast("string")).otherwise(u))
+    return F.when(is_fast, fast).otherwise(slow)

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from sparkcrawl.config import CrawlConfig
 from sparkcrawl.functions.hashing import queue_for_domain, url_sha1
 from sparkcrawl.functions.scope import in_scope
-from sparkcrawl.functions.urlnorm import canonicalize_with_host_udf, host_of_udf
+from sparkcrawl.functions.urlnorm import host_of_canonical_col, with_canonical_host
 from sparkcrawl.operators.dedup import batch_distinct, filter_unseen
 from sparkcrawl.operators.extract import documents_from_fetch, extract_links_and_spans
 from sparkcrawl.operators.membership import BloomStore
@@ -89,15 +89,11 @@ def frontier_rows_from_urls(
     prio = priority_col if priority_col is not None else F.lit(1)
     # unparseable URLs canonicalize to NULL and are dropped (one bad
     # seed/link must never produce a null-hash frontier row).
-    # Fused canonicalize+host UDF: ONE Arrow round-trip on the
-    # per-discovered-link hot path instead of two chained string UDFs.
-    canon = (
-        urls.withColumn("_ch", canonicalize_with_host_udf(F.col("url")))
-        .withColumn("url", F.col("_ch.url"))
-        .withColumn("host", F.col("_ch.host"))
-        .drop("_ch")
-        .filter(F.col("url").isNotNull())
-    )
+    # Hybrid canonicalize+host (urlnorm.with_canonical_host): the JVM
+    # fast class never leaves codegen; the fused pandas UDF sees only
+    # the slow minority's strings (NULL-gated argument), one Arrow
+    # round-trip, one pass over the input.
+    canon = with_canonical_host(urls).filter(F.col("url").isNotNull())
     return (
         canon.withColumn("url_hash", url_sha1(F.col("url")))
         .withColumn("registered_domain", _registered_domain_col(cfg))
@@ -291,7 +287,7 @@ class CrawlRun:
         )
         candidates = (
             links.withColumn("url_hash", url_sha1(F.col("url")))
-            .withColumn("host", host_of_udf(F.col("url")))
+            .withColumn("host", host_of_canonical_col(F.col("url")))
             .withColumn("registered_domain", _registered_domain_col(cfg))
             .withColumn("queue", queue_for_domain(F.col("registered_domain"), cfg.num_queues))
         )
