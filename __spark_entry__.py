@@ -187,7 +187,7 @@ _ROBOTS_RULES = [
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from sparkcrawl.operators import simsearch, textops
+    from sparkcrawl.operators import simsearch, temporal, textops
 
     def w1_w2_schedule_topk(spark, sf):
         from pyspark.sql import Window as W
@@ -692,6 +692,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents").select("doc_id", "text")
         return textops.bm25_scores(docs, ("spark", "join", "window"))
 
+    def text_trigram_lm(spark, sf):
+        """Char-trigram LM score (perplexity-filter shape): model =
+        corpus trigram frequencies, score = per-doc avg ln P over
+        trigram occurrences. DuckDB re-derives trigrams, model, join
+        and the log-avg relationally."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return textops.trigram_lm_scores(docs)
+
+    def text_redact_pii(spark, sf):
+        """PII scrub over documents whose text is augmented (inside the
+        query, deterministically from doc_id — the raw fixture corpus
+        is PII-free word soup) with a synthetic email, phone and IPv4;
+        oracle re-derives counts + the redacted string with RE2."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        aug = docs.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com or +1 555-010"), F.col("doc_id").cast("string"),
+                F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".99"),
+            ),
+        )
+        return textops.redact_pii(aug)
+
+    def temporal_asof_join(spark, sf):
+        """As-of join (Spark lacks it natively): every 97th event is a
+        probe; attach the same user's latest event at-or-before the
+        probe time, event_id as deterministic tiebreak. DuckDB
+        re-derives with a window over the inequality join."""
+        ev = _read(spark, sf, "events")
+        probes = ev.filter(F.col("event_id") % 97 == 0).select(
+            F.col("event_id").alias("probe_id"), "user_id", "ts"
+        )
+        history = ev.select("event_id", "user_id", "ts")
+        return temporal.asof_join(
+            probes, history, key="user_id", tiebreak="event_id"
+        )
+
+    def range_join_sizes(spark, sf):
+        """Range (interval-containment) join of documents against a
+        small size-class bounds table — broadcast non-equi join."""
+        docs = _read(spark, sf, "documents").select("doc_id", "n_chars")
+        bounds = spark.createDataFrame(
+            [("xs", 0, 200), ("s", 200, 500), ("m", 500, 1200),
+             ("l", 1200, 5000), ("xl", 5000, 10**9)],
+            ["bucket", "lo", "hi"],
+        )
+        return temporal.range_join(docs, bounds, value="n_chars").select(
+            "doc_id", "n_chars", "bucket"
+        )
+
+    def corpus_rollup_cube(spark, sf):
+        """CUBE(source, lang) corpus stats — all grouping sets in one
+        Expand+agg pass; DuckDB recomputes with GROUP BY CUBE."""
+        docs = _read(spark, sf, "documents")
+        return textops.corpus_rollup(docs)
+
     def tpch_q1_pricing_summary(spark, sf):
         li = _read(spark, sf, "lineitem")
         return (
@@ -900,6 +960,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_fingerprint": text_doc_fingerprint,
         "text_tfidf_topterms": text_tfidf_topterms,
         "text_bm25_query": text_bm25_query,
+        "text_trigram_lm": text_trigram_lm,
+        "text_redact_pii": text_redact_pii,
+        "corpus_rollup_cube": corpus_rollup_cube,
+        "temporal_asof_join": temporal_asof_join,
+        "range_join_sizes": range_join_sizes,
         "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "interleaved_span_extract": interleaved_span_extract,
@@ -1399,6 +1464,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS id,
                    round(coalesce(s.bm25, 0.0), 6) AS bm25
             FROM documents d LEFT JOIN scores s ON s.id = d.doc_id
+        """,
+        "text_trigram_lm": """
+            WITH p AS (
+              SELECT doc_id AS id, ' ' || lower(text) || ' ' AS pt
+              FROM documents WHERE text IS NOT NULL),
+            tri AS (
+              SELECT id, substr(pt, CAST(i AS INTEGER), 3) AS shingle
+              FROM p, unnest(range(1, greatest(length(pt) - 2, 1) + 1)) AS t(i)
+              WHERE length(substr(pt, CAST(i AS INTEGER), 3)) = 3),
+            model AS (SELECT shingle, count(*) AS cnt FROM tri GROUP BY shingle),
+            total AS (SELECT sum(cnt) AS total FROM model),
+            j AS (
+              SELECT t.id, m.cnt FROM tri t LEFT JOIN model m USING (shingle)),
+            agg AS (
+              SELECT id, count(*) AS n_trigrams,
+                     sum(CASE WHEN cnt IS NOT NULL THEN 1 ELSE 0 END) AS n_in_model,
+                     avg(CASE WHEN cnt IS NOT NULL
+                              THEN ln(cnt / (SELECT total FROM total)) END) AS a
+              FROM j GROUP BY id)
+            SELECT id, n_trigrams,
+                   round((n_trigrams - n_in_model) / n_trigrams, 6) AS oov_ratio,
+                   round(a, 6) AS avg_logp,
+                   round(exp(-a), 4) AS ppl
+            FROM agg
+        """,
+        "text_redact_pii": """
+            WITH aug AS (
+              SELECT doc_id AS id,
+                     text || ' contact user' || doc_id || '@ex' || (doc_id % 7)
+                          || '.com or +1 555-010' || doc_id
+                          || ' ip 10.0.' || (doc_id % 256) || '.99' AS t
+              FROM documents)
+            SELECT id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(t,
+                       '\\+?[0-9][0-9\\- ]{7,}[0-9]')) AS n_phone,
+                   len(regexp_extract_all(t,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9\\- ]{7,}[0-9]', '<PHONE>', 'g'),
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                     '<IPV4>', 'g') AS redacted
+            FROM aug
+        """,
+        "temporal_asof_join": """
+            WITH probes AS (
+              SELECT event_id AS probe_id, user_id, ts FROM events
+              WHERE event_id % 97 = 0),
+            j AS (
+              SELECT p.probe_id, p.user_id, p.ts,
+                     h.event_id AS h_event_id, h.ts AS h_ts,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY h.ts DESC, h.event_id DESC) AS rn
+              FROM probes p
+              JOIN events h ON h.user_id = p.user_id AND h.ts <= p.ts)
+            SELECT probe_id, user_id, ts, h_event_id, h_ts
+            FROM j WHERE rn = 1
+        """,
+        "range_join_sizes": """
+            WITH bounds(bucket, lo, hi) AS (
+              VALUES ('xs', 0, 200), ('s', 200, 500), ('m', 500, 1200),
+                     ('l', 1200, 5000), ('xl', 5000, 1000000000))
+            SELECT d.doc_id, d.n_chars, b.bucket
+            FROM documents d JOIN bounds b
+              ON d.n_chars >= b.lo AND d.n_chars < b.hi
+        """,
+        "corpus_rollup_cube": """
+            SELECT source, lang, count(*) AS n_docs,
+                   count(DISTINCT doc_id) AS n_unique,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY CUBE (source, lang)
         """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "dedup_corpus_canonical",
     "text_tfidf_topterms",
     "text_bm25_query",
+    "text_trigram_lm",
+    "text_redact_pii",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

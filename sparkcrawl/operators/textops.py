@@ -631,3 +631,125 @@ def spans_to_text(docs_spans: DataFrame) -> DataFrame:
             " ",
         ).alias("text"),
     )
+
+
+# --------------------------------------------------------------------------
+# char-trigram LM scoring + PII redaction
+# --------------------------------------------------------------------------
+
+def trigram_lm_scores(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Char-trigram language-model score per document — the relational
+    form of the perplexity filter (CCNet-style) a training-data pipeline
+    ranks raw crawl text with: fluent text re-uses the reference
+    corpus's character patterns, boilerplate/garbage does not.
+
+    Model: P(tri) = count(tri in train) / total, unsmoothed over the
+    doc's trigrams that EXIST in the model, with an `oov_ratio` column
+    carrying the rest (cleaner cross-engine than additive smoothing,
+    whose vocab-size constant is arbitrary). Score = avg ln P over
+    in-model trigram OCCURRENCES (multiplicity preserved — this is the
+    cross-entropy, not a distinct-set statistic); ppl = exp(-score).
+
+    Shape at scale: the model is at most |charset|^3 rows regardless of
+    corpus size — a hash aggregation that reduces 100 TB of text to a
+    broadcastable table — and scoring is one broadcast join + one
+    per-doc hash agg. No window, no UDF, no shuffle of text bytes.
+    """
+    train = docs if train is None else train
+    tri_train = _char_trigram_occurrences(train, text_col, id_col)
+    model = tri_train.groupBy("shingle").agg(F.count("*").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    tri_docs = _char_trigram_occurrences(docs, text_col, id_col)
+    scored = (
+        tri_docs.join(F.broadcast(model), "shingle", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum(F.when(F.col("cnt").isNotNull(), 1).otherwise(0)).alias("n_in_model"),
+            F.avg(F.when(F.col("cnt").isNotNull(), F.log(F.col("cnt") / F.col("total")))).alias("_avg"),
+        )
+    )
+    return scored.select(
+        "id",
+        "n_trigrams",
+        F.round((F.col("n_trigrams") - F.col("n_in_model")) / F.col("n_trigrams"), 6).alias("oov_ratio"),
+        F.round(F.col("_avg"), 6).alias("avg_logp"),
+        F.round(F.exp(-F.col("_avg")), 4).alias("ppl"),
+    )
+
+
+def _char_trigram_occurrences(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingle) with MULTIPLICITY (unlike char_shingles) over
+    ' '+lower(text)+' ' — the padding gives word-boundary trigrams."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(concat(' ', lower("
+                    + text_col
+                    + "), ' ')) - 2, 1)), i -> substring(concat(' ', lower("
+                    + text_col
+                    + "), ' '), i, 3))"
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.length("shingle") == 3)
+    )
+
+
+# Java and RE2 (DuckDB) agree on these subsets: no backrefs, no
+# lookaround, leftmost-first alternation, greedy quantifiers.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9\- ]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 literals from document text —
+    the compliance pass every released training corpus runs. Pure
+    regexp_replace chain (JVM, codegen) applied in a FIXED order
+    (email first: its local part would otherwise be half-eaten by the
+    phone pattern's digit runs); per-kind match counts come from
+    regexp_extract_all BEFORE replacement so the audit trail survives
+    the scrub."""
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    red = text
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        *counts,
+        red.alias("redacted"),
+    )
+
+
+def corpus_rollup(docs: DataFrame, dims: tuple[str, ...] = ("source", "lang")) -> DataFrame:
+    """Multi-dimensional corpus statistics via CUBE — the dataset-card /
+    monitoring rollup (docs, unique docs, avg length per source x lang
+    plus every marginal and the grand total) computed in ONE pass.
+
+    Spark rewrites cube() into a single Expand + hash aggregation —
+    2^|dims| grouping sets without 2^|dims| scans; at 100 TB that is
+    the difference between one job and eight. Averages of integer
+    columns are exact (integer sums are exact in double below 2^53),
+    so the oracle comparison is float-risk-free.
+    """
+    return docs.cube(*dims).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_unique"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -233,3 +233,52 @@ def test_bm25_scores(spark):
     s1 = idf * 1 * (k1 + 1) / (1 + k1 * (1 - b + b * 3 / 3.0))
     assert out[1] == pytest.approx(s1, abs=1e-6)
     assert out[1] < out[3] < 3 * out[1]
+
+
+def test_trigram_lm_scores(spark):
+    import math
+
+    # two fluent docs sharing patterns + one garbage doc: the garbage
+    # doc must score lower (higher ppl) under the corpus model
+    rows = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "zqxj vwkp"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in textops.trigram_lm_scores(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    # train == docs: nothing is OOV
+    assert all(out[i]["oov_ratio"] == 0.0 for i in out)
+    # " the cat " trigram mass is shared -> docs 1/2 beat the garbage doc
+    assert out[1]["avg_logp"] > out[3]["avg_logp"]
+    assert out[1]["ppl"] < out[3]["ppl"]
+    # hand-check doc counts: padded len 13 -> 11 trigrams
+    assert out[1]["n_trigrams"] == 11
+    # scoring against a SEPARATE train corpus marks unseen trigrams OOV
+    train = spark.createDataFrame([(10, "the cat sat")], ["doc_id", "text"])
+    out2 = {r["id"]: r
+            for r in textops.trigram_lm_scores(docs, train=train).collect()}
+    assert out2[1]["oov_ratio"] == 0.0
+    assert out2[3]["oov_ratio"] == 1.0
+    assert out2[3]["avg_logp"] is None  # nothing in-model -> no score
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.com now"),
+        (2, "call +1 555-010-9999 or 555 010 8888 today"),
+        (3, "server at 10.0.37.99 port 80"),
+        (4, "clean text nothing here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in textops.redact_pii(docs).collect()}
+    assert out[1]["n_email"] == 1
+    assert "<EMAIL>" in out[1]["redacted"]
+    assert "@" not in out[1]["redacted"]
+    assert out[2]["n_phone"] == 2
+    assert out[2]["redacted"] == "call <PHONE> or <PHONE> today"
+    assert out[3]["n_ipv4"] == 1
+    assert out[3]["redacted"] == "server at <IPV4> port 80"
+    assert out[4]["redacted"] == rows[3][1]
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ipv4"]) == (0, 0, 0)
