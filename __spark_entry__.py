@@ -187,7 +187,7 @@ _ROBOTS_RULES = [
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from sparkcrawl.operators import simsearch, temporal, textops
+    from sparkcrawl.operators import sampling, simsearch, temporal, textops
 
     def w1_w2_schedule_topk(spark, sf):
         from pyspark.sql import Window as W
@@ -746,6 +746,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_chars", "bucket"
         )
 
+    def corpus_hash_split(spark, sf):
+        """Reproducible train/val/test assignment by salted id hash —
+        no rand(), no partition-order dependence; DuckDB re-derives
+        the md5 bucket and the cumulative ranges."""
+        docs = _read(spark, sf, "documents").select("doc_id")
+        return sampling.hash_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+
+    def corpus_stratified_sample(spark, sf):
+        """Deterministic per-language rebalancing sample (nested:
+        raising a frac only adds docs)."""
+        docs = _read(spark, sf, "documents").select("doc_id", "lang")
+        return sampling.stratified_sample(
+            docs, {"en": 0.5, "de": 0.25}, strata_col="lang",
+            default_frac=0.1,
+        )
+
     def corpus_rollup_cube(spark, sf):
         """CUBE(source, lang) corpus stats — all grouping sets in one
         Expand+agg pass; DuckDB recomputes with GROUP BY CUBE."""
@@ -965,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup_cube": corpus_rollup_cube,
         "temporal_asof_join": temporal_asof_join,
         "range_join_sizes": range_join_sizes,
+        "corpus_hash_split": corpus_hash_split,
+        "corpus_stratified_sample": corpus_stratified_sample,
         "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "interleaved_span_extract": interleaved_span_extract,
@@ -1535,6 +1555,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.n_chars, b.bucket
             FROM documents d JOIN bounds b
               ON d.n_chars >= b.lo AND d.n_chars < b.hi
+        """,
+        "corpus_hash_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     (CAST(concat('0x',
+                        substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 AS u
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "corpus_stratified_sample": """
+            WITH fr(lang, frac) AS (VALUES ('en', 0.5), ('de', 0.25)),
+            b AS (
+              SELECT d.doc_id, d.lang,
+                     coalesce(fr.frac, 0.1) AS frac,
+                     (CAST(concat('0x',
+                        substr(md5('sample-v1' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 AS u
+              FROM documents d LEFT JOIN fr ON fr.lang = d.lang)
+            SELECT doc_id, lang FROM b WHERE u < frac
         """,
         "corpus_rollup_cube": """
             SELECT source, lang, count(*) AS n_docs,
