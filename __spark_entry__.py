@@ -1237,9 +1237,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle
               FROM dup, generate_series(1, 2000) AS g(i)
               WHERE i <= len(text) - 7),
+            hsh AS (
+              SELECT id, shingle,
+                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h1,
+                     CAST(concat('0x', substr(md5(shingle || '#'), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h2
+              FROM sh),
             sig AS (
-              SELECT id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
-              FROM sh CROSS JOIN generate_series(0, 7) AS p(perm)
+              SELECT id, perm,
+                     min((h1 + (perm + 1) * h2) % 2147483647) AS sig
+              FROM hsh CROSS JOIN generate_series(0, 7) AS p(perm)
               GROUP BY id, perm),
             ok AS (
               SELECT perm, sig FROM sig GROUP BY perm, sig HAVING count(*) <= 100),
@@ -1256,9 +1264,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle
               FROM dup, generate_series(1, 2000) AS g(i)
               WHERE i <= len(text) - 7),
+            hsh AS (
+              SELECT id, shingle,
+                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h1,
+                     CAST(concat('0x', substr(md5(shingle || '#'), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h2
+              FROM sh),
             sig AS (
-              SELECT id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
-              FROM sh CROSS JOIN generate_series(0, 7) AS p(perm)
+              SELECT id, perm,
+                     min((h1 + (perm + 1) * h2) % 2147483647) AS sig
+              FROM hsh CROSS JOIN generate_series(0, 7) AS p(perm)
               GROUP BY id, perm),
             ok AS (
               SELECT perm, sig FROM sig GROUP BY perm, sig HAVING count(*) <= 100),
@@ -1309,15 +1325,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle
               FROM dup, generate_series(1, 2000) AS g(i)
               WHERE i <= len(text) - 7),
+            hsh AS (
+              SELECT id, shingle,
+                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h1,
+                     CAST(concat('0x', substr(md5(shingle || '#'), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h2
+              FROM sh),
             sigp AS (
-              SELECT id, perm, min(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS sig
-              FROM sh CROSS JOIN generate_series(0, 15) AS p(perm)
+              SELECT id, perm,
+                     min((h1 + (perm + 1) * h2) % 2147483647) AS sig
+              FROM hsh CROSS JOIN generate_series(0, 15) AS p(perm)
               GROUP BY id, perm),
             sig AS (
               -- AND banding (rows_per_band=4): band key concatenates the
               -- band's 4 signatures in perm order (textops twin)
               SELECT id, CAST(floor(perm / 4) AS BIGINT) AS perm,
-                     string_agg(sig, '|' ORDER BY perm) AS sig
+                     string_agg(CAST(sig AS VARCHAR), '|' ORDER BY perm) AS sig
               FROM sigp GROUP BY id, floor(perm / 4)),
             ok AS (
               SELECT perm, sig FROM sig GROUP BY perm, sig HAVING count(*) <= 100),

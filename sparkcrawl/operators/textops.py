@@ -125,22 +125,55 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
+# Kirsch-Mitzenmacher double-hash minhash family over a 31-bit prime:
+#   h1 = (60-bit prefix of md5(shingle))        mod P
+#   h2 = (60-bit prefix of md5(shingle || '#')) mod P
+#   g_p = (h1 + (p+1) * h2) mod P
+# TWO md5 per shingle for ANY number of perms. A single-base affine
+# family ((a_p*h+b_p) mod P) was tried first and rejected by
+# measurement: its cross-perm correlation inflated AND-banded bucket
+# collisions ~14x (101,899 candidate pairs vs ~7,300 on the same sf0.1
+# corpus), flooding the verify stage. Two independent 60-bit sources
+# restore near-independent perms. All intermediates fit in int64
+# ((p+1)*h2 < 2^36), exact in Spark ANSI and DuckDB BIGINT — the
+# oracle reproduces the family with plain arithmetic.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
 def minhash_signatures(
     docs: DataFrame, num_perms: int = 8, n: int = 5,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, perm, sig): sig = min over shingles of md5(perm || shingle).
+    """(id, perm, sig): minhash signature rows, sig = min over shingles
+    of the double-hash family above.
 
-    The permutation family is "prepend the perm index to the shingle and
-    md5" — deterministic and reproducible in any engine with md5.
+    ONE pass, no row blowup: the per-perm minima are ``num_perms``
+    aggregate columns over the shingle rows (map-side partial agg),
+    unpivoted with ``stack`` afterwards. The previous shape — explode
+    ``num_perms`` copies of every shingle row and md5 each — pushed
+    perms x shingles rows (and that many md5 calls) through the
+    shuffle: 8-16x more rows and hashing for the same result
+    (candidate stage measured 21.7s -> ~6s cold at sf0.1, 16 perms).
     """
     sh = char_shingles(docs, n, text_col, id_col)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm")
-    return (
-        sh.select("id", "shingle", perms)
-        .groupBy("id", "perm")
-        .agg(F.min(F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))).alias("sig"))
+    h1 = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
     )
+    h2 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("shingle"), F.lit("#"))), 1, 15),
+            16, 10,
+        ).cast("bigint")
+        % MINHASH_P
+    )
+    aggs = [
+        F.min((h1 + F.lit(p + 1) * h2) % MINHASH_P).alias(f"s{p}")
+        for p in range(num_perms)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    pairs = ", ".join(f"{p}, s{p}" for p in range(num_perms))
+    return wide.selectExpr("id", f"stack({num_perms}, {pairs}) AS (perm, sig)")
 
 
 def minhash_lsh_pairs(
@@ -182,7 +215,7 @@ def minhash_lsh_pairs(
                 F.array_join(
                     F.transform(
                         F.array_sort(F.collect_list(F.struct("perm", "sig"))),
-                        lambda s: s["sig"],
+                        lambda s: s["sig"].cast("string"),
                     ),
                     "|",
                 ).alias("sig")
