@@ -764,6 +764,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_frac=0.1,
         )
 
+    def corpus_length_quantiles(spark, sf):
+        """Exact per-language length percentiles (linear-interpolation
+        semantics, matching DuckDB quantile_cont). At corpus scale the
+        approx_percentile sketch replaces the exact sort for the same
+        query shape; the exact form is what the oracle can pin."""
+        docs = _read(spark, sf, "documents")
+        return docs.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99"),
+        )
+
     def corpus_rollup_cube(spark, sf):
         """CUBE(source, lang) corpus stats — all grouping sets in one
         Expand+agg pass; DuckDB recomputes with GROUP BY CUBE."""
@@ -985,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_sizes": range_join_sizes,
         "corpus_hash_split": corpus_hash_split,
         "corpus_stratified_sample": corpus_stratified_sample,
+        "corpus_length_quantiles": corpus_length_quantiles,
         "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "interleaved_span_extract": interleaved_span_extract,
@@ -1579,6 +1593,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.n_chars, b.bucket
             FROM documents d JOIN bounds b
               ON d.n_chars >= b.lo AND d.n_chars < b.hi
+        """,
+        "corpus_length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99
+            FROM documents GROUP BY lang
         """,
         "corpus_hash_split": """
             WITH b AS (
