@@ -206,3 +206,42 @@ def test_streamed_seed_priority_and_bloom(spark, mini_cfg, mini_web, tmp_path):
         pd.Series([hashlib.sha1(canon.encode("utf-8")).hexdigest()])
     )
     assert bool(probe.iloc[0])
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dedup_url_stream drops canonical-URL repeats inside the horizon:
+    three raw spellings of one logical URL plus one distinct URL, fed
+    as files -> exactly two survivors, canonicalized, hashed."""
+    import datetime as dt
+
+    from sparkcrawl.streaming.dedup import dedup_url_stream
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "urls_in")
+    rows = [
+        ("http://H1.Example/a#frag", t0),
+        ("http://h1.example/a;jsessionid=X", t0 + dt.timedelta(seconds=10)),
+        ("http://h1.example/a", t0 + dt.timedelta(seconds=20)),
+        ("http://h2.example/b", t0 + dt.timedelta(seconds=30)),
+    ]
+    spark.createDataFrame(rows, ["url", "ts"]).write.parquet(src)
+
+    stream = spark.readStream.schema("url string, ts timestamp").parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        dedup_url_stream(stream, watermark_delay="5 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {
+        (r["url"], r["host"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        ("http://h1.example/a", "h1.example"),
+        ("http://h2.example/b", "h2.example"),
+    }
