@@ -269,11 +269,17 @@ def with_canonical_host(df, url_col: str = "url",
         F.when(is_fast, F.lit(None).cast("string")).otherwise(u)
     )
     ch = F.when(is_fast, _jvm_canon_host_struct(u)).otherwise(slow)
-    return (
-        df.withColumn("__ch", ch)
-        .withColumn(out_url, F.col("__ch.url"))
-        .withColumn(out_host, F.col("__ch.host"))
-        .drop("__ch")
+    # Surface the two struct fields through inline_outer (a Generate
+    # node) instead of two field-extraction projections: projection
+    # collapse would inline the struct expression into BOTH extracted
+    # columns, and once a downstream filter splits the consumers the
+    # duplicated UDF calls get extracted into TWO ArrowEvalPython
+    # nodes — double the Arrow traffic. A generator evaluates its
+    # input exactly once per row (plan-gated in tests/test_plans.py).
+    # inline_outer, not inline: a NULL struct must keep its row.
+    keep = [c for c in df.columns if c not in (out_url, out_host)]
+    return df.select(
+        *keep, F.inline_outer(F.array(ch)).alias(out_url, out_host)
     )
 
 

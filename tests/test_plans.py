@@ -140,3 +140,40 @@ def test_ivf_assign_is_agg_not_window(spark):
     p = plan_of(ivf_assign(emb, cents), "simple")
     assert "Window" not in p
     assert "partial_max_by" in p
+
+
+def test_frontier_rows_single_arrow_eval(spark):
+    """The engine's link hot path (frontier_rows_from_urls) must show
+    exactly ONE ArrowEvalPython — the NULL-gated slow lane of the
+    hybrid canonicalizer — and zero row-at-a-time BatchEvalPython.
+    Two Arrow nodes would mean the fused canon+host UDF regressed into
+    chained UDFs (two Arrow round-trips per discovered link)."""
+    from datetime import datetime
+
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.plans.superstep import frontier_rows_from_urls
+
+    urls = spark.createDataFrame(
+        [("http://h.example/a",), ("http://H.Example/b;jsessionid=1#f",)],
+        ["url"],
+    )
+    rows = frontier_rows_from_urls(
+        urls, CrawlConfig(num_queues=4), superstep=0,
+        t0=datetime(2026, 1, 1),
+    )
+    p = plan_of(rows, "simple")
+    assert p.count("ArrowEvalPython") == 1, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_minhash_signatures_single_pass(spark):
+    """Signatures must be ONE hash aggregation over the shingle rows
+    (wide per-perm min columns + stack), never a perms-x-shingles row
+    explosion: exactly one Exchange below the unpivot, no second
+    explode after the shingle generate."""
+    from sparkcrawl.operators import textops
+
+    docs = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+    p = plan_of(textops.minhash_signatures(docs, num_perms=8), "simple")
+    assert p.count("Exchange") == 1, p
+    assert p.count("Generate explode") == 1, p  # shingles only, not perms
