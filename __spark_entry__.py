@@ -187,7 +187,7 @@ _ROBOTS_RULES = [
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from sparkcrawl.operators import sampling, simsearch, temporal, textops
+    from sparkcrawl.operators import graph, sampling, simsearch, temporal, textops
 
     def w1_w2_schedule_topk(spark, sf):
         from pyspark.sql import Window as W
@@ -764,6 +764,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_frac=0.1,
         )
 
+    def graph_host_rank(spark, sf):
+        """PageRank over a deterministic host graph synthesized from
+        events (user_id%200 -> event_id%200): the crawl scheduler's
+        link-popularity priority signal. 10 power iterations; DuckDB
+        re-derives every iterate with a recursive CTE (zero-weight
+        self-edges keep all nodes in the working table each round)."""
+        ev = _read(spark, sf, "events")
+        edges = ev.select(
+            (F.col("user_id") % 200).alias("src"),
+            (F.col("event_id") % 200).alias("dst"),
+        )
+        return graph.pagerank(edges, damping=0.85, iters=10)
+
     def corpus_length_quantiles(spark, sf):
         """Exact per-language length percentiles (linear-interpolation
         semantics, matching DuckDB quantile_cont). At corpus scale the
@@ -999,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hash_split": corpus_hash_split,
         "corpus_stratified_sample": corpus_stratified_sample,
         "corpus_length_quantiles": corpus_length_quantiles,
+        "graph_host_rank": graph_host_rank,
         "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "interleaved_span_extract": interleaved_span_extract,
@@ -1593,6 +1607,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.n_chars, b.bucket
             FROM documents d JOIN bounds b
               ON d.n_chars >= b.lo AND d.n_chars < b.hi
+        """,
+        "graph_host_rank": """
+            WITH RECURSIVE
+            e AS (
+              SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+              FROM events WHERE user_id % 200 <> event_id % 200),
+            nodes AS (
+              SELECT DISTINCT id FROM (
+                SELECT src AS id FROM e UNION SELECT dst FROM e)),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            we AS (
+              SELECT e.src, e.dst, 1.0 / deg.out_deg AS w
+              FROM e JOIN deg ON deg.src = e.src
+              UNION ALL
+              SELECT id, id, 0.0 FROM nodes),
+            pr AS (
+              SELECT 0 AS iter, id, (SELECT 1.0 / n FROM nn) AS rank
+              FROM nodes
+              UNION ALL
+              SELECT pr.iter + 1, we.dst AS id,
+                     (SELECT 0.15 / n FROM nn) + 0.85 * sum(pr.rank * we.w)
+                       AS rank
+              FROM pr JOIN we ON we.src = pr.id
+              WHERE pr.iter < 10
+              GROUP BY pr.iter, we.dst)
+            SELECT id, round(rank, 6) AS rank FROM pr WHERE iter = 10
         """,
         "corpus_length_quantiles": """
             SELECT lang, count(*) AS n_docs,

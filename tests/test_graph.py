@@ -1,0 +1,48 @@
+"""PageRank semantics (operators/graph.py)."""
+
+import pytest
+
+from sparkcrawl.operators import graph
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["id"]: r["rank"] for r in graph.pagerank(df, **kw).collect()}
+
+
+def test_two_node_cycle_is_symmetric(spark):
+    r = _ranks(spark, [(1, 2), (2, 1)])
+    assert r[1] == pytest.approx(r[2])
+    assert r[1] == pytest.approx(0.5, abs=1e-6)  # stationary from start
+
+
+def test_star_center_dominates(spark):
+    r = _ranks(spark, [(1, 9), (2, 9), (3, 9), (4, 9)])
+    assert r[9] == max(r.values())
+    # leaves are symmetric
+    assert r[1] == r[2] == r[3] == r[4]
+    # dangling center: its mass is dropped, so total < 1
+    assert sum(r.values()) < 1.0
+
+
+def test_chain_rank_increases_downstream(spark):
+    r = _ranks(spark, [(1, 2), (2, 3), (3, 1)])  # 3-cycle: all equal
+    assert r[1] == pytest.approx(r[2]) == pytest.approx(r[3])
+    assert r[1] == pytest.approx(1 / 3, abs=1e-6)  # output rounded to 6dp
+
+
+def test_self_loops_and_dup_edges_ignored(spark):
+    r1 = _ranks(spark, [(1, 2), (2, 1)])
+    r2 = _ranks(spark, [(1, 2), (1, 2), (1, 1), (2, 1)])
+    assert r1 == r2
+
+
+def test_hand_computed_one_iteration(spark):
+    # 1->2, 1->3, 2->3 ; one iteration from uniform 1/3, d=0.85:
+    #   r(1) = 0.15/3
+    #   r(2) = 0.15/3 + 0.85*(1/3/2)
+    #   r(3) = 0.15/3 + 0.85*(1/3/2 + 1/3/1)
+    r = _ranks(spark, [(1, 2), (1, 3), (2, 3)], iters=1)
+    assert r[1] == pytest.approx(0.05, abs=1e-6)
+    assert r[2] == pytest.approx(0.05 + 0.85 / 6, abs=1e-6)
+    assert r[3] == pytest.approx(0.05 + 0.85 * (1 / 6 + 1 / 3), abs=1e-6)
