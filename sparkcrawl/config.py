@@ -60,6 +60,12 @@ class CrawlConfig:
     # on, only the FIRST document per content hash is stored. Off by
     # default to pin the documents-table goldens exactly.
     dedup_documents: bool = False
+    # record the host->host link graph (one aggregated row per
+    # (src_host, dst_host) per superstep, superstep-tagged like
+    # fetch_log) so the offline PageRank priority refresh
+    # (plans/rank.py) has its input. Off by default: parity goldens
+    # pin the workdir layout, and the reference has no such table.
+    record_link_graph: bool = False
     # --- virtual clock (T1) ---
     t0: datetime = T0
     tick_seconds: float = 1.0

@@ -1,0 +1,92 @@
+"""Offline PageRank priority refresh — the batch job a production crawl
+runs periodically between supersteps.
+
+Production crawlers don't rank the link graph inline with fetching:
+rank refresh is an offline batch job over the accumulated graph whose
+output feeds back into the scheduler as priorities. With
+``cfg.record_link_graph`` on, every superstep appends aggregated
+(src_host, dst_host, n_links) rows; this module ranks that graph and
+rewrites PENDING frontier rows' priorities through the same
+keep-latest merge the engine uses (J3) — no new write path, replayable
+(tagged), and the next superstep's per-queue top-k (W1) picks the new
+order up with zero scheduler changes.
+
+Priority mapping: hosts are bucketed by rank percentile into
+``cfg.num_priorities`` levels (1 = best, like the reference's
+prioritizer scale); unranked hosts keep their current priority.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from sparkcrawl.config import CrawlConfig
+from sparkcrawl.operators.graph import pagerank
+from sparkcrawl.sources.store import FrontierTable, LinkEdgesTable
+
+
+def host_ranks(spark: SparkSession, workdir: str,
+               damping: float = 0.85, iters: int = 10) -> DataFrame | None:
+    """(host, rank) over the accumulated link-edges graph, or None if
+    nothing was recorded yet. Edge weight = total link count (the
+    graph is re-aggregated across supersteps before ranking)."""
+    edges = LinkEdgesTable(workdir).read(spark)
+    if edges is None:
+        return None
+    flat = (
+        edges.groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").alias("n"))
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    )
+    return pagerank(flat, damping=damping, iters=iters).withColumnRenamed("id", "host")
+
+
+def refresh_frontier_priorities(
+    spark: SparkSession, workdir: str, cfg: CrawlConfig,
+    refresh_id: int = 0,
+) -> int:
+    """Re-prioritize PENDING frontier rows from the link-graph ranks.
+
+    Returns the number of rows whose priority changed (0 when no graph
+    or no changes). The merge is tagged ``rank-refresh-<refresh_id>``
+    so re-running one refresh replaces rather than stacks its delta.
+
+    The percentile window runs over HOSTS (bounded cardinality — the
+    distinct-host table), never over frontier rows; frontier rows get
+    their new priority through a broadcastable host-level join.
+    """
+    ranks = host_ranks(spark, workdir)
+    if ranks is None:
+        return 0
+    # percent_rank over hosts -> priority buckets 1..num_priorities
+    # (1 = highest rank, matching the prioritizer's "lower is sooner")
+    w = W.orderBy(F.desc("rank"))
+    pri = ranks.select(
+        "host",
+        (
+            F.floor(F.percent_rank().over(w) * (cfg.num_priorities - 1)) + 1
+        ).cast("int").alias("_rank_priority"),
+    )
+    frontier = FrontierTable(workdir)
+    current = frontier.read(spark)
+    if current is None:
+        return 0
+    pending = current.filter(F.col("state") == "pending")
+    updated = (
+        pending.join(F.broadcast(pri), "host", "left")
+        .filter(
+            F.col("_rank_priority").isNotNull()
+            & (F.col("_rank_priority") != F.col("priority"))
+        )
+        .withColumn("priority", F.col("_rank_priority"))
+        .drop("_rank_priority")
+        .select(*[f.name for f in current.schema.fields])
+        .persist()
+    )
+    n = updated.count()
+    if n:
+        frontier.merge(updated, superstep=-1, tag=f"rank-refresh-{refresh_id}")
+    updated.unpersist()
+    return n

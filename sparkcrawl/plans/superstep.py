@@ -56,6 +56,7 @@ from sparkcrawl.sources.store import (
     DocumentsTable,
     FetchLogTable,
     FrontierTable,
+    LinkEdgesTable,
     QueueStateTable,
 )
 
@@ -142,6 +143,7 @@ class CrawlRun:
         self.fetch_log = FetchLogTable(workdir)
         self.checkpoints = CheckpointLog(workdir)
         self.queue_state = QueueStateTable(workdir) if cfg.budget_carry else None
+        self.link_edges = LinkEdgesTable(workdir) if cfg.record_link_graph else None
         # F1 membership seam: bloom (default) or the deletion-capable
         # cuckoo store — same probe/update surface, chosen by config.
         # The attribute keeps its historical name; both stores satisfy
@@ -291,6 +293,27 @@ class CrawlRun:
             .withColumn("registered_domain", _registered_domain_col(cfg))
             .withColumn("queue", queue_for_domain(F.col("registered_domain"), cfg.num_queues))
         )
+
+        if self.link_edges is not None:
+            # host->host edges for the offline PageRank refresh
+            # (plans/rank.py): aggregated BEFORE writing — one row per
+            # (src_host, dst_host) pair per superstep, never per link.
+            # Reads the persisted extracted/batch caches; superstep-
+            # tagged append keeps kill/replay exact (T5).
+            edges = (
+                candidates.select("src_url_hash", F.col("host").alias("dst_host"))
+                .join(
+                    batch.select(
+                        F.col("url_hash").alias("src_url_hash"),
+                        F.col("host").alias("src_host"),
+                    ),
+                    "src_url_hash",
+                )
+                .groupBy("src_host", "dst_host")
+                .agg(F.count("*").alias("n_links"))
+                .withColumn("superstep", F.lit(superstep))
+            )
+            self.link_edges.append(edges, superstep)
 
         # 7: DEDUP — batch distinct, persisted bloom prefilter (loaded, not
         # rebuilt: O(new) per superstep, M4), authoritative anti-join

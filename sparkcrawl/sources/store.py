@@ -386,3 +386,24 @@ class DocumentsTable:
         if raw is None or "content_hash" not in raw.columns:
             return None  # empty table, or written before the flag was on
         return raw.select("content_hash")
+
+
+class LinkEdgesTable:
+    """Append-only host->host link graph (cfg.record_link_graph): one
+    aggregated (src_host, dst_host, n_links) row per pair per
+    superstep. Superstep-tagged like fetch_log, so a replayed
+    superstep replaces its killed attempt's delta (T5). Input to the
+    offline PageRank priority refresh (plans/rank.py)."""
+
+    def __init__(self, root: str):
+        self.store = ParquetManifestStore(root, "link_edges")
+
+    def append(self, edges: DataFrame, superstep: int) -> str:
+        return self.store.append(
+            edges, meta={"superstep": superstep},
+            replace_tag=f"superstep-{superstep}",
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        raw = self.store.read_raw(spark)
+        return None if raw is None else raw.drop("_delta_seq")
