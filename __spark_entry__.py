@@ -655,6 +655,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = emb.filter(F.col("vec_id") < 3)
         return _widen(simsearch.ivf_topk(emb, q, k=5, n_cells=8))
 
+    def embedding_quantized_topk(spark, sf):
+        """Int8-quantized exact top-k (operators/quantize.py): the 4x-
+        narrower corpus scan. Integer MAC core keeps the oracle
+        digit-exact (no float accumulation-order divergence)."""
+        from sparkcrawl.operators.quantize import brute_force_topk_quantized
+
+        emb = _read(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        out = brute_force_topk_quantized(q, emb, k=5)
+        return _widen(
+            out.select(
+                "query_id", "corpus_id",
+                F.round(F.col("qcos"), 6).alias("qcos6"), "rank",
+            )
+        )
+
     def embedding_near_dup_pairs(spark, sf):
         emb = _read(spark, sf, "embeddings")
         return _widen(
@@ -872,6 +888,148 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )["media_ref"].alias("first_media_ref"),
         )
 
+    def freshness_revisit_schedule(spark, sf):
+        """Adaptive re-crawl: Cho/Garcia-Molina change-rate estimation +
+        clamped revisit intervals (operators/freshness.py). Events stand
+        in as fetch history: user_id = the URL key, event_type = the
+        content fingerprint whose lag-transition marks a change."""
+        from sparkcrawl.operators import freshness
+
+        ev = _read(spark, sf, "events")
+        hist = ev.select(
+            F.col("user_id").alias("url_hash"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_type").alias("content_hash"),
+        )
+        out = freshness.revisit_intervals(
+            freshness.change_rates(freshness.change_intervals(hist)),
+            target_stale_prob=0.5,
+            min_sec=600,
+            max_sec=7 * 86400,
+        )
+        return out.select(
+            F.col("url_hash").alias("key"),
+            "n_intervals",
+            "n_changes",
+            "span_sec",
+            F.round(F.col("lambda_per_sec"), 9).alias("lambda9"),
+            "revisit_sec",
+        )
+
+    def trap_detection(spark, sf):
+        """Crawler-trap detection (operators/traps.py): URL shape
+        features + host-template fanout over a synthetic URL mix
+        (calendar trap, /x/x/ repetition, depth maze, param explosion,
+        legit hashed slugs)."""
+        from sparkcrawl.operators import traps
+
+        ev = _read(spark, sf, "events")
+        host = F.concat(
+            F.lit("h"), (F.col("user_id") % 8).cast("string"), F.lit(".example")
+        )
+        cls = F.col("event_id") % 5
+        path = (
+            F.when(
+                cls == 0,
+                F.concat(
+                    F.lit("/cal/"),
+                    (F.col("event_id") % 3).cast("string"),
+                    F.lit("/"),
+                    (F.col("event_id") % 7).cast("string"),
+                ),
+            )
+            .when(cls == 1, F.concat(F.lit("/x/x/"), F.col("event_id").cast("string")))
+            .when(cls == 2, F.lit("/d/e/f/g/h/i/j/k/l/m/n/o/p/q"))
+            .when(cls == 3, F.lit("/p?k0=0&k1=1&k2=2&k3=3&k4=4&k5=5&k6=6&k7=7&k8=8&k9=9"))
+            .otherwise(
+                F.concat(
+                    F.lit("/s/"),
+                    F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                )
+            )
+        )
+        urls = ev.select(
+            F.col("event_id"),
+            F.concat(F.lit("http://"), host, path).alias("url"),
+        )
+        out = traps.flag_traps(urls, max_template_fanout=200)
+        return out.select(
+            "event_id",
+            "url",
+            "host_template",
+            F.col("depth").cast("long").alias("depth"),
+            F.col("adjacent_repeats").cast("long").alias("adjacent_repeats"),
+            F.col("digit_runs").cast("long").alias("digit_runs"),
+            F.col("n_params").cast("long").alias("n_params"),
+            "fanout",
+            "trap_suspect",
+        )
+
+    def robots_sitemap_urls(spark, sf):
+        """Sitemap: directive discovery (operators/robots.py::
+        sitemaps_from_robots) over synthetic robots.txt bodies — pure
+        split/explode/regexp codegen, no Python."""
+        from sparkcrawl.operators.robots import sitemaps_from_robots
+
+        ev = _read(spark, sf, "events")
+        host = F.concat(
+            F.lit("h"), (F.col("user_id") % 16).cast("string"), F.lit(".example")
+        )
+        nl = F.lit("\n")
+        body = F.concat(
+            F.lit("User-agent: *"), nl, F.lit("Disallow: /private"), nl,
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.concat(
+                    F.lit("Sitemap: http://"), host, F.lit("/sitemap"),
+                    (F.col("event_id") % 5).cast("string"), F.lit(".xml"), nl,
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.concat(
+                    F.lit(" sitemap:  http://mirror.example/m"),
+                    (F.col("event_id") % 4).cast("string"), F.lit(".xml"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        bodies = ev.select(host.alias("host"), body.alias("body"))
+        return sitemaps_from_robots(bodies)
+
+    def multimodal_mime_sniff(spark, sf):
+        """Magic-byte MIME sniffing (operators/multimodal.sniff_mime):
+        pure hex-prefix column expression over binary payloads built
+        deterministically from documents (magic chosen by doc_id)."""
+        from sparkcrawl.operators.multimodal import sniff_mime
+
+        docs = _read(spark, sf, "documents")
+        magics = [
+            "89504E470D0A1A0A",  # png
+            "FFD8FFE0",          # jpeg
+            "474946383961",      # gif89a
+            "474946383761",      # gif87a
+            "25504446",          # pdf
+            "1F8B08",            # gzip
+            "52494646AABBCCDD57454250",  # webp
+            "52494646AABBCCDD57415645",  # wav
+            "494433",            # mp3
+            "1A45DFA3",          # webm
+            "0000002066747970",  # mp4
+            "3C21444F43545950",  # '<!DOCTYP'
+            "20",                # no magic: space + text bytes
+        ]
+        magic_hex = F.element_at(
+            F.array(*[F.lit(h) for h in magics]),
+            (F.col("doc_id") % len(magics) + 1).cast("int"),
+        )
+        payload = F.concat(
+            F.unhex(magic_hex),
+            F.encode(F.substring(F.col("text"), 1, 16), "UTF-8"),
+        )
+        return docs.select(
+            "doc_id", sniff_mime(payload).alias("mime")
+        )
+
     def multimodal_media_features(spark, sf):
         """Binary-column decode plumbing (deterministic fake decode)."""
         from sparkcrawl.operators.multimodal import decode_and_featurize
@@ -997,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_bruteforce_topk": simsearch_bruteforce_topk,
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
+        "embedding_quantized_topk": embedding_quantized_topk,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "text_language_id": text_language_id,
         "text_quality_score": text_quality_score,
@@ -1016,6 +1175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "interleaved_span_extract": interleaved_span_extract,
+        "freshness_revisit_schedule": freshness_revisit_schedule,
+        "trap_detection": trap_detection,
+        "robots_sitemap_urls": robots_sitemap_urls,
+        "multimodal_mime_sniff": multimodal_mime_sniff,
         "multimodal_media_features": multimodal_media_features,
         "streaming_host_sessions": streaming_host_sessions,
         "crawl_mini_superstep": crawl_mini_superstep,
@@ -1414,6 +1577,32 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
             WHERE rank <= 5
         """,
+        "embedding_quantized_topk": """
+            WITH sc AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) / 127.0 AS scale
+              FROM embeddings
+            ),
+            qz AS (
+              SELECT vec_id,
+                     list_transform(e, x -> CAST(round(x / scale) AS INT)) AS q
+              FROM sc WHERE scale > 0
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     list_dot_product(CAST(q.q AS DOUBLE[]), CAST(c.q AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(q.q AS DOUBLE[]), CAST(q.q AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(c.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])))) AS qcos
+              FROM qz q CROSS JOIN qz c
+              WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, corpus_id, round(qcos, 6) AS qcos6, rank FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY qcos DESC, corpus_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
         "simsearch_ivf_topk": """
             WITH cents AS (
               SELECT vec_id AS centroid_id, embedding FROM embeddings
@@ -1705,6 +1894,152 @@ def oracle_sql() -> dict[str, str]:
         # fake decode = md5(payload) digest bytes (multimodal._fake_decode);
         # md5 of the same UTF-8 bytes is available in DuckDB, and the f0
         # float32 round-trip is mirrored with CAST(CAST(.. AS FLOAT) AS DOUBLE)
+        # Cho/Garcia-Molina estimator re-derived relationally; the 0.69...
+        # literal is repr(-math.log(0.5)) so both engines clamp the SAME
+        # double. Spark's unix_timestamp truncates micros -> floor(epoch).
+        "freshness_revisit_schedule": """
+            WITH iv AS (
+              SELECT user_id AS key,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_sec,
+                     (event_type <> lag(event_type) OVER w) AS changed
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            rates AS (
+              SELECT key,
+                     count(*) AS n_intervals,
+                     CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                     CAST(sum(gap_sec) AS BIGINT) AS span_sec
+              FROM iv WHERE gap_sec IS NOT NULL GROUP BY key
+            ),
+            lam AS (
+              SELECT *,
+                     -ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
+                       / (span_sec / n_intervals) AS lambda_per_sec
+              FROM rates
+            )
+            SELECT key, n_intervals, n_changes, span_sec,
+                   round(lambda_per_sec, 9) AS lambda9,
+                   CASE WHEN lambda_per_sec > 0
+                        THEN CAST(floor(least(greatest(
+                               0.6931471805599453 / lambda_per_sec,
+                               600.0), 604800.0)) AS BIGINT)
+                        ELSE 604800 END AS revisit_sec
+            FROM lam
+        """,
+        # trap features re-derived with 1-based list lambdas (the Spark
+        # side uses element_at for exactly this parity); 'g' flag: DuckDB
+        # regexp_replace is first-match-only by default, Spark's is global
+        "trap_detection": """
+            WITH urls AS (
+              SELECT event_id,
+                     'http://h' || CAST(user_id % 8 AS VARCHAR) || '.example' ||
+                     CASE event_id % 5
+                       WHEN 0 THEN '/cal/' || CAST(event_id % 3 AS VARCHAR)
+                                   || '/' || CAST(event_id % 7 AS VARCHAR)
+                       WHEN 1 THEN '/x/x/' || CAST(event_id AS VARCHAR)
+                       WHEN 2 THEN '/d/e/f/g/h/i/j/k/l/m/n/o/p/q'
+                       WHEN 3 THEN '/p?k0=0&k1=1&k2=2&k3=3&k4=4&k5=5&k6=6&k7=7&k8=8&k9=9'
+                       ELSE '/s/' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                     END AS url
+              FROM events
+            ),
+            feat AS (
+              SELECT event_id, url,
+                     regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                       || regexp_replace(
+                            regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1),
+                            '[0-9]+', 'N', 'g') AS host_template,
+                     list_filter(str_split(
+                       regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1),
+                       '/'), x -> x <> '') AS segs,
+                     len(string_split_regex(
+                       regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1),
+                       '[0-9]+')) - 1 AS digit_runs,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS q
+              FROM urls
+            ),
+            shaped AS (
+              SELECT event_id, url, host_template,
+                     CAST(len(segs) AS BIGINT) AS depth,
+                     CAST(CASE WHEN len(segs) > 1
+                          THEN len(list_filter(range(2, len(segs) + 1),
+                                               i -> segs[i] = segs[i-1]))
+                          ELSE 0 END AS BIGINT) AS adjacent_repeats,
+                     CAST(digit_runs AS BIGINT) AS digit_runs,
+                     CAST(CASE WHEN q = '' THEN 0
+                          ELSE len(str_split(q, '&')) END AS BIGINT) AS n_params
+              FROM feat
+            ),
+            fan AS (
+              SELECT host_template, count(*) AS fanout FROM shaped GROUP BY 1
+            )
+            SELECT s.event_id, s.url, s.host_template, s.depth,
+                   s.adjacent_repeats, s.digit_runs, s.n_params, f.fanout,
+                   (s.depth > 12 OR s.adjacent_repeats >= 2 OR s.n_params > 8
+                    OR f.fanout > 200) AS trap_suspect
+            FROM shaped s JOIN fan f USING (host_template)
+        """,
+        "robots_sitemap_urls": """
+            WITH bodies AS (
+              SELECT 'h' || CAST(user_id % 16 AS VARCHAR) || '.example' AS host,
+                     'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+                     || CASE WHEN event_id % 3 = 0
+                        THEN 'Sitemap: http://h' || CAST(user_id % 16 AS VARCHAR)
+                             || '.example/sitemap' || CAST(event_id % 5 AS VARCHAR)
+                             || '.xml' || chr(10)
+                        ELSE '' END
+                     || CASE WHEN event_id % 7 = 0
+                        THEN ' sitemap:  http://mirror.example/m'
+                             || CAST(event_id % 4 AS VARCHAR) || '.xml'
+                        ELSE '' END AS body
+              FROM events
+            ),
+            lines AS (
+              SELECT host,
+                     unnest(string_split_regex(body, '\\r?\\n')) AS line
+              FROM bodies
+            )
+            SELECT DISTINCT host,
+                   regexp_extract(line, '(?i)^\\s*sitemap\\s*:\\s*(\\S+)', 1) AS sitemap_url
+            FROM lines
+            WHERE regexp_extract(line, '(?i)^\\s*sitemap\\s*:\\s*(\\S+)', 1) <> ''
+        """,
+        "multimodal_mime_sniff": """
+            WITH payloads AS (
+              SELECT doc_id,
+                     unhex((['89504E470D0A1A0A', 'FFD8FFE0', '474946383961',
+                             '474946383761', '25504446', '1F8B08',
+                             '52494646AABBCCDD57454250',
+                             '52494646AABBCCDD57415645', '494433', '1A45DFA3',
+                             '0000002066747970', '3C21444F43545950',
+                             '20'])[doc_id % 13 + 1])
+                       || encode(substr(text, 1, 16)) AS payload
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN starts_with(left(hex(payload), 24), '89504E470D0A1A0A') THEN 'image/png'
+                     WHEN starts_with(left(hex(payload), 24), 'FFD8FF') THEN 'image/jpeg'
+                     WHEN starts_with(left(hex(payload), 24), '474946383761')
+                       OR starts_with(left(hex(payload), 24), '474946383961') THEN 'image/gif'
+                     WHEN starts_with(left(hex(payload), 24), '25504446') THEN 'application/pdf'
+                     WHEN starts_with(left(hex(payload), 24), '1F8B') THEN 'application/gzip'
+                     WHEN starts_with(left(hex(payload), 24), '52494646')
+                      AND substr(hex(payload), 17, 8) = '57454250' THEN 'image/webp'
+                     WHEN starts_with(left(hex(payload), 24), '52494646')
+                      AND substr(hex(payload), 17, 8) = '57415645' THEN 'audio/wav'
+                     WHEN starts_with(left(hex(payload), 24), '494433') THEN 'audio/mpeg'
+                     WHEN starts_with(left(hex(payload), 24), '1A45DFA3') THEN 'video/webm'
+                     WHEN substr(hex(payload), 9, 8) = '66747970' THEN 'video/mp4'
+                     WHEN starts_with(left(hex(payload), 24), '3C21444F')
+                       OR starts_with(left(hex(payload), 24), '3C68746D')
+                       OR starts_with(left(hex(payload), 24), '3C48544D') THEN 'text/html'
+                     ELSE 'application/octet-stream'
+                   END AS mime
+            FROM payloads
+        """,
         "multimodal_media_features": """
             SELECT 'http://cdn.example/' || CAST(doc_id AS VARCHAR) || '.png' AS media_ref,
                    CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "text_bm25_query",
     "text_trigram_lm",
     "text_redact_pii",
+    "freshness_revisit_schedule",
+    "trap_detection",
+    "embedding_quantized_topk",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

@@ -83,6 +83,15 @@ class CrawlConfig:
     # --- extraction (C3/F5) ---
     max_content_length: int = 2_000_000     # limiter size gate
     allowed_content_types: str = r"^text/html"
+    # sitemap.xml bodies (content-sniffed) become pure link sources;
+    # fixture webs are HTML-only so parity goldens are unaffected
+    parse_sitemaps: bool = True
+    # --- crawler-trap suppression (operators/traps.py; off = parity) ---
+    filter_traps: bool = False
+    trap_max_depth: int = 12
+    trap_max_adjacent_repeats: int = 2
+    trap_max_params: int = 8
+    trap_max_template_fanout: int = 1000
     user_agent: str = "sparkcrawl/0.1"
     # --- scope (F2) ---
     scope_positive: tuple[str, ...] = (r"^http",)

@@ -139,6 +139,50 @@ def parse_document(
     return links, spans
 
 
+_SITEMAP_LOC = re.compile(r"<loc>\s*(?:<!\[CDATA\[)?\s*([^<\]]+?)\s*(?:\]\]>)?\s*</loc>", re.I)
+_SITEMAP_CTYPE = re.compile(r"(application|text)/(x-)?(xml|rss\+xml|atom\+xml)", re.I)
+
+
+def is_sitemap(content_type: str | None, body: str | bytes | None) -> bool:
+    """Sitemap sniff: XML content-type or an <urlset>/<sitemapindex>
+    root marker in the leading bytes (servers mislabel sitemaps as
+    text/plain routinely — sniff the body like C6 sniffs charsets)."""
+    if body is None:
+        return False
+    head = body[:512]
+    if isinstance(head, (bytes, bytearray)):
+        head = head.decode("utf-8", errors="replace")
+    if "<urlset" in head or "<sitemapindex" in head:
+        return True
+    return bool(content_type and _SITEMAP_CTYPE.match(content_type))
+
+
+def parse_sitemap(url: str, body: str | bytes | None,
+                  content_type: str | None = None) -> list[str]:
+    """Extract canonical URLs from a sitemap / sitemap-index body.
+
+    Handles <urlset> page entries and <sitemapindex> nested sitemap
+    refs identically (both come back as candidate links — a nested
+    sitemap is just another URL to fetch, and is_sitemap routes it
+    again on its own fetch). XML entities are unescaped (&amp; is
+    REQUIRED escaping inside <loc> per the sitemaps.org protocol),
+    CDATA wrappers stripped, relative refs resolved against the
+    sitemap's own URL, exactly like HTML links (C3).
+    """
+    from xml.sax.saxutils import unescape
+
+    if body is None:
+        return []
+    if isinstance(body, (bytes, bytearray)):
+        body = body.decode(sniff_charset(content_type), errors="replace")
+    links = []
+    for raw in _SITEMAP_LOC.findall(body):
+        canon = canonicalize_one(unescape(raw), url)
+        if canon and canon.startswith(("http://", "https://")):
+            links.append(canon)
+    return links
+
+
 def _extraction_finished(
     status: int | None, content_type: str | None, body, cfg: CrawlConfig
 ) -> bool:
@@ -188,7 +232,17 @@ def extract_links_and_spans(
                 fin = _extraction_finished(status, ctype, body, cfg)
                 links: list[str] = []
                 spans: list[dict] = []
-                if not fin:
+                if (
+                    fin
+                    and cfg.parse_sitemaps
+                    and status == 200
+                    and body is not None
+                    and len(body) <= cfg.max_content_length
+                    and is_sitemap(ctype, body)
+                ):
+                    # sitemap: pure link source, no document spans
+                    links = parse_sitemap(url, body, ctype)
+                elif not fin:
                     links, spans = parse_document(url, body, ctype)
                 if status is not None and 300 <= status < 400 and loc:
                     # C4: redirect Location is an extracted link

@@ -1,0 +1,134 @@
+"""Adaptive re-crawl scheduling: per-URL change-rate estimation.
+
+The reference's prioritizer (SURVEY C8) requeues every URL on a fixed
+``delta * priority`` ladder — change frequency only enters through the
+coarse 200-vs-304 priority nudge. A production crawl of 10^10 URLs
+cannot afford that: most pages never change, a few change hourly, and
+fetch budget spent re-crawling static pages is budget not spent on
+fresh ones. The classic fix (Cho & Garcia-Molina, "Estimating
+Frequency of Change", ACM TOIT 2003 — public literature) models page
+changes as a Poisson process and estimates each page's change rate
+from its observed fetch history, then sets the revisit interval from
+the estimated rate and a target staleness probability.
+
+Estimator (the paper's bias-corrected form for complete-change
+observation): over ``n`` consecutive fetch intervals of which ``x``
+showed a change,
+
+    r_hat      = -ln((n - x + 0.5) / (n + 0.5))     # changes/interval
+    lambda_hat = r_hat / mean_gap_seconds            # changes/second
+
+Revisit interval for staleness bound ``p`` (P[changed before next
+fetch] <= p under Poisson):
+
+    revisit = -ln(1 - p) / lambda_hat                # seconds
+
+clamped to [min_interval, max_interval]. x = 0 makes the estimator
+exactly zero (the ratio is (n+0.5)/(n+0.5)); zero/negative rates mean
+"no change ever observed" and map straight to the max clamp — NOT
+through the division, where -0.0 would produce -inf and invert the
+clamp direction.
+
+Scale notes:
+  - one shuffle total: the lag window partitions by the URL key and
+    the follow-up groupBy reduces on the SAME key, so Catalyst reuses
+    the exchange; the aggregation is a hash agg with map-side partial.
+  - everything after the window is pure column arithmetic
+    (whole-stage codegen); no UDF, no collect.
+  - history depth per URL is naturally bounded by the crawl's own
+    revisit ladder (a page fetched daily for a year is ~365 rows);
+    for unbounded logs, pre-filter to the trailing K fetches per URL
+    before calling (the estimator converges long before that).
+
+Everything here is deterministic and SQL-expressible — the DuckDB
+oracle re-derives the full estimate relationally (see
+``__spark_entry__.oracle_sql()['freshness_revisit_schedule']``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def change_intervals(
+    history: DataFrame,
+    key: str = "url_hash",
+    ts: str = "ts",
+    changed: str | None = None,
+    content: str | None = "content_hash",
+) -> DataFrame:
+    """Consecutive-fetch intervals per key: (key, gap_sec, changed).
+
+    ``changed`` names a boolean column that already says "this fetch
+    observed a change vs the previous one" (e.g. the engine's
+    conditional-GET outcome: 200 = changed, 304 = unchanged). When
+    absent, change is derived by comparing ``content`` (a content-hash
+    column) against the previous fetch's value via a lag window.
+
+    The first fetch of each key yields no interval (lag is NULL).
+    """
+    w = W.partitionBy(key).orderBy(ts)
+    prev_ts = F.lag(ts).over(w)
+    if changed is not None:
+        chg = F.col(changed)
+    else:
+        chg = F.col(content) != F.lag(content).over(w)
+    return (
+        history.select(
+            F.col(key),
+            (F.unix_timestamp(ts) - F.unix_timestamp(prev_ts)).alias("gap_sec"),
+            chg.alias("changed"),
+        )
+        .filter(F.col("gap_sec").isNotNull())
+    )
+
+
+def change_rates(
+    intervals: DataFrame,
+    key: str = "url_hash",
+) -> DataFrame:
+    """Per-key Poisson change-rate estimate over interval rows.
+
+    Output: (key, n_intervals, n_changes, span_sec, lambda_per_sec).
+    Keys with zero intervals (single observation) never appear —
+    callers treat absence as "no estimate, keep default schedule".
+    """
+    n = F.count("*")
+    x = F.sum(F.col("changed").cast("long"))
+    span = F.sum("gap_sec")
+    r_hat = -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5)))
+    return (
+        intervals.groupBy(key)
+        .agg(
+            n.alias("n_intervals"),
+            x.alias("n_changes"),
+            span.alias("span_sec"),
+            (r_hat / (span / n)).alias("lambda_per_sec"),
+        )
+    )
+
+
+def revisit_intervals(
+    rates: DataFrame,
+    target_stale_prob: float = 0.5,
+    min_sec: int = 3600,
+    max_sec: int = 30 * 86400,
+) -> DataFrame:
+    """Map each key's change rate to a clamped revisit interval.
+
+    revisit = -ln(1 - p) / lambda, clamped to [min_sec, max_sec].
+    """
+    if not 0.0 < target_stale_prob < 1.0:
+        raise ValueError(f"target_stale_prob must be in (0,1), got {target_stale_prob}")
+    horizon = F.lit(-math.log(1.0 - target_stale_prob))
+    lam = F.col("lambda_per_sec")
+    raw = F.when(
+        lam > 0,
+        F.least(F.greatest(horizon / lam, F.lit(float(min_sec))),
+                F.lit(float(max_sec))),
+    ).otherwise(F.lit(float(max_sec)))  # no change ever observed
+    return rates.withColumn("revisit_sec", raw.cast("long"))

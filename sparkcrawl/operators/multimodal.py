@@ -61,6 +61,37 @@ def media_table_from_spans(docs_spans: DataFrame) -> DataFrame:
     )
 
 
+def sniff_mime(payload: F.Column) -> F.Column:
+    """Content-type from leading magic bytes — pure column expression.
+
+    A crawl cannot trust Content-Type headers (servers lie; the
+    reference's C6 charset detection exists for the same reason), so
+    the sink sniffs the payload itself. Everything runs JVM-side on a
+    hex prefix of the binary column: whole-stage codegen, no UDF —
+    and the hex-string comparisons port verbatim to the DuckDB oracle.
+    """
+    p = F.hex(F.substring(payload, 1, 12))  # 24 hex chars
+    ftyp = F.hex(F.substring(payload, 5, 4))
+    riff_kind = F.hex(F.substring(payload, 9, 4))
+    return (
+        F.when(p.startswith("89504E470D0A1A0A"), "image/png")
+        .when(p.startswith("FFD8FF"), "image/jpeg")
+        .when(p.startswith("474946383761") | p.startswith("474946383961"), "image/gif")
+        .when(p.startswith("25504446"), "application/pdf")
+        .when(p.startswith("1F8B"), "application/gzip")
+        .when(p.startswith("52494646") & (riff_kind == "57454250"), "image/webp")
+        .when(p.startswith("52494646") & (riff_kind == "57415645"), "audio/wav")
+        .when(p.startswith("494433"), "audio/mpeg")
+        .when(p.startswith("1A45DFA3"), "video/webm")
+        .when(ftyp == "66747970", "video/mp4")  # ISO-BMFF: 'ftyp' at offset 4
+        .when(
+            p.startswith("3C21444F") | p.startswith("3C68746D") | p.startswith("3C48544D"),
+            "text/html",  # '<!DO', '<htm', '<HTM'
+        )
+        .otherwise("application/octet-stream")
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """Deterministic fake decode: 8-dim feature from the payload digest.
     Oracle mode — DuckDB reproduces it from md5 (__spark_entry__)."""

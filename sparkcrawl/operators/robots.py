@@ -79,6 +79,27 @@ def parse_robots_bodies(bodies: DataFrame, user_agent: str = "*") -> DataFrame:
     return bodies.mapInPandas(_parse, schema=ROBOTS_SCHEMA)
 
 
+def sitemaps_from_robots(bodies: DataFrame) -> DataFrame:
+    """``Sitemap:`` directives from raw robots.txt bodies, as
+    (host, sitemap_url) rows ready for seed injection (S1).
+
+    The directive is host-wide and agent-independent (sitemaps.org
+    protocol / RFC 9309), so it lives outside the per-agent rule
+    grouping of parse_robots_bodies — and unlike that parser it needs
+    no Python at all: split-to-lines + explode + a case-insensitive
+    regexp_extract, pure codegen end to end.
+    """
+    lines = bodies.select(
+        "host", F.explode(F.split(F.col("body"), r"\r?\n")).alias("line")
+    )
+    sm = F.regexp_extract(F.col("line"), r"(?i)^\s*sitemap\s*:\s*(\S+)", 1)
+    return (
+        lines.select("host", sm.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+    )
+
+
 def robots_gate(batch: DataFrame, robots: DataFrame, user_agent: str = "*") -> DataFrame:
     """R2: add ``robots_allowed`` to the fetch batch.
 

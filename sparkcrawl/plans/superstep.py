@@ -144,6 +144,12 @@ class CrawlRun:
         self.checkpoints = CheckpointLog(workdir)
         self.queue_state = QueueStateTable(workdir) if cfg.budget_carry else None
         self.link_edges = LinkEdgesTable(workdir) if cfg.record_link_graph else None
+        if cfg.filter_traps:
+            from sparkcrawl.sources.store import TrapRulesTable
+
+            self.trap_rules = TrapRulesTable(workdir)
+        else:
+            self.trap_rules = None
         # F1 membership seam: bloom (default) or the deletion-capable
         # cuckoo store — same probe/update surface, chosen by config.
         # The attribute keeps its historical name; both stores satisfy
@@ -287,6 +293,14 @@ class CrawlRun:
             .filter(F.col("url").isNotNull())
             .filter(in_scope(F.col("url"), cfg.scope_positive, cfg.scope_negative))
         )
+        if self.trap_rules is not None:
+            # trap gate: codegen shape filter + broadcast anti-join
+            # against templates published by plans/traps.py
+            from sparkcrawl.operators.traps import filter_trap_candidates
+
+            links = filter_trap_candidates(
+                links, cfg, self.trap_rules.read(spark)
+            )
         candidates = (
             links.withColumn("url_hash", url_sha1(F.col("url")))
             .withColumn("host", host_of_canonical_col(F.col("url")))

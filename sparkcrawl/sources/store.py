@@ -407,3 +407,24 @@ class LinkEdgesTable:
     def read(self, spark: SparkSession) -> DataFrame | None:
         raw = self.store.read_raw(spark)
         return None if raw is None else raw.drop("_delta_seq")
+
+
+class TrapRulesTable:
+    """Detected crawler-trap templates (operators/traps.py): one
+    (host_template, fanout) row per suppressed template. Each refresh
+    REPLACES the rule set (replace_tag="current") — rules are derived
+    state, recomputable from the frontier, so keep-latest semantics
+    are per-table, not per-row. Consumed as a broadcast anti-join by
+    the superstep's candidate gate (cfg.filter_traps)."""
+
+    def __init__(self, root: str):
+        self.store = ParquetManifestStore(root, "trap_rules")
+
+    def replace(self, rules: DataFrame, refresh_id: int = 0) -> str:
+        return self.store.append(
+            rules, meta={"refresh_id": refresh_id}, replace_tag="current"
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        raw = self.store.read_raw(spark)
+        return None if raw is None else raw.drop("_delta_seq")

@@ -1,0 +1,107 @@
+"""Int8 embedding quantization (operators/quantize.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparkcrawl.operators import quantize
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    vecs = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [127.0, -127.0, 63.5, 1.0]),
+        (3, [1e-3, 2e-3, -3e-3, 4e-3]),
+    ]
+    out = quantize.quantize_embeddings(_emb(spark, vecs)).collect()
+    for r in out:
+        maxabs = max(abs(x) for x in r["embedding"])
+        assert abs(r["scale"] - maxabs / 127.0) < 1e-12
+        for orig, q in zip(r["embedding"], r["qvec"]):
+            assert -127 <= q <= 127
+            # dequantization error <= scale/2 = maxabs/254
+            assert abs(q * r["scale"] - orig) <= maxabs / 254 + 1e-12
+
+
+def test_zero_vector_gets_null_code(spark):
+    out = quantize.quantize_embeddings(
+        _emb(spark, [(1, [0.0, 0.0]), (2, [1.0, 0.0])])
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[1]["scale"] is None and by_id[1]["qvec"] is None
+    assert by_id[2]["qvec"] == [127, 0]
+
+
+def test_quantized_cosine_tracks_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(20)]
+    qdf = quantize.quantize_embeddings(_emb(spark, vecs))
+    pairs = (
+        qdf.alias("a")
+        .crossJoin(qdf.alias("b"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            quantize.quantized_cosine(F.col("a.qvec"), F.col("b.qvec")).alias("qc"),
+        )
+        .collect()
+    )
+    by_pair = {(r["ia"], r["ib"]): r["qc"] for r in pairs}
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / math.sqrt(sum(x * x for x in u) * sum(y * y for y in v))
+
+    for (i, j), qc in by_pair.items():
+        assert abs(qc - cos(vecs[i][1], vecs[j][1])) < 0.02  # SQ8 noise floor
+
+
+def test_topk_recall_vs_exact(spark):
+    import random
+
+    rng = random.Random(3)
+    # clustered fixture: 4 loose clusters so top-k is non-trivial
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    vecs = [
+        (i, [c + rng.uniform(-0.15, 0.15) for c in centers[i % 4]])
+        for i in range(60)
+    ]
+    df = _emb(spark, vecs)
+    queries = df.filter(F.col("vec_id") < 4)
+    got = quantize.brute_force_topk_quantized(queries, df, k=5).collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r["query_id"], set()).add(r["corpus_id"])
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / math.sqrt(sum(x * x for x in u) * sum(y * y for y in v))
+
+    hits = total = 0
+    for qid in range(4):
+        exact = sorted(
+            (i for i, _ in vecs if i != qid),
+            key=lambda i: -cos(vecs[qid][1], vecs[i][1]),
+        )[:5]
+        hits += len(approx[qid] & set(exact))
+        total += 5
+    assert hits / total >= 0.9
+
+
+def test_quantized_ops_stay_jvm_side(spark):
+    import contextlib
+    import io
+
+    df = quantize.quantize_embeddings(_emb(spark, [(1, [1.0, 2.0])]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
