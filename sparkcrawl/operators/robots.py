@@ -100,6 +100,18 @@ def sitemaps_from_robots(bodies: DataFrame) -> DataFrame:
     )
 
 
+def seeds_from_sitemaps(bodies: DataFrame, priority: int = 1) -> DataFrame:
+    """Sitemap URLs as S1 seed rows (url, priority) — the composition
+    a live crawl runs at bootstrap: fetch robots.txt per seed host,
+    parse_robots_bodies() for the gate, THIS for extra entry points
+    (the sitemap bodies themselves route through the extractor's
+    urlset parser once fetched)."""
+    return sitemaps_from_robots(bodies).select(
+        F.col("sitemap_url").alias("url"),
+        F.lit(priority).cast("int").alias("priority"),
+    ).distinct()
+
+
 def robots_gate(batch: DataFrame, robots: DataFrame, user_agent: str = "*") -> DataFrame:
     """R2: add ``robots_allowed`` to the fetch batch.
 

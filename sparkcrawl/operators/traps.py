@@ -50,10 +50,18 @@ def url_trap_features(df: DataFrame, url: str = "url") -> DataFrame:
     adjacent_repeats, digit_runs, n_params.
     """
     u = F.col(url)
-    path = F.coalesce(F.regexp_extract(u, _PATH_RE, 1), F.lit(""))
-    query = F.regexp_extract(u, _QUERY_RE, 1)
-    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
-    segs = _segments(path)
+    # materialize the parsed pieces ONCE, then derive features from the
+    # columns — referencing the regexp expressions directly would
+    # re-evaluate each extract per consuming feature (lambda captures
+    # defeat codegen subexpression elimination)
+    parsed = df.withColumns(
+        {
+            "path": F.coalesce(F.regexp_extract(u, _PATH_RE, 1), F.lit("")),
+            "_q": F.regexp_extract(u, _QUERY_RE, 1),
+            "_host": F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+        }
+    ).withColumn("_segs", _segments(F.col("path")))
+    segs = F.col("_segs")
     # i ranges over 1-based positions 1..size-1; repeat when seg[i+1]==seg[i]
     adjacent = F.size(
         F.filter(
@@ -62,22 +70,23 @@ def url_trap_features(df: DataFrame, url: str = "url") -> DataFrame:
         )
     )
     return (
-        df.withColumn("path", path)
-        .withColumn(
-            "host_template",
-            F.concat(host, F.regexp_replace(path, "[0-9]+", "N")),
+        parsed.withColumns(
+            {
+                "host_template": F.concat(
+                    F.col("_host"), F.regexp_replace(F.col("path"), "[0-9]+", "N")
+                ),
+                "depth": F.size(segs),
+                "adjacent_repeats": F.when(
+                    F.size(segs) > 1, adjacent
+                ).otherwise(F.lit(0)),
+                # split on digit runs yields (runs+1) pieces
+                "digit_runs": F.size(F.split(F.col("path"), "[0-9]+")) - 1,
+                "n_params": F.when(F.col("_q") == "", F.lit(0)).otherwise(
+                    F.size(F.split(F.col("_q"), "&"))
+                ),
+            }
         )
-        .withColumn("depth", F.size(segs))
-        .withColumn(
-            "adjacent_repeats",
-            F.when(F.size(segs) > 1, adjacent).otherwise(F.lit(0)),
-        )
-        # split on digit runs yields (runs+1) pieces, trailing run included
-        .withColumn("digit_runs", F.size(F.split(path, "[0-9]+")) - 1)
-        .withColumn(
-            "n_params",
-            F.when(query == "", F.lit(0)).otherwise(F.size(F.split(query, "&"))),
-        )
+        .drop("_q", "_host", "_segs")
     )
 
 
@@ -131,7 +140,12 @@ def flag_traps(
     when the template table fits (it is smaller than the input by the
     fanout factor being detected).
     """
-    featured = url_trap_features(df, url=url)
+    from sparkcrawl.operators._caching import tracked_persist
+
+    # the fanout agg and the flag join both consume the regex-heavy
+    # feature subplan — persist it once (tracked: callers release via
+    # operators._caching.release_caches(), the repo-wide pattern)
+    featured = tracked_persist(url_trap_features(df, url=url))
     fanout = host_template_fanout(featured)
     shape_trap = (
         (F.col("depth") > max_depth)

@@ -100,3 +100,30 @@ def test_crawl_delay_does_not_open_disallowed_host(spark):
     )
     out2 = robots_gate(_batch(spark, ["http://open.example/x"]), rules2).collect()
     assert [r["robots_allowed"] for r in out2] == [True]
+
+
+def test_seeds_from_sitemaps_bootstraps_crawl(spark, mini_cfg, mini_web, tmp_path):
+    """Composition: robots bodies -> sitemap seeds -> CrawlRun.bootstrap
+    (the live-crawl entry-point chain)."""
+    from sparkcrawl.operators.robots import seeds_from_sitemaps
+    from sparkcrawl.plans.superstep import CrawlRun
+    from sparkcrawl.schemas import SEEDS_SCHEMA
+
+    seed_url = mini_web["seeds"].first()["url"]
+    host = seed_url.split("/")[2]
+    bodies = spark.createDataFrame(
+        [(host, f"User-agent: *\nAllow: /\nSitemap: {seed_url}\n"
+                f"Sitemap: {seed_url}\n")],  # duplicate directive: deduped
+        ["host", "body"],
+    )
+    seeds = seeds_from_sitemaps(bodies)
+    assert [f.name for f in seeds.schema.fields] == [
+        f.name for f in SEEDS_SCHEMA.fields
+    ]
+    rows = seeds.collect()
+    assert len(rows) == 1 and rows[0]["url"] == seed_url
+
+    run = CrawlRun(spark, str(tmp_path / "w"), mini_cfg,
+                   mini_web["web"], mini_web["robots"])
+    stats = run.run(seeds, max_supersteps=1)
+    assert stats and stats[0].fetched > 0
