@@ -771,6 +771,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, {"train": 0.8, "val": 0.1, "test": 0.1}
         )
 
+    def corpus_curation_pipeline(spark, sf):
+        """Capstone composition — the materialization stage of an LLM
+        training-data pipeline, built ONLY from the repo's operators:
+        language-ID -> quality gate -> exact dedup (min-id survivor)
+        -> reproducible salted-hash split assignment."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        lang = textops.language_id(docs).select(
+            F.col("id").alias("doc_id"), "pred_lang"
+        )
+        qual = textops.quality_score(docs).select(
+            F.col("id").alias("doc_id"), "quality"
+        )
+        kept = (
+            docs.join(lang, "doc_id")
+            .join(qual, "doc_id")
+            .filter((F.col("pred_lang") != "unknown") & (F.col("quality") >= 0.3))
+        )
+        unique = textops.exact_dedup(kept)
+        return sampling.hash_split(
+            unique.select("doc_id", "pred_lang", "quality"),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+
     def corpus_stratified_sample(spark, sf):
         """Deterministic per-language rebalancing sample (nested:
         raising a frac only adds docs)."""
@@ -1169,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_asof_join": temporal_asof_join,
         "range_join_sizes": range_join_sizes,
         "corpus_hash_split": corpus_hash_split,
+        "corpus_curation_pipeline": corpus_curation_pipeline,
         "corpus_stratified_sample": corpus_stratified_sample,
         "corpus_length_quantiles": corpus_length_quantiles,
         "graph_host_rank": graph_host_rank,
@@ -1839,6 +1863,35 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) % 1000000) / 1000000.0 AS u
               FROM documents)
             SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "corpus_curation_pipeline": f"""
+            WITH lang AS (SELECT id, pred_lang FROM ({_language_id_sql()})),
+            qual AS (SELECT id, quality FROM ({_quality_sql()})),
+            joined AS (
+              SELECT d.doc_id, d.text, l.pred_lang, q.quality
+              FROM documents d
+              JOIN lang l ON d.doc_id = l.id
+              JOIN qual q ON d.doc_id = q.id
+              WHERE l.pred_lang <> 'unknown' AND q.quality >= 0.3
+            ),
+            keepers AS (
+              SELECT min(doc_id) AS doc_id FROM joined GROUP BY md5(text)
+            ),
+            uniq AS (
+              SELECT j.doc_id, j.pred_lang, j.quality
+              FROM joined j JOIN keepers k USING (doc_id)
+            ),
+            b AS (
+              SELECT *,
+                     (CAST(concat('0x',
+                        substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 AS u
+              FROM uniq)
+            SELECT doc_id, pred_lang, quality,
                    CASE WHEN u < 0.8 THEN 'train'
                         WHEN u < 0.9 THEN 'val'
                         ELSE 'test' END AS split

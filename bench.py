@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "freshness_revisit_schedule",
     "trap_detection",
     "embedding_quantized_topk",
+    "corpus_curation_pipeline",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION
