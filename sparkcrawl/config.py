@@ -86,6 +86,11 @@ class CrawlConfig:
     # sitemap.xml bodies (content-sniffed) become pure link sources;
     # fixture webs are HTML-only so parity goldens are unaffected
     parse_sitemaps: bool = True
+    # live robots.txt discovery (R1 engine-complete): URLs on hosts with
+    # no known rules are deferred one superstep while /robots.txt is
+    # fetched+parsed into the per-host-versioned RobotsTable; off =
+    # rules come from the static robots argument (parity/fixture mode)
+    fetch_robots: bool = False
     # --- crawler-trap suppression (operators/traps.py; off = parity) ---
     filter_traps: bool = False
     trap_max_depth: int = 12

@@ -150,6 +150,12 @@ class CrawlRun:
             self.trap_rules = TrapRulesTable(workdir)
         else:
             self.trap_rules = None
+        if cfg.fetch_robots:
+            from sparkcrawl.sources.store import RobotsTable
+
+            self.robots_table = RobotsTable(workdir)
+        else:
+            self.robots_table = None
         # F1 membership seam: bloom (default) or the deletion-capable
         # cuckoo store — same probe/update surface, chosen by config.
         # The attribute keeps its historical name; both stores satisfy
@@ -199,6 +205,19 @@ class CrawlRun:
     def last_checkpoint(self) -> dict | None:
         return self.checkpoints.last()
 
+    # -- S4 dispatch: injected fetcher > synthetic fixture > live HTTP -------
+    def _dispatch_fetch(self, batch: DataFrame) -> DataFrame:
+        """Built-in paths only need url+etag on the batch side; a custom
+        ``fetcher`` must tolerate the minimal robots batch too when
+        cfg.fetch_robots is on."""
+        if self.fetcher is not None:
+            return self.fetcher(batch)
+        if self.web is not None:
+            return synthetic_fetch(batch, self.web)
+        from sparkcrawl.sources.fetch import http_fetch
+
+        return http_fetch(batch, self.cfg)
+
     # -- one superstep -------------------------------------------------------
     def run_superstep(self, superstep: int, virtual_time: datetime,
                       as_of: list[dict] | None = None,
@@ -222,12 +241,79 @@ class CrawlRun:
             if self.queue_state is not None
             else None
         )
-        batch = select_fetch_batch(frontier, virtual_time, cfg, self._delays, carry_in)
-        if self.robots is not None:
-            batch = robots_gate(batch, self.robots, cfg.user_agent)
+        # live robots discovery (cfg.fetch_robots): rules + delays come
+        # from the per-host-versioned RobotsTable instead of the static
+        # robots argument; URLs on hosts with no rules yet are DEFERRED
+        # one superstep while /robots.txt is fetched (below).
+        deferred = None
+        delays = self._delays
+        gate_rules = self.robots
+        if self.robots_table is not None:
+            from sparkcrawl.schemas import ROBOTS_SCHEMA
+
+            dyn = self.robots_table.read(spark)
+            if dyn is not None:
+                gate_rules = dyn.select(*[f.name for f in ROBOTS_SCHEMA.fields])
+                delays = crawl_delays(gate_rules, cfg.user_agent)
+            else:
+                gate_rules = None
+                delays = None
+        batch = select_fetch_batch(frontier, virtual_time, cfg, delays, carry_in)
+        if self.robots_table is not None:
+            if gate_rules is not None:
+                known_hosts = gate_rules.select("host").distinct()
+                deferred = batch.join(
+                    F.broadcast(known_hosts), "host", "left_anti"
+                ).persist()
+                batch = batch.join(F.broadcast(known_hosts), "host", "left_semi")
+            else:  # first superstep: every host is unknown
+                deferred = batch.persist()
+                batch = batch.filter(F.lit(False))
+        if gate_rules is not None:
+            batch = robots_gate(batch, gate_rules, cfg.user_agent)
         else:
             batch = batch.withColumn("robots_allowed", F.lit(True))
         batch = batch.persist()
+
+        # fetch+parse robots.txt for the deferred hosts; hosts whose
+        # robots fetch fails or yields no rules get an allow-all marker
+        # so they become known (urllib.robotparser semantics: no usable
+        # robots.txt = allow). Superstep-tagged append: replay-safe.
+        if deferred is not None:
+            robots_batch = deferred.select("host").distinct().select(
+                F.concat(F.lit("http://"), F.col("host"),
+                         F.lit("/robots.txt")).alias("url"),
+                F.col("host"),
+                F.lit(None).cast("string").alias("etag"),
+            )
+            rfetched = self._dispatch_fetch(robots_batch).persist()
+            from sparkcrawl.operators.robots import parse_robots_bodies
+
+            parsed = parse_robots_bodies(
+                rfetched.filter(
+                    (F.col("status_code") == 200) & F.col("body").isNotNull()
+                ).select("host", "body"),
+                cfg.user_agent,
+            ).persist()
+            markers = (
+                rfetched.select("host").distinct()
+                .join(parsed.select("host").distinct(), "host", "left_anti")
+                .select(
+                    "host",
+                    F.lit("*").alias("agent"),
+                    F.lit(True).alias("allow"),
+                    F.lit("/").alias("path_prefix"),
+                    F.lit(None).cast("double").alias("crawl_delay"),
+                )
+            )
+            self.robots_table.append(
+                parsed.unionByName(markers).withColumn(
+                    "fetched_superstep", F.lit(superstep)
+                ),
+                superstep,
+            )
+            rfetched.unpersist()
+            parsed.unpersist()
         allowed = batch.filter(F.col("robots_allowed"))
         denied = batch.filter(~F.col("robots_allowed"))
 
@@ -238,14 +324,7 @@ class CrawlRun:
             "discovered_superstep", "lineage_partition", "slot",
         ]
         batch_to_fetch = allowed.select(*fetch_cols)
-        if self.fetcher is not None:
-            fetched = self.fetcher(batch_to_fetch)
-        elif self.web is not None:
-            fetched = synthetic_fetch(batch_to_fetch, self.web)
-        else:
-            from sparkcrawl.sources.fetch import http_fetch
-
-            fetched = http_fetch(batch_to_fetch, cfg)
+        fetched = self._dispatch_fetch(batch_to_fetch)
         extracted = extract_links_and_spans(fetched, cfg)
         if cfg.extractor_pipeline:  # X1: import-path-configured stages
             from sparkcrawl.functions.import_util import apply_pipeline
@@ -365,6 +444,21 @@ class CrawlRun:
 
         # 9: MERGE (U1 + J3)
         updates = requeued.unionByName(denied_rows).unionByName(new_rows)
+        if deferred is not None:
+            # robots-unknown hosts: requeue untouched for the NEXT tick —
+            # their rules were fetched above, so the next superstep gates
+            # and fetches them normally
+            deferred_rows = (
+                deferred.withColumn(
+                    "next_date",
+                    F.timestamp_add(
+                        "SECOND", F.lit(int(cfg.tick_seconds)), F.lit(virtual_time)
+                    ),
+                )
+                .withColumn("state", F.lit("pending"))
+                .select(*[f.name for f in new_rows.schema.fields])
+            )
+            updates = updates.unionByName(deferred_rows)
         if cfg.use_bloom_prefilter:
             # BEFORE the frontier commit — the bloom must always be a
             # SUPERSET of frontier keys: bloom-unseen rows bypass the
@@ -454,6 +548,8 @@ class CrawlRun:
         )
         for df in (frontier, batch, extracted, merged, new_rows):
             df.unpersist()
+        if deferred is not None:
+            deferred.unpersist()
         return SuperstepStats(
             superstep, virtual_time, batch_size, fetched_count, denied_count,
             discovered, new_count, pending_after, seen_total,

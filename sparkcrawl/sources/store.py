@@ -428,3 +428,30 @@ class TrapRulesTable:
     def read(self, spark: SparkSession) -> DataFrame | None:
         raw = self.store.read_raw(spark)
         return None if raw is None else raw.drop("_delta_seq")
+
+
+class RobotsTable:
+    """Live-discovered robots.txt rules (cfg.fetch_robots): ROBOTS_SCHEMA
+    rows + a fetched_superstep column. Append is superstep-tagged (T5:
+    a replayed superstep replaces its killed attempt's rules); read
+    keeps each host's LATEST generation only, so a future robots
+    re-fetch (expiry) cleanly supersedes the old rule set."""
+
+    def __init__(self, root: str):
+        self.store = ParquetManifestStore(root, "robots_rules")
+
+    def append(self, rules: DataFrame, superstep: int) -> str:
+        return self.store.append(
+            rules, meta={"superstep": superstep},
+            replace_tag=f"robots-superstep-{superstep}",
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        raw = self.store.read_raw(spark)
+        if raw is None:
+            return None
+        raw = raw.drop("_delta_seq")
+        latest = raw.groupBy("host").agg(
+            F.max("fetched_superstep").alias("fetched_superstep")
+        )
+        return raw.join(latest, ["host", "fetched_superstep"])

@@ -127,3 +127,62 @@ def test_seeds_from_sitemaps_bootstraps_crawl(spark, mini_cfg, mini_web, tmp_pat
                    mini_web["web"], mini_web["robots"])
     stats = run.run(seeds, max_supersteps=1)
     assert stats and stats[0].fetched > 0
+
+
+def test_live_robots_discovery_supersteps(spark, mini_cfg, tmp_path):
+    """cfg.fetch_robots: unknown hosts defer one superstep while
+    /robots.txt is fetched+parsed into the RobotsTable; parsed rules
+    gate later supersteps, absent robots.txt becomes allow-all."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.plans.superstep import CrawlRun
+    from sparkcrawl.schemas import SEEDS_SCHEMA, WEB_SCHEMA
+
+    def page(url, body):
+        return (url, 200, "text/html", None, None, None, body)
+
+    web = spark.createDataFrame(
+        [
+            ("http://a.example/robots.txt", 200, "text/plain", None, None,
+             None, "User-agent: *\nDisallow: /private\n"),
+            page("http://a.example/",
+                 '<a href="/private/x">p</a><a href="/pub">q</a>'),
+            page("http://a.example/pub", "public"),
+            page("http://b.example/", '<a href="/ok">k</a>'),
+            page("http://b.example/ok", "fine"),
+            # b.example has NO robots.txt row -> connection error -> allow-all
+        ],
+        schema=WEB_SCHEMA,
+    )
+    seeds = spark.createDataFrame(
+        [("http://a.example/", 1), ("http://b.example/", 1)],
+        schema=SEEDS_SCHEMA,
+    )
+    cfg = dataclasses.replace(mini_cfg, fetch_robots=True)
+    run = CrawlRun(spark, str(tmp_path / "w"), cfg, web, None)
+    stats = run.run(seeds, max_supersteps=4)
+
+    # superstep 1: every host unknown -> whole batch deferred, nothing fetched
+    assert stats[0].batch_size == 0 and stats[0].fetched == 0
+
+    rules = run.robots_table.read(spark)
+    by_host = {}
+    for r in rules.collect():
+        by_host.setdefault(r["host"], []).append(r)
+    assert any(not r["allow"] and r["path_prefix"] == "/private"
+               for r in by_host["a.example"])
+    assert [(r["allow"], r["path_prefix"]) for r in by_host["b.example"]] == [
+        (True, "/")]  # allow-all marker for the robots-less host
+
+    fr = {r["url"]: r["state"] for r in run.frontier.read(spark).collect()}
+    assert fr["http://a.example/private/x"] == "gone"     # gated by parsed rule
+    assert fr["http://a.example/pub"] == "pending"        # fetched + requeued
+    assert fr["http://b.example/ok"] == "pending"
+    log_urls = {r["url"] for r in run.fetch_log.read(spark).collect()}
+    assert "http://a.example/private/x" not in log_urls   # never fetched
+
+    # kill/replay safety: resume continues with the same rule table
+    more = run.resume(max_supersteps=1)
+    assert run.robots_table.read(spark).count() == rules.count()
