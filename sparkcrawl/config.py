@@ -91,6 +91,9 @@ class CrawlConfig:
     # fetched+parsed into the per-host-versioned RobotsTable; off =
     # rules come from the static robots argument (parity/fixture mode)
     fetch_robots: bool = False
+    # rule generations older than this many supersteps count as unknown
+    # again (host re-defers + re-fetches robots.txt); 0 = never expire
+    robots_ttl_supersteps: int = 0
     # --- crawler-trap suppression (operators/traps.py; off = parity) ---
     filter_traps: bool = False
     trap_max_depth: int = 12

@@ -252,6 +252,13 @@ class CrawlRun:
             from sparkcrawl.schemas import ROBOTS_SCHEMA
 
             dyn = self.robots_table.read(spark)
+            if dyn is not None and cfg.robots_ttl_supersteps > 0:
+                # expired generations count as unknown: the host re-defers
+                # and re-fetches; the fresher generation then supersedes
+                dyn = dyn.filter(
+                    F.col("fetched_superstep")
+                    > superstep - cfg.robots_ttl_supersteps
+                )
             if dyn is not None:
                 gate_rules = dyn.select(*[f.name for f in ROBOTS_SCHEMA.fields])
                 delays = crawl_delays(gate_rules, cfg.user_agent)

@@ -186,3 +186,37 @@ def test_live_robots_discovery_supersteps(spark, mini_cfg, tmp_path):
     # kill/replay safety: resume continues with the same rule table
     more = run.resume(max_supersteps=1)
     assert run.robots_table.read(spark).count() == rules.count()
+
+
+def test_robots_ttl_refetch(spark, mini_cfg, tmp_path):
+    """robots_ttl_supersteps: expired rule generations make the host
+    unknown again -> re-defer + re-fetch; the newer generation
+    supersedes in RobotsTable.read()."""
+    import dataclasses
+
+    from sparkcrawl.plans.superstep import CrawlRun
+    from sparkcrawl.schemas import SEEDS_SCHEMA, WEB_SCHEMA
+
+    web = spark.createDataFrame(
+        [("http://a.example/", 200, "text/html", None, None, None,
+          '<a href="/p1">x</a><a href="/p2">y</a>'),
+         ("http://a.example/p1", 200, "text/html", None, None, None, "one"),
+         ("http://a.example/p2", 200, "text/html", None, None, None, "two")],
+        schema=WEB_SCHEMA,
+    )
+    seeds = spark.createDataFrame([("http://a.example/", 1)], schema=SEEDS_SCHEMA)
+    cfg = dataclasses.replace(mini_cfg, fetch_robots=True, robots_ttl_supersteps=2)
+    run = CrawlRun(spark, str(tmp_path / "w"), cfg, web, None)
+    stats = run.run(seeds, max_supersteps=4)
+
+    # ss1: unknown -> defer; ss2: gen-1 rules valid; ss3: gen 1 expired
+    # (1 > 3-2 is false) -> defer + re-fetch; ss4: gen-3 rules valid
+    assert stats[0].batch_size == 0
+    assert stats[1].batch_size > 0
+    assert stats[2].batch_size == 0
+    assert stats[3].batch_size > 0
+
+    rules = run.robots_table.read(spark).collect()
+    assert {r["fetched_superstep"] for r in rules} == {3}  # latest gen only
+    raw = run.robots_table.store.read_raw(spark)
+    assert {r["fetched_superstep"] for r in raw.collect()} == {1, 3}
