@@ -988,6 +988,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "trap_suspect",
         )
 
+    def host_error_quarantine(spark, sf):
+        """Host error budgets (operators/health.py): windowed per-host
+        error rates + the quarantine threshold flag, over a synthetic
+        fetch log whose error probability varies by host class."""
+        from sparkcrawl.operators import health
+
+        ev = _read(spark, sf, "events")
+        log = ev.select(
+            (F.col("event_id") % 12).alias("superstep"),
+            F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+                "host"
+            ),
+            F.when(
+                F.col("value") * (1 + F.col("user_id") % 5) > 2.0,
+                F.lit("server_error"),
+            ).otherwise(F.lit("success")).alias("outcome"),
+        )
+        stats = health.host_error_stats(log, since_superstep=6)
+        return stats.withColumn(
+            "sick",
+            (F.col("n_fetches") >= 5) & (F.col("error_rate") >= 0.45),
+        )
+
     def robots_sitemap_urls(spark, sf):
         """Sitemap: directive discovery (operators/robots.py::
         sitemaps_from_robots) over synthetic robots.txt bodies — pure
@@ -1201,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_span_extract": interleaved_span_extract,
         "freshness_revisit_schedule": freshness_revisit_schedule,
         "trap_detection": trap_detection,
+        "host_error_quarantine": host_error_quarantine,
         "robots_sitemap_urls": robots_sitemap_urls,
         "multimodal_mime_sniff": multimodal_mime_sniff,
         "multimodal_media_features": multimodal_media_features,
@@ -2033,6 +2057,24 @@ def oracle_sql() -> dict[str, str]:
                    (s.depth > 12 OR s.adjacent_repeats >= 2 OR s.n_params > 8
                     OR f.fanout > 200) AS trap_suspect
             FROM shaped s JOIN fan f USING (host_template)
+        """,
+        "host_error_quarantine": """
+            WITH log AS (
+              SELECT event_id % 12 AS superstep,
+                     'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+                     CASE WHEN value * (1 + user_id % 5) > 2.0
+                          THEN 'server_error' ELSE 'success' END AS outcome
+              FROM events),
+            stats AS (
+              SELECT host, count(*) AS n_fetches,
+                     CAST(sum(CASE WHEN outcome = 'server_error' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_errors,
+                     round(CAST(sum(CASE WHEN outcome = 'server_error' THEN 1 ELSE 0 END)
+                                AS BIGINT) / count(*), 6) AS error_rate
+              FROM log WHERE superstep >= 6 GROUP BY host)
+            SELECT host, n_fetches, n_errors, error_rate,
+                   (n_fetches >= 5 AND error_rate >= 0.45) AS sick
+            FROM stats
         """,
         "robots_sitemap_urls": """
             WITH bodies AS (

@@ -1,0 +1,93 @@
+"""Host error budgets + quarantine (operators/health.py, plans/health.py)."""
+
+from pyspark.sql import functions as F
+
+from sparkcrawl.operators import health
+
+
+def test_host_error_stats_and_threshold(spark):
+    rows = []
+    for ss in range(4):
+        rows += [(ss, "good.example", "success")] * 3
+        rows += [(ss, "bad.example", "server_error")] * 2 + [
+            (ss, "bad.example", "success")
+        ]
+        if ss < 2:  # errored only BEFORE the window
+            rows += [(ss, "old.example", "server_error")]
+    log = spark.createDataFrame(rows, ["superstep", "host", "outcome"])
+    stats = {
+        r["host"]: r
+        for r in health.host_error_stats(log, since_superstep=0).collect()
+    }
+    assert stats["good.example"]["error_rate"] == 0.0
+    assert abs(stats["bad.example"]["error_rate"] - 2 / 3) < 1e-6
+    windowed = {
+        r["host"] for r in health.host_error_stats(log, since_superstep=2).collect()
+    }
+    assert "old.example" not in windowed  # stale errors age out
+    sick = {r["host"] for r in health.sick_hosts(
+        health.host_error_stats(log), min_fetches=5, max_error_rate=0.5
+    ).collect()}
+    assert sick == {"bad.example"}  # old.example: 2 fetches < min_fetches
+
+
+def test_engine_quarantine(spark, mini_cfg, tmp_path):
+    """A host answering 5xx for most URLs gets its pending rows pushed
+    past the quarantine horizon; healthy hosts are untouched."""
+    import dataclasses
+
+    from sparkcrawl.plans.health import quarantine_sick_hosts
+    from sparkcrawl.plans.superstep import CrawlRun
+    from sparkcrawl.schemas import SEEDS_SCHEMA, WEB_SCHEMA
+
+    def page(url, body, status=200):
+        return (url, status, "text/html", None, None, None, body)
+
+    web = spark.createDataFrame(
+        [
+            page("http://bad.example/",
+                 '<a href="/a">a</a><a href="/b">b</a><a href="/c">c</a>'),
+            page("http://bad.example/a", None, 500),
+            page("http://bad.example/b", None, 500),
+            page("http://bad.example/c", None, 500),
+            page("http://good.example/", '<a href="/x">x</a>'),
+            page("http://good.example/x", "fine"),
+        ],
+        schema=WEB_SCHEMA,
+    )
+    seeds = spark.createDataFrame(
+        [("http://bad.example/", 1), ("http://good.example/", 1)],
+        schema=SEEDS_SCHEMA,
+    )
+    cfg = dataclasses.replace(mini_cfg, max_retries=10)  # keep errors pending
+    run = CrawlRun(spark, str(tmp_path / "w"), cfg, web, None)
+    run.run(seeds, max_supersteps=3)
+
+    n = quarantine_sick_hosts(
+        spark, str(tmp_path / "w"), cfg, refresh_id=1,
+        min_fetches=3, max_error_rate=0.5, quarantine_sec=3600,
+    )
+    assert n > 0
+    horizon = None
+    fr = run.frontier.read(spark).filter(F.col("state") == "pending").collect()
+    ck = run.last_checkpoint()
+    import datetime
+    horizon = ck["virtual_time"] + datetime.timedelta(seconds=3600)
+    for r in fr:
+        nd = r["next_date"]
+        if nd.tzinfo is None:
+            nd = nd.replace(tzinfo=datetime.timezone.utc)
+        h = horizon if horizon.tzinfo else horizon.replace(
+            tzinfo=datetime.timezone.utc)
+        if r["host"] == "bad.example":
+            assert nd >= h
+        else:
+            assert nd < h
+
+    # idempotent per refresh id; crawl resumes on the demoted frontier
+    n2 = quarantine_sick_hosts(
+        spark, str(tmp_path / "w"), cfg, refresh_id=1,
+        min_fetches=3, max_error_rate=0.5, quarantine_sec=3600,
+    )
+    assert n2 == 0  # nothing left below the horizon
+    assert run.resume(max_supersteps=1)
