@@ -631,6 +631,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kept.select("doc_id", F.md5("text").alias("text_md5"))
 
+    def decontaminate_eval_overlap(spark, sf):
+        """Train/eval decontamination (textops.cross_corpus_contamination):
+        probe corpus = every 7th document (simulating an eval suite
+        whose items leaked into training verbatim); bipartite 8-gram
+        Jaccard >= 0.5."""
+        docs = _read(spark, sf, "documents")
+        probe = docs.filter(F.col("doc_id") % 7 == 0)
+        return textops.cross_corpus_contamination(
+            docs, probe, n=8, threshold=0.5
+        )
+
     def dedup_simhash(spark, sf):
         docs = _read(spark, sf, "documents").select("doc_id", "text")
         return textops.simhash(docs, bits=32)
@@ -1193,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_groups": dedup_groups,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "decontaminate_eval_overlap": decontaminate_eval_overlap,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_lsh_verified": dedup_lsh_verified,
         "dedup_connected_components": dedup_connected_components,
@@ -1455,6 +1467,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": f"""
             SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
             FROM ({dupped}) GROUP BY 1 HAVING count(*) > 1
+        """,
+        "decontaminate_eval_overlap": f"""
+            WITH tr AS ({shingle8}),
+            pr AS (SELECT * FROM tr WHERE id % 7 = 0),
+            st AS (SELECT id, count(*) AS n_t FROM tr GROUP BY id),
+            sp AS (SELECT id, count(*) AS n_p FROM pr GROUP BY id),
+            inter AS (
+              SELECT p.id AS probe_id, t.id AS train_id, count(*) AS inter
+              FROM pr p JOIN tr t USING (shingle)
+              GROUP BY 1, 2
+            )
+            SELECT probe_id, train_id,
+                   round(inter / (sp.n_p + st.n_t - inter), 6) AS jaccard
+            FROM inter
+            JOIN sp ON sp.id = probe_id
+            JOIN st ON st.id = train_id
+            WHERE round(inter / (sp.n_p + st.n_t - inter), 6) >= 0.5
         """,
         "dedup_ngram_jaccard": f"""
             WITH sh AS ({shingle8}),

@@ -121,6 +121,51 @@ def ngram_jaccard_pairs(
     return out
 
 
+def cross_corpus_contamination(
+    train: DataFrame,
+    probe: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination: (probe_id, train_id, jaccard) for every probe
+    (eval/test) document whose n-gram Jaccard against a training
+    document reaches the threshold.
+
+    The train/eval overlap check every LLM data pipeline runs before
+    training. BIPARTITE shared-shingle equi-join — probe docs only
+    ever meet train docs that share at least one shingle, never a
+    cross product, and the probe side is typically tiny (benchmark
+    suites) next to the corpus, so its shingle table broadcasts. At
+    full corpus scale, band both sides with minhash_signatures first
+    and feed candidate pairs through the same intersection count —
+    identical composition to dedup_lsh_verified, just bipartite.
+    """
+    sh_t = tracked_persist(char_shingles(train, n, text_col, id_col))
+    sh_p = tracked_persist(char_shingles(probe, n, text_col, id_col))
+    size_t = sh_t.groupBy("id").agg(F.count("*").alias("n_t"))
+    size_p = sh_p.groupBy("id").agg(F.count("*").alias("n_p"))
+    inter = (
+        sh_p.withColumnRenamed("id", "probe_id")
+        .join(sh_t.withColumnRenamed("id", "train_id"), "shingle")
+        .groupBy("probe_id", "train_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(size_p.withColumnRenamed("id", "probe_id"), "probe_id")
+        .join(size_t.withColumnRenamed("id", "train_id"), "train_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_p") + F.col("n_t") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("probe_id", "train_id", "jaccard")
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -282,3 +282,28 @@ def test_redact_pii(spark):
     assert out[3]["redacted"] == "server at <IPV4> port 80"
     assert out[4]["redacted"] == rows[3][1]
     assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_cross_corpus_contamination(spark):
+    from sparkcrawl.operators.textops import cross_corpus_contamination
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "totally unrelated content about spark engines")],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog"),   # verbatim leak
+         (102, "the quick brown fox jumps over a lazy dog"),     # near-dup leak
+         (103, "completely novel evaluation item wording")],
+        ["doc_id", "text"],
+    )
+    hits = {
+        (r["probe_id"], r["train_id"]): r["jaccard"]
+        for r in cross_corpus_contamination(train, probe, n=5, threshold=0.4).collect()
+    }
+    assert hits[(101, 1)] == 1.0          # exact leak detected
+    assert 0.4 <= hits[(102, 1)] < 1.0    # near-dup leak detected
+    assert not any(p == 103 for p, _ in hits)   # clean item stays clean
+    assert not any(t in (2, 3) for _, t in hits)
