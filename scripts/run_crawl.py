@@ -38,6 +38,17 @@ def main() -> None:
                     help="group politeness queues by eTLD+1 (C9) instead of host")
     ap.add_argument("--budget-carry", action="store_true",
                     help="carry unused per-queue budget across supersteps (A2)")
+    ap.add_argument("--fetch-robots", action="store_true",
+                    help="live robots.txt discovery: defer unknown hosts one "
+                         "superstep while /robots.txt is fetched+parsed (R1)")
+    ap.add_argument("--robots-ttl", type=int, default=0,
+                    help="re-fetch robots.txt after N supersteps (0 = never)")
+    ap.add_argument("--filter-traps", action="store_true",
+                    help="gate candidate links through the crawler-trap "
+                         "shape filter + mined template rules")
+    ap.add_argument("--record-link-graph", action="store_true",
+                    help="record host->host link edges for the offline "
+                         "PageRank priority refresh (plans/rank.py)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("sparkcrawl-run").getOrCreate()
@@ -52,6 +63,10 @@ def main() -> None:
         per_queue_budget=args.per_queue_budget,
         use_public_suffix=args.use_public_suffix,
         budget_carry=args.budget_carry,
+        fetch_robots=args.fetch_robots,
+        robots_ttl_supersteps=args.robots_ttl,
+        filter_traps=args.filter_traps,
+        record_link_graph=args.record_link_graph,
     )
 
     if args.generate_fixtures:
