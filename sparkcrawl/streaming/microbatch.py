@@ -34,6 +34,14 @@ def stream_seeds_into_crawl(
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if run.trap_rules is not None:
+            # same gate the batch candidate path applies — a trap URL
+            # must not slip into the frontier through the stream
+            from sparkcrawl.operators.traps import filter_trap_candidates
+
+            batch_df = filter_trap_candidates(
+                batch_df, run.cfg, run.trap_rules.read(run.spark)
+            )
         ckpt = run.last_checkpoint()
         superstep = ckpt["superstep"] if ckpt else 0
         # honor the stream's priority column like bootstrap() does;

@@ -245,3 +245,31 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         ("http://h1.example/a", "h1.example"),
         ("http://h2.example/b", "h2.example"),
     }
+
+
+def test_stream_seeds_trap_gated(spark, mini_cfg, mini_web, tmp_path):
+    """cfg.filter_traps applies to STREAMED seeds too — a trap-shaped
+    URL dropped by the batch candidate gate must not enter through the
+    ingestion stream either."""
+    import dataclasses
+
+    cfg = dataclasses.replace(mini_cfg, filter_traps=True)
+    seeds_dir = str(tmp_path / "seeds_in")
+    good = mini_web["seeds"].limit(2)
+    trap = spark.createDataFrame(
+        [("http://trap.example/x/x/x/x/page", 1)], schema=SEEDS_SCHEMA
+    )
+    good.unionByName(trap).write.parquet(seeds_dir)
+
+    run = CrawlRun(spark, str(tmp_path / "work"), cfg,
+                   mini_web["web"], mini_web["robots"])
+    q = stream_seeds_into_crawl(
+        run, spark.readStream.schema(SEEDS_SCHEMA).parquet(seeds_dir),
+        supersteps_per_batch=1,
+        checkpoint_dir=str(tmp_path / "stream_ckpt"),
+    )
+    q.awaitTermination(timeout=300)
+
+    urls = {r["url"] for r in run.frontier.read(spark).collect()}
+    assert "http://trap.example/x/x/x/x/page" not in urls
+    assert len(urls) >= 2
