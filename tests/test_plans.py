@@ -177,3 +177,26 @@ def test_minhash_signatures_single_pass(spark):
     p = plan_of(textops.minhash_signatures(docs, num_perms=8), "simple")
     assert p.count("Exchange") == 1, p
     assert p.count("Generate explode") == 1, p  # shingles only, not perms
+
+
+def test_decontamination_no_cartesian(spark, queries):
+    """Bipartite shingle equi-join must never degrade to a cross
+    product (the whole point vs all-pairs comparison)."""
+    p = plan_of(queries["decontaminate_eval_overlap"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_curation_pipeline_stays_relational(spark, queries):
+    """The curation composition: no Python eval anywhere, and the
+    dedup stage is a hash agg, not a window sort."""
+    p = plan_of(queries["corpus_curation_pipeline"](spark, SF), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+
+
+def test_freshness_oracle_query_single_window_exchange(spark, queries):
+    """change_intervals' lag window and change_rates' groupBy share the
+    url_hash partitioning — the whole estimate is ONE shuffle."""
+    p = plan_of(queries["freshness_revisit_schedule"](spark, SF), "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
