@@ -846,6 +846,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return textops.corpus_rollup(docs)
 
+    def text_repetition_metrics(spark, sf):
+        """Gopher-style per-doc repetition heuristics (dup-word /
+        top-bigram / dup-trigram fractions) — one tagged explode, two
+        hash aggs, no window/UDF (operators/repetition.py)."""
+        from sparkcrawl.operators import repetition
+
+        docs = _read(spark, sf, "documents")
+        return repetition.repetition_metrics(docs)
+
+    def corpus_boilerplate_ngrams(spark, sf):
+        """Corpus-level boilerplate: word trigrams in >= 5 distinct
+        docs, top-50 by doc frequency (deterministic tie-break)."""
+        from sparkcrawl.operators import repetition
+
+        docs = _read(spark, sf, "documents")
+        return repetition.boilerplate_ngrams(docs, n=3, min_docs=5, k=50)
+
+    def corpus_boilerplate_share(spark, sf):
+        """Per-doc boilerplate exposure: fraction of a doc's trigram
+        occurrences that are corpus-boilerplate trigrams — the doc-level
+        drop/strip signal. Broadcast join back of the filtered
+        head-of-distribution gram table."""
+        from sparkcrawl.operators import repetition
+
+        docs = _read(spark, sf, "documents")
+        return repetition.boilerplate_share(docs, n=3, min_docs=5)
+
+    def corpus_domain_weights(spark, sf):
+        """Temperature-style domain mixing weights: w(source) ∝
+        tokens^0.7, normalized. One corpus aggregation + a
+        |domains|-bounded normalization window."""
+        docs = _read(spark, sf, "documents")
+        return sampling.domain_mixing_weights(docs, alpha=0.7)
+
     def tpch_q1_pricing_summary(spark, sf):
         li = _read(spark, sf, "lineitem")
         return (
@@ -1230,6 +1264,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_pipeline": corpus_curation_pipeline,
         "corpus_stratified_sample": corpus_stratified_sample,
         "corpus_length_quantiles": corpus_length_quantiles,
+        "text_repetition_metrics": text_repetition_metrics,
+        "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
+        "corpus_boilerplate_share": corpus_boilerplate_share,
+        "corpus_domain_weights": corpus_domain_weights,
         "graph_host_rank": graph_host_rank,
         "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -1966,6 +2004,82 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_unique,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY CUBE (source, lang)
+        """,
+        "text_repetition_metrics": """
+            WITH words AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 3),
+            pos AS (
+              SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM words),
+            grams AS (
+              SELECT doc_id, 1 AS n, ws[i] AS gram FROM pos
+              UNION ALL
+              SELECT doc_id, 2, ws[i] || ' ' || ws[i+1] FROM pos
+              WHERE i <= len(ws) - 1
+              UNION ALL
+              SELECT doc_id, 3, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FROM pos
+              WHERE i <= len(ws) - 2),
+            cnt AS (
+              SELECT doc_id, n, gram, count(*) AS c FROM grams
+              GROUP BY doc_id, n, gram),
+            per AS (
+              SELECT doc_id,
+                     sum(c) FILTER (n = 1) AS w_total,
+                     count(*) FILTER (n = 1) AS w_dist,
+                     sum(c) FILTER (n = 2) AS b_total,
+                     max(c) FILTER (n = 2) AS b_top,
+                     sum(c) FILTER (n = 3) AS t_total,
+                     count(*) FILTER (n = 3) AS t_dist
+              FROM cnt GROUP BY doc_id)
+            SELECT doc_id AS id, CAST(w_total AS BIGINT) AS n_words,
+                   round((w_total - w_dist) / CAST(w_total AS DOUBLE), 6)
+                     AS dup_word_frac,
+                   round(b_top / CAST(b_total AS DOUBLE), 6) AS top_bigram_frac,
+                   round((t_total - t_dist) / CAST(t_total AS DOUBLE), 6)
+                     AS dup_trigram_frac
+            FROM per
+        """,
+        "corpus_boilerplate_ngrams": """
+            WITH words AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 3),
+            pos AS (
+              SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM words),
+            g AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+              FROM pos)
+            SELECT gram, count(DISTINCT doc_id) AS doc_freq,
+                   count(*) AS occurrences
+            FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 5
+            ORDER BY doc_freq DESC, occurrences DESC, gram ASC LIMIT 50
+        """,
+        "corpus_boilerplate_share": """
+            WITH words AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 3),
+            pos AS (
+              SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM words),
+            g AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+              FROM pos),
+            bp AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 5)
+            SELECT g.doc_id AS id, count(*) AS n_grams,
+                   count(bp.gram) AS bp_grams,
+                   round(count(bp.gram) / CAST(count(*) AS DOUBLE), 6) AS bp_frac
+            FROM g LEFT JOIN bp USING (gram) GROUP BY g.doc_id
+        """,
+        "corpus_domain_weights": """
+            WITH agg AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+              FROM documents GROUP BY source)
+            SELECT source, n_docs, tokens,
+                   round(pow(tokens, 0.7) / sum(pow(tokens, 0.7)) OVER (), 6)
+                     AS weight
+            FROM agg
         """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -86,3 +86,37 @@ def stratified_sample(
         .filter(u < F.col("frac"))
         .drop("frac")
     )
+
+
+def domain_mixing_weights(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain sampling weights for a training mix:
+    ``weight(d) ∝ tokens(d)^alpha`` (alpha < 1 up-weights small
+    domains, the standard temperature-style mixing rule).
+
+    (source, n_docs, tokens, weight) — weight rounded to 6, sums to ~1.
+
+    Plan: one hash aggregation over the corpus (map-side combine;
+    ``size(split(...))`` is codegen'd, the text is never exploded),
+    then a single-partition window over the |domains|-sized AGGREGATE
+    to normalize — bounded by the domain-count contract, never by the
+    corpus (same rationale as the queue-stats windows, schedule.py).
+    """
+    from pyspark.sql.window import Window
+
+    agg = docs.groupBy(F.col(strata_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("tokens"),
+    )
+    scaled = agg.withColumn("w_raw", F.pow(F.col("tokens").cast("double"), F.lit(alpha)))
+    total = F.sum("w_raw").over(Window.partitionBy())
+    return scaled.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(F.col("w_raw") / total, 6).alias("weight"),
+    )
