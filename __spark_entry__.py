@@ -880,6 +880,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return sampling.domain_mixing_weights(docs, alpha=0.7)
 
+    def anchor_text_agg(spark, sf):
+        """Anchor-text aggregation: per shared link target, how many
+        pages point at it, total anchor-term volume, and the dominant
+        term (web-graph description signal). HTML synthesized from
+        documents.text: each doc links to hub target doc_id%7 with its
+        first three words as the anchor; the extractor's (url, link,
+        anchor) stream is re-derived relationally in DuckDB."""
+        from sparkcrawl.config import CrawlConfig
+        from sparkcrawl.operators.extract import (
+            anchor_term_summary,
+            extract_anchor_texts,
+        )
+
+        docs = _read(spark, sf, "documents")
+        id_str = F.col("doc_id").cast("string")
+        ws = F.split(F.col("text"), " ")
+        anchor = F.concat_ws(
+            " ", ws.getItem(0), ws.getItem(1), ws.getItem(2)
+        )
+        fetchlike = docs.select(
+            F.concat(F.lit("http://doc"), id_str, F.lit(".example/")).alias("url"),
+            F.lit(200).alias("status_code"),
+            F.lit("text/html; charset=utf-8").alias("content_type"),
+            F.concat(
+                F.lit('<html><body><p>'),
+                F.col("text"),
+                F.lit('</p><a href="http://hub.example/t'),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit('">'),
+                anchor,
+                F.lit("</a></body></html>"),
+            ).alias("body"),
+        )
+        rows = extract_anchor_texts(fetchlike, CrawlConfig())
+        return anchor_term_summary(rows)
+
     def tpch_q1_pricing_summary(spark, sf):
         li = _read(spark, sf, "lineitem")
         return (
@@ -1268,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
         "corpus_boilerplate_share": corpus_boilerplate_share,
         "corpus_domain_weights": corpus_domain_weights,
+        "anchor_text_agg": anchor_text_agg,
         "graph_host_rank": graph_host_rank,
         "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -2080,6 +2117,28 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(tokens, 0.7) / sum(pow(tokens, 0.7)) OVER (), 6)
                      AS weight
             FROM agg
+        """,
+        "anchor_text_agg": """
+            WITH src AS (
+              SELECT doc_id,
+                     'http://hub.example/t' || CAST(doc_id % 7 AS VARCHAR) AS link,
+                     string_split(lower(text), ' ') AS ws
+              FROM documents),
+            terms AS (
+              SELECT doc_id, link, ws[1] AS term FROM src
+              UNION ALL SELECT doc_id, link, ws[2] FROM src
+              UNION ALL SELECT doc_id, link, ws[3] FROM src),
+            cnt AS (SELECT link, term, count(*) AS c FROM terms GROUP BY link, term),
+            per AS (SELECT link, CAST(sum(c) AS BIGINT) AS n_terms,
+                           CAST(max(c) AS BIGINT) AS mc
+                    FROM cnt GROUP BY link),
+            top AS (SELECT cnt.link, max(cnt.term) AS top_term
+                    FROM cnt JOIN per ON cnt.link = per.link AND cnt.c = per.mc
+                    GROUP BY cnt.link),
+            nd AS (SELECT link, count(DISTINCT doc_id) AS n_docs FROM src GROUP BY link)
+            SELECT per.link, nd.n_docs, per.n_terms, top.top_term,
+                   per.mc AS top_count
+            FROM per JOIN top USING (link) JOIN nd USING (link)
         """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

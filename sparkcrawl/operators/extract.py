@@ -62,8 +62,17 @@ class SpanLinkParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.base: str | None = None
         self.raw_links: list[str] = []
+        self.anchors: list[str] = []  # aligned with raw_links; "" for non-<a>
         self.spans: list[tuple[str, str, str]] = []  # (kind, text, media_ref)
         self._skip_depth = 0  # inside <script>/<style>
+        self._open_a: int | None = None  # raw_links index of the open <a>
+        self._a_buf: list[str] = []
+
+    def _close_anchor(self) -> None:
+        if self._open_a is not None:
+            self.anchors[self._open_a] = _WS.sub(" ", "".join(self._a_buf)).strip()
+            self._open_a = None
+            self._a_buf = []
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if tag in ("script", "style"):
@@ -77,6 +86,11 @@ class SpanLinkParser(HTMLParser):
         attr = LINK_TAGS.get(tag)
         if attr and attr in amap and amap[attr].strip():
             self.raw_links.append(amap[attr].strip())
+            self.anchors.append("")
+            if tag == "a":
+                self._close_anchor()  # HTML5 implied end: <a> closes an open <a>
+                self._open_a = len(self.raw_links) - 1
+                self._a_buf = []
         if tag in MEDIA_TAGS and amap.get("src", "").strip():
             self.spans.append(("media", "", amap["src"].strip()))
 
@@ -86,13 +100,21 @@ class SpanLinkParser(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in ("script", "style") and self._skip_depth > 0:
             self._skip_depth -= 1
+        elif tag == "a":
+            self._close_anchor()
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
             return
+        if self._open_a is not None:
+            self._a_buf.append(data)
         text = _WS.sub(" ", data).strip()
         if text:
             self.spans.append(("text", text, ""))
+
+    def close(self) -> None:
+        super().close()
+        self._close_anchor()  # EOF with an unclosed <a>: keep its text
 
 
 def sniff_charset(content_type: str | None) -> str:
@@ -137,6 +159,116 @@ def parse_document(
         for i, (kind, text, ref) in enumerate(parser.spans)
     ]
     return links, spans
+
+
+def parse_document_anchors(
+    url: str,
+    body: str | bytes | None,
+    content_type: str | None = "text/html",
+) -> list[dict]:
+    """Parse one document -> [(link, anchor)] pairs in document order.
+
+    ``link`` is the canonical (base-resolved) URL exactly as
+    :func:`parse_document` would emit it; ``anchor`` is the
+    whitespace-collapsed text inside the <a> element ("" for non-<a>
+    link tags: link/area/frame/iframe). The web-graph's anchor-text
+    signal: what OTHER pages call a URL is a ranking/description
+    feature the URL's own content can't provide."""
+    if body is None:
+        return []
+    if isinstance(body, (bytes, bytearray)):
+        body = body.decode(sniff_charset(content_type), errors="replace")
+    parser = SpanLinkParser()
+    try:
+        parser.feed(body)
+        parser.close()
+    except Exception:
+        pass
+    base = parser.base or url
+    out = []
+    for raw, anchor in zip(parser.raw_links, parser.anchors):
+        canon = canonicalize_one(raw, base)
+        if canon and canon.startswith(("http://", "https://")):
+            out.append({"link": canon, "anchor": anchor})
+    return out
+
+
+_ANCHOR_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("link", T.StringType(), False),
+        T.StructField("anchor", T.StringType(), False),
+    ]
+)
+
+
+def extract_anchor_texts(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """(url, link, anchor) rows — one per extracted link of every
+    parseable fetched page (F5 limiter applied, same as
+    :func:`extract_links_and_spans`).
+
+    Scale shape: the parse runs once per page inside mapInPandas and
+    emits pre-exploded rows (no array column to re-explode — the Arrow
+    batch IS the explosion), so downstream anchor aggregation starts
+    from a flat (link, anchor) stream with map-side combine."""
+
+    def _anchors(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, links, anchors = [], [], []
+            for url, status, ctype, body in zip(
+                pdf["url"], pdf["status_code"], pdf["content_type"], pdf["body"]
+            ):
+                status = None if pd.isna(status) else int(status)
+                if _extraction_finished(status, ctype, body, cfg):
+                    continue
+                for pair in parse_document_anchors(url, body, ctype):
+                    urls.append(url)
+                    links.append(pair["link"])
+                    anchors.append(pair["anchor"])
+            yield pd.DataFrame({"url": urls, "link": links, "anchor": anchors})
+
+    cols = [c for c in ("url", "status_code", "content_type", "body")
+            if c in fetched.columns]
+    return fetched.select(*cols).mapInPandas(_anchors, schema=_ANCHOR_SCHEMA)
+
+
+def anchor_term_summary(anchor_rows: DataFrame) -> DataFrame:
+    """Per-target anchor-text rollup over (url, link, anchor) rows:
+    (link, n_docs, n_terms, top_term, top_count) — how many source
+    pages point at the target, the total anchor-term volume, and the
+    dominant term (ties break on the lexicographically LARGER term,
+    mirrored in the oracle).
+
+    Plan: explode anchor terms -> (link, term) hash agg with map-side
+    combine -> per-link rollup + a max-count equi-join back (two
+    bounded-key shuffles, no window; the same max_by-family shape as
+    dedup.py)."""
+    terms = (
+        anchor_rows.filter(F.col("anchor") != "")
+        .select(
+            "url", "link",
+            F.explode(F.split(F.lower(F.col("anchor")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    cnt = terms.groupBy("link", "term").agg(F.count("*").alias("c"))
+    per = cnt.groupBy("link").agg(
+        F.sum("c").alias("n_terms"),
+        F.max(F.struct(F.col("c"), F.col("term"))).alias("m"),
+    )
+    n_docs = anchor_rows.filter(F.col("anchor") != "").groupBy("link").agg(
+        F.countDistinct("url").alias("n_docs")
+    )
+    return (
+        per.join(n_docs, "link")
+        .select(
+            "link",
+            "n_docs",
+            "n_terms",
+            F.col("m.term").alias("top_term"),
+            F.col("m.c").alias("top_count"),
+        )
+    )
 
 
 _SITEMAP_LOC = re.compile(r"<loc>\s*(?:<!\[CDATA\[)?\s*([^<\]]+?)\s*(?:\]\]>)?\s*</loc>", re.I)

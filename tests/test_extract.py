@@ -145,3 +145,86 @@ def test_sitemaps_from_robots_column_path(spark):
         ("h1.example", "http://h1.example/s.xml"),
         ("h1.example", "http://h1.example/s2.xml"),
     }
+
+
+# ---- anchor-text extraction (web-graph description signal) ----------
+
+
+def test_parse_document_anchors_semantics():
+    from sparkcrawl.operators.extract import parse_document, parse_document_anchors
+
+    html = (
+        '<html><body><a href="/one">First  Link</a>'
+        '<a href="/two"><b>bold</b> text</a>'
+        '<link href="/css"><area href="/map">'
+        '<a href="/x">ok<script>var a=1;</script>fine</a>'
+        '<a href="/p">pp<a href="/q">qq</a>'
+        '<a href="/unclosed">tail text'
+    )
+    pairs = parse_document_anchors("http://h.example/", html)
+    got = {p["link"]: p["anchor"] for p in pairs}
+    assert got["http://h.example/one"] == "First Link"  # ws collapsed
+    assert got["http://h.example/two"] == "bold text"  # nested inline tags
+    assert got["http://h.example/css"] == ""  # non-<a> link tags: no anchor
+    assert got["http://h.example/map"] == ""
+    assert got["http://h.example/x"] == "okfine"  # script text excluded
+    assert got["http://h.example/p"] == "pp"  # implied close by next <a>
+    assert got["http://h.example/q"] == "qq"
+    assert got["http://h.example/unclosed"] == "tail text"  # EOF close
+    # link set/order identical to parse_document (same canonicalization)
+    links, _ = parse_document("http://h.example/", html)
+    assert links == [p["link"] for p in pairs]
+
+
+def test_extract_anchor_texts_and_summary(spark):
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.operators.extract import (
+        anchor_term_summary,
+        extract_anchor_texts,
+    )
+
+    rows = [
+        ("http://a.example/", 200, "text/html",
+         '<a href="http://t.example/x">spark fast</a>'),
+        ("http://b.example/", 200, "text/html",
+         '<a href="http://t.example/x">spark engine</a>'),
+        ("http://c.example/", 404, "text/html",
+         '<a href="http://t.example/x">never parsed</a>'),  # limiter gate
+    ]
+    fetched = spark.createDataFrame(
+        rows, "url string, status_code int, content_type string, body string"
+    )
+    pairs = extract_anchor_texts(fetched, CrawlConfig()).collect()
+    assert {(r["url"], r["anchor"]) for r in pairs} == {
+        ("http://a.example/", "spark fast"),
+        ("http://b.example/", "spark engine"),
+    }
+    summary = anchor_term_summary(
+        extract_anchor_texts(fetched, CrawlConfig())
+    ).collect()
+    assert len(summary) == 1
+    s = summary[0]
+    assert s["link"] == "http://t.example/x"
+    assert s["n_docs"] == 2 and s["n_terms"] == 4
+    assert s["top_term"] == "spark" and s["top_count"] == 2
+
+
+def test_anchor_summary_plan_no_window(spark):
+    import contextlib
+    import io
+
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.operators.extract import (
+        anchor_term_summary,
+        extract_anchor_texts,
+    )
+
+    fetched = spark.createDataFrame(
+        [("http://a.example/", 200, "text/html", '<a href="/x">t</a>')],
+        "url string, status_code int, content_type string, body string",
+    )
+    df = anchor_term_summary(extract_anchor_texts(fetched, CrawlConfig()))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    assert "Window" not in buf.getvalue()
