@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "trap_detection",
     "embedding_quantized_topk",
     "corpus_curation_pipeline",
+    "text_repetition_metrics",
+    "corpus_boilerplate_share",
+    "anchor_text_agg",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION
