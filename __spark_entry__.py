@@ -880,6 +880,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return sampling.domain_mixing_weights(docs, alpha=0.7)
 
+    def corpus_mixture_sample(spark, sf):
+        """Materialize the training mix: quotas 15/9/6 from three
+        domains (budget 30, weights .5/.3/.2), drawn by salted-hash
+        order — deterministic weighted sampling without replacement.
+        The oracle mirrors both stages (pre-filter cut + per-domain
+        row_number), pinning the scale decomposition."""
+        docs = _read(spark, sf, "documents").select("doc_id", "source")
+        out = sampling.weighted_mixture_sample(
+            docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, budget=30,
+        )
+        return out.select("doc_id", "source", "mix_rank")
+
+    def corpus_token_shards(spark, sf):
+        """Token-balanced export sharding: each doc's shard is
+        floor(prefix-sum-of-tokens / 500) in the deterministic salted
+        order. Spark runs the two-phase distributed prefix sum
+        (bucket totals + within-bucket windows); the oracle computes
+        the ONE global window — equality pins the decomposition."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return sampling.token_balanced_shards(docs, target_tokens=500)
+
     def anchor_text_agg(spark, sf):
         """Anchor-text aggregation: per shared link target, how many
         pages point at it, total anchor-term volume, and the dominant
@@ -1304,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
         "corpus_boilerplate_share": corpus_boilerplate_share,
         "corpus_domain_weights": corpus_domain_weights,
+        "corpus_mixture_sample": corpus_mixture_sample,
+        "corpus_token_shards": corpus_token_shards,
         "anchor_text_agg": anchor_text_agg,
         "graph_host_rank": graph_host_rank,
         "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
@@ -2117,6 +2140,49 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(tokens, 0.7) / sum(pow(tokens, 0.7)) OVER (), 6)
                      AS weight
             FROM agg
+        """,
+        "corpus_mixture_sample": """
+            WITH q(source, quota) AS (VALUES ('src0', 15), ('src1', 9), ('src2', 6)),
+            cnt AS (
+              SELECT source, count(*) AS n_domain FROM documents GROUP BY source),
+            dim AS (
+              SELECT q.source, q.quota, cnt.n_domain,
+                     least(1.0, 4.0 * q.quota / cnt.n_domain) AS u_cut
+              FROM q JOIN cnt USING (source)),
+            b AS (
+              SELECT d.doc_id, d.source, dim.quota,
+                     (CAST(concat('0x',
+                        substr(md5('mix-v1' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 AS u
+              FROM documents d JOIN dim USING (source)
+              WHERE (CAST(concat('0x',
+                        substr(md5('mix-v1' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 < dim.u_cut),
+            r AS (
+              SELECT doc_id, source, quota,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY u, doc_id) AS INT) AS mix_rank
+              FROM b)
+            SELECT doc_id, source, mix_rank FROM r WHERE mix_rank <= quota
+        """,
+        "corpus_token_shards": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(concat('0x',
+                        substr(md5('shard-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_tokens
+              FROM b)
+            SELECT doc_id, n_tokens, start_tokens,
+                   CAST(floor(start_tokens / 500.0) AS INT) AS shard
+            FROM s
         """,
         "anchor_text_agg": """
             WITH src AS (

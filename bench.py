@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "text_repetition_metrics",
     "corpus_boilerplate_share",
     "anchor_text_agg",
+    "corpus_token_shards",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

@@ -88,6 +88,173 @@ def stratified_sample(
     )
 
 
+def weighted_mixture_sample(
+    docs: DataFrame,
+    weights: DataFrame | dict[str, float],
+    budget: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Materialize a training mixture: draw ``round(budget * weight)``
+    documents from each domain, uniformly WITHIN the domain, fully
+    deterministically (no ``rand()``, no partition-order dependence).
+    This is the step after :func:`domain_mixing_weights` — the weights
+    say how much of each domain the mix wants; this picks WHICH rows.
+
+    Selection key is the salted id bucket (same family as
+    :func:`hash_split`), so the per-domain sample is NESTED: raising a
+    domain's weight only ever adds documents.
+
+    Scale plan (the 100 TB shape): a naive per-domain top-k would sort
+    every domain's full row set under one window partition. Instead:
+
+    1. one hash agg for per-domain doc counts (|domains| rows, the
+       dimension contract);
+    2. broadcast counts+quotas back and PRE-FILTER to
+       ``u < min(1, oversample * quota / count)`` — a codegen'd scan
+       filter that keeps ~oversample*quota rows per domain out of the
+       corpus;
+    3. rank only the survivors with ``row_number`` per domain and keep
+       ``rank <= quota``.
+
+    Both stages are deterministic, so the result is exact and
+    engine-reproducible (the DuckDB oracle mirrors both stages). With
+    the default oversample=4 the pre-filter undershoots a quota with
+    probability ~exp(-quota) (Chernoff); any shortfall is itself
+    deterministic and mirrored by the oracle.
+
+    Returns docs filtered to the mix, plus ``mix_rank`` (1-based draw
+    order within the domain).
+    """
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    if isinstance(weights, dict):
+        weights = spark.createDataFrame(
+            [(k, float(v)) for k, v in weights.items()],
+            [strata_col, "weight"],
+        )
+    w_rows = weights.collect()  # |domains|-bounded by contract
+    total_w = sum(float(r["weight"]) for r in w_rows) or 1.0
+    quotas = spark.createDataFrame(
+        [
+            (r[strata_col], int(round(budget * float(r["weight"]) / total_w)))
+            for r in w_rows
+        ],
+        [strata_col, "quota"],
+    )
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("n_domain"))
+    dim = quotas.join(counts, strata_col, "inner").withColumn(
+        "u_cut",
+        F.least(
+            F.lit(1.0),
+            F.lit(oversample) * F.col("quota") / F.col("n_domain"),
+        ),
+    )
+    u = _unit_bucket(F.col(id_col), salt)
+    survivors = (
+        docs.withColumn("_u", u)
+        .join(F.broadcast(dim), strata_col, "inner")
+        .filter(F.col("_u") < F.col("u_cut"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy("_u", id_col)
+    )
+    return (
+        survivors.withColumn("mix_rank", rank)
+        .filter(F.col("mix_rank") <= F.col("quota"))
+        .drop("_u", "u_cut", "quota", "n_domain")
+    )
+
+
+def token_balanced_shards(
+    docs: DataFrame,
+    target_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    salt: str = "shard-v1",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Pack documents into export shards of ~``target_tokens`` tokens
+    each — the physical layout a pre-training data loader wants (equal
+    work per shard file, documents pre-shuffled by hash so every shard
+    is an unbiased corpus slice).
+
+    A document's position is its prefix sum of token counts in the
+    deterministic global order ``(h, id)`` where ``h`` is the salted
+    md5 bucket; ``shard = floor(position_before / target_tokens)``.
+    Documents never split across shards; a shard overshoots the target
+    by at most one document.
+
+    Scale plan: a global ordered prefix sum is a single-partition
+    window — unusable at corpus scale. Instead the classic two-phase
+    distributed scan, expressed relationally:
+
+    1. ``bucket = h >> k`` (a PREFIX of the order key, so bucket order
+       == global order) splits the corpus into ``n_buckets`` ranges;
+    2. per-bucket token totals via one hash agg (n_buckets rows), their
+       exclusive prefix sums via a window over that BOUNDED aggregate;
+    3. broadcast the offsets back; within each bucket a windowed
+       running sum over ~corpus/n_buckets rows (spillable sort, and
+       ``n_buckets`` is the knob — raise it with the corpus).
+
+    Associativity of + makes the two-phase result equal the one global
+    scan; the DuckDB oracle computes the single global window, pinning
+    the decomposition.
+    """
+    from pyspark.sql.window import Window
+
+    tok = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.size(F.split(F.col(text_col), " "))
+    ).cast("bigint")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("bigint")
+    bucket_width = (1 << 32) // n_buckets
+    base = docs.select(
+        F.col(id_col),
+        tok.alias("n_tokens"),
+        h.alias("_h"),
+        (h / F.lit(bucket_width)).cast("int").alias("_bucket"),
+    )
+    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btok"))
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(
+            F.sum("_btok").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    cum_in_bucket = F.sum("n_tokens").over(
+        Window.partitionBy("_bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "start_tokens", F.col("_offset") + cum_in_bucket - F.col("n_tokens")
+        )
+        .withColumn(
+            "shard",
+            (F.col("start_tokens") / F.lit(target_tokens)).cast("int"),
+        )
+        .select(id_col, "n_tokens", "start_tokens", "shard")
+    )
+
+
 def domain_mixing_weights(
     docs: DataFrame,
     alpha: float = 0.7,

@@ -68,3 +68,103 @@ def test_sampling_plan_is_codegen_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in splan, splan
+
+
+def _corpus(spark, n=3000):
+    """Deterministic (doc_id, source, text) corpus with skewed domains."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 6, "web")
+        .when(F.col("id") % 10 < 9, "books")
+        .otherwise("code")
+        .alias("source"),
+        # token count varies 1..20 deterministically
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 20 + 1).cast("int")))
+        .alias("text"),
+    )
+
+
+def test_weighted_mixture_sample_quotas(spark):
+    docs = _corpus(spark)
+    out = sampling.weighted_mixture_sample(
+        docs, {"web": 0.5, "books": 0.3, "code": 0.2}, budget=500,
+    ).cache()
+    counts = {r["source"]: r["n"]
+              for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"web": 250, "books": 150, "code": 100}
+    # ranks are 1..quota within each domain
+    mx = {r["source"]: r["m"]
+          for r in out.groupBy("source").agg(F.max("mix_rank").alias("m")).collect()}
+    assert mx == {"web": 250, "books": 150, "code": 100}
+    out.unpersist()
+
+
+def test_weighted_mixture_sample_deterministic_and_nested(spark):
+    docs = _corpus(spark)
+    a = sampling.weighted_mixture_sample(
+        docs, {"web": 0.5, "books": 0.5}, budget=200)
+    b = sampling.weighted_mixture_sample(
+        docs.repartition(13), {"web": 0.5, "books": 0.5}, budget=200)
+    assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+    # nested: raising the budget only ADDS documents
+    big = sampling.weighted_mixture_sample(
+        docs, {"web": 0.5, "books": 0.5}, budget=400)
+    assert a.select("doc_id").exceptAll(big.select("doc_id")).count() == 0
+
+
+def test_weighted_mixture_prefilter_caps_window_input(spark):
+    """The window ranks only the pre-filtered survivors, never the
+    full domain: with oversample=4 and quota<<domain size the
+    filter keeps ~4*quota rows per domain."""
+    docs = _corpus(spark)
+    out = sampling.weighted_mixture_sample(
+        docs, {"web": 1.0}, budget=50, oversample=4.0)
+    assert out.count() == 50
+    # the pre-filter cut: u < 4*50/1800 ~ 0.111 -> ~200 of 1800 rows
+    survivors = docs.filter(F.col("source") == "web").withColumn(
+        "_u", sampling._unit_bucket(F.col("doc_id"), "mix-v1")
+    ).filter(F.col("_u") < 4.0 * 50 / 1800)
+    assert survivors.count() < 300  # window input is ~quota-sized, not domain-sized
+
+
+def test_token_balanced_shards_semantics(spark):
+    docs = _corpus(spark, 1000)
+    out = sampling.token_balanced_shards(docs, target_tokens=500).cache()
+    assert out.count() == 1000
+    # every doc's start == prefix sum of tokens in (h, id) order:
+    # re-derive with a single global window and compare
+    from pyspark.sql.window import Window
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("shard-v1"),
+        F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint")
+    tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    expect = docs.select(F.col("doc_id"), tok.alias("t"), h.alias("h")).withColumn(
+        "start",
+        F.coalesce(F.sum("t").over(
+            Window.orderBy("h", "doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        ), F.lit(0)),
+    )
+    diff = (out.join(expect, "doc_id")
+            .filter(F.col("start_tokens") != F.col("start")).count())
+    assert diff == 0
+    # shard budgets: every shard holds >= target tokens before opening
+    # the next (overshoot bounded by one document)
+    stats = (out.groupBy("shard").agg(F.sum("n_tokens").alias("tok"),
+                                      F.count("*").alias("n"))
+             .orderBy("shard").collect())
+    total = sum(r["tok"] for r in stats)
+    assert [r["shard"] for r in stats] == list(range(len(stats)))
+    for r in stats[:-1]:
+        assert r["tok"] >= 500 - 20  # a doc is at most 20 tokens here
+        assert r["tok"] <= 500 + 20
+    assert sum(r["n"] for r in stats) == 1000 and total == out.agg(F.sum("n_tokens")).first()[0]
+    out.unpersist()
+
+
+def test_token_balanced_shards_two_phase_plan(spark):
+    """The corpus-sized window partitions by bucket (distributed);
+    only the n_buckets-sized offsets table sees a global window."""
+    docs = _corpus(spark, 200)
+    plan = (sampling.token_balanced_shards(docs, target_tokens=100)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan     # offsets broadcast back
+    assert "Python" not in plan, plan            # no UDF anywhere
