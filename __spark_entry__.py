@@ -901,6 +901,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents").select("doc_id", "text")
         return sampling.token_balanced_shards(docs, target_tokens=500)
 
+    def corpus_packed_sequences(spark, sf):
+        """Sequence packing: the corpus laid out back-to-back in
+        salted-hash order and cut every 256 tokens; one row per
+        (doc, example) piece. Every example except the last is
+        exactly 256 tokens. The oracle re-derives the layout with a
+        global window + generate_series."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return sampling.pack_token_sequences(docs, seq_len=256)
+
     def anchor_text_agg(spark, sf):
         """Anchor-text aggregation: per shared link target, how many
         pages point at it, total anchor-term volume, and the dominant
@@ -1327,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_domain_weights": corpus_domain_weights,
         "corpus_mixture_sample": corpus_mixture_sample,
         "corpus_token_shards": corpus_token_shards,
+        "corpus_packed_sequences": corpus_packed_sequences,
         "anchor_text_agg": anchor_text_agg,
         "graph_host_rank": graph_host_rank,
         "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
@@ -2183,6 +2193,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, start_tokens,
                    CAST(floor(start_tokens / 500.0) AS INT) AS shard
             FROM s
+        """,
+        "corpus_packed_sequences": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(concat('0x',
+                        substr(md5('shard-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS st
+              FROM b WHERE n_tokens > 0),
+            p AS (
+              SELECT doc_id, n_tokens, st,
+                     unnest(generate_series(st // 256,
+                                            (st + n_tokens - 1) // 256))
+                       AS example_id
+              FROM s)
+            SELECT doc_id, example_id,
+                   CAST(greatest(st, example_id * 256) - st AS BIGINT)
+                     AS doc_offset,
+                   CAST(least(st + n_tokens, (example_id + 1) * 256)
+                        - greatest(st, example_id * 256) AS BIGINT)
+                     AS piece_len
+            FROM p
         """,
         "anchor_text_agg": """
             WITH src AS (

@@ -255,6 +255,66 @@ def token_balanced_shards(
     )
 
 
+def pack_token_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    salt: str = "shard-v1",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Sequence packing: lay the corpus out as back-to-back tokens in
+    the deterministic salted order and cut it every ``seq_len`` tokens
+    — the training-example layout a pre-training loader consumes.
+    Unlike :func:`token_balanced_shards` (documents never split),
+    documents DO split across example boundaries here: every example
+    except the last is exactly ``seq_len`` tokens with zero padding.
+
+    One output row per (document, example) piece:
+
+    - ``example_id``  — which fixed-length example the piece lands in
+    - ``doc_offset``  — the piece's first token WITHIN the document
+    - ``piece_len``   — tokens contributed to that example
+
+    Plan: the same two-phase distributed prefix sum as
+    :func:`token_balanced_shards` gives each doc its global start
+    position; the piece rows are then pure per-row arithmetic — an
+    ``explode(sequence(first_ex, last_ex))`` inside codegen, no extra
+    shuffle (a doc spanning k examples emits k rows; k ≤
+    tokens/seq_len + 1, so output size == corpus token count /
+    seq_len in rows, independent of skew).
+    """
+    pos = token_balanced_shards(
+        docs,
+        # target is irrelevant here; reuse the prefix-sum plumbing
+        target_tokens=max(seq_len, 1),
+        id_col=id_col,
+        text_col=text_col,
+        tokens_col=tokens_col,
+        salt=salt,
+        n_buckets=n_buckets,
+    ).select(id_col, "n_tokens", "start_tokens")
+    start = F.col("start_tokens")
+    end = start + F.col("n_tokens")
+    first_ex = F.floor(start / F.lit(seq_len)).cast("bigint")
+    last_ex = F.floor((end - 1) / F.lit(seq_len)).cast("bigint")
+    pieces = (
+        pos.filter(F.col("n_tokens") > 0)
+        .withColumn("example_id", F.explode(F.sequence(first_ex, last_ex)))
+    )
+    ex_lo = F.col("example_id") * F.lit(seq_len)
+    ex_hi = ex_lo + F.lit(seq_len)
+    p_start = F.greatest(start, ex_lo)
+    p_end = F.least(end, ex_hi)
+    return pieces.select(
+        id_col,
+        "example_id",
+        (p_start - start).cast("bigint").alias("doc_offset"),
+        (p_end - p_start).cast("bigint").alias("piece_len"),
+    )
+
+
 def domain_mixing_weights(
     docs: DataFrame,
     alpha: float = 0.7,

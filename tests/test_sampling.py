@@ -168,3 +168,32 @@ def test_token_balanced_shards_two_phase_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan, plan     # offsets broadcast back
     assert "Python" not in plan, plan            # no UDF anywhere
+
+
+def test_pack_token_sequences_invariants(spark):
+    docs = _corpus(spark, 600)
+    L = 128
+    out = sampling.pack_token_sequences(docs, seq_len=L).cache()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " ")))).first()[0]
+    # pieces cover every token exactly once
+    assert out.agg(F.sum("piece_len")).first()[0] == total_tokens
+    # per-doc: pieces tile the doc contiguously from offset 0
+    perdoc = (out.groupBy("doc_id")
+              .agg(F.sum("piece_len").alias("tok"),
+                   F.min("doc_offset").alias("off0"),
+                   F.count("*").alias("k")).collect())
+    toks = {r["doc_id"]: r for r in perdoc}
+    for r in docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("t")).collect():
+        assert toks[r["doc_id"]]["tok"] == r["t"]
+        assert toks[r["doc_id"]]["off0"] == 0
+    # every example except the last is exactly seq_len tokens, no gaps
+    ex = (out.groupBy("example_id").agg(F.sum("piece_len").alias("tok"))
+          .orderBy("example_id").collect())
+    assert [r["example_id"] for r in ex] == list(range(len(ex)))
+    assert all(r["tok"] == L for r in ex[:-1])
+    assert 0 < ex[-1]["tok"] <= L
+    # deterministic under repartition
+    again = sampling.pack_token_sequences(docs.repartition(11), seq_len=L)
+    assert out.exceptAll(again).count() == 0
+    out.unpersist()
