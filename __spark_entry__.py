@@ -910,6 +910,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents").select("doc_id", "text")
         return sampling.pack_token_sequences(docs, seq_len=256)
 
+    def _interleaved_spans(spark, sf):
+        """Deterministic interleaved-span table in the input_hint shape
+        (doc_id, spans: array<struct<kind,text,media_ref,offset>>):
+        shared media refs (doc_id%50 -> heavy cross-doc sharing),
+        media-first layout for %5==0, a second video span for %7==0."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        id_str = F.col("doc_id").cast("string")
+
+        def _span(kind, text, ref, off):
+            return F.struct(
+                F.lit(kind).alias("kind"),
+                text.alias("text"),
+                ref.alias("media_ref"),
+                F.lit(off).cast("int").alias("offset"),
+            )
+
+        img_ref = F.concat(F.lit("m"), (F.col("doc_id") % 50).cast("string"), F.lit(".png"))
+        vid_ref = F.concat(F.lit("v"), (F.col("doc_id") % 23).cast("string"), F.lit(".mp4"))
+        null_s = F.lit(None).cast("string")
+        media_first = F.col("doc_id") % 5 == 0
+        lead = F.when(
+            media_first,
+            F.array(_span("media", null_s, img_ref, 0),
+                    _span("text", F.col("text"), null_s, 1)),
+        ).otherwise(
+            F.array(_span("text", F.col("text"), null_s, 0),
+                    _span("media", null_s, img_ref, 1)),
+        )
+        extra = F.when(
+            F.col("doc_id") % 7 == 0,
+            F.array(_span("media", null_s, vid_ref, 2)),
+        ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+        return docs.select("doc_id", F.concat(lead, extra).alias("spans"))
+
+    def media_ref_rollup(spark, sf):
+        """Media-seen dedup table over interleaved docs: each shared
+        media object (site logos, CDN images) is fetched once; the
+        rollup pins (distinct docs, total refs, first doc) per ref."""
+        from sparkcrawl.operators import multimodal
+
+        return multimodal.media_ref_rollup(_interleaved_spans(spark, sf))
+
+    def span_media_layout(spark, sf):
+        """Per-doc interleave layout stats — higher-order array
+        functions only, zero explode/shuffle (a pure projection)."""
+        from sparkcrawl.operators import multimodal
+
+        return multimodal.span_layout_stats(_interleaved_spans(spark, sf))
+
     def anchor_text_agg(spark, sf):
         """Anchor-text aggregation: per shared link target, how many
         pages point at it, total anchor-term volume, and the dominant
@@ -1337,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_sample": corpus_mixture_sample,
         "corpus_token_shards": corpus_token_shards,
         "corpus_packed_sequences": corpus_packed_sequences,
+        "media_ref_rollup": media_ref_rollup,
+        "span_media_layout": span_media_layout,
         "anchor_text_agg": anchor_text_agg,
         "graph_host_rank": graph_host_rank,
         "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
@@ -2193,6 +2244,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, start_tokens,
                    CAST(floor(start_tokens / 500.0) AS INT) AS shard
             FROM s
+        """,
+        "media_ref_rollup": """
+            WITH m AS (
+              SELECT doc_id,
+                     'm' || CAST(doc_id % 50 AS VARCHAR) || '.png' AS media_ref
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     'v' || CAST(doc_id % 23 AS VARCHAR) || '.mp4'
+              FROM documents WHERE doc_id % 7 = 0)
+            SELECT media_ref,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_refs,
+                   min(doc_id) AS first_doc
+            FROM m GROUP BY media_ref
+        """,
+        "span_media_layout": """
+            SELECT doc_id,
+                   1 AS n_text,
+                   CAST(1 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_media,
+                   CAST(len(text) AS BIGINT) AS text_chars,
+                   doc_id % 5 = 0 AS media_lead,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END
+                        AS INTEGER) AS first_media_offset
+            FROM documents
         """,
         "corpus_packed_sequences": """
             WITH b AS (

@@ -61,6 +61,71 @@ def media_table_from_spans(docs_spans: DataFrame) -> DataFrame:
     )
 
 
+def media_ref_rollup(
+    docs_spans: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Media-seen rollup over interleaved documents (the input_hint
+    span schema): per ``media_ref``, how many documents reference it,
+    how many times, and the first (min-id) referencing document — the
+    crawler's media dedup table: every object is fetched ONCE no
+    matter how many pages embed it (site logos, shared CDN images are
+    the overwhelmingly common case in a real crawl).
+
+    Plan: ``filter`` the span array to media INSIDE codegen before the
+    explode (text spans never leave the row), then one hash agg keyed
+    by media_ref with map-side combine. count_distinct expands to the
+    standard two-level partial agg.
+    """
+    media = docs_spans.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(spans_col, lambda s: s["kind"] == F.lit("media"))
+        ).alias("s"),
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    return media.groupBy("media_ref").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_refs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def span_layout_stats(
+    docs_spans: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Per-document interleave layout stats — entirely higher-order
+    array functions inside whole-stage codegen; the span arrays are
+    never exploded and nothing shuffles (it's a projection):
+
+    - ``n_text`` / ``n_media``     — span counts by kind
+    - ``text_chars``               — total text payload length
+    - ``media_lead``               — first span is media (lead-image
+                                     layout, a quality/template signal)
+    - ``first_media_offset``       — offset of the first media span
+                                     (NULL for text-only docs)
+    """
+    spans = F.col(spans_col)
+    text_spans = F.filter(spans, lambda s: s["kind"] == F.lit("text"))
+    media_spans = F.filter(spans, lambda s: s["kind"] == F.lit("media"))
+    return docs_spans.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(text_spans).alias("n_text"),
+        F.size(media_spans).alias("n_media"),
+        F.aggregate(
+            text_spans,
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + F.length(s["text"]),
+        ).alias("text_chars"),
+        # try_element_at: empty arrays (text-only docs, empty docs)
+        # yield NULL instead of an ANSI index error
+        (F.try_element_at(spans, F.lit(1))["kind"] == F.lit("media")).alias(
+            "media_lead"
+        ),
+        F.try_element_at(media_spans, F.lit(1))["offset"].alias(
+            "first_media_offset"
+        ),
+    )
+
+
 def sniff_mime(payload: F.Column) -> F.Column:
     """Content-type from leading magic bytes — pure column expression.
 

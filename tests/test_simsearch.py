@@ -222,3 +222,44 @@ def test_real_png_header_decode(spark):
         for r in multimodal.decode_and_featurize(media, fake=False).collect()
     }
     assert got == {"ref1.png": (640, 480, 8), "ref2.png": (32, 1080, 8)}
+
+
+def test_media_ref_rollup_and_layout(spark):
+    """media_ref_rollup / span_layout_stats over the input_hint span
+    schema: hand-built interleaved docs with shared media refs."""
+    from sparkcrawl.operators import multimodal
+
+    rows = [
+        # doc 1: text, then shared logo
+        (1, [("text", "hello world", None, 0), ("media", None, "logo.png", 1)]),
+        # doc 2: media-first, same logo twice (repeat within doc)
+        (2, [("media", None, "logo.png", 0), ("text", "hi", None, 1),
+             ("media", None, "logo.png", 2)]),
+        # doc 3: text-only
+        (3, [("text", "just text", None, 0)]),
+        # doc 4: unique media
+        (4, [("text", "x", None, 0), ("media", None, "v.mp4", 1)]),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id bigint, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    roll = {r["media_ref"]: r for r in multimodal.media_ref_rollup(docs).collect()}
+    assert set(roll) == {"logo.png", "v.mp4"}
+    assert roll["logo.png"]["n_docs"] == 2          # docs 1 and 2
+    assert roll["logo.png"]["n_refs"] == 3          # doc 2 embeds it twice
+    assert roll["logo.png"]["first_doc"] == 1
+    assert roll["v.mp4"]["n_docs"] == 1 and roll["v.mp4"]["first_doc"] == 4
+
+    lay = {r["doc_id"]: r for r in multimodal.span_layout_stats(docs).collect()}
+    assert lay[1]["n_text"] == 1 and lay[1]["n_media"] == 1
+    assert lay[1]["text_chars"] == 11 and lay[1]["media_lead"] is False
+    assert lay[1]["first_media_offset"] == 1
+    assert lay[2]["n_media"] == 2 and lay[2]["media_lead"] is True
+    assert lay[2]["first_media_offset"] == 0
+    assert lay[3]["n_media"] == 0 and lay[3]["first_media_offset"] is None
+    # layout is a pure projection: no shuffle, no python
+    plan = (multimodal.span_layout_stats(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
