@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the corpus-curation pipeline — the
+training-data counterpart to run_crawl.py.
+
+    spark-submit --master <master> \
+        --py-files dist/sparkcrawl.zip \
+        scripts/run_corpus.py \
+        --input /data/docs.parquet --output /data/curated \
+        [--min-quality 0.3] [--near-dup] [--decontaminate /data/eval.parquet] \
+        [--mixture-budget N --mixture-alpha 0.7] [--shard-tokens 100000000] \
+        [--splits train=0.9,val=0.05,test=0.05]
+
+Stages (each built ONLY from the repo's operators; every flag is
+optional and the stages compose in this order):
+
+  language-ID -> quality gate -> repetition gate -> exact dedup
+  [-> near-dup canonical dedup] [-> eval decontamination]
+  [-> temperature-weighted mixture draw] -> salted-hash split
+  -> partitioned export with manifests [-> token-balanced shard ids]
+
+Everything is deterministic (salted-hash keys, no rand()): re-running
+the job on the same input reproduces the same corpus byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet with (doc_id, text, source?)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--max-repetition", type=float, default=0.3,
+                    help="drop docs whose dup_word_frac exceeds this (Gopher rule)")
+    ap.add_argument("--near-dup", action="store_true",
+                    help="LSH -> exact-verify -> connected-components canonical dedup")
+    ap.add_argument("--decontaminate",
+                    help="parquet of eval docs; drop training docs overlapping them")
+    ap.add_argument("--mixture-budget", type=int, default=0,
+                    help="total docs to draw via tokens^alpha domain weights (0 = keep all)")
+    ap.add_argument("--mixture-alpha", type=float, default=0.7)
+    ap.add_argument("--shard-tokens", type=int, default=0,
+                    help="assign token-balanced shard ids with this target (0 = off)")
+    ap.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
+    ap.add_argument("--salt", default="corpus-v1")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("sparkcrawl-corpus").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from sparkcrawl.operators import sampling, textops
+    from sparkcrawl.operators.repetition import repetition_metrics
+    from sparkcrawl.plans.export import export_curated
+
+    docs = spark.read.parquet(args.input)
+    if "source" not in docs.columns:
+        docs = docs.withColumn("source", F.lit("default"))
+
+    lang = textops.language_id(docs).select(
+        F.col("id").alias("doc_id"), "pred_lang"
+    )
+    qual = textops.quality_score(docs).select(
+        F.col("id").alias("doc_id"), "quality"
+    )
+    rep = repetition_metrics(docs).select(
+        F.col("id").alias("doc_id"), "dup_word_frac"
+    )
+    kept = (
+        docs.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        # left: docs under 3 words have no repetition metrics; the
+        # quality gate already handles degenerate shorts
+        .join(rep, "doc_id", "left")
+        .filter(
+            (F.col("pred_lang") != "unknown")
+            & (F.col("quality") >= args.min_quality)
+            & (F.coalesce(F.col("dup_word_frac"), F.lit(0.0)) <= args.max_repetition)
+        )
+    )
+    kept = textops.exact_dedup(kept)
+    if args.near_dup:
+        kept = textops.dedup_corpus_canonical(kept)
+    if args.decontaminate:
+        evalset = spark.read.parquet(args.decontaminate)
+        leaks = textops.cross_corpus_contamination(
+            kept, evalset, n=8, threshold=0.8
+        ).select(F.col("train_id").alias("doc_id")).distinct()
+        kept = kept.join(leaks, "doc_id", "left_anti")
+    if args.mixture_budget:
+        weights = sampling.domain_mixing_weights(
+            kept, alpha=args.mixture_alpha
+        ).select("source", F.col("weight"))
+        kept = sampling.weighted_mixture_sample(
+            kept, weights, budget=args.mixture_budget, salt=args.salt
+        ).drop("mix_rank")
+    splits = {
+        k: float(v)
+        for k, v in (kv.split("=") for kv in args.splits.split(","))
+    }
+    labeled = sampling.hash_split(kept, splits, salt=args.salt)
+    if args.shard_tokens:
+        shards = sampling.token_balanced_shards(
+            labeled, target_tokens=args.shard_tokens, salt=args.salt
+        ).select("doc_id", "shard")
+        labeled = labeled.join(shards, "doc_id")
+    manifest = export_curated(labeled, args.output)
+    print(json.dumps({"output": args.output, "manifest": manifest}))
+
+
+if __name__ == "__main__":
+    main()

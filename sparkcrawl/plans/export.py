@@ -48,6 +48,35 @@ def curated_corpus(spark: SparkSession, docs: DataFrame,
     )
 
 
+def export_curated(
+    labeled: DataFrame,
+    out_dir: str,
+    max_records_per_file: int = 500_000,
+) -> dict[str, int]:
+    """Low-level sink: write an already-curated DataFrame (must carry a
+    ``split`` column; ``pred_lang`` joins the partition layout when
+    present) and return the per-split row-count manifest.
+
+    One persist covers both the write and the manifest count so the
+    curation plan upstream runs once, and it is released before return
+    (no leaked cache blocks in long-lived drivers)."""
+    part_cols = ["split"] + (["pred_lang"] if "pred_lang" in labeled.columns else [])
+    labeled = labeled.persist()
+    try:
+        (
+            labeled.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*part_cols)
+            .parquet(out_dir)
+        )
+        return {
+            r["split"]: r["n"]
+            for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+    finally:
+        labeled.unpersist()
+
+
 def export_curated_corpus(
     spark: SparkSession,
     docs: DataFrame,
@@ -58,16 +87,5 @@ def export_curated_corpus(
     """Write the curated corpus partitioned by (split, pred_lang).
     Returns per-split row counts (the export manifest a trainer
     sanity-checks against)."""
-    curated = curated_corpus(spark, docs, min_quality=min_quality).persist()
-    (
-        curated.write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("split", "pred_lang")
-        .parquet(out_dir)
-    )
-    counts = {
-        r["split"]: r["n"]
-        for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
-    }
-    curated.unpersist()
-    return counts
+    curated = curated_corpus(spark, docs, min_quality=min_quality)
+    return export_curated(curated, out_dir, max_records_per_file=max_records_per_file)
