@@ -244,6 +244,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = robots_gate(batch, rules)
         return out.select("event_id", "url", "robots_allowed")
 
+    def r2_robots_wildcard(spark, sf):
+        """R2 pattern rules (RFC 9309): '*' wildcard + '$' end anchor in
+        rule paths, resolved by the same longest-rule-text precedence as
+        plain prefixes. w1.example has no rules (default-allow path)."""
+        from sparkcrawl.operators.robots import robots_gate
+        from sparkcrawl.schemas import ROBOTS_SCHEMA
+
+        ev = _read(spark, sf, "events")
+        host = F.concat(
+            F.lit("w"), (F.col("user_id") % 2).cast("string"), F.lit(".example")
+        )
+        path = F.when(F.col("event_id") % 4 == 0,
+                      F.concat(F.lit("/files/"), F.col("event_id").cast("string"),
+                               F.lit(".pdf")))\
+            .when(F.col("event_id") % 4 == 1,
+                  F.concat(F.lit("/files/"), F.col("event_id").cast("string"),
+                           F.lit(".html")))\
+            .when(F.col("event_id") % 4 == 2,
+                  F.concat(F.lit("/cal/2026/day/"),
+                           F.col("event_id").cast("string")))\
+            .otherwise(F.concat(F.lit("/files/public/"),
+                                F.col("event_id").cast("string")))
+        batch = ev.select(
+            F.concat(F.lit("http://"), host, path).alias("url"),
+            host.alias("host"),
+            F.col("event_id"),
+        ).withColumn("url_hash", F.md5(F.col("url")))
+        rules = spark.createDataFrame(
+            [
+                ("w0.example", "*", False, "/*.pdf$", None),
+                ("w0.example", "*", True, "/", None),
+                ("w0.example", "*", False, "/cal/*/day", None),
+                ("w0.example", "*", False, "/files/", None),
+                ("w0.example", "*", True, "/files/public/", None),
+            ],
+            ROBOTS_SCHEMA,
+        )
+        out = robots_gate(batch, rules)
+        return out.select("event_id", "url", "robots_allowed")
+
     def f6_eligibility(spark, sf):
         ev = _read(spark, sf, "events")
         return ev.filter(
@@ -1333,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_politeness_slots": w3_politeness_slots,
         "q2_queue_assignment": q2_queue_assignment,
         "r2_robots_gate": r2_robots_gate,
+        "r2_robots_wildcard": r2_robots_wildcard,
         "f6_eligibility": f6_eligibility,
         "j1_anti_join_dedup": j1_anti_join_dedup,
         "j2_broadcast_lookup": j2_broadcast_lookup,
@@ -1489,6 +1530,51 @@ def oracle_sql() -> dict[str, str]:
                                  AND starts_with(b.path, r.path_prefix)) DESC,
                                 CASE WHEN r.path_prefix IS NOT NULL
                                           AND starts_with(b.path, r.path_prefix)
+                                     THEN len(r.path_prefix) ELSE -1 END DESC,
+                                r.allow DESC) AS rn
+              FROM batch b LEFT JOIN rules r ON b.host = r.host)
+            SELECT event_id, url,
+                   CASE WHEN m THEN allow ELSE TRUE END AS robots_allowed
+            FROM matched WHERE rn = 1
+        """,
+        "r2_robots_wildcard": """
+            WITH rules(host, allow, path_prefix, pat_regex) AS (VALUES
+              ('w0.example', FALSE, '/*.pdf$',        '^/.*\\.pdf$'),
+              ('w0.example', TRUE,  '/',              NULL),
+              ('w0.example', FALSE, '/cal/*/day',     '^/cal/.*/day'),
+              ('w0.example', FALSE, '/files/',        NULL),
+              ('w0.example', TRUE,  '/files/public/', NULL)),
+            batch AS (
+              SELECT event_id,
+                     'w' || CAST(user_id % 2 AS VARCHAR) || '.example' AS host,
+                     CASE WHEN event_id % 4 = 0
+                            THEN '/files/' || CAST(event_id AS VARCHAR) || '.pdf'
+                          WHEN event_id % 4 = 1
+                            THEN '/files/' || CAST(event_id AS VARCHAR) || '.html'
+                          WHEN event_id % 4 = 2
+                            THEN '/cal/2026/day/' || CAST(event_id AS VARCHAR)
+                          ELSE '/files/public/' || CAST(event_id AS VARCHAR)
+                     END AS path
+              FROM events),
+            matched AS (
+              SELECT b.event_id, 'http://' || b.host || b.path AS url,
+                     r.allow,
+                     (r.path_prefix IS NOT NULL AND
+                      CASE WHEN r.pat_regex IS NOT NULL
+                           THEN regexp_matches(b.path, r.pat_regex)
+                           ELSE starts_with(b.path, r.path_prefix) END) AS m,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY b.event_id
+                       ORDER BY (r.path_prefix IS NOT NULL AND
+                                 CASE WHEN r.pat_regex IS NOT NULL
+                                      THEN regexp_matches(b.path, r.pat_regex)
+                                      ELSE starts_with(b.path, r.path_prefix)
+                                 END) DESC,
+                                CASE WHEN r.path_prefix IS NOT NULL AND
+                                          CASE WHEN r.pat_regex IS NOT NULL
+                                               THEN regexp_matches(b.path, r.pat_regex)
+                                               ELSE starts_with(b.path, r.path_prefix)
+                                          END
                                      THEN len(r.path_prefix) ELSE -1 END DESC,
                                 r.allow DESC) AS rn
               FROM batch b LEFT JOIN rules r ON b.host = r.host)

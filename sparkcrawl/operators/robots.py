@@ -116,8 +116,26 @@ def robots_gate(batch: DataFrame, robots: DataFrame, user_agent: str = "*") -> D
     """R2: add ``robots_allowed`` to the fetch batch.
 
     J2: broadcast join on host (robots tables are small — one row per
-    rule, hosts ≪ URLs), then longest-prefix-match resolution.
+    rule, hosts ≪ URLs), then longest-match resolution.
+
+    Match semantics are RFC 9309: a rule path is a prefix match, with
+    two metacharacters — ``*`` matches any character run and a trailing
+    ``$`` anchors the end of the path (``/*.pdf$``). Rules containing
+    neither keep the exact ``startswith`` fast path (codegen, no regex
+    engine), so plain-prefix robots files — the overwhelming majority —
+    cost what they always did; pattern rules are rewritten to an
+    anchored regex ON THE RULES SIDE (one row per rule, before the
+    broadcast), never per URL. Precedence is unchanged: longest rule
+    text wins, allow beats disallow on ties (the RFC's "most specific
+    match" measured in octets of the rule path).
     """
+    # Pattern rewrite: escape regex metachars EXCEPT '*', then
+    # '*' -> '.*' and a trailing (escaped) '$' back to an end anchor.
+    _esc = F.regexp_replace(
+        F.col("_r_prefix"), r"([\\.\[\]{}()+?^$|])", r"\\$1"
+    )
+    _star = F.regexp_replace(_esc, r"\*", ".*")
+    _anch = F.regexp_replace(_star, r"\\\$$", r"\$")
     rules = (
         robots.filter(F.col("agent").isin("*", user_agent))
         # delay-only rows (NULL prefix) carry R3 metadata, not gate rules
@@ -127,6 +145,11 @@ def robots_gate(batch: DataFrame, robots: DataFrame, user_agent: str = "*") -> D
             F.col("allow").alias("_r_allow"),
             F.col("path_prefix").alias("_r_prefix"),
         )
+        .withColumn(
+            "_r_is_pat",
+            F.col("_r_prefix").contains("*") | F.col("_r_prefix").endswith("$"),
+        )
+        .withColumn("_r_regex", F.concat(F.lit("^"), _anch))
     )
     with_path = batch.withColumn(
         "_path", F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
@@ -135,7 +158,9 @@ def robots_gate(batch: DataFrame, robots: DataFrame, user_agent: str = "*") -> D
     matched = joined.withColumn(
         "_match",
         F.col("_r_prefix").isNotNull()
-        & F.col("_path").startswith(F.col("_r_prefix")),
+        & F.when(
+            F.col("_r_is_pat"), F.rlike(F.col("_path"), F.col("_r_regex"))
+        ).otherwise(F.col("_path").startswith(F.col("_r_prefix"))),
     )
     # longest prefix wins; allow wins ties; no matching rule -> allowed.
     # Winner-per-URL is an argmax -> max_by hash aggregation, NOT a

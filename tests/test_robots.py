@@ -220,3 +220,49 @@ def test_robots_ttl_refetch(spark, mini_cfg, tmp_path):
     assert {r["fetched_superstep"] for r in rules} == {3}  # latest gen only
     raw = run.robots_table.store.read_raw(spark)
     assert {r["fetched_superstep"] for r in raw.collect()} == {1, 3}
+
+
+WILDCARD_RULES = [
+    # pdf.example: no PDFs anywhere ('$' anchors, '*' spans segments)
+    ("pdf.example", "*", False, "/*.pdf$", None),
+    ("pdf.example", "*", True, "/", None),
+    # cal.example: calendar trap pages denied by infix wildcard
+    ("cal.example", "*", False, "/cal/*/day", None),
+    # mixed.example: wildcard deny vs LONGER plain-prefix allow
+    ("mixed.example", "*", False, "/files/*", None),
+    ("mixed.example", "*", True, "/files/public/", None),
+    # meta.example: regex metachars in a plain rule stay literal
+    ("meta.example", "*", False, "/a+b(c).d", None),
+]
+
+
+def test_robots_gate_wildcards(spark):
+    """RFC 9309 pattern rules: '*' any run, trailing '$' end anchor;
+    longest rule text still wins across plain/pattern rules."""
+    robots = spark.createDataFrame(WILDCARD_RULES, ROBOTS_SCHEMA)
+    urls = [
+        "http://pdf.example/docs/report.pdf",     # matches /*.pdf$ -> deny
+        "http://pdf.example/docs/report.pdfx",    # '$' anchored -> allow
+        "http://pdf.example/docs/report.html",    # allow
+        "http://cal.example/cal/2026-01/day",     # infix '*' -> deny
+        "http://cal.example/cal/2026-01/week",    # no 'day' tail -> allow
+        "http://mixed.example/files/a.zip",       # wildcard deny
+        "http://mixed.example/files/public/a",    # longer plain allow wins
+        "http://meta.example/a+b(c).d",           # literal metachars deny
+        "http://meta.example/aab(c)xd",           # no regex meaning -> allow
+    ]
+    out = {
+        r["url"]: r["robots_allowed"]
+        for r in robots_gate(_batch(spark, urls), robots).collect()
+    }
+    assert out == {
+        "http://pdf.example/docs/report.pdf": False,
+        "http://pdf.example/docs/report.pdfx": True,
+        "http://pdf.example/docs/report.html": True,
+        "http://cal.example/cal/2026-01/day": False,
+        "http://cal.example/cal/2026-01/week": True,
+        "http://mixed.example/files/a.zip": False,
+        "http://mixed.example/files/public/a": True,
+        "http://meta.example/a+b(c).d": False,
+        "http://meta.example/aab(c)xd": True,
+    }
