@@ -886,6 +886,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return textops.corpus_rollup(docs)
 
+    def dedup_substring_spans(spark, sf):
+        """Token-level EXACT substring dedup (the suffix-array use case,
+        relationally): maximal spans whose every 8-token window occurs
+        >= 2x corpus-wide, merged per doc by gaps-and-islands."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return textops.duplicated_substring_spans(docs, k=8).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+        )
+
     def text_repetition_metrics(spark, sf):
         """Gopher-style per-doc repetition heuristics (dup-word /
         top-bigram / dup-trigram fractions) — one tagged explode, two
@@ -1397,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_eval_overlap": decontaminate_eval_overlap,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_lsh_verified": dedup_lsh_verified,
+        "dedup_substring_spans": dedup_substring_spans,
         "dedup_connected_components": dedup_connected_components,
         "dedup_corpus_canonical": dedup_corpus_canonical,
         "dedup_simhash": dedup_simhash,
@@ -1768,6 +1781,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
             FROM sig2 a JOIN sig2 b ON a.perm = b.perm AND a.sig = b.sig AND a.id < b.id
             GROUP BY 1, 2
+        """,
+        "dedup_substring_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            idx AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM toks WHERE len(t) >= 8),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(t[i : i + 7], ' ')) AS gram
+              FROM idx),
+            dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+            hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos - lag(pos) OVER w > 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            isl2 AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl)
+            SELECT doc_id,
+                   min(pos) + 1 AS span_start,
+                   max(pos) + 8 AS span_end,
+                   max(pos) - min(pos) + 8 AS span_tokens
+            FROM isl2 GROUP BY doc_id, island
         """,
         "dedup_lsh_verified": """
             WITH dup AS (

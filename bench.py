@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "corpus_boilerplate_share",
     "anchor_text_agg",
     "corpus_token_shards",
+    "dedup_substring_spans",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

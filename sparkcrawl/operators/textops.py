@@ -708,6 +708,118 @@ def dedup_corpus_canonical(
     return docs.join(losers, id_col, "left_anti")
 
 
+def duplicated_substring_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT duplicated-substring detection (the token-level companion
+    to document-level dedup): every maximal token span of length >= k
+    whose every k-token window also occurs elsewhere in the corpus
+    (another doc, or another position in the same doc).
+
+    Returns (doc_id, span_start, span_end, span_tokens) — 1-based
+    inclusive token positions of each maximal duplicated span. Cutting
+    these spans (rather than whole docs) is the standard remedy for
+    boilerplate/licence blocks/quoted passages that exact and near
+    dedup both miss, because the containing documents differ.
+
+    Plan (no suffix array — the relational equivalent at corpus scale):
+
+      1. k-gram window digests per doc, built INSIDE the row by a
+         ``transform(sequence(...))`` higher-order function over the
+         token array (codegen; no per-token explode, no per-doc sort) —
+         one md5 per window, then ONE posexplode to (doc, pos, gram).
+      2. duplicated window digests: hash-agg ``count >= 2`` over gram —
+         the one corpus-wide shuffle, on uniform 32-hex keys.
+      3. shuffle equi-join positions against the duplicated-gram set.
+      4. merge overlapping/adjacent windows into maximal spans:
+         gaps-and-islands per doc (window partitioned BY DOC — state
+         bounded by doc length, never corpus size).
+
+    The digest is md5 of the space-joined window so the DuckDB oracle
+    reproduces it byte-for-byte; collisions are md5-negligible.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # tracked_persist: the window-digest projection (one md5 per k-gram
+    # window) dominates the operator's CPU; both the dup-agg and the
+    # join-back read it, so computing it twice doubles the cost. Same
+    # release_caches() contract as boilerplate_share's gram stream.
+    pos = tracked_persist(
+        docs.select(F.col(id_col), grams.alias("_grams"))
+        .select(F.col(id_col), F.posexplode("_grams").alias("pos", "gram"))
+    )
+    dup = (
+        pos.groupBy("gram").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("gram")
+    )
+    hits = pos.join(dup, "gram").select(id_col, "pos")
+    # gaps-and-islands: windows [p, p+k-1] merge while the next start is
+    # within k of the previous (overlap or exact adjacency).
+    w = W.partitionBy(id_col).orderBy("pos")
+    islands = (
+        hits.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_brk",
+            (F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k)).cast("int"),
+        )
+        .withColumn("_island", F.sum("_brk").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            (F.min("pos") + 1).alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc rollup of :func:`duplicated_substring_spans`:
+    (doc_id, n_tokens, dup_tokens, dup_frac) — docs with no duplicated
+    span report 0/0.0. The cut-or-keep policy knob for substring-level
+    dedup (e.g. drop docs with dup_frac > 0.5, cut spans otherwise)."""
+    spans = duplicated_substring_spans(docs, k=k, text_col=text_col, id_col=id_col)
+    per_doc = spans.groupBy(id_col).agg(F.sum("span_tokens").alias("dup_tokens"))
+    return (
+        docs.select(
+            F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def spans_to_text(docs_spans: DataFrame) -> DataFrame:
     """Adapter: interleaved-span documents (input_hint schema) -> flat text
     (space-joined text spans, media refs dropped)."""

@@ -122,6 +122,17 @@ def test_robots_gate_is_agg_not_window(spark, queries):
     assert "partial_max_by" in p
 
 
+def test_robots_wildcard_gate_plan(spark, queries):
+    """RFC 9309 pattern rules must not change the gate's shape: still a
+    broadcast rules join + max_by agg, no Window, no Python (the regex
+    rewrite is Catalyst regexp_replace on the rules side)."""
+    p = plan_of(queries["r2_robots_wildcard"](spark, SF), "simple")
+    assert "Window" not in p
+    assert "partial_max_by" in p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_ivf_assign_is_agg_not_window(spark):
     """IVF nprobe=1 cell assignment is an argmax -> max_by agg; the
     rank-limit window is allowed only in ivf_assign_topn (nprobe>1)."""

@@ -307,3 +307,37 @@ def test_cross_corpus_contamination(spark):
     assert 0.4 <= hits[(102, 1)] < 1.0    # near-dup leak detected
     assert not any(p == 103 for p, _ in hits)   # clean item stays clean
     assert not any(t in (2, 3) for _, t in hits)
+
+
+def test_duplicated_substring_spans(spark):
+    """Maximal duplicated token spans: cross-doc share, '$'-free exact
+    window merge (overlap AND adjacency), internal repeats, no-dup doc."""
+    from sparkcrawl.operators.textops import (
+        duplicated_substring_spans,
+        substring_dup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "a b c d e f g h i j"),          # shares a-h with B
+            ("B", "x y a b c d e f g h q r"),
+            ("C", "p q r s t u v w p q r s t u v w"),  # internal repeat
+            ("D", "solo words only here"),          # clean (and < k tokens)
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_substring_spans(docs, k=8).collect()
+    }
+    # A[1..8] == B[3..10]; C's two 8-windows at pos 1 and 9 are exactly
+    # adjacent so they merge into ONE maximal span covering the doc.
+    assert spans == {("A", 1, 8, 8), ("B", 3, 10, 8), ("C", 1, 16, 16)}
+
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in substring_dup_stats(docs, k=8).collect()
+    }
+    assert stats["A"] == (10, 8, 0.8)
+    assert stats["C"] == (16, 16, 1.0)
+    assert stats["D"] == (4, 0, 0.0)
