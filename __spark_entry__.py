@@ -898,6 +898,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("span_tokens").cast("long").alias("span_tokens"),
         )
 
+    def dedup_substring_cut(spark, sf):
+        """Substring dedup APPLIED: duplicated spans cut from the text
+        (every copy removed; the caller's keep-one policy, if any, joins
+        the span table back). Docs with no spans pass through."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        spans = textops.duplicated_substring_spans(docs, k=8)
+        return textops.cut_token_spans(docs, spans).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+            F.col("removed_tokens").cast("long").alias("removed_tokens"),
+        )
+
     def text_repetition_metrics(spark, sf):
         """Gopher-style per-doc repetition heuristics (dup-word /
         top-bigram / dup-trigram fractions) — one tagged explode, two
@@ -1410,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_lsh_verified": dedup_lsh_verified,
         "dedup_substring_spans": dedup_substring_spans,
+        "dedup_substring_cut": dedup_substring_cut,
         "dedup_connected_components": dedup_connected_components,
         "dedup_corpus_canonical": dedup_corpus_canonical,
         "dedup_simhash": dedup_simhash,
@@ -1809,6 +1822,53 @@ def oracle_sql() -> dict[str, str]:
                    max(pos) + 8 AS span_end,
                    max(pos) - min(pos) + 8 AS span_tokens
             FROM isl2 GROUP BY doc_id, island
+        """,
+        "dedup_substring_cut": """
+            WITH toks AS (
+              SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+            idx AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM toks WHERE len(t) >= 8),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(t[i : i + 7], ' ')) AS gram
+              FROM idx),
+            dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+            hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos - lag(pos) OVER w > 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            isl2 AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl),
+            spans AS (
+              SELECT doc_id, min(pos) + 1 AS s, max(pos) + 8 AS e
+              FROM isl2 GROUP BY doc_id, island),
+            tokidx AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+              FROM toks),
+            kept AS (
+              SELECT ti.doc_id, ti.i, ti.t[ti.i] AS tok
+              FROM tokidx ti LEFT JOIN spans sp
+                ON ti.doc_id = sp.doc_id AND ti.i BETWEEN sp.s AND sp.e
+              WHERE sp.s IS NULL),
+            cleaned AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS new_text,
+                     count(*) AS kept_n
+              FROM kept GROUP BY doc_id),
+            spanned AS (SELECT DISTINCT doc_id FROM spans)
+            SELECT d.doc_id,
+                   CASE WHEN sp.doc_id IS NULL THEN d.text
+                        ELSE coalesce(c.new_text, '') END AS text,
+                   CASE WHEN sp.doc_id IS NULL THEN 0
+                        ELSE len(d.t) - coalesce(c.kept_n, 0) END AS removed_tokens
+            FROM toks d
+            LEFT JOIN spanned sp USING (doc_id)
+            LEFT JOIN cleaned c USING (doc_id)
         """,
         "dedup_lsh_verified": """
             WITH dup AS (

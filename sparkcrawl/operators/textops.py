@@ -790,6 +790,47 @@ def duplicated_substring_spans(
     )
 
 
+def cut_token_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply substring dedup: remove the given token spans from each
+    doc's text. (doc_id, text, removed_tokens) — docs with no spans
+    pass through unchanged (removed_tokens = 0), a fully-covered doc
+    comes back with empty text (the caller's drop policy decides).
+
+    ``spans`` is (doc_id, span_start, span_end), 1-based inclusive —
+    :func:`duplicated_substring_spans` output. The cut is pure
+    higher-order-function arithmetic: spans collect per doc (list
+    bounded by spans-per-doc, never corpus), and one indexed
+    ``filter`` lambda drops covered tokens — codegen, no explode of
+    the corpus, no Python.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("_spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    covered = lambda tok, i: F.exists(  # noqa: E731 — 1-based token index
+        F.col("_spans"),
+        lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+    )
+    kept = F.filter(toks, lambda tok, i: ~covered(tok, i))
+    joined = docs.join(per_doc, id_col, "left")
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(text_col),
+        F.when(F.col("_spans").isNull(), F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .alias("removed_tokens"),
+    )
+
+
 def substring_dup_stats(
     docs: DataFrame,
     k: int = 8,

@@ -341,3 +341,33 @@ def test_duplicated_substring_spans(spark):
     assert stats["A"] == (10, 8, 0.8)
     assert stats["C"] == (16, 16, 1.0)
     assert stats["D"] == (4, 0, 0.0)
+
+
+def test_cut_token_spans(spark):
+    """Applying spans removes exactly the covered tokens; span-less
+    docs pass through byte-identical; fully-covered docs empty out."""
+    from sparkcrawl.operators.textops import (
+        cut_token_spans,
+        duplicated_substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "a b c d e f g h i j"),
+            ("B", "x y a b c d e f g h q r"),
+            ("C", "p q r s t u v w p q r s t u v w"),
+            ("D", "solo words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = duplicated_substring_spans(docs, k=8)
+    out = {
+        r["doc_id"]: (r["text"], r["removed_tokens"])
+        for r in cut_token_spans(docs, spans).collect()
+    }
+    assert out == {
+        "A": ("i j", 8),
+        "B": ("x y q r", 8),
+        "C": ("", 16),
+        "D": ("solo words only here", 0),
+    }
