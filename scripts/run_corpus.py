@@ -40,6 +40,9 @@ def main() -> None:
                     help="drop docs whose dup_word_frac exceeds this (Gopher rule)")
     ap.add_argument("--near-dup", action="store_true",
                     help="LSH -> exact-verify -> connected-components canonical dedup")
+    ap.add_argument("--cut-substrings", type=int, default=0, metavar="K",
+                    help="cut every token span whose K-token windows repeat "
+                         "corpus-wide (0 = off); docs emptied by the cut are dropped")
     ap.add_argument("--decontaminate",
                     help="parquet of eval docs; drop training docs overlapping them")
     ap.add_argument("--mixture-budget", type=int, default=0,
@@ -86,6 +89,13 @@ def main() -> None:
     kept = textops.exact_dedup(kept)
     if args.near_dup:
         kept = textops.dedup_corpus_canonical(kept)
+    if args.cut_substrings:
+        spans = textops.duplicated_substring_spans(kept, k=args.cut_substrings)
+        cut = textops.cut_token_spans(kept, spans)
+        kept = (
+            kept.drop("text")
+            .join(cut.filter(F.col("text") != "").select("doc_id", "text"), "doc_id")
+        )
     if args.decontaminate:
         evalset = spark.read.parquet(args.decontaminate)
         leaks = textops.cross_corpus_contamination(
