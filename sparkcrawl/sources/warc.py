@@ -1,0 +1,214 @@
+"""WARC archive source + sink (ISO 28500 / WARC 1.0, the public
+web-archive format Common-Crawl-style corpora ship in).
+
+The crawl engine's fetch log is relational; real crawl pipelines also
+need the archival interchange surface: EXPORT fetched pages as WARC
+response records, and INGEST third-party WARC shards into the same
+documents pipeline the live crawler feeds. Both directions here are
+Spark-native:
+
+  - ``write_warc``: one ``.warc`` (or ``.warc.gz``) shard per input
+    partition, written inside ``mapInPandas`` — the per-partition
+    iterator spans all Arrow batches, so each task streams its records
+    into a single shard and emits ONE manifest row (path, n_records,
+    n_bytes). The write is therefore an ordinary action with an audit
+    trail, and shard count == partition count (callers size shards via
+    ``repartition``, the same knob as every other sink). A production
+    deployment points ``out_dir`` at shared storage; the record
+    serialization is identical.
+  - ``read_warc``: ``binaryFile`` scan -> per-file record parse in
+    ``mapInPandas``. WARC shards are conventionally ~1 GB, i.e. one
+    file = one task = one row of ``binaryFile`` — the parse is a
+    streaming scan over that buffer, never a per-record Python loop
+    over Spark rows. Gzip shards (concatenated members, the warc.gz
+    convention) decompress via GzipFile, which consumes all members.
+
+Record framing (public spec): ``WARC/1.0\\r\\n`` + headers +
+``\\r\\n`` + Content-Length payload bytes + ``\\r\\n\\r\\n``.
+Response records wrap the HTTP response (status line + headers +
+body) as ``application/http;msgtype=response``. Record IDs are
+deterministic (md5 of target URI + date) so export is replay-stable —
+re-running the job yields byte-identical shards, matching the repo's
+exactly-once story (T5).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_VERSION = b"WARC/1.0"
+
+#: columns produced by :func:`read_warc`
+WARC_READ_SCHEMA = (
+    "warc_type string, record_id string, warc_date string, "
+    "target_uri string, content_length long, http_status int, "
+    "http_content_type string, body binary"
+)
+
+_MANIFEST_SCHEMA = "path string, n_records long, n_bytes long"
+
+_REASONS = {200: "OK", 301: "Moved Permanently", 304: "Not Modified",
+            404: "Not Found", 500: "Internal Server Error"}
+
+
+def _response_record(url: str, date: str, status: int,
+                     content_type: str | None, body: bytes) -> bytes:
+    """One WARC response record wrapping an HTTP response payload."""
+    reason = _REASONS.get(status, "")
+    http = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type or 'application/octet-stream'}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii") + body
+    rid = hashlib.md5(f"{url}|{date}".encode()).hexdigest()
+    headers = (
+        WARC_VERSION + b"\r\n"
+        + f"WARC-Type: response\r\n"
+          f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+          f"WARC-Date: {date}\r\n"
+          f"WARC-Target-URI: {url}\r\n"
+          f"Content-Type: application/http;msgtype=response\r\n"
+          f"Content-Length: {len(http)}\r\n\r\n".encode("ascii")
+    )
+    return headers + http + b"\r\n\r\n"
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    compress: bool = False,
+    url_col: str = "url",
+    status_col: str = "status_code",
+    ctype_col: str = "content_type",
+    body_col: str = "body",
+    date_col: str | None = "fetched_at",
+) -> DataFrame:
+    """Export fetch rows as WARC response shards; returns the manifest
+    DataFrame (path, n_records, n_bytes), one row per shard. Rows with
+    NULL status (connection errors) are skipped — they have no HTTP
+    response to archive."""
+    from pyspark import TaskContext
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [F.col(url_col).alias("url"),
+            F.col(status_col).alias("status"),
+            F.col(ctype_col).alias("ctype"),
+            F.col(body_col).alias("body")]
+    if date_col and date_col in df.columns:
+        cols.append(F.date_format(F.col(date_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                    .alias("date"))
+    else:
+        cols.append(F.lit("1970-01-01T00:00:00Z").alias("date"))
+    flat = df.select(*cols).filter(F.col("status").isNotNull())
+
+    suffix = ".warc.gz" if compress else ".warc"
+
+    def _write(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        n = 0
+        raw = io.BytesIO()
+        sink = gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) if compress else raw
+        for pdf in batches:
+            for url, status, ctype, body, date in zip(
+                pdf["url"], pdf["status"], pdf["ctype"], pdf["body"], pdf["date"]
+            ):
+                payload = (body or "").encode("utf-8") if isinstance(body, str) \
+                    else bytes(body or b"")
+                sink.write(_response_record(url, date or "1970-01-01T00:00:00Z",
+                                            int(status), ctype, payload))
+                n += 1
+        if compress:
+            sink.close()
+        data = raw.getvalue()
+        if n:
+            with open(path, "wb") as f:
+                f.write(data)
+            yield pd.DataFrame({"path": [path], "n_records": [n],
+                                "n_bytes": [len(data)]})
+
+    return flat.mapInPandas(_write, schema=_MANIFEST_SCHEMA)
+
+
+def _parse_warc_bytes(buf: bytes) -> Iterator[tuple]:
+    """Stream records out of one WARC shard buffer."""
+    if buf[:2] == b"\x1f\x8b":
+        buf = gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
+    i, n = 0, len(buf)
+    while i < n:
+        # skip inter-record padding
+        while i < n and buf[i : i + 1] in (b"\r", b"\n"):
+            i += 1
+        if i >= n:
+            break
+        if not buf.startswith(b"WARC/", i):
+            break  # trailing garbage: stop rather than loop
+        hdr_end = buf.find(b"\r\n\r\n", i)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in buf[i:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get("content-length", "0"))
+        payload = buf[hdr_end + 4 : hdr_end + 4 + clen]
+        i = hdr_end + 4 + clen
+        http_status, http_ctype, body = None, None, payload
+        if headers.get("content-type", "").startswith("application/http"):
+            he = payload.find(b"\r\n\r\n")
+            if he >= 0:
+                lines = payload[:he].split(b"\r\n")
+                parts = lines[0].split(b" ", 2)
+                if len(parts) >= 2 and parts[0].startswith(b"HTTP/"):
+                    try:
+                        http_status = int(parts[1])
+                    except ValueError:
+                        http_status = None
+                for line in lines[1:]:
+                    k, _, v = line.decode("utf-8", "replace").partition(":")
+                    if k.strip().lower() == "content-type":
+                        http_ctype = v.strip()
+                body = payload[he + 4 :]
+        rid = headers.get("warc-record-id", "")
+        yield (
+            headers.get("warc-type", ""),
+            rid.strip("<>"),
+            headers.get("warc-date", ""),
+            headers.get("warc-target-uri", ""),
+            clen,
+            http_status,
+            http_ctype,
+            body,
+        )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest WARC shards: (warc_type, record_id, warc_date, target_uri,
+    content_length, http_status, http_content_type, body). Response
+    records surface the inner HTTP status/content-type and the bare
+    body; other record kinds carry their raw payload."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [rec for content in pdf["content"]
+                    for rec in _parse_warc_bytes(bytes(content))]
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["warc_type", "record_id", "warc_date",
+                             "target_uri", "content_length", "http_status",
+                             "http_content_type", "body"],
+                )
+
+    return files.mapInPandas(_parse, schema=WARC_READ_SCHEMA)
