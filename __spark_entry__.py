@@ -437,6 +437,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             md5_bucket(rd, NQ).cast("long").alias("queue"),
         )
 
+    def cdx_urlkey(spark, sf):
+        """SURT urlkeys (functions/surt.py) over synthetic URLs that
+        exercise every normalization rule: www-strip, case-fold,
+        default-port drop, non-default-port reattach, query-param sort,
+        empty-path '/'. Pure column expressions — no UDF."""
+        from sparkcrawl.functions.surt import surt_urlkey
+
+        ev = _read(spark, sf, "events")
+        k = (F.col("user_id") % 7).cast("string")
+        url = (
+            F.when(F.col("user_id") % 5 == 0,
+                   F.concat(F.lit("http://www.Alpha"), k,
+                            F.lit(".Example.com/Path/Pg?z=9&a="), k))
+            .when(F.col("user_id") % 5 == 1,
+                  F.concat(F.lit("https://beta"), k, F.lit(".example.org")))
+            .when(F.col("user_id") % 5 == 2,
+                  F.concat(F.lit("http://gamma"), k,
+                           F.lit(".example.net:8080/x")))
+            .when(F.col("user_id") % 5 == 3,
+                  F.concat(F.lit("http://delta"), k,
+                           F.lit(".example.com:80/y?b=2&a=1&c=3")))
+            .otherwise(
+                F.concat(F.lit("https://eps"), k,
+                         F.lit(".shop.example.co.uk:443/Z")))
+        )
+        return ev.select(
+            "event_id", url.alias("url"),
+            surt_urlkey(url).alias("urlkey"),
+        )
+
     def c2_url_hash(spark, sf):
         docs = _read(spark, sf, "documents")
         return docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
@@ -1409,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_distinct_count": a4_distinct_count,
         "c2_url_hash": c2_url_hash,
         "c9_registered_domain": c9_registered_domain,
+        "cdx_urlkey": cdx_urlkey,
         "t2_windowed_stats": t2_windowed_stats,
         "c8_prioritizer_requeue": c8_prioritizer_requeue,
         "f2_scope_filter": f2_scope_filter,
@@ -1654,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c2_url_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "c9_registered_domain": _c9_sql(),
+        "cdx_urlkey": _cdx_urlkey_sql(),
         "t2_windowed_stats": """
             SELECT epoch_us(date_trunc('day', ts)) AS win_start_us,
                    epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS win_end_us,
@@ -2786,6 +2818,47 @@ def _c9_sql() -> str:
         SELECT event_id, host, registered_domain,
                CAST(concat('0x', substr(md5(registered_domain), 1, 8)) AS BIGINT) % {NQ} AS queue
         FROM rds
+    """
+
+
+def _cdx_urlkey_sql() -> str:
+    """DuckDB re-derivation of the SURT transform: string_split +
+    list_reverse + list_sort mirror Spark's split/reverse/array_sort."""
+    return r"""
+        WITH urls AS (
+          SELECT event_id,
+                 CASE WHEN user_id % 5 = 0
+                        THEN 'http://www.Alpha' || CAST(user_id % 7 AS VARCHAR)
+                             || '.Example.com/Path/Pg?z=9&a=' || CAST(user_id % 7 AS VARCHAR)
+                      WHEN user_id % 5 = 1
+                        THEN 'https://beta' || CAST(user_id % 7 AS VARCHAR) || '.example.org'
+                      WHEN user_id % 5 = 2
+                        THEN 'http://gamma' || CAST(user_id % 7 AS VARCHAR) || '.example.net:8080/x'
+                      WHEN user_id % 5 = 3
+                        THEN 'http://delta' || CAST(user_id % 7 AS VARCHAR) || '.example.com:80/y?b=2&a=1&c=3'
+                      ELSE 'https://eps' || CAST(user_id % 7 AS VARCHAR) || '.shop.example.co.uk:443/Z'
+                 END AS url
+          FROM events),
+        parts AS (
+          SELECT event_id, url,
+                 regexp_replace(
+                   regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+                   ':(80|443)$', '') AS hp,
+                 lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)) AS rawpath,
+                 regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)', 1) AS q
+          FROM urls)
+        SELECT event_id, url,
+               array_to_string(
+                 list_reverse(string_split(
+                   regexp_replace(lower(regexp_replace(hp, ':[0-9]+$', '')),
+                                  '^www\.', ''), '.')), ',')
+               || regexp_extract(hp, '(:[0-9]+)$', 1)
+               || ')'
+               || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END
+               || CASE WHEN q = '' THEN ''
+                       ELSE '?' || array_to_string(list_sort(string_split(lower(q), '&')), '&')
+                  END AS urlkey
+        FROM parts
     """
 
 

@@ -48,7 +48,8 @@ WARC_VERSION = b"WARC/1.0"
 WARC_READ_SCHEMA = (
     "warc_type string, record_id string, warc_date string, "
     "target_uri string, content_length long, http_status int, "
-    "http_content_type string, body binary"
+    "http_content_type string, http_location string, body binary, "
+    "filename string, offset long"
 )
 
 _MANIFEST_SCHEMA = "path string, n_records long, n_bytes long"
@@ -58,12 +59,15 @@ _REASONS = {200: "OK", 301: "Moved Permanently", 304: "Not Modified",
 
 
 def _response_record(url: str, date: str, status: int,
-                     content_type: str | None, body: bytes) -> bytes:
+                     content_type: str | None, body: bytes,
+                     location: str | None = None) -> bytes:
     """One WARC response record wrapping an HTTP response payload."""
     reason = _REASONS.get(status, "")
+    loc = f"Location: {location}\r\n" if location else ""
     http = (
         f"HTTP/1.1 {status} {reason}\r\n"
         f"Content-Type: {content_type or 'application/octet-stream'}\r\n"
+        f"{loc}"
         f"Content-Length: {len(body)}\r\n\r\n"
     ).encode("ascii") + body
     rid = hashlib.md5(f"{url}|{date}".encode()).hexdigest()
@@ -88,6 +92,7 @@ def write_warc(
     ctype_col: str = "content_type",
     body_col: str = "body",
     date_col: str | None = "fetched_at",
+    location_col: str | None = "location",
 ) -> DataFrame:
     """Export fetch rows as WARC response shards; returns the manifest
     DataFrame (path, n_records, n_bytes), one row per shard. Rows with
@@ -107,6 +112,10 @@ def write_warc(
                     .alias("date"))
     else:
         cols.append(F.lit("1970-01-01T00:00:00Z").alias("date"))
+    if location_col and location_col in df.columns:
+        cols.append(F.col(location_col).alias("location"))
+    else:
+        cols.append(F.lit(None).cast("string").alias("location"))
     flat = df.select(*cols).filter(F.col("status").isNotNull())
 
     suffix = ".warc.gz" if compress else ".warc"
@@ -118,13 +127,15 @@ def write_warc(
         raw = io.BytesIO()
         sink = gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) if compress else raw
         for pdf in batches:
-            for url, status, ctype, body, date in zip(
-                pdf["url"], pdf["status"], pdf["ctype"], pdf["body"], pdf["date"]
+            for url, status, ctype, body, date, loc in zip(
+                pdf["url"], pdf["status"], pdf["ctype"], pdf["body"],
+                pdf["date"], pdf["location"],
             ):
                 payload = (body or "").encode("utf-8") if isinstance(body, str) \
                     else bytes(body or b"")
-                sink.write(_response_record(url, date or "1970-01-01T00:00:00Z",
-                                            int(status), ctype, payload))
+                sink.write(_response_record(
+                    url, date or "1970-01-01T00:00:00Z", int(status), ctype,
+                    payload, None if (loc is None or loc != loc) else loc))
                 n += 1
         if compress:
             sink.close()
@@ -139,7 +150,11 @@ def write_warc(
 
 
 def _parse_warc_bytes(buf: bytes) -> Iterator[tuple]:
-    """Stream records out of one WARC shard buffer."""
+    """Stream records out of one WARC shard buffer. Each record carries
+    its start offset in the (decompressed) shard stream — the CDX
+    locator. (Classic warc.gz CDX stores per-member compressed offsets;
+    our shards are single-member streams, so the logical offset is the
+    seekable coordinate and is documented as such in ``cdx_index``.)"""
     if buf[:2] == b"\x1f\x8b":
         buf = gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
     i, n = 0, len(buf)
@@ -151,6 +166,7 @@ def _parse_warc_bytes(buf: bytes) -> Iterator[tuple]:
             break
         if not buf.startswith(b"WARC/", i):
             break  # trailing garbage: stop rather than loop
+        rec_start = i
         hdr_end = buf.find(b"\r\n\r\n", i)
         if hdr_end < 0:
             break
@@ -161,7 +177,7 @@ def _parse_warc_bytes(buf: bytes) -> Iterator[tuple]:
         clen = int(headers.get("content-length", "0"))
         payload = buf[hdr_end + 4 : hdr_end + 4 + clen]
         i = hdr_end + 4 + clen
-        http_status, http_ctype, body = None, None, payload
+        http_status, http_ctype, http_loc, body = None, None, None, payload
         if headers.get("content-type", "").startswith("application/http"):
             he = payload.find(b"\r\n\r\n")
             if he >= 0:
@@ -174,8 +190,11 @@ def _parse_warc_bytes(buf: bytes) -> Iterator[tuple]:
                         http_status = None
                 for line in lines[1:]:
                     k, _, v = line.decode("utf-8", "replace").partition(":")
-                    if k.strip().lower() == "content-type":
+                    k = k.strip().lower()
+                    if k == "content-type":
                         http_ctype = v.strip()
+                    elif k == "location":
+                        http_loc = v.strip()
                 body = payload[he + 4 :]
         rid = headers.get("warc-record-id", "")
         yield (
@@ -186,29 +205,113 @@ def _parse_warc_bytes(buf: bytes) -> Iterator[tuple]:
             clen,
             http_status,
             http_ctype,
+            http_loc,
             body,
+            rec_start,
         )
+
+
+def ingest_warc_documents(spark: SparkSession, path: str, cfg=None) -> DataFrame:
+    """Third-party WARC shards -> the engine's interleaved documents
+    table (doc_id, spans) plus a ``links`` column: the Common-Crawl
+    ingest path. Response records are adapted to the fetch-row shape
+    (binary body UTF-8 decoded via cast) and run through the SAME
+    extractor the live crawler uses (C3/C5 parser, limiter, sitemap
+    routing), so archived and live content yield row-identical spans.
+    """
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.operators.extract import extract_links_and_spans
+
+    cfg = cfg or CrawlConfig()
+    fetch_rows = (
+        read_warc(spark, path)
+        .filter((F.col("warc_type") == "response") & F.col("http_status").isNotNull())
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("http_status").cast("int").alias("status_code"),
+            F.col("http_content_type").alias("content_type"),
+            F.col("http_location").alias("location"),
+            F.col("body").cast("string").alias("body"),
+        )
+    )
+    # extracted already carries url+links+spans: a single narrow select
+    # (no self-join shuffle) projects the documents shape.
+    extracted = extract_links_and_spans(fetch_rows, cfg)
+    return (
+        extracted.filter(~F.col("extraction_finished"))
+        .select(F.col("url").alias("doc_id"), "spans", "links")
+    )
+
+
+def cdx_index(spark: SparkSession, path: str,
+              num_partitions: int | None = None) -> DataFrame:
+    """Build a CDX-style archive index over WARC shards — the public
+    lookup format archive consumers (Internet Archive / Common Crawl
+    CDXJ) use to locate a record without scanning shards.
+
+    Columns: (urlkey, timestamp, original, mime, status, digest,
+    length, offset, filename). ``urlkey`` is the SURT transform
+    (functions/surt.py — pure column expressions, no UDF), ``timestamp``
+    the 14-digit capture time, ``digest`` sha1-hex of the bare payload,
+    ``offset`` the record's start offset in the decompressed shard
+    stream. Rows come back range-partitioned and sorted by
+    (urlkey, timestamp) — the CDX sort order — so each output partition
+    is a valid, independently queryable index shard; at 10^10 records
+    the range partitioner keeps one host's captures co-located without
+    any global sort on the driver.
+    """
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.functions.surt import surt_urlkey
+
+    idx = (
+        read_warc(spark, path)
+        .filter((F.col("warc_type") == "response")
+                & F.col("http_status").isNotNull())
+        .select(
+            surt_urlkey(F.col("target_uri")).alias("urlkey"),
+            F.date_format(
+                F.to_timestamp(F.col("warc_date"),
+                               "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+                "yyyyMMddHHmmss").alias("timestamp"),
+            F.col("target_uri").alias("original"),
+            F.col("http_content_type").alias("mime"),
+            F.col("http_status").alias("status"),
+            F.sha1(F.col("body")).alias("digest"),
+            F.col("content_length").alias("length"),
+            F.col("offset"),
+            F.col("filename"),
+        )
+    )
+    if num_partitions:
+        idx = idx.repartitionByRange(num_partitions, "urlkey", "timestamp")
+    return idx.sortWithinPartitions("urlkey", "timestamp")
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Ingest WARC shards: (warc_type, record_id, warc_date, target_uri,
-    content_length, http_status, http_content_type, body). Response
-    records surface the inner HTTP status/content-type and the bare
-    body; other record kinds carry their raw payload."""
+    content_length, http_status, http_content_type, http_location,
+    body). Response records surface the inner HTTP status/content-type/
+    Location and the bare body; other record kinds carry their raw
+    payload."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            rows = [rec for content in pdf["content"]
+            rows = [rec[:-1] + (os.path.basename(fpath), rec[-1])
+                    for fpath, content in zip(pdf["path"], pdf["content"])
                     for rec in _parse_warc_bytes(bytes(content))]
             if rows:
                 yield pd.DataFrame(
                     rows,
                     columns=["warc_type", "record_id", "warc_date",
                              "target_uri", "content_length", "http_status",
-                             "http_content_type", "body"],
+                             "http_content_type", "http_location", "body",
+                             "filename", "offset"],
                 )
 
     return files.mapInPandas(_parse, schema=WARC_READ_SCHEMA)

@@ -69,3 +69,83 @@ def test_warc_date_header(spark, tmp_path):
     back = {r["target_uri"]: r["warc_date"]
             for r in read_warc(spark, f"{out}/*.warc").collect()}
     assert back["http://a.example/p1"] == "2026-01-01T00:00:00Z"
+
+
+def test_warc_location_roundtrip(spark, tmp_path):
+    """3xx Location headers survive export -> ingest (C4 redirect
+    fidelity for archived content)."""
+    df = _fetch_df(spark).withColumn(
+        "location",
+        F.when(F.col("url") == "http://a.example/p2",
+               F.lit("http://a.example/p3")),
+    ).withColumn("status_code",
+                 F.when(F.col("url") == "http://a.example/p2", 301)
+                  .otherwise(F.col("status_code")))
+    out = str(tmp_path / "loc")
+    write_warc(df, out).collect()
+    back = {r["target_uri"]: r["http_location"]
+            for r in read_warc(spark, f"{out}/*.warc").collect()}
+    assert back["http://a.example/p2"] == "http://a.example/p3"
+    assert back["http://a.example/p1"] is None
+
+
+def test_ingest_warc_documents(spark, tmp_path):
+    """Archived shards run through the SAME extractor as live fetches:
+    parseable HTML yields (doc_id, spans, links); non-documents
+    (404s, plain text past the limiter) yield no document row."""
+    from sparkcrawl.sources.warc import ingest_warc_documents
+
+    rows = [
+        ("http://a.example/p1", 200, "text/html",
+         '<html><p>hello</p><img src="/i.png"><a href="/p2">next</a></html>',
+         "2026-01-01 00:00:00"),
+        ("http://a.example/p2", 404, "text/html", "", "2026-01-01 00:00:01"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["url", "status_code", "content_type", "body", "fetched_at"]
+    ).withColumn("fetched_at", F.to_timestamp("fetched_at"))
+    out = str(tmp_path / "ingest")
+    write_warc(df, out).collect()
+    docs = ingest_warc_documents(spark, f"{out}/*.warc").collect()
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["doc_id"] == "http://a.example/p1"
+    assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in d["spans"]] == [
+        ("text", "hello", "", 0),
+        ("media", "", "http://a.example/i.png", 1),
+        ("text", "next", "", 2),
+    ]
+    assert d["links"] == ["http://a.example/p2"]
+
+
+def test_cdx_index(spark, tmp_path):
+    """CDX index over shards: SURT urlkey collapses www/param-order
+    variants, (urlkey, timestamp) sort order, real in-shard offsets,
+    payload digest equality for identical bodies."""
+    from sparkcrawl.sources.warc import cdx_index
+
+    rows = [
+        ("http://a.example/p1?z=1&a=2", 200, "text/html",
+         "<html>hello</html>", "2026-01-01 00:00:00"),
+        ("http://www.a.example/p1?a=2&z=1", 200, "text/html",
+         "<html>hello</html>", "2026-01-02 00:00:00"),
+        ("http://b.example/x", 200, "text/html",
+         "<html>x</html>", "2026-01-01 00:00:02"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["url", "status_code", "content_type", "body", "fetched_at"]
+    ).withColumn("fetched_at", F.to_timestamp("fetched_at"))
+    out = str(tmp_path / "cdx")
+    write_warc(df.coalesce(1), out).collect()
+    idx = cdx_index(spark, f"{out}/*.warc", num_partitions=1).collect()
+    keys = [(r["urlkey"], r["timestamp"]) for r in idx]
+    assert keys == sorted(keys)
+    assert {r["urlkey"] for r in idx} == {
+        "example,a)/p1?a=2&z=1", "example,b)/x"}
+    dup = [r for r in idx if r["urlkey"] == "example,a)/p1?a=2&z=1"]
+    assert len(dup) == 2 and dup[0]["digest"] == dup[1]["digest"]
+    # offsets: single shard, records at increasing byte positions
+    offs = sorted(r["offset"] for r in idx)
+    assert offs[0] == 0 and offs[1] > 0 and offs[2] > offs[1]
+    assert all(r["filename"].startswith("part-") for r in idx)
