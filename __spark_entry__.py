@@ -467,6 +467,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             surt_urlkey(url).alias("urlkey"),
         )
 
+    def warc_revisit_marks(spark, sf):
+        """Archival storage dedup (ISO 28500 revisit records): captures
+        whose (url, payload) repeats an earlier capture get revisit_of
+        = the first capture's deterministic record id. One hash agg +
+        equi-join, no window (sources/warc.py::mark_revisits)."""
+        from sparkcrawl.sources.warc import mark_revisits
+
+        ev = _read(spark, sf, "events")
+        url = F.concat(F.lit("http://h"),
+                       (F.col("user_id") % 50).cast("string"),
+                       F.lit(".example/p"))
+        body = F.concat(F.lit("content-"),
+                        (F.col("user_id") % 50).cast("string"),
+                        F.lit("-"), (F.col("event_id") % 2).cast("string"))
+        capt = ev.select("event_id", url.alias("url"), body.alias("body"),
+                         F.col("ts").alias("fetched_at"))
+        return mark_revisits(capt).select("event_id", "url", "revisit_of")
+
     def c2_url_hash(spark, sf):
         docs = _read(spark, sf, "documents")
         return docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
@@ -1440,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_url_hash": c2_url_hash,
         "c9_registered_domain": c9_registered_domain,
         "cdx_urlkey": cdx_urlkey,
+        "warc_revisit_marks": warc_revisit_marks,
         "t2_windowed_stats": t2_windowed_stats,
         "c8_prioritizer_requeue": c8_prioritizer_requeue,
         "f2_scope_filter": f2_scope_filter,
@@ -1686,6 +1705,23 @@ def oracle_sql() -> dict[str, str]:
         "c2_url_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "c9_registered_domain": _c9_sql(),
         "cdx_urlkey": _cdx_urlkey_sql(),
+        "warc_revisit_marks": """
+        WITH caps AS (
+          SELECT event_id,
+                 'http://h' || CAST(user_id % 50 AS VARCHAR) || '.example/p' AS url,
+                 'content-' || CAST(user_id % 50 AS VARCHAR) || '-'
+                     || CAST(event_id % 2 AS VARCHAR) AS body,
+                 strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS cap_date
+          FROM events),
+        firsts AS (
+          SELECT url, body, min(cap_date) AS first_date
+          FROM caps GROUP BY url, body)
+        SELECT c.event_id, c.url,
+               CASE WHEN c.cap_date > f.first_date
+                    THEN 'urn:md5:' || md5(c.url || '|' || f.first_date)
+               END AS revisit_of
+        FROM caps c JOIN firsts f USING (url, body)
+    """,
         "t2_windowed_stats": """
             SELECT epoch_us(date_trunc('day', ts)) AS win_start_us,
                    epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS win_end_us,

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "anchor_text_agg",
     "corpus_token_shards",
     "dedup_substring_spans",
+    "cdx_urlkey",
+    "warc_revisit_marks",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet with (doc_id, text, source?)")
+    ap.add_argument("--from-warc", action="store_true",
+                    help="--input is a WARC shard glob (Common-Crawl-style): "
+                         "ingest through the live extractor, flatten spans "
+                         "to text, source = registered domain")
     ap.add_argument("--output", required=True)
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--max-repetition", type=float, default=0.3,
@@ -61,7 +65,18 @@ def main() -> None:
     from sparkcrawl.operators.repetition import repetition_metrics
     from sparkcrawl.plans.export import export_curated
 
-    docs = spark.read.parquet(args.input)
+    if args.from_warc:
+        from sparkcrawl.functions.domains import registered_domain
+        from sparkcrawl.functions.urlnorm import host_of_canonical_col
+        from sparkcrawl.sources.warc import ingest_warc_documents
+
+        docs = textops.spans_to_text(
+            ingest_warc_documents(spark, args.input)
+        ).withColumn(
+            "source", registered_domain(host_of_canonical_col(F.col("doc_id")))
+        )
+    else:
+        docs = spark.read.parquet(args.input)
     if "source" not in docs.columns:
         docs = docs.withColumn("source", F.lit("default"))
 

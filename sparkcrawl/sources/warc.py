@@ -46,7 +46,8 @@ WARC_VERSION = b"WARC/1.0"
 
 #: columns produced by :func:`read_warc`
 WARC_READ_SCHEMA = (
-    "warc_type string, record_id string, warc_date string, "
+    "warc_type string, record_id string, refers_to string, "
+    "warc_date string, "
     "target_uri string, content_length long, http_status int, "
     "http_content_type string, http_location string, body binary, "
     "filename string, offset long"
@@ -83,6 +84,82 @@ def _response_record(url: str, date: str, status: int,
     return headers + http + b"\r\n\r\n"
 
 
+#: WARC-Profile URI for digest-based revisit records (public spec value)
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def _revisit_record(url: str, date: str, refers_to: str,
+                    digest: str | None) -> bytes:
+    """A body-less WARC revisit record: this capture's payload is
+    byte-identical to the record named by WARC-Refers-To, so the
+    archive stores a pointer instead of the bytes (ISO 28500 §6.7.2,
+    the Internet Archive's storage-dedup mechanism)."""
+    rid = hashlib.md5(f"{url}|{date}".encode()).hexdigest()
+    dig = f"WARC-Payload-Digest: sha1:{digest}\r\n" if digest else ""
+    return (
+        WARC_VERSION + b"\r\n"
+        + f"WARC-Type: revisit\r\n"
+          f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+          f"WARC-Refers-To: <{refers_to}>\r\n"
+          f"WARC-Profile: {REVISIT_PROFILE}\r\n"
+          f"WARC-Date: {date}\r\n"
+          f"WARC-Target-URI: {url}\r\n"
+          f"{dig}"
+          f"Content-Length: 0\r\n\r\n".encode("ascii")
+        + b"\r\n\r\n"
+    )
+
+
+def mark_revisits(df: DataFrame, url_col: str = "url",
+                  body_col: str = "body",
+                  date_col: str = "fetched_at") -> DataFrame:
+    """Add ``payload_digest`` (sha1 of the body) and ``revisit_of``
+    (record id of the FIRST capture with the same (url, digest); NULL
+    for first/unique captures) — the input to ``write_warc``'s
+    revisit-record path.
+
+    Scale shape: one ``groupBy(url, digest).agg(min(date))`` hash
+    aggregation (map-side combine, 40-byte keys) plus an equi-join
+    back — no window, no driver-side state. The refers-to id is
+    computed RELATIONALLY as md5(url|first_date) because record ids
+    are deterministic functions of (url, date): marking revisits
+    never needs to read the archive being written.
+    """
+    from pyspark.sql import functions as F
+
+    date_fmt = F.date_format(F.col(date_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    body_bin = F.coalesce(F.col(body_col).cast("binary"),
+                          F.lit(b""))
+    digest = F.sha1(body_bin)
+    with_dig = df.withColumn("payload_digest", digest) \
+                 .withColumn("_cap_date", date_fmt)
+    firsts = (
+        with_dig.groupBy(F.col(url_col).alias("_u"),
+                         F.col("payload_digest").alias("_d"))
+        .agg(F.min("_cap_date").alias("_first_date"))
+    )
+    out = (
+        with_dig.join(
+            firsts,
+            (F.col(url_col) == F.col("_u"))
+            & (F.col("payload_digest") == F.col("_d")),
+        )
+        .withColumn(
+            "revisit_of",
+            F.when(
+                F.col("_cap_date") > F.col("_first_date"),
+                F.concat(
+                    F.lit("urn:md5:"),
+                    F.md5(F.concat(F.col(url_col), F.lit("|"),
+                                   F.col("_first_date"))),
+                ),
+            ),
+        )
+        .drop("_u", "_d", "_first_date", "_cap_date")
+    )
+    return out
+
+
 def write_warc(
     df: DataFrame,
     out_dir: str,
@@ -116,6 +193,16 @@ def write_warc(
         cols.append(F.col(location_col).alias("location"))
     else:
         cols.append(F.lit(None).cast("string").alias("location"))
+    # revisit path: rows pre-marked by mark_revisits() export as
+    # body-less pointer records (ISO 28500 identical-payload-digest)
+    if "revisit_of" in df.columns:
+        cols.append(F.col("revisit_of"))
+        cols.append(F.col("payload_digest") if "payload_digest"
+                    in df.columns else F.lit(None).cast("string")
+                    .alias("payload_digest"))
+    else:
+        cols.append(F.lit(None).cast("string").alias("revisit_of"))
+        cols.append(F.lit(None).cast("string").alias("payload_digest"))
     flat = df.select(*cols).filter(F.col("status").isNotNull())
 
     suffix = ".warc.gz" if compress else ".warc"
@@ -127,15 +214,22 @@ def write_warc(
         raw = io.BytesIO()
         sink = gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) if compress else raw
         for pdf in batches:
-            for url, status, ctype, body, date, loc in zip(
+            for url, status, ctype, body, date, loc, rev, dig in zip(
                 pdf["url"], pdf["status"], pdf["ctype"], pdf["body"],
-                pdf["date"], pdf["location"],
+                pdf["date"], pdf["location"], pdf["revisit_of"],
+                pdf["payload_digest"],
             ):
-                payload = (body or "").encode("utf-8") if isinstance(body, str) \
-                    else bytes(body or b"")
-                sink.write(_response_record(
-                    url, date or "1970-01-01T00:00:00Z", int(status), ctype,
-                    payload, None if (loc is None or loc != loc) else loc))
+                date = date or "1970-01-01T00:00:00Z"
+                if rev is not None and rev == rev:
+                    sink.write(_revisit_record(
+                        url, date, rev,
+                        None if (dig is None or dig != dig) else dig))
+                else:
+                    payload = (body or "").encode("utf-8") \
+                        if isinstance(body, str) else bytes(body or b"")
+                    sink.write(_response_record(
+                        url, date, int(status), ctype, payload,
+                        None if (loc is None or loc != loc) else loc))
                 n += 1
         if compress:
             sink.close()
@@ -197,9 +291,11 @@ def _parse_warc_bytes(buf: bytes) -> Iterator[tuple]:
                         http_loc = v.strip()
                 body = payload[he + 4 :]
         rid = headers.get("warc-record-id", "")
+        refers = headers.get("warc-refers-to")
         yield (
             headers.get("warc-type", ""),
             rid.strip("<>"),
+            refers.strip("<>") if refers else None,
             headers.get("warc-date", ""),
             headers.get("warc-target-uri", ""),
             clen,
@@ -308,7 +404,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             if rows:
                 yield pd.DataFrame(
                     rows,
-                    columns=["warc_type", "record_id", "warc_date",
+                    columns=["warc_type", "record_id", "refers_to",
+                             "warc_date",
                              "target_uri", "content_length", "http_status",
                              "http_content_type", "http_location", "body",
                              "filename", "offset"],

@@ -149,3 +149,60 @@ def test_cdx_index(spark, tmp_path):
     offs = sorted(r["offset"] for r in idx)
     assert offs[0] == 0 and offs[1] > 0 and offs[2] > offs[1]
     assert all(r["filename"].startswith("part-") for r in idx)
+
+
+def test_warc_revisit_records(spark, tmp_path):
+    """Digest-identical re-captures export as body-less revisit records
+    pointing at the first capture (ISO 28500 identical-payload-digest
+    storage dedup); changed content still exports in full."""
+    from sparkcrawl.sources.warc import mark_revisits
+
+    rows = [
+        ("http://a.example/p", 200, "text/html", "<html>v1</html>",
+         "2026-01-01 00:00:00"),
+        ("http://a.example/p", 200, "text/html", "<html>v1</html>",
+         "2026-01-02 00:00:00"),  # identical -> revisit
+        ("http://a.example/p", 200, "text/html", "<html>v2</html>",
+         "2026-01-03 00:00:00"),  # changed -> full record
+    ]
+    df = spark.createDataFrame(
+        rows, ["url", "status_code", "content_type", "body", "fetched_at"]
+    ).withColumn("fetched_at", F.to_timestamp("fetched_at"))
+    marked = mark_revisits(df)
+    assert marked.filter(F.col("revisit_of").isNotNull()).count() == 1
+
+    out = str(tmp_path / "rev")
+    write_warc(marked.coalesce(1), out).collect()
+    back = {r["warc_date"]: r for r in
+            read_warc(spark, f"{out}/*.warc").collect()}
+    first = back["2026-01-01T00:00:00Z"]
+    rev = back["2026-01-02T00:00:00Z"]
+    changed = back["2026-01-03T00:00:00Z"]
+    assert first["warc_type"] == "response" and first["refers_to"] is None
+    assert rev["warc_type"] == "revisit"
+    assert rev["refers_to"] == first["record_id"]
+    assert rev["content_length"] == 0 and bytes(rev["body"]) == b""
+    assert changed["warc_type"] == "response"
+    assert bytes(changed["body"]).endswith(b"v2</html>")
+
+
+def test_surt_urlkey_edge_cases(spark):
+    """SURT normalization rules, pinned case by case."""
+    from sparkcrawl.functions.surt import surt_urlkey
+
+    cases = [
+        ("http://www.Shop.Example.co.uk/A/b?b=2&a=1#f",
+         "uk,co,example,shop)/a/b?a=1&b=2"),
+        ("https://example.com", "com,example)/"),
+        ("http://h.example:8080/x", "example,h:8080)/x"),
+        ("https://h.example:443/x", "example,h)/x"),
+        ("http://h.example:80/", "example,h)/"),
+        ("HTTP://H.EXAMPLE/Y", "example,h)/y"),
+        ("http://www.example.com/?b=1&a=2", "com,example)/?a=2&b=1"),
+        ("http://wwwx.example/p", "example,wwwx)/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = {r["u"]: r["k"] for r in
+           df.select("u", surt_urlkey(F.col("u")).alias("k")).collect()}
+    for url, want in cases:
+        assert got[url] == want, (url, got[url], want)
