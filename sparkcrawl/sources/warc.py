@@ -127,17 +127,23 @@ def mark_revisits(df: DataFrame, url_col: str = "url",
     """
     from pyspark.sql import functions as F
 
-    date_fmt = F.date_format(F.col(date_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     body_bin = F.coalesce(F.col(body_col).cast("binary"),
                           F.lit(b""))
     digest = F.sha1(body_bin)
+    # min over epoch SECONDS (long), not the formatted string: min(long)
+    # stays a HashAggregate with map-side combine (min(string) falls
+    # back to SortAggregate), and second-truncation matches the record
+    # id's date_format truncation exactly.
+    cap_sec = F.col(date_col).cast("timestamp").cast("long")
     with_dig = df.withColumn("payload_digest", digest) \
-                 .withColumn("_cap_date", date_fmt)
+                 .withColumn("_cap_sec", cap_sec)
     firsts = (
         with_dig.groupBy(F.col(url_col).alias("_u"),
                          F.col("payload_digest").alias("_d"))
-        .agg(F.min("_cap_date").alias("_first_date"))
+        .agg(F.min("_cap_sec").alias("_first_sec"))
     )
+    first_date = F.date_format(F.col("_first_sec").cast("timestamp"),
+                               "yyyy-MM-dd'T'HH:mm:ss'Z'")
     out = (
         with_dig.join(
             firsts,
@@ -147,15 +153,14 @@ def mark_revisits(df: DataFrame, url_col: str = "url",
         .withColumn(
             "revisit_of",
             F.when(
-                F.col("_cap_date") > F.col("_first_date"),
+                F.col("_cap_sec") > F.col("_first_sec"),
                 F.concat(
                     F.lit("urn:md5:"),
-                    F.md5(F.concat(F.col(url_col), F.lit("|"),
-                                   F.col("_first_date"))),
+                    F.md5(F.concat(F.col(url_col), F.lit("|"), first_date)),
                 ),
             ),
         )
-        .drop("_u", "_d", "_first_date", "_cap_date")
+        .drop("_u", "_d", "_first_sec", "_cap_sec")
     )
     return out
 
@@ -384,6 +389,34 @@ def cdx_index(spark: SparkSession, path: str,
     if num_partitions:
         idx = idx.repartitionByRange(num_partitions, "urlkey", "timestamp")
     return idx.sortWithinPartitions("urlkey", "timestamp")
+
+
+def cdx_latest(index: DataFrame, urls: DataFrame, url_col: str = "url",
+               at: str | None = None) -> DataFrame:
+    """For each lookup URL, its most recent capture in a CDX index —
+    optionally at-or-before a 14-digit ``at`` timestamp (the wayback
+    "closest before" query). SURT-key equi-join + ``max_by`` hash
+    argmax (the repo's standard pattern, operators/dedup.py:39): no
+    window, map-side combine, and a small lookup set broadcasts
+    automatically. URL variants (www / param order / case) hit the
+    same urlkey, so a lookup finds captures of equivalent URLs too.
+    """
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.functions.surt import surt_urlkey
+
+    keyed = urls.select(F.col(url_col).alias("_lookup_url"),
+                        surt_urlkey(F.col(url_col)).alias("urlkey"))
+    j = keyed.join(index, "urlkey")
+    if at is not None:
+        j = j.filter(F.col("timestamp") <= at)
+    cap = F.struct("timestamp", "original", "mime", "status", "digest",
+                   "length", "offset", "filename")
+    return (
+        j.groupBy("_lookup_url", "urlkey")
+        .agg(F.max_by(cap, F.col("timestamp")).alias("_c"))
+        .select(F.col("_lookup_url").alias(url_col), "urlkey", "_c.*")
+    )
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

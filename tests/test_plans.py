@@ -211,3 +211,20 @@ def test_freshness_oracle_query_single_window_exchange(spark, queries):
     url_hash partitioning — the whole estimate is ONE shuffle."""
     p = plan_of(queries["freshness_revisit_schedule"](spark, SF), "simple")
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_surt_urlkey_is_pure_codegen(spark, queries):
+    """SURT urlkeys must never leave the JVM: no Python eval, no
+    exchange — a pure projection over the scan."""
+    p = plan_of(queries["cdx_urlkey"](spark, SF), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_revisit_marks_is_agg_join_not_window(spark, queries):
+    """mark_revisits: one hash agg (partial+final) + equi-join; a
+    window over (url, digest) would sort 10^10 captures."""
+    p = plan_of(queries["warc_revisit_marks"](spark, SF), "simple")
+    assert "Window" not in p
+    assert "HashAggregate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -206,3 +206,43 @@ def test_surt_urlkey_edge_cases(spark):
            df.select("u", surt_urlkey(F.col("u")).alias("k")).collect()}
     for url, want in cases:
         assert got[url] == want, (url, got[url], want)
+
+
+def test_cdx_latest_lookup(spark, tmp_path):
+    """Wayback-style lookup: latest capture per URL, at-or-before
+    filtering, and urlkey variant matching (www/param-order)."""
+    from sparkcrawl.sources.warc import cdx_index, cdx_latest
+
+    rows = [
+        ("http://a.example/p", 200, "text/html", "<html>v1</html>",
+         "2026-01-01 00:00:00"),
+        ("http://www.a.example/p", 200, "text/html", "<html>v2</html>",
+         "2026-02-01 00:00:00"),
+        ("http://b.example/x", 200, "text/html", "<html>x</html>",
+         "2026-01-15 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["url", "status_code", "content_type", "body", "fetched_at"]
+    ).withColumn("fetched_at", F.to_timestamp("fetched_at"))
+    out = str(tmp_path / "idx")
+    write_warc(df.coalesce(1), out).collect()
+    idx = cdx_index(spark, f"{out}/*.warc")
+
+    urls = spark.createDataFrame(
+        [("http://a.example/p",), ("http://c.example/missing",)], ["url"])
+    latest = {r["url"]: r for r in cdx_latest(idx, urls).collect()}
+    assert set(latest) == {"http://a.example/p"}  # missing URL absent
+    # latest capture is the www variant (same urlkey), Feb 1
+    assert latest["http://a.example/p"]["timestamp"] == "20260201000000"
+    assert latest["http://a.example/p"]["original"] == "http://www.a.example/p"
+
+    before = {r["url"]: r for r in
+              cdx_latest(idx, urls, at="20260115000000").collect()}
+    assert before["http://a.example/p"]["timestamp"] == "20260101000000"
+
+    # plan: argmax must be a hash agg, not a window sort
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cdx_latest(idx, urls).explain("simple")
+    assert "Window" not in buf.getvalue()
