@@ -106,6 +106,8 @@ class CrawlConfig:
     scope_negative: tuple[str, ...] = ()
     # --- compaction of the append-only frontier store ---
     compact_every: int = 4
+    # --- archive-while-crawling: WARC shards per superstep (None = off) ---
+    warc_archive_dir: str | None = None
     # --- plugin points (X1-X3: import-path config like the reference's
     #     custom_import; stage = Callable[[DataFrame], DataFrame]) ---
     extractor_pipeline: tuple[str, ...] = ()

@@ -332,6 +332,23 @@ class CrawlRun:
         ]
         batch_to_fetch = allowed.select(*fetch_cols)
         fetched = self._dispatch_fetch(batch_to_fetch)
+        if cfg.warc_archive_dir:
+            # archive-while-crawling: WARC shards per superstep, written
+            # BEFORE extraction consumes the bodies. fetched is persisted
+            # so the archive action and the extractor share one fetch
+            # (never re-fetch); the superstep-tagged dir makes a killed
+            # superstep's replay an overwrite, not a duplicate (T5).
+            import os as _os
+
+            from sparkcrawl.sources.warc import write_warc
+
+            fetched = fetched.persist()
+            write_warc(
+                fetched.withColumn("fetched_at", F.lit(virtual_time)),
+                _os.path.join(cfg.warc_archive_dir,
+                              f"superstep={superstep:06d}"),
+                compress=True,
+            ).collect()
         extracted = extract_links_and_spans(fetched, cfg)
         if cfg.extractor_pipeline:  # X1: import-path-configured stages
             from sparkcrawl.functions.import_util import apply_pipeline
@@ -342,6 +359,10 @@ class CrawlRun:
         if cfg.dedup_documents:
             docs = self._dedup_documents(spark, docs, superstep)
         self.documents.append(docs, superstep)
+        if cfg.warc_archive_dir:
+            # documents.append materialized extracted's cache; the raw
+            # fetch rows (bodies) are no longer referenced
+            fetched.unpersist()
 
         # S6/A3: ordered fetch log — rank over the full batch's total order
         # (slot, host, url_hash); window is single-partition but the batch
