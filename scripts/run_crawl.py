@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--record-link-graph", action="store_true",
                     help="record host->host link edges for the offline "
                          "PageRank priority refresh (plans/rank.py)")
+    ap.add_argument("--warc-archive",
+                    help="archive-while-crawling: write each superstep's "
+                         "fetched pages as WARC shards under this dir")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("sparkcrawl-run").getOrCreate()
@@ -67,6 +70,7 @@ def main() -> None:
         robots_ttl_supersteps=args.robots_ttl,
         filter_traps=args.filter_traps,
         record_link_graph=args.record_link_graph,
+        warc_archive_dir=args.warc_archive,
     )
 
     if args.generate_fixtures:

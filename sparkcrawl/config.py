@@ -86,6 +86,7 @@ class CrawlConfig:
     # sitemap.xml bodies (content-sniffed) become pure link sources;
     # fixture webs are HTML-only so parity goldens are unaffected
     parse_sitemaps: bool = True
+    parse_feeds: bool = True
     # live robots.txt discovery (R1 engine-complete): URLs on hosts with
     # no known rules are deferred one superstep while /robots.txt is
     # fetched+parsed into the per-host-versioned RobotsTable; off =

@@ -273,6 +273,49 @@ def anchor_term_summary(anchor_rows: DataFrame) -> DataFrame:
 
 _SITEMAP_LOC = re.compile(r"<loc>\s*(?:<!\[CDATA\[)?\s*([^<\]]+?)\s*(?:\]\]>)?\s*</loc>", re.I)
 _SITEMAP_CTYPE = re.compile(r"(application|text)/(x-)?(xml|rss\+xml|atom\+xml)", re.I)
+_FEED_CTYPE = re.compile(r"application/(rss|atom)\+xml", re.I)
+# RSS 2.0: <link>URL</link> inside <item>/<channel>; Atom: <link href="URL"/>
+_FEED_RSS_LINK = re.compile(
+    r"<link>\s*(?:<!\[CDATA\[)?\s*([^<\]]+?)\s*(?:\]\]>)?\s*</link>", re.I)
+_FEED_ATOM_LINK = re.compile(r"<link\b[^>]*?href\s*=\s*[\"']([^\"']+)[\"']", re.I)
+
+
+def is_feed(content_type: str | None, body: str | bytes | None) -> bool:
+    """RSS/Atom sniff: feed content-type or an <rss>/<feed> root marker
+    in the leading bytes (feeds are served as text/xml or even
+    text/plain routinely — sniff like is_sitemap does)."""
+    if body is None:
+        return False
+    head = body[:512]
+    if isinstance(head, (bytes, bytearray)):
+        head = head.decode("utf-8", errors="replace")
+    if "<rss" in head or "<feed" in head:
+        return True
+    return bool(content_type and _FEED_CTYPE.match(content_type))
+
+
+def parse_feed(url: str, body: str | bytes | None,
+               content_type: str | None = None) -> list[str]:
+    """Extract item/entry links from an RSS 2.0 or Atom feed body —
+    feeds are link sources exactly like sitemaps (a news crawl's
+    freshest seed surface). Both syntaxes are matched unconditionally
+    (real feeds mix them); links resolve + canonicalize like C3,
+    first-occurrence order kept, duplicates dropped."""
+    from xml.sax.saxutils import unescape
+
+    if body is None:
+        return []
+    if isinstance(body, (bytes, bytearray)):
+        body = body.decode(sniff_charset(content_type), errors="replace")
+    links: list[str] = []
+    seen: set[str] = set()
+    for raw in _FEED_RSS_LINK.findall(body) + _FEED_ATOM_LINK.findall(body):
+        canon = canonicalize_one(unescape(raw), url)
+        if canon and canon.startswith(("http://", "https://")) \
+                and canon not in seen:
+            seen.add(canon)
+            links.append(canon)
+    return links
 
 
 def is_sitemap(content_type: str | None, body: str | bytes | None) -> bool:
@@ -365,6 +408,16 @@ def extract_links_and_spans(
                 links: list[str] = []
                 spans: list[dict] = []
                 if (
+                    fin
+                    and status == 200
+                    and body is not None
+                    and len(body) <= cfg.max_content_length
+                    and cfg.parse_feeds
+                    and is_feed(ctype, body)
+                ):
+                    # RSS/Atom feed: pure link source, no document spans
+                    links = parse_feed(url, body, ctype)
+                elif (
                     fin
                     and cfg.parse_sitemaps
                     and status == 200

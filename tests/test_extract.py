@@ -228,3 +228,64 @@ def test_anchor_summary_plan_no_window(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("simple")
     assert "Window" not in buf.getvalue()
+
+
+def test_parse_feed_rss_and_atom():
+    from sparkcrawl.operators.extract import is_feed, parse_feed
+
+    rss = """<?xml version="1.0"?>
+    <rss version="2.0"><channel>
+      <title>news</title><link>http://h.example/</link>
+      <item><link>http://h.example/story-1?a=1&amp;b=2</link></item>
+      <item><link><![CDATA[http://h.example/story-2]]></link></item>
+      <item><link>/relative-3</link></item>
+    </channel></rss>"""
+    links = parse_feed("http://h.example/feed.xml", rss)
+    assert "http://h.example/story-1?a=1&b=2" in links  # entity unescaped
+    assert "http://h.example/story-2" in links          # CDATA stripped
+    assert "http://h.example/relative-3" in links       # base-resolved
+    assert "http://h.example/" in links                 # channel link kept
+
+    atom = """<feed xmlns="http://www.w3.org/2005/Atom">
+      <link rel="self" href="http://h.example/atom.xml"/>
+      <entry><link rel="alternate" href="http://h.example/e1"/></entry>
+      <entry><link href='http://h.example/e2'/></entry>
+      <entry><link href='http://h.example/e2'/></entry>
+    </feed>"""
+    alinks = parse_feed("http://h.example/atom.xml", atom)
+    assert "http://h.example/e1" in alinks and "http://h.example/e2" in alinks
+    assert alinks.count("http://h.example/e2") == 1      # deduped
+
+    assert is_feed("application/rss+xml", "<x/>")
+    assert is_feed("text/plain", rss)                    # root-marker sniff
+    assert not is_feed("text/html", "<html></html>")
+    assert parse_feed("http://h.example/f.xml", None) == []
+
+
+def test_extract_routes_feed_bodies(spark):
+    """An RSS feed fetched by the crawler is a link source (no document
+    spans), exactly like a sitemap; parse_feeds=False turns it off."""
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.operators.extract import extract_links_and_spans
+
+    cfg = CrawlConfig()
+    feed = ("<rss version='2.0'><channel>"
+            "<item><link>http://h.example/from-feed</link></item>"
+            "</channel></rss>")
+    rows = [
+        ("http://h.example/feed", 200, "application/rss+xml", None, feed),
+    ]
+    fetched = spark.createDataFrame(
+        rows,
+        "url string, status_code int, content_type string, "
+        "location string, body string",
+    )
+    out = {r["url"]: r for r in extract_links_and_spans(fetched, cfg).collect()}
+    fr = out["http://h.example/feed"]
+    assert fr["links"] == ["http://h.example/from-feed"]
+    assert fr["extraction_finished"] and fr["spans"] == []
+
+    import dataclasses
+    off = dataclasses.replace(cfg, parse_feeds=False)
+    out2 = {r["url"]: r for r in extract_links_and_spans(fetched, off).collect()}
+    assert out2["http://h.example/feed"]["links"] == []
