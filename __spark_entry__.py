@@ -485,6 +485,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.col("ts").alias("fetched_at"))
         return mark_revisits(capt).select("event_id", "url", "revisit_of")
 
+    def multimodal_caption_pairs(spark, sf):
+        """CLIP-style pair mining over interleaved spans: nearest
+        non-empty text neighbor per media span, after-preferred
+        (operators/multimodal.py::media_caption_pairs — explode media
+        only, higher-order neighbor filter, no self-join). Four layout
+        patterns exercise after / before / fallback / no-caption."""
+        from sparkcrawl.operators.multimodal import media_caption_pairs
+
+        ev = _read(spark, sf, "events")
+        p = F.col("user_id") % 4
+        did = F.concat(F.lit("d"), F.col("event_id").cast("string"))
+        mref = F.concat(F.lit("http://m.example/"),
+                        F.col("event_id").cast("string"), F.lit(".png"))
+        cap = F.concat(F.lit("cap-"), F.col("event_id").cast("string"))
+
+        def t(text, off):
+            return F.struct(F.lit("text").alias("kind"),
+                            text.alias("text"),
+                            F.lit("").alias("media_ref"),
+                            F.lit(off).cast("int").alias("offset"))
+
+        def m(ref, off):
+            return F.struct(F.lit("media").alias("kind"),
+                            F.lit("").alias("text"),
+                            ref.alias("media_ref"),
+                            F.lit(off).cast("int").alias("offset"))
+
+        spans = (
+            F.when(p == 0, F.array(t(F.lit("intro"), 0), m(mref, 1),
+                                   t(cap, 2)))
+            .when(p == 1, F.array(m(mref, 0), t(cap, 1)))
+            .when(p == 2, F.array(t(cap, 0), m(mref, 1)))
+            .otherwise(F.array(m(mref, 0),
+                               m(F.concat(mref, F.lit("?b")), 1)))
+        )
+        docs = ev.select(did.alias("doc_id"), spans.alias("spans"))
+        out = media_caption_pairs(docs)
+        return out.select(
+            "doc_id", "media_ref",
+            F.col("media_offset").cast("long").alias("media_offset"),
+            "caption",
+            F.col("caption_offset").cast("long").alias("caption_offset"),
+            "caption_side",
+        )
+
     def c2_url_hash(spark, sf):
         docs = _read(spark, sf, "documents")
         return docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
@@ -1459,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_registered_domain": c9_registered_domain,
         "cdx_urlkey": cdx_urlkey,
         "warc_revisit_marks": warc_revisit_marks,
+        "multimodal_caption_pairs": multimodal_caption_pairs,
         "t2_windowed_stats": t2_windowed_stats,
         "c8_prioritizer_requeue": c8_prioritizer_requeue,
         "f2_scope_filter": f2_scope_filter,
@@ -1705,6 +1751,24 @@ def oracle_sql() -> dict[str, str]:
         "c2_url_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "c9_registered_domain": _c9_sql(),
         "cdx_urlkey": _cdx_urlkey_sql(),
+        # independent re-derivation: expected caption pairs enumerated
+        # per layout-pattern class by hand, not by re-running the
+        # neighbor-search algorithm
+        "multimodal_caption_pairs": """
+        WITH base AS (
+          SELECT user_id % 4 AS p,
+                 'd' || CAST(event_id AS VARCHAR) AS doc_id,
+                 'http://m.example/' || CAST(event_id AS VARCHAR) || '.png' AS media_ref,
+                 'cap-' || CAST(event_id AS VARCHAR) AS cap
+          FROM events)
+        SELECT doc_id, media_ref,
+               CAST(CASE WHEN p = 1 THEN 0 ELSE 1 END AS BIGINT) AS media_offset,
+               cap AS caption,
+               CAST(CASE WHEN p = 0 THEN 2 WHEN p = 1 THEN 1 ELSE 0 END AS BIGINT)
+                 AS caption_offset,
+               CASE WHEN p IN (0, 1) THEN 'after' ELSE 'before' END AS caption_side
+        FROM base WHERE p < 3
+    """,
         "warc_revisit_marks": """
         WITH caps AS (
           SELECT event_id,

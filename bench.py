@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "dedup_substring_spans",
     "cdx_urlkey",
     "warc_revisit_marks",
+    "multimodal_caption_pairs",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

@@ -126,6 +126,66 @@ def span_layout_stats(
     )
 
 
+def media_caption_pairs(
+    docs_spans: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    max_distance: int = 1,
+) -> DataFrame:
+    """(media, caption-text) pairs from interleaved documents — the
+    CLIP-style pair-mining primitive: each media span is matched with
+    the nearest non-empty text span within ``max_distance`` positions,
+    PREFERRING the following span (HTML captions — figcaption, alt
+    blocks — conventionally follow the image; the preceding span is
+    the fallback).
+
+    Output: (doc_id, media_ref, media_offset, caption, caption_offset,
+    caption_side 'after'|'before'). Media spans with no text neighbor
+    in range produce no row.
+
+    Plan shape: only MEDIA spans explode (filter inside codegen first —
+    text spans never leave the row); the neighbor search is a
+    higher-order ``filter`` over the row's own span array referencing
+    the exploded span's offset, so pairing needs NO self-join and NO
+    shuffle — it's a projection, safe at any corpus size. Span arrays
+    are offset-ordered by construction (C5: offset == position), which
+    ``element_at(…, 1/-1)`` relies on for nearest-first/last.
+    """
+    text_lit = F.lit("text")
+    m = docs_spans.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(spans_col).alias("_spans"),
+        F.explode(
+            F.filter(spans_col, lambda s: s["kind"] == F.lit("media"))
+        ).alias("m"),
+    )
+    o = F.col("m")["offset"]
+
+    def _text_near(lo, hi):
+        return F.filter(
+            F.col("_spans"),
+            lambda s: (s["kind"] == text_lit) & (s["text"] != F.lit(""))
+            & (s["offset"] >= lo) & (s["offset"] <= hi),
+        )
+
+    after = F.try_element_at(_text_near(o + 1, o + max_distance), F.lit(1))
+    before = F.try_element_at(_text_near(o - max_distance, o - 1), F.lit(-1))
+    chosen = F.coalesce(after, before)
+    return (
+        m.select(
+            "doc_id",
+            F.col("m")["media_ref"].alias("media_ref"),
+            o.alias("media_offset"),
+            chosen["text"].alias("caption"),
+            chosen["offset"].alias("caption_offset"),
+            F.when(after.isNotNull(), F.lit("after"))
+            .when(before.isNotNull(), F.lit("before"))
+            .alias("caption_side"),
+        )
+        .filter(F.col("caption").isNotNull())
+    )
+
+
 def sniff_mime(payload: F.Column) -> F.Column:
     """Content-type from leading magic bytes — pure column expression.
 

@@ -263,3 +263,47 @@ def test_media_ref_rollup_and_layout(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_media_caption_pairs(spark):
+    """CLIP-style pair mining: after-preferred nearest text neighbor,
+    before fallback, empty-text skip, distance cap — and the plan is a
+    pure projection (no join, no exchange)."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.multimodal import media_caption_pairs
+
+    rows = [
+        ("d1", [("text", "intro", "", 0), ("media", "", "http://m/1.png", 1),
+                ("text", "caption one", "", 2)]),
+        ("d2", [("media", "", "http://m/2.png", 0), ("text", "cap two", "", 1)]),
+        ("d3", [("text", "before cap", "", 0), ("media", "", "http://m/3.png", 1)]),
+        ("d4", [("media", "", "http://m/4.png", 0), ("media", "", "http://m/5.png", 1)]),
+        ("d5", [("text", "far", "", 0), ("media", "", "http://m/6.png", 2)]),
+        ("d6", [("media", "", "http://m/7.png", 0), ("text", "", "", 1),
+                ("text", "real", "", 2)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    got = {(r["doc_id"]): (r["caption"], r["caption_side"])
+           for r in media_caption_pairs(df).collect()}
+    assert got == {
+        "d1": ("caption one", "after"),   # after beats the preceding intro
+        "d2": ("cap two", "after"),
+        "d3": ("before cap", "before"),   # fallback
+        # d4: no text at all; d5: text out of range; d6: only empty text
+        # within range -> all three produce no pair
+    }
+    # distance 2 rescues d5 and d6
+    got2 = {r["doc_id"]: r["caption"]
+            for r in media_caption_pairs(df, max_distance=2).collect()}
+    assert got2["d5"] == "far" and got2["d6"] == "real"
+
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        media_caption_pairs(df).explain("simple")
+    p = buf.getvalue()
+    assert "Join" not in p and "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
