@@ -530,6 +530,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "caption_side",
         )
 
+    def crawl_snapshot_delta(spark, sf):
+        """Crawl-generation diff (operators/delta.py): two synthetic
+        generations with per-event membership/content classes; every
+        URL classified added/removed/changed/unchanged via a single
+        hash-projected full-outer join."""
+        from sparkcrawl.operators.delta import crawl_delta
+
+        ev = _read(spark, sf, "events")
+        m = F.col("user_id") % 10
+        url = F.concat(F.lit("http://h"),
+                       (F.col("user_id") % 20).cast("string"),
+                       F.lit(".example/p"), F.col("event_id").cast("string"))
+        base = ev.select(url.alias("doc_id"), m.alias("m"),
+                         F.col("event_id"))
+        old_text = F.concat(F.lit("txt-"), F.col("event_id").cast("string"),
+                            F.when(F.col("m") == 2, F.lit("-old"))
+                            .otherwise(F.lit("")))
+        new_text = F.concat(F.lit("txt-"), F.col("event_id").cast("string"),
+                            F.when(F.col("m") == 2, F.lit("-new"))
+                            .otherwise(F.lit("")))
+        old = base.filter(F.col("m") != 0).select("doc_id",
+                                                  old_text.alias("text"))
+        new = base.filter(F.col("m") != 1).select("doc_id",
+                                                  new_text.alias("text"))
+        return crawl_delta(old, new)
+
     def c2_url_hash(spark, sf):
         docs = _read(spark, sf, "documents")
         return docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
@@ -1505,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_urlkey": cdx_urlkey,
         "warc_revisit_marks": warc_revisit_marks,
         "multimodal_caption_pairs": multimodal_caption_pairs,
+        "crawl_snapshot_delta": crawl_snapshot_delta,
         "t2_windowed_stats": t2_windowed_stats,
         "c8_prioritizer_requeue": c8_prioritizer_requeue,
         "f2_scope_filter": f2_scope_filter,
@@ -1751,6 +1778,19 @@ def oracle_sql() -> dict[str, str]:
         "c2_url_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "c9_registered_domain": _c9_sql(),
         "cdx_urlkey": _cdx_urlkey_sql(),
+        # independent re-derivation: the membership/content class of each
+        # event dictates its verdict directly — no join re-implementation
+        "crawl_snapshot_delta": """
+        SELECT 'http://h' || CAST(user_id % 20 AS VARCHAR) || '.example/p'
+                 || CAST(event_id AS VARCHAR) AS doc_id,
+               CASE user_id % 10
+                 WHEN 0 THEN 'added'
+                 WHEN 1 THEN 'removed'
+                 WHEN 2 THEN 'changed'
+                 ELSE 'unchanged'
+               END AS change
+        FROM events
+    """,
         # independent re-derivation: expected caption pairs enumerated
         # per layout-pattern class by hand, not by re-running the
         # neighbor-search algorithm

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "cdx_urlkey",
     "warc_revisit_marks",
     "multimodal_caption_pairs",
+    "crawl_snapshot_delta",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION
