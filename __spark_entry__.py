@@ -556,6 +556,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                   new_text.alias("text"))
         return crawl_delta(old, new)
 
+    def sitemap_entry_hints(spark, sf):
+        """Sitemap metadata extraction (operators/extract.py::
+        sitemap_entries): per-entry lastmod/changefreq/priority hints
+        from synthesized sitemap XML — two entries per document, three
+        metadata classes. Pure regexp codegen, no UDF."""
+        from sparkcrawl.operators.extract import sitemap_entries
+
+        ev = _read(spark, sf, "events")
+        k = (F.col("user_id") % 7).cast("string")
+        p = F.col("user_id") % 3
+        eid = F.col("event_id").cast("string")
+        meta1 = (
+            F.when(p == 0, F.concat(
+                F.lit("<lastmod>2026-01-05T10:00:00Z</lastmod>"
+                      "<changefreq>Daily</changefreq><priority>0."),
+                k, F.lit("</priority>")))
+            .when(p == 1, F.lit("<changefreq>WEEKLY</changefreq>"))
+            .otherwise(F.lit(""))
+        )
+        xml = F.concat(
+            F.lit("<urlset><url><loc>http://s"), k, F.lit(".example/p"),
+            eid, F.lit("</loc>"), meta1, F.lit("</url>"),
+            F.lit("<url><loc>http://s"), k, F.lit(".example/q"), eid,
+            F.lit("</loc><changefreq>never</changefreq>"
+                  "<priority>bogus</priority></url></urlset>"),
+        )
+        sm_url = F.concat(F.lit("http://s"), k,
+                          F.lit(".example/sitemap"), eid, F.lit(".xml"))
+        bodies = ev.select(sm_url.alias("url"), xml.alias("body"))
+        return sitemap_entries(bodies)
+
     def c2_url_hash(spark, sf):
         docs = _read(spark, sf, "documents")
         return docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
@@ -1532,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisit_marks": warc_revisit_marks,
         "multimodal_caption_pairs": multimodal_caption_pairs,
         "crawl_snapshot_delta": crawl_snapshot_delta,
+        "sitemap_entry_hints": sitemap_entry_hints,
         "t2_windowed_stats": t2_windowed_stats,
         "c8_prioritizer_requeue": c8_prioritizer_requeue,
         "f2_scope_filter": f2_scope_filter,
@@ -1778,6 +1810,33 @@ def oracle_sql() -> dict[str, str]:
         "c2_url_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "c9_registered_domain": _c9_sql(),
         "cdx_urlkey": _cdx_urlkey_sql(),
+        # independent re-derivation: both sitemap entries per event are
+        # enumerated directly from the metadata class — no XML re-parse
+        "sitemap_entry_hints": """
+        WITH base AS (
+          SELECT CAST(user_id % 7 AS VARCHAR) AS k,
+                 user_id % 3 AS p,
+                 CAST(event_id AS VARCHAR) AS eid
+          FROM events),
+        e1 AS (
+          SELECT 'http://s' || k || '.example/sitemap' || eid || '.xml' AS sitemap_url,
+                 'http://s' || k || '.example/p' || eid AS loc,
+                 CASE WHEN p = 0 THEN '2026-01-05T10:00:00Z' END AS lastmod,
+                 CASE WHEN p = 0 THEN 'daily' WHEN p = 1 THEN 'weekly' END AS changefreq,
+                 CAST(CASE WHEN p = 0 THEN 86400 WHEN p = 1 THEN 604800 END AS BIGINT)
+                   AS changefreq_sec,
+                 CASE WHEN p = 0 THEN CAST('0.' || k AS DOUBLE) END AS priority
+          FROM base),
+        e2 AS (
+          SELECT 'http://s' || k || '.example/sitemap' || eid || '.xml' AS sitemap_url,
+                 'http://s' || k || '.example/q' || eid AS loc,
+                 CAST(NULL AS VARCHAR) AS lastmod,
+                 'never' AS changefreq,
+                 CAST(NULL AS BIGINT) AS changefreq_sec,
+                 CAST(NULL AS DOUBLE) AS priority
+          FROM base)
+        SELECT * FROM e1 UNION ALL SELECT * FROM e2
+    """,
         # independent re-derivation: the membership/content class of each
         # event dictates its verdict directly — no join re-implementation
         "crawl_snapshot_delta": """

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "warc_revisit_marks",
     "multimodal_caption_pairs",
     "crawl_snapshot_delta",
+    "sitemap_entry_hints",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

@@ -358,6 +358,61 @@ def parse_sitemap(url: str, body: str | bytes | None,
     return links
 
 
+#: sitemaps.org changefreq hint -> seconds (never -> NULL: no hint)
+_CHANGEFREQ_SECONDS = {
+    "always": 0, "hourly": 3600, "daily": 86400, "weekly": 604800,
+    "monthly": 2592000, "yearly": 31536000,
+}
+
+
+def sitemap_entries(bodies: DataFrame, url_col: str = "url",
+                    body_col: str = "body") -> DataFrame:
+    """Per-entry sitemap METADATA — the fields ``parse_sitemap``'s
+    link-only path drops: (sitemap_url, loc, lastmod, changefreq,
+    changefreq_sec, priority). ``lastmod`` + ``changefreq`` are the
+    publisher's own freshness hints (bootstrap input for the adaptive
+    revisit model before any fetch history exists —
+    operators/freshness.py); ``priority`` seeds the frontier priority.
+
+    Entirely pure column expressions (regexp_extract_all block split +
+    per-field regexp inside codegen): no UDF, no Python, and the same
+    regexes port to the DuckDB oracle
+    (``oracle_sql()['sitemap_entry_hints']``). ``loc`` values come back
+    raw — the standard seed-ingestion path canonicalizes (C1) like any
+    other discovered URL.
+    """
+    blocks = F.regexp_extract_all(
+        F.col(body_col), F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1))
+    df = bodies.select(
+        F.col(url_col).alias("sitemap_url"),
+        F.explode(blocks).alias("_b"),
+    )
+    b = F.col("_b")
+    loc = F.regexp_extract(
+        b, r"(?s)<loc>\s*(?:<!\[CDATA\[)?\s*([^<\]]+?)\s*(?:\]\]>)?\s*</loc>",
+        1)
+    lastmod = F.regexp_extract(b, r"<lastmod>\s*([^<]+?)\s*</lastmod>", 1)
+    changefreq = F.lower(
+        F.regexp_extract(b, r"<changefreq>\s*([^<]+?)\s*</changefreq>", 1))
+    priority = F.regexp_extract(
+        b, r"<priority>\s*([^<]+?)\s*</priority>", 1
+    ).try_cast("double")
+    cf_sec = F.lit(None).cast("long")
+    for name, sec in _CHANGEFREQ_SECONDS.items():
+        cf_sec = F.when(changefreq == name, F.lit(sec)).otherwise(cf_sec)
+    return (
+        df.select(
+            "sitemap_url",
+            loc.alias("loc"),
+            F.nullif(lastmod, F.lit("")).alias("lastmod"),
+            F.nullif(changefreq, F.lit("")).alias("changefreq"),
+            cf_sec.alias("changefreq_sec"),
+            priority.alias("priority"),
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
 def _extraction_finished(
     status: int | None, content_type: str | None, body, cfg: CrawlConfig
 ) -> bool:

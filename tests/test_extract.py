@@ -289,3 +289,43 @@ def test_extract_routes_feed_bodies(spark):
     off = dataclasses.replace(cfg, parse_feeds=False)
     out2 = {r["url"]: r for r in extract_links_and_spans(fetched, off).collect()}
     assert out2["http://h.example/feed"]["links"] == []
+
+
+def test_sitemap_entries_metadata(spark):
+    """Per-entry lastmod/changefreq/priority hints — the fields the
+    link-only sitemap path drops; pure-regexp codegen, no UDF."""
+    from sparkcrawl.operators.extract import sitemap_entries
+
+    body = """<?xml version="1.0"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>http://h.example/a</loc>
+        <lastmod>2026-01-05T10:00:00Z</lastmod>
+        <changefreq>Daily</changefreq><priority>0.8</priority></url>
+      <url><loc> http://h.example/b </loc></url>
+      <url><loc><![CDATA[http://h.example/c]]></loc>
+        <changefreq>never</changefreq><priority>bogus</priority></url>
+      <url><lastmod>2026-01-01</lastmod></url>
+    </urlset>"""
+    df = spark.createDataFrame([("http://h.example/sm.xml", body)],
+                               ["url", "body"])
+    rows = {r["loc"]: r for r in sitemap_entries(df).collect()}
+    assert set(rows) == {"http://h.example/a", "http://h.example/b",
+                         "http://h.example/c"}  # loc-less entry dropped
+    a = rows["http://h.example/a"]
+    assert a["lastmod"] == "2026-01-05T10:00:00Z"
+    assert a["changefreq"] == "daily" and a["changefreq_sec"] == 86400
+    assert a["priority"] == 0.8
+    b = rows["http://h.example/b"]
+    assert b["lastmod"] is None and b["changefreq"] is None \
+        and b["priority"] is None
+    c = rows["http://h.example/c"]
+    assert c["changefreq"] == "never" and c["changefreq_sec"] is None
+    assert c["priority"] is None                       # bogus -> NULL
+
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sitemap_entries(df).explain("simple")
+    p = buf.getvalue()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
