@@ -64,6 +64,8 @@ class SpanLinkParser(HTMLParser):
         self.raw_links: list[str] = []
         self.anchors: list[str] = []  # aligned with raw_links; "" for non-<a>
         self.spans: list[tuple[str, str, str]] = []  # (kind, text, media_ref)
+        self.robots_meta: set[str] = set()  # <meta name=robots> directives
+        self.nofollow_links: set[int] = set()  # raw_links indexes w/ nofollow
         self._skip_depth = 0  # inside <script>/<style>
         self._open_a: int | None = None  # raw_links index of the open <a>
         self._a_buf: list[str] = []
@@ -83,10 +85,18 @@ class SpanLinkParser(HTMLParser):
             if self.base is None:  # first <base> wins (HTML spec)
                 self.base = amap["href"]
             return
+        if tag == "meta" and amap.get("name", "").lower() == "robots":
+            self.robots_meta.update(
+                d.strip().lower()
+                for d in amap.get("content", "").split(",") if d.strip()
+            )
+            return
         attr = LINK_TAGS.get(tag)
         if attr and attr in amap and amap[attr].strip():
             self.raw_links.append(amap[attr].strip())
             self.anchors.append("")
+            if "nofollow" in amap.get("rel", "").lower().split():
+                self.nofollow_links.add(len(self.raw_links) - 1)
             if tag == "a":
                 self._close_anchor()  # HTML5 implied end: <a> closes an open <a>
                 self._open_a = len(self.raw_links) - 1
@@ -147,7 +157,17 @@ def parse_document(
     except Exception:
         pass  # malformed HTML: keep whatever was extracted before the error
     base = parser.base or url
-    links = [canonicalize_one(raw, base) for raw in parser.raw_links]
+    # REP compliance (public robots-meta spec): a page-level
+    # <meta name=robots content=nofollow> drops ALL its links from
+    # discovery; a per-link rel=nofollow drops just that link. Text
+    # spans are unaffected — nofollow is a discovery policy, not a
+    # content one.
+    if "nofollow" in parser.robots_meta or "none" in parser.robots_meta:
+        raw_links: list[str] = []
+    else:
+        raw_links = [raw for i, raw in enumerate(parser.raw_links)
+                     if i not in parser.nofollow_links]
+    links = [canonicalize_one(raw, base) for raw in raw_links]
     links = [u for u in links if u and u.startswith(("http://", "https://"))]
     spans = [
         {
@@ -185,8 +205,14 @@ def parse_document_anchors(
     except Exception:
         pass
     base = parser.base or url
+    # same REP policy as parse_document: nofollow endorsements must not
+    # feed the target's anchor-text signal
+    if "nofollow" in parser.robots_meta or "none" in parser.robots_meta:
+        return []
     out = []
-    for raw, anchor in zip(parser.raw_links, parser.anchors):
+    for i, (raw, anchor) in enumerate(zip(parser.raw_links, parser.anchors)):
+        if i in parser.nofollow_links:
+            continue
         canon = canonicalize_one(raw, base)
         if canon and canon.startswith(("http://", "https://")):
             out.append({"link": canon, "anchor": anchor})

@@ -329,3 +329,41 @@ def test_sitemap_entries_metadata(spark):
     p = buf.getvalue()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Exchange" not in p
+
+
+def test_nofollow_discovery_policy():
+    """REP robots-meta compliance: rel=nofollow drops that link,
+    page-level meta nofollow/none drops all links; text spans and
+    followed links are unaffected."""
+    from sparkcrawl.operators.extract import parse_document
+
+    body = ('<html><a href="/ok">yes</a>'
+            '<a href="/no" rel="nofollow">no</a>'
+            '<a href="/also-no" rel="ugc nofollow">ugc</a></html>')
+    links, spans = parse_document("http://h.example/p", body)
+    assert links == ["http://h.example/ok"]
+    assert [s["text"] for s in spans] == ["yes", "no", "ugc"]  # text kept
+
+    meta = ('<html><meta name="robots" content="noindex, NOFOLLOW">'
+            '<a href="/x">x</a><p>body</p></html>')
+    mlinks, mspans = parse_document("http://h.example/q", meta)
+    assert mlinks == []
+    assert [s["text"] for s in mspans] == ["x", "body"]
+
+    none = '<html><meta name="robots" content="none"><a href="/y">y</a></html>'
+    assert parse_document("http://h.example/r", none)[0] == []
+
+    # other meta tags don't trigger it
+    other = ('<html><meta name="viewport" content="nofollow-looking">'
+             '<a href="/z">z</a></html>')
+    assert parse_document("http://h.example/s", other)[0] == \
+        ["http://h.example/z"]
+
+
+def test_nofollow_excluded_from_anchor_signal():
+    from sparkcrawl.operators.extract import parse_document_anchors
+
+    body = ('<html><a href="/ok">good anchor</a>'
+            '<a href="/no" rel="nofollow">spam anchor</a></html>')
+    pairs = parse_document_anchors("http://h.example/p", body)
+    assert pairs == [{"link": "http://h.example/ok", "anchor": "good anchor"}]
