@@ -587,6 +587,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bodies = ev.select(sm_url.alias("url"), xml.alias("body"))
         return sitemap_entries(bodies)
 
+    def canonical_dedup_rollup(spark, sf):
+        """rel=canonical variant collapse (operators/extract.py::
+        canonical_dedup): variants of a group all declare the same
+        canonical target; self-canonical docs stand alone. One left
+        join + min_by hash agg, no window."""
+        from sparkcrawl.operators.extract import canonical_dedup
+
+        ev = _read(spark, sf, "events")
+        eid = F.col("event_id").cast("string")
+        base = F.concat(F.lit("http://c.example/p"),
+                        (F.col("event_id") % 997).cast("string"))
+        m = F.col("user_id") % 3
+        doc_id = (
+            F.when(m == 0, F.concat(base, F.lit("?self="), eid))
+            .otherwise(F.concat(base, F.lit("?v="), eid))
+        )
+        docs = ev.select(doc_id.alias("doc_id"),
+                         F.concat(F.lit("txt-"), eid).alias("text"))
+        pairs = ev.filter(m != 0).select(doc_id.alias("url"),
+                                         base.alias("canonical_url"))
+        return canonical_dedup(docs, pairs)
+
     def c2_url_hash(spark, sf):
         docs = _read(spark, sf, "documents")
         return docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
@@ -1564,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_caption_pairs": multimodal_caption_pairs,
         "crawl_snapshot_delta": crawl_snapshot_delta,
         "sitemap_entry_hints": sitemap_entry_hints,
+        "canonical_dedup_rollup": canonical_dedup_rollup,
         "t2_windowed_stats": t2_windowed_stats,
         "c8_prioritizer_requeue": c8_prioritizer_requeue,
         "f2_scope_filter": f2_scope_filter,
@@ -1810,6 +1833,30 @@ def oracle_sql() -> dict[str, str]:
         "c2_url_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "c9_registered_domain": _c9_sql(),
         "cdx_urlkey": _cdx_urlkey_sql(),
+        # independent re-derivation: min/count per declared group + a
+        # self-canonical singleton leg (string-min matches min_by order)
+        "canonical_dedup_rollup": """
+        WITH base AS (
+          SELECT user_id % 3 AS m,
+                 'http://c.example/p' || CAST(event_id % 997 AS VARCHAR) AS b,
+                 CAST(event_id AS VARCHAR) AS eid
+          FROM events),
+        rows_ AS (
+          SELECT m, b,
+                 CASE WHEN m = 0 THEN b || '?self=' || eid
+                      ELSE b || '?v=' || eid END AS doc_id,
+                 'txt-' || eid AS text
+          FROM base),
+        grouped AS (
+          SELECT b AS canonical_url, min(doc_id) AS doc_id,
+                 count(*) AS n_variants
+          FROM rows_ WHERE m <> 0 GROUP BY b)
+        SELECT g.canonical_url, g.doc_id, r.text, g.n_variants
+        FROM grouped g JOIN rows_ r USING (doc_id)
+        UNION ALL
+        SELECT doc_id AS canonical_url, doc_id, text, CAST(1 AS BIGINT)
+        FROM rows_ WHERE m = 0
+    """,
         # independent re-derivation: both sitemap entries per event are
         # enumerated directly from the metadata class — no XML re-parse
         "sitemap_entry_hints": """

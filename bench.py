@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "multimodal_caption_pairs",
     "crawl_snapshot_delta",
     "sitemap_entry_hints",
+    "canonical_dedup_rollup",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

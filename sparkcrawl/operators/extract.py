@@ -66,6 +66,7 @@ class SpanLinkParser(HTMLParser):
         self.spans: list[tuple[str, str, str]] = []  # (kind, text, media_ref)
         self.robots_meta: set[str] = set()  # <meta name=robots> directives
         self.nofollow_links: set[int] = set()  # raw_links indexes w/ nofollow
+        self.canonical: str | None = None  # <link rel=canonical href> (1st wins)
         self._skip_depth = 0  # inside <script>/<style>
         self._open_a: int | None = None  # raw_links index of the open <a>
         self._a_buf: list[str] = []
@@ -95,8 +96,12 @@ class SpanLinkParser(HTMLParser):
         if attr and attr in amap and amap[attr].strip():
             self.raw_links.append(amap[attr].strip())
             self.anchors.append("")
-            if "nofollow" in amap.get("rel", "").lower().split():
+            rel_tokens = amap.get("rel", "").lower().split()
+            if "nofollow" in rel_tokens:
                 self.nofollow_links.add(len(self.raw_links) - 1)
+            if tag == "link" and "canonical" in rel_tokens \
+                    and self.canonical is None:
+                self.canonical = amap[attr].strip()
             if tag == "a":
                 self._close_anchor()  # HTML5 implied end: <a> closes an open <a>
                 self._open_a = len(self.raw_links) - 1
@@ -256,6 +261,90 @@ def extract_anchor_texts(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
     cols = [c for c in ("url", "status_code", "content_type", "body")
             if c in fetched.columns]
     return fetched.select(*cols).mapInPandas(_anchors, schema=_ANCHOR_SCHEMA)
+
+
+def parse_document_canonical(
+    url: str,
+    body: str | bytes | None,
+    content_type: str | None = "text/html",
+) -> str | None:
+    """The page's ``<link rel=canonical>`` target, base-resolved and
+    canonicalized (C1) — or None. The publisher-declared duplicate
+    signal: URL variants that all point at one canonical URL are one
+    logical document regardless of content-hash noise (timestamps, ads)."""
+    if body is None:
+        return None
+    if isinstance(body, (bytes, bytearray)):
+        body = body.decode(sniff_charset(content_type), errors="replace")
+    parser = SpanLinkParser()
+    try:
+        parser.feed(body)
+        parser.close()
+    except Exception:
+        pass
+    if not parser.canonical:
+        return None
+    canon = canonicalize_one(parser.canonical, parser.base or url)
+    if canon and canon.startswith(("http://", "https://")):
+        return canon
+    return None
+
+
+def extract_canonical_pairs(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """(url, canonical_url) rows for every parseable fetched page that
+    declares a rel=canonical target (F5 limiter applied). Same
+    Arrow-batched single-parse shape as :func:`extract_anchor_texts`."""
+
+    def _canon(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, targets = [], []
+            for url, status, ctype, body in zip(
+                pdf["url"], pdf["status_code"], pdf["content_type"], pdf["body"]
+            ):
+                status = None if pd.isna(status) else int(status)
+                if _extraction_finished(status, ctype, body, cfg):
+                    continue
+                target = parse_document_canonical(url, body, ctype)
+                if target:
+                    urls.append(url)
+                    targets.append(target)
+            yield pd.DataFrame({"url": urls, "canonical_url": targets})
+
+    cols = [c for c in ("url", "status_code", "content_type", "body")
+            if c in fetched.columns]
+    return fetched.select(*cols).mapInPandas(
+        _canon, schema="url string, canonical_url string")
+
+
+def canonical_dedup(docs: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Collapse URL variants onto their publisher-declared canonical:
+    one representative doc per canonical group, preferring the doc
+    that IS the canonical target, else the min doc_id.
+
+    Plan: left join docs to their declared target (docs without a
+    declaration are their own canonical), then ONE ``min_by`` hash agg
+    keyed by canonical group — the (prefer-self, doc_id) struct orders
+    self-canonical docs first, min doc_id as tie-break. No window.
+    """
+    p = pairs.select(F.col("url").alias(id_col),
+                     F.col("canonical_url").alias("_target"))
+    joined = docs.join(p, id_col, "left").withColumn(
+        "_ckey", F.coalesce(F.col("_target"), F.col(id_col)))
+    rep = F.struct(
+        (F.col(id_col) != F.col("_ckey")).cast("int").alias("not_self"),
+        F.col(id_col).alias("doc_id"),
+    )
+    others = [f.name for f in docs.schema.fields if f.name != id_col]
+    payload = F.struct(F.col(id_col), *[F.col(c) for c in others])
+    return (
+        joined.groupBy(F.col("_ckey").alias("canonical_url"))
+        .agg(F.min_by(payload, rep).alias("_doc"),
+             F.count("*").alias("n_variants"))
+        .select("canonical_url", F.col(f"_doc.{id_col}").alias(id_col),
+                *[F.col(f"_doc.{c}").alias(c) for c in others],
+                "n_variants")
+    )
 
 
 def anchor_term_summary(anchor_rows: DataFrame) -> DataFrame:

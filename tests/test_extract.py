@@ -367,3 +367,50 @@ def test_nofollow_excluded_from_anchor_signal():
             '<a href="/no" rel="nofollow">spam anchor</a></html>')
     pairs = parse_document_anchors("http://h.example/p", body)
     assert pairs == [{"link": "http://h.example/ok", "anchor": "good anchor"}]
+
+
+def test_canonical_extraction_and_dedup(spark):
+    """rel=canonical: parse (first wins, base-resolved), pair
+    extraction through the limiter, and the variant-collapse rollup
+    (self-canonical doc preferred, min doc_id tie-break, no Window)."""
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.operators.extract import (
+        canonical_dedup,
+        extract_canonical_pairs,
+        parse_document_canonical,
+    )
+
+    html = ('<html><link rel="canonical" href="/page">'
+            '<link rel="canonical" href="/second-ignored">'
+            '<p>x</p></html>')
+    assert parse_document_canonical("http://h.example/page?utm=1", html) \
+        == "http://h.example/page"
+    assert parse_document_canonical("http://h.example/p", "<html></html>") is None
+
+    fetched = spark.createDataFrame(
+        [("http://h.example/page?utm=1", 200, "text/html", None, html),
+         ("http://h.example/plain", 200, "text/html", None, "<p>y</p>"),
+         ("http://h.example/err", 500, "text/html", None, html)],
+        "url string, status_code int, content_type string, "
+        "location string, body string")
+    pairs = extract_canonical_pairs(fetched, CrawlConfig())
+    assert [tuple(r) for r in pairs.collect()] == [
+        ("http://h.example/page?utm=1", "http://h.example/page")]
+
+    docs = spark.createDataFrame(
+        [("http://h.example/page?utm=1", "dup content"),
+         ("http://h.example/page", "the real one"),
+         ("http://h.example/plain", "standalone")],
+        ["doc_id", "text"])
+    out = {r["canonical_url"]: r for r in
+           canonical_dedup(docs, pairs).collect()}
+    page = out["http://h.example/page"]
+    assert page["doc_id"] == "http://h.example/page"   # self preferred
+    assert page["text"] == "the real one" and page["n_variants"] == 2
+    assert out["http://h.example/plain"]["n_variants"] == 1
+
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        canonical_dedup(docs, pairs).explain("simple")
+    assert "Window" not in buf.getvalue()
