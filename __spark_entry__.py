@@ -775,6 +775,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents").select("doc_id", "text")
         return textops.ngram_jaccard_pairs(docs, n=8, threshold=0.15)
 
+    def dedup_containment(spark, sf):
+        """Directed n-gram containment (near-superset / quotation
+        detection): the corpus is augmented with 80-char excerpts of
+        the first 30 docs (id+20000) — an excerpt's shingles are ~all
+        contained in its source (containment ~1 that direction) while
+        Jaccard stays small, which is exactly the asymmetry the
+        operator exists to expose."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        aug = docs.unionByName(
+            docs.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.substring("text", 1, 80).alias("text"),
+            )
+        )
+        return textops.ngram_containment_pairs(aug, n=8, threshold=0.6)
+
     def dedup_minhash_lsh(spark, sf):
         docs = _read(spark, sf, "documents").select("doc_id", "text")
         dupped = docs.unionByName(
@@ -903,6 +919,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def dedup_semantic(spark, sf):
+        """SemDeDup: cluster embeddings (pinned first-8 centroids, the
+        SQL-reproducible mode), then drop items whose intra-cluster
+        cosine to a lower-id member reaches the threshold. Threshold
+        0.3 on the synthetic fixture (real corpora use ~0.95; the
+        fixture's intra-cluster sims top out at ~0.49)."""
+        emb = _read(spark, sf, "embeddings")
+        return _widen(simsearch.semantic_dedup(emb, threshold=0.3, n_cells=8))
+
     def text_language_id(spark, sf):
         docs = _read(spark, sf, "documents")
         return _widen(textops.language_id(docs))
@@ -938,6 +963,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         and the log-avg relationally."""
         docs = _read(spark, sf, "documents").select("doc_id", "text")
         return textops.trigram_lm_scores(docs)
+
+    def corpus_perplexity_buckets(spark, sf):
+        """CCNet head/middle/tail: per-language perplexity terciles over
+        the self-scored trigram LM — cut points are a broadcast
+        per-language aggregate, never a corpus-wide sort window."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text", "lang")
+        return textops.perplexity_buckets(docs)
 
     def text_redact_pii(spark, sf):
         """PII scrub over documents whose text is augmented (inside the
@@ -1596,6 +1628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_groups": dedup_groups,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_containment": dedup_containment,
+        "dedup_semantic": dedup_semantic,
         "decontaminate_eval_overlap": decontaminate_eval_overlap,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_lsh_verified": dedup_lsh_verified,
@@ -1616,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topterms": text_tfidf_topterms,
         "text_bm25_query": text_bm25_query,
         "text_trigram_lm": text_trigram_lm,
+        "corpus_perplexity_buckets": corpus_perplexity_buckets,
         "text_redact_pii": text_redact_pii,
         "corpus_rollup_cube": corpus_rollup_cube,
         "temporal_asof_join": temporal_asof_join,
@@ -2046,6 +2081,62 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
             WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.15
         """,
+        "dedup_containment": """
+            WITH corpus AS (
+              SELECT doc_id AS id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000, substr(text, 1, 80)
+              FROM documents WHERE doc_id < 30),
+            sh AS (
+              SELECT DISTINCT id, substr(text, i, 8) AS shingle
+              FROM corpus, generate_series(1, 2000) AS g(i)
+              WHERE i <= len(text) - 7),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            ipairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2),
+            joined AS (
+              SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+              FROM ipairs
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b),
+            dirs AS (
+              SELECT id_a AS src_id, id_b AS dst_id,
+                     round(n_common / n_a, 6) AS containment FROM joined
+              UNION ALL
+              SELECT id_b, id_a, round(n_common / n_b, 6) FROM joined)
+            SELECT src_id, dst_id, containment
+            FROM dirs WHERE containment >= 0.6
+        """,
+        "dedup_semantic": f"""
+            WITH cents AS (
+              SELECT vec_id AS centroid_id, embedding AS c_vec FROM embeddings
+              ORDER BY vec_id LIMIT 8),
+            assigned AS (
+              SELECT id, centroid_id FROM (
+                SELECT v.vec_id AS id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY v.vec_id
+                         ORDER BY round({_cos_sql('v.embedding', 'c.c_vec')}, 6) DESC,
+                                  c.centroid_id) AS rn
+                FROM embeddings v CROSS JOIN cents c) WHERE rn = 1),
+            spairs AS (
+              SELECT b.id AS id, a.id AS dup_of,
+                     round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS sim
+              FROM assigned a JOIN assigned b
+                ON a.centroid_id = b.centroid_id AND a.id < b.id
+              JOIN embeddings ea ON ea.vec_id = a.id
+              JOIN embeddings eb ON eb.vec_id = b.id),
+            dups AS (
+              SELECT id, dup_of, sim FROM (
+                SELECT id, dup_of, sim,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY id ORDER BY sim DESC, dup_of) AS rn
+                FROM spairs WHERE sim >= 0.3) WHERE rn = 1)
+            SELECT s.id, s.centroid_id, d.id IS NULL AS keep, d.dup_of, d.sim
+            FROM assigned s LEFT JOIN dups d ON d.id = s.id
+        """,
         "dedup_minhash_lsh": f"""
             WITH dup AS (
               SELECT doc_id, text FROM documents
@@ -2450,6 +2541,37 @@ def oracle_sql() -> dict[str, str]:
                    round(a, 6) AS avg_logp,
                    round(exp(-a), 4) AS ppl
             FROM agg
+        """,
+        "corpus_perplexity_buckets": """
+            WITH p AS (
+              SELECT doc_id AS id, ' ' || lower(text) || ' ' AS pt
+              FROM documents WHERE text IS NOT NULL),
+            tri AS (
+              SELECT id, substr(pt, CAST(i AS INTEGER), 3) AS shingle
+              FROM p, unnest(range(1, greatest(length(pt) - 2, 1) + 1)) AS t(i)
+              WHERE length(substr(pt, CAST(i AS INTEGER), 3)) = 3),
+            model AS (SELECT shingle, count(*) AS cnt FROM tri GROUP BY shingle),
+            total AS (SELECT sum(cnt) AS total FROM model),
+            j AS (
+              SELECT t.id, m.cnt FROM tri t LEFT JOIN model m USING (shingle)),
+            agg AS (
+              SELECT id, avg(CASE WHEN cnt IS NOT NULL
+                                  THEN ln(cnt / (SELECT total FROM total)) END) AS a
+              FROM j GROUP BY id),
+            scores AS (SELECT id, round(exp(-a), 4) AS ppl FROM agg),
+            lab AS (
+              SELECT d.doc_id AS id, d.lang, s.ppl
+              FROM documents d JOIN scores s ON s.id = d.doc_id),
+            cut AS (
+              SELECT lang,
+                     round(quantile_cont(ppl, 0.3333333333333333), 6) AS c1,
+                     round(quantile_cont(ppl, 0.6666666666666666), 6) AS c2
+              FROM lab GROUP BY lang)
+            SELECT id, lang, ppl,
+                   CASE WHEN ppl <= c1 THEN 'head'
+                        WHEN ppl <= c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lab JOIN cut USING (lang)
         """,
         "text_redact_pii": """
             WITH aug AS (

@@ -410,3 +410,74 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    centroids: DataFrame | None = None,
+    max_cluster_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540 — public method): cluster the embedding space,
+    then inside each cluster drop every item whose cosine similarity to
+    a LOWER-id member of the same cluster reaches ``threshold``; the
+    lowest-id member of each near-duplicate neighborhood survives.
+
+    Returns one row per input vector:
+      (id, centroid_id, keep, dup_of, sim)
+    ``keep`` rows carry NULL ``dup_of``/``sim``; dropped rows point at
+    the lower-id member they matched best (ties -> lowest id).
+
+    Shape at scale: clustering makes the quadratic step LOCAL — the
+    pairwise cosine self-join is an equi-join on ``centroid_id`` (one
+    shuffle on a small key), never an all-pairs cross product, and real
+    deployments size K so clusters are a few thousand items
+    (``max_cluster_size`` is the deterministic belt-and-braces cap,
+    same knob as the LSH buckets). The duplicate argmax is a ``max_by``
+    hash aggregation (map-side combine, no window sort). The assignment
+    reuses :func:`ivf_assign` (broadcast centroids + max_by).
+    ``centroids=None`` is the sandbox-deterministic oracle mode (the
+    ``n_cells`` lowest-id vectors, reproducible in SQL); pass
+    :func:`kmeans_fit` output for data-adaptive cells.
+    """
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(F.asc(id_col))
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+            )
+        )
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    # persist: referenced by BOTH sides of the intra-cluster self-join
+    # and by the final left join — three subplan evaluations otherwise.
+    assigned = tracked_persist(_cap_buckets(assigned, ["centroid_id"], max_cluster_size))
+    pairs = (
+        assigned.alias("a")
+        .join(assigned.alias("b"), "centroid_id")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("sim", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6))
+        .filter(F.col("sim") >= threshold)
+    )
+    # per victim: best (highest-sim, then lowest-id) lower-id neighbor
+    dup_key = F.struct(F.col("sim").alias("s"), (-F.col("a.id")).alias("ni"))
+    dups = pairs.groupBy(F.col("b.id").alias("id")).agg(
+        F.max_by(
+            F.struct(F.col("a.id").alias("dup_of"), F.col("sim").alias("sim")),
+            dup_key,
+        ).alias("_d")
+    )
+    return (
+        assigned.join(dups, "id", "left")
+        .select(
+            "id",
+            "centroid_id",
+            F.col("_d").isNull().alias("keep"),
+            F.col("_d.dup_of").alias("dup_of"),
+            F.col("_d.sim").alias("sim"),
+        )
+    )

@@ -121,6 +121,56 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directed n-gram containment C(src→dst) = |sh(src) ∩ sh(dst)| /
+    |sh(src)| ≥ threshold, for src ≠ dst — the ASYMMETRIC companion to
+    Jaccard: a short quote embedded in a long page scores near-1
+    containment while its Jaccard stays tiny, so this is the signal for
+    near-superset / quotation / scraped-inclusion detection (the
+    RefinedWeb-style "contained document" filter Jaccard misses).
+
+    Output: (src_id, dst_id, containment) — one row per DIRECTION that
+    clears the threshold; a verbatim subset emits src→superset only.
+
+    Shape at scale: the intersection count is computed ONCE per
+    unordered pair sharing ≥1 shingle (shared-shingle equi-join, never
+    a cross product), then both directions are derived from the same
+    count by dividing by each side's shingle count — a union of two
+    projections, no second join pass. Same band-then-verify upgrade
+    path as Jaccard: at corpus scale feed minhash_lsh_pairs candidates
+    through this as the verify step.
+    """
+    # tracked: release via operators._caching.release_caches()
+    sh = tracked_persist(char_shingles(docs, n, text_col, id_col))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+    )
+    fwd = inter.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("id_b").alias("src_id"),
+        F.col("id_a").alias("dst_id"),
+        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def cross_corpus_contamination(
     train: DataFrame,
     probe: DataFrame,
@@ -947,6 +997,56 @@ def trigram_lm_scores(
         F.round((F.col("n_trigrams") - F.col("n_in_model")) / F.col("n_trigrams"), 6).alias("oov_ratio"),
         F.round(F.col("_avg"), 6).alias("avg_logp"),
         F.round(F.exp(-F.col("_avg")), 4).alias("ppl"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.,
+    2020, public method): score every document with the char-trigram LM
+    (:func:`trigram_lm_scores`), then split each LANGUAGE's documents
+    into three buckets at the per-language ``cuts`` perplexity
+    quantiles — lowest perplexity (most reference-like text) is
+    ``head``, the band pipelines usually train on first.
+
+    Output: (id, lang, ppl, bucket).
+
+    Shape at scale: the cut points are a per-language hash aggregation
+    (a |languages|-row table, broadcast back) followed by a codegen
+    CASE comparison — NO per-language global sort-window over the
+    corpus, which is what a naive percent_rank formulation would
+    shuffle. Exact ``F.percentile`` keeps oracle bit-parity at sandbox
+    SF; ``approx_percentile`` is the documented 100 TB swap-in (same
+    trade as corpus_length_quantiles). Docs with NULL ppl (no in-model
+    trigram under a separate ``train`` corpus) fall to ``tail`` — the
+    "nothing like the reference corpus" verdict is exactly tail.
+    """
+    scores = trigram_lm_scores(docs, train, text_col, id_col)
+    labeled = docs.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
+    ).join(scores.select("id", "ppl"), "id")
+    # cuts rounded to 6dp: the interpolated quantile is only ever USED in
+    # a <= comparison against 4dp-rounded ppl values, and rounding both
+    # engines' cut to a common precision removes any last-ulp
+    # interpolation-order divergence from the bucket boundary.
+    cut = labeled.groupBy("lang").agg(
+        F.round(F.percentile("ppl", cuts[0]), 6).alias("_c1"),
+        F.round(F.percentile("ppl", cuts[1]), 6).alias("_c2"),
+    )
+    return labeled.join(F.broadcast(cut), "lang").select(
+        "id",
+        "lang",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 

@@ -110,6 +110,68 @@ def test_near_dup_bucket_cap_bounds_join(spark):
     }
 
 
+@pytest.fixture(scope="module")
+def semdedup_fixture(spark):
+    """Two well-separated clusters with near-dups inside each."""
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [0.95, 0.05, 0.0, 0.0]),   # near-dup of 10 (cos ~0.9986)
+        (12, [0.6, 0.8, 0.0, 0.0]),     # same cluster, cos 0.6 to 10
+        (20, [0.0, 0.0, 1.0, 0.0]),
+        (21, [0.0, 0.0, 0.97, 0.03]),   # near-dup of 20 (cos ~0.9995)
+        (22, [0.0, 0.0, 1.0, 0.0]),     # identical to 20
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        ["centroid_id", "c_vec"],
+    ).withColumn("c_vec", F.col("c_vec").cast("array<float>"))
+    return emb, cents
+
+
+def test_semantic_dedup_keeps_lowest_id_rep(semdedup_fixture):
+    emb, cents = semdedup_fixture
+    out = simsearch.semantic_dedup(emb, threshold=0.95, centroids=cents)
+    rows = {r["id"]: r for r in out.collect()}
+    assert {i for i, r in rows.items() if r["keep"]} == {10, 12, 20}
+    # dropped rows point at their best lower-id neighbor
+    assert rows[11]["dup_of"] == 10
+    assert rows[21]["dup_of"] == 20
+    # 22 ties to both 20 (sim 1.0) and 21 (~0.9995): highest sim wins
+    assert rows[22]["dup_of"] == 20
+    assert rows[22]["sim"] == pytest.approx(1.0)
+    # kept rows carry NULL dup_of/sim
+    assert rows[10]["dup_of"] is None and rows[10]["sim"] is None
+    # cluster assignment surfaced
+    assert rows[11]["centroid_id"] == 0 and rows[21]["centroid_id"] == 1
+
+
+def test_semantic_dedup_cap_only_removes_drops(semdedup_fixture):
+    emb, cents = semdedup_fixture
+    capped = simsearch.semantic_dedup(
+        emb, threshold=0.95, centroids=cents, max_cluster_size=1
+    )
+    # cluster capped to one row -> the self-join finds no pairs ->
+    # nothing is dropped (the cap bounds work, never invents dups)
+    assert all(r["keep"] for r in capped.collect())
+
+
+def test_semantic_dedup_plan_no_window(semdedup_fixture):
+    import contextlib
+    import io
+
+    emb, cents = semdedup_fixture
+    df = simsearch.semantic_dedup(emb, threshold=0.95, centroids=cents)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    # assignment AND duplicate argmax are max_by hash aggs — a window
+    # would sort every cluster partition for the same answer
+    assert "Window" not in buf.getvalue()
+
+
 def test_ivf_topk_cell_restricted(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter("vec_id < 2")

@@ -40,6 +40,27 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 6) not in pairs
 
 
+def test_ngram_containment_asymmetry(spark):
+    # doc 2 is a verbatim prefix of doc 1: every one of its 8-gram
+    # shingles is contained in 1 (containment 1.0 that direction) while
+    # the reverse direction — and Jaccard — stay small
+    rows = [
+        (1, "abcdefghijklmnopqrstuvwxyz"),
+        (2, "abcdefghijklmno"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["src_id"], r["dst_id"]): r["containment"]
+           for r in textops.ngram_containment_pairs(docs, n=8, threshold=0.5).collect()}
+    assert out[(2, 1)] == 1.0
+    assert (1, 2) not in out          # 8/19 ~ 0.42 < 0.5
+    # identical docs contain each other fully: both directions emitted
+    rows2 = [(1, "spark shuffles on the key"), (2, "spark shuffles on the key")]
+    docs2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    out2 = {(r["src_id"], r["dst_id"]): r["containment"]
+            for r in textops.ngram_containment_pairs(docs2, n=8, threshold=0.5).collect()}
+    assert out2[(1, 2)] == 1.0 and out2[(2, 1)] == 1.0
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     cand = {(r["id_a"], r["id_b"]) for r in textops.minhash_lsh_pairs(docs, num_perms=8).collect()}
     assert (1, 2) in cand
@@ -262,6 +283,55 @@ def test_trigram_lm_scores(spark):
     assert out2[1]["oov_ratio"] == 0.0
     assert out2[3]["oov_ratio"] == 1.0
     assert out2[3]["avg_logp"] is None  # nothing in-model -> no score
+
+
+def test_perplexity_buckets_terciles(spark):
+    # three docs, one language, distinct ppl: with n=3 the 1/3 and 2/3
+    # interpolated cuts fall strictly between consecutive values, so
+    # ppl rank order IS the bucket assignment
+    rows = [
+        (1, "the cat sat", "en"),
+        (2, "the cat ran", "en"),
+        (3, "zqxj vwkp", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    ppl = {r["id"]: r["ppl"] for r in textops.trigram_lm_scores(docs).collect()}
+    assert len(set(ppl.values())) == 3  # fixture precondition
+    order = sorted(ppl, key=ppl.get)
+    out = {r["id"]: r["bucket"]
+           for r in textops.perplexity_buckets(docs).collect()}
+    assert out[order[0]] == "head"
+    assert out[order[1]] == "middle"
+    assert out[order[2]] == "tail"
+
+
+def test_perplexity_buckets_null_ppl_is_tail(spark):
+    # scored against a SEPARATE train corpus: a doc with zero in-model
+    # trigrams has NULL ppl — "nothing like the reference corpus" = tail
+    docs = spark.createDataFrame(
+        [(1, "the cat sat", "en"), (2, "zqxj vwkp", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    train = spark.createDataFrame([(10, "the cat sat")], ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           textops.perplexity_buckets(docs, train=train).collect()}
+    assert out[2]["ppl"] is None
+    assert out[2]["bucket"] == "tail"
+
+
+def test_perplexity_buckets_plan_no_window(spark):
+    import contextlib
+    import io
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat", "en")], ["doc_id", "text", "lang"]
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        textops.perplexity_buckets(docs).explain("formatted")
+    # the cuts are a per-language hash agg broadcast back — a
+    # percent_rank formulation would sort the whole corpus per language
+    assert "Window" not in buf.getvalue()
 
 
 def test_redact_pii(spark):
