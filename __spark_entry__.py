@@ -1212,6 +1212,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
         return docs.select("doc_id", F.concat(lead, extra).alias("spans"))
 
+    def multimodal_packed_sequences(spark, sf):
+        """Interleaved text+media sequence packing: text spans split at
+        token-level cuts, media spans are atomic (fixed 64-token cost)
+        and get DROPPED when they straddle an example boundary; the
+        oracle re-derives the whole layout with one global window +
+        generate_series over the analytically-synthesized span stream."""
+        from sparkcrawl.operators import multimodal
+
+        return multimodal.pack_multimodal_sequences(
+            _interleaved_spans(spark, sf), seq_len=256, media_token_cost=64
+        )
+
     def media_ref_rollup(spark, sf):
         """Media-seen dedup table over interleaved docs: each shared
         media object (site logos, CDN images) is fetched once; the
@@ -1667,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_shards": corpus_token_shards,
         "corpus_packed_sequences": corpus_packed_sequences,
         "media_ref_rollup": media_ref_rollup,
+        "multimodal_packed_sequences": multimodal_packed_sequences,
         "span_media_layout": span_media_layout,
         "anchor_text_agg": anchor_text_agg,
         "graph_host_rank": graph_host_rank,
@@ -2857,6 +2870,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END
                         AS INTEGER) AS first_media_offset
             FROM documents
+        """,
+        "multimodal_packed_sequences": """
+            WITH spans AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS span_idx,
+                     'text' AS kind, CAST(NULL AS VARCHAR) AS media_ref,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+              UNION ALL
+              SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END,
+                     'media', 'm' || CAST(doc_id % 50 AS VARCHAR) || '.png',
+                     64
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 2, 'media',
+                     'v' || CAST(doc_id % 23 AS VARCHAR) || '.mp4', 64
+              FROM documents WHERE doc_id % 7 = 0),
+            b AS (
+              SELECT *, CAST(concat('0x',
+                        substr(md5('shard-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+              FROM spans WHERE n_tokens > 0),
+            s AS (
+              SELECT doc_id, span_idx, kind, media_ref, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY h, doc_id, span_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS st
+              FROM b),
+            cls AS (
+              SELECT *, st // 256 AS first_ex,
+                     (st + n_tokens - 1) // 256 AS last_ex,
+                     (kind = 'media'
+                      AND st // 256 <> (st + n_tokens - 1) // 256) AS dropped
+              FROM s),
+            pieces AS (
+              SELECT doc_id, span_idx, kind, media_ref, dropped, st, n_tokens,
+                     unnest(generate_series(first_ex, last_ex)) AS example_id
+              FROM cls WHERE NOT dropped
+              UNION ALL
+              SELECT doc_id, span_idx, kind, media_ref, dropped, st, n_tokens,
+                     CAST(NULL AS BIGINT)
+              FROM cls WHERE dropped)
+            SELECT doc_id, span_idx, kind, media_ref, example_id,
+                   CAST(CASE WHEN dropped THEN 0
+                        ELSE greatest(st, example_id * 256) - st END
+                        AS BIGINT) AS span_offset,
+                   CAST(CASE WHEN dropped THEN n_tokens
+                        ELSE least(st + n_tokens, (example_id + 1) * 256)
+                             - greatest(st, example_id * 256) END
+                        AS BIGINT) AS piece_len,
+                   dropped
+            FROM pieces
         """,
         "corpus_packed_sequences": """
             WITH b AS (

@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "crawl_snapshot_delta",
     "sitemap_entry_hints",
     "canonical_dedup_rollup",
+    "dedup_semantic",
+    "dedup_containment",
+    "corpus_perplexity_buckets",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

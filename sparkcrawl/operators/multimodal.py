@@ -300,3 +300,123 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+def pack_multimodal_sequences(
+    docs_spans: DataFrame,
+    seq_len: int,
+    media_token_cost: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "shard-v1",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Sequence packing for INTERLEAVED text+media documents — the
+    multimodal analog of ``sampling.pack_token_sequences``: lay every
+    document's spans out back-to-back (document order = deterministic
+    salted hash, span order = array position) and cut the stream every
+    ``seq_len`` tokens. Text spans cost their whitespace-token count
+    and MAY split across example boundaries (token-level cut, zero
+    padding); media spans cost a fixed ``media_token_cost`` and are
+    ATOMIC — a media span that would straddle a boundary is DROPPED
+    from packing (``example_id`` NULL, ``dropped`` true), leaving a
+    hole the loader pads. Positions are computed on the UNSHIFTED
+    layout, so the drop policy is a deterministic one-pass rule — no
+    sequential re-flow, which is what keeps the operator relational
+    (the shift-to-next-boundary variant is an inherently serial scan).
+
+    One output row per (span, example) piece:
+      (doc_id, span_idx, kind, media_ref, example_id, span_offset,
+       piece_len, dropped)
+
+    Plan at scale: spans are exploded once (posexplode, codegen); the
+    global start position is the SAME two-phase distributed prefix sum
+    as token_balanced_shards — per-bucket totals (hash agg over
+    ``n_buckets`` rows) + a window over the bounded aggregate,
+    broadcast back, then a per-bucket running sum ordered by
+    (hash, doc, span_idx). Bucketing uses a PREFIX of the document
+    hash, so a document's spans stay contiguous in the global order.
+    Piece rows are pure per-row arithmetic (explode(sequence(...))) —
+    no further shuffle. Associativity of + pins the decomposition to
+    the single-global-window oracle.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("bigint")
+    bucket_width = (1 << 32) // n_buckets
+    spans = docs_spans.select(
+        F.col(id_col),
+        h.alias("_h"),
+        (h / F.lit(bucket_width)).cast("int").alias("_bucket"),
+        F.posexplode("spans").alias("span_idx", "_s"),
+    ).select(
+        id_col,
+        "_h",
+        "_bucket",
+        "span_idx",
+        F.col("_s.kind").alias("kind"),
+        F.col("_s.media_ref").alias("media_ref"),
+        F.when(F.col("_s.kind") == "media", F.lit(media_token_cost))
+        .otherwise(F.size(F.split(F.col("_s.text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    totals = spans.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btok"))
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(
+            F.sum("_btok").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("_bucket")
+        .orderBy("_h", id_col, "span_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pos = (
+        spans.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_end", (F.col("_offset") + cum).cast("bigint"))
+        .withColumn("start", (F.col("_end") - F.col("n_tokens")).cast("bigint"))
+    )
+    first_ex = F.floor(F.col("start") / F.lit(seq_len)).cast("bigint")
+    last_ex = F.floor((F.col("_end") - 1) / F.lit(seq_len)).cast("bigint")
+    atomic_dropped = (F.col("kind") == "media") & (first_ex != last_ex)
+    # dropped media: single row, NULL example; everything else explodes
+    # into its (span, example) pieces — for media first_ex == last_ex so
+    # the sequence is a single element
+    pieces = pos.withColumn("dropped", atomic_dropped).withColumn(
+        "example_id",
+        F.explode(
+            F.when(atomic_dropped, F.array(F.lit(None).cast("bigint")))
+            .otherwise(F.sequence(first_ex, last_ex).cast("array<bigint>"))
+        ),
+    )
+    ex_lo = F.col("example_id") * F.lit(seq_len)
+    ex_hi = ex_lo + F.lit(seq_len)
+    p_start = F.greatest(F.col("start"), ex_lo)
+    p_end = F.least(F.col("_end"), ex_hi)
+    return pieces.select(
+        id_col,
+        "span_idx",
+        "kind",
+        "media_ref",
+        "example_id",
+        F.when(F.col("dropped"), F.lit(0))
+        .otherwise(p_start - F.col("start"))
+        .cast("bigint")
+        .alias("span_offset"),
+        F.when(F.col("dropped"), F.col("n_tokens"))
+        .otherwise(p_end - p_start)
+        .cast("bigint")
+        .alias("piece_len"),
+        "dropped",
+    )

@@ -369,3 +369,65 @@ def test_media_caption_pairs(spark):
     p = buf.getvalue()
     assert "Join" not in p and "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def _spans_df(spark, rows):
+    """rows: list of (doc_id, [(kind, text, media_ref)...])."""
+    data = [
+        (
+            did,
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": i}
+                for i, (k, t, m) in enumerate(spans)
+            ],
+        )
+        for did, spans in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+
+
+def test_pack_multimodal_text_splits_media_atomic(spark):
+    from sparkcrawl.operators.multimodal import pack_multimodal_sequences
+
+    # single doc -> global order trivially deterministic
+    df = _spans_df(spark, [
+        ("d1", [("text", "a b c d", None),      # 4 tokens  [0,4)
+                ("media", None, "m1.png"),       # cost 5    [4,9) straddles 8
+                ("text", "e f", None)]),         # 2 tokens  [9,11)
+    ])
+    out = pack_multimodal_sequences(df, seq_len=8, media_token_cost=5)
+    rows = {(r["doc_id"], r["span_idx"], r["example_id"]): r
+            for r in out.collect()}
+    # text span 0 fits example 0 whole
+    r0 = rows[("d1", 0, 0)]
+    assert (r0["span_offset"], r0["piece_len"], r0["dropped"]) == (0, 4, False)
+    # media straddles the 8-token boundary -> atomic drop, NULL example
+    rm = rows[("d1", 1, None)]
+    assert rm["dropped"] and rm["piece_len"] == 5 and rm["kind"] == "media"
+    # positions are NOT re-flowed after the drop: text span 2 still
+    # starts at global token 9 -> example 1
+    r2 = rows[("d1", 2, 1)]
+    assert (r2["span_offset"], r2["piece_len"]) == (0, 2)
+
+
+def test_pack_multimodal_long_text_pieces_and_fitting_media(spark):
+    from sparkcrawl.operators.multimodal import pack_multimodal_sequences
+
+    df = _spans_df(spark, [
+        ("d1", [("media", None, "m1.png"),                   # cost 8 [0,8) fits
+                ("text", " ".join(["t"] * 20), None)]),      # [8,28)
+    ])
+    out = pack_multimodal_sequences(df, seq_len=8, media_token_cost=8)
+    rows = sorted(out.collect(), key=lambda r: (r["span_idx"], r["example_id"]))
+    # media exactly fills example 0: kept, not dropped
+    assert rows[0]["kind"] == "media" and not rows[0]["dropped"]
+    assert rows[0]["example_id"] == 0 and rows[0]["piece_len"] == 8
+    # 20-token text splits into 8 + 8 + 4 across examples 1..3, with
+    # span_offset tracking the cut position INSIDE the span
+    text_pieces = [(r["example_id"], r["span_offset"], r["piece_len"])
+                   for r in rows[1:]]
+    assert text_pieces == [(1, 0, 8), (2, 8, 8), (3, 16, 4)]
