@@ -1123,6 +1123,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return repetition.repetition_metrics(docs)
 
+    def text_gopher_rules(spark, sf):
+        """Gopher rule verdicts (Rae et al. 2021): per-rule statistic +
+        boolean + the overall keep conjunction. The fixture text is
+        word soup, so the query augments it deterministically to
+        exercise every rule in both directions: doc_id%3 gains stop
+        words, %5 gains #/ellipsis symbols, %7 gains bullet lines."""
+        from sparkcrawl.operators import repetition
+
+        docs = _read(spark, sf, "documents")
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" and that have with"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" ### ... ... ..."))
+                .otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.lit("\n- bullet one\n- bullet two"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return repetition.gopher_quality_rules(aug)
+
     def corpus_boilerplate_ngrams(spark, sf):
         """Corpus-level boilerplate: word trigrams in >= 5 distinct
         docs, top-50 by doc frequency (deterministic tie-break)."""
@@ -1451,6 +1476,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("n_fetches") >= 5) & (F.col("error_rate") >= 0.45),
         )
 
+    def crawl_adaptive_politeness(spark, sf):
+        """Latency/error-adaptive per-host crawl delay (operators/
+        health.py::adaptive_politeness): p95 latency + error rate per
+        host -> deterministic AIMD-flavored delay, clamped. Fetch log
+        synthesized from events (value -> latency, event_type ->
+        ok)."""
+        from sparkcrawl.operators import health
+
+        ev = _read(spark, sf, "events")
+        log = ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias(
+                "host"
+            ),
+            (F.col("value") * 100).alias("latency_ms"),
+            (F.col("event_type") != "error").alias("ok"),
+        )
+        return health.adaptive_politeness(log)
+
     def robots_sitemap_urls(spark, sf):
         """Sitemap: directive discovery (operators/robots.py::
         sitemaps_from_robots) over synthetic robots.txt bodies — pure
@@ -1672,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": corpus_stratified_sample,
         "corpus_length_quantiles": corpus_length_quantiles,
         "text_repetition_metrics": text_repetition_metrics,
+        "text_gopher_rules": text_gopher_rules,
+        "crawl_adaptive_politeness": crawl_adaptive_politeness,
         "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
         "corpus_boilerplate_share": corpus_boilerplate_share,
         "corpus_domain_weights": corpus_domain_weights,
@@ -2725,6 +2770,87 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_unique,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY CUBE (source, lang)
+        """,
+        "text_gopher_rules": r"""
+            WITH aug AS (
+              SELECT doc_id AS id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' and that have with' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' ### ... ... ...' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || '- bullet one'
+                                  || chr(10) || '- bullet two'
+                             ELSE '' END AS t
+              FROM documents),
+            w AS (
+              SELECT id, t,
+                     list_filter(string_split(t, ' '), x -> x <> '') AS words,
+                     string_split(t, chr(10)) AS lines
+              FROM aug),
+            stats AS (
+              SELECT id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                round(list_sum(list_transform(words, x -> len(x)))
+                      / greatest(len(words), 1), 6) AS mean_word_len,
+                round(((len(t) - len(replace(t, '#', '')))
+                       + (len(t) - len(replace(t, '...', ''))) / 3)
+                      / greatest(len(words), 1), 6) AS symbol_ratio,
+                round(len(list_filter(lines,
+                        l -> regexp_matches(l, '^\s*[-*•]')))
+                      / greatest(len(lines), 1), 6) AS bullet_line_frac,
+                round(len(list_filter(lines, l -> l LIKE '%...'))
+                      / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+                round(len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-z]')))
+                      / greatest(len(words), 1), 6) AS alpha_word_frac,
+                CAST(CAST(list_contains(words, 'the') AS INTEGER)
+                   + CAST(list_contains(words, 'be') AS INTEGER)
+                   + CAST(list_contains(words, 'to') AS INTEGER)
+                   + CAST(list_contains(words, 'of') AS INTEGER)
+                   + CAST(list_contains(words, 'and') AS INTEGER)
+                   + CAST(list_contains(words, 'that') AS INTEGER)
+                   + CAST(list_contains(words, 'have') AS INTEGER)
+                   + CAST(list_contains(words, 'with') AS INTEGER)
+                   AS INTEGER) AS stopword_hits
+              FROM w)
+            SELECT *,
+                   n_words BETWEEN 50 AND 100000 AS rule_word_count,
+                   mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+                   symbol_ratio <= 0.1 AS rule_symbol_ratio,
+                   bullet_line_frac <= 0.9 AS rule_bullet_lines,
+                   ellipsis_line_frac <= 0.3 AS rule_ellipsis_lines,
+                   alpha_word_frac >= 0.8 AS rule_alpha_words,
+                   stopword_hits >= 2 AS rule_stopwords,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND stopword_hits >= 2) AS keep
+            FROM stats
+        """,
+        "crawl_adaptive_politeness": """
+            WITH log AS (
+              SELECT 'h' || CAST(user_id % 25 AS VARCHAR) AS host,
+                     value * 100 AS latency_ms,
+                     event_type <> 'error' AS ok
+              FROM events),
+            agg AS (
+              SELECT host, count(*) AS n_fetches,
+                     round(quantile_cont(latency_ms, 0.95), 4)
+                       AS p95_latency_ms,
+                     round(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END)
+                           / count(*), 6) AS error_rate
+              FROM log GROUP BY host)
+            SELECT host, n_fetches, p95_latency_ms, error_rate,
+                   round(least(greatest(
+                       greatest(1000.0, 2.0 * p95_latency_ms)
+                       * (1.0 + 10.0 * greatest(error_rate - 0.05, 0.0)),
+                       200.0), 30000.0), 4) AS next_delay_ms
+            FROM agg
         """,
         "text_repetition_metrics": """
             WITH words AS (

@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "dedup_containment",
     "corpus_perplexity_buckets",
+    "multimodal_packed_sequences",
+    "text_gopher_rules",
+    "crawl_adaptive_politeness",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

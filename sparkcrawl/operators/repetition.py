@@ -37,6 +37,7 @@ __all__ = [
     "repetition_metrics",
     "boilerplate_ngrams",
     "boilerplate_share",
+    "gopher_quality_rules",
 ]
 
 
@@ -210,4 +211,102 @@ def boilerplate_share(
             "bp_grams",
             F.round(F.col("bp_grams") / F.col("n_grams"), 6).alias("bp_frac"),
         )
+    )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher quality-rule verdicts (Rae et al. 2021, table A1 — the
+    public rule set): per document, every rule's measured statistic AND
+    its boolean verdict, plus the overall ``keep`` conjunction. Pipelines
+    keep the per-rule booleans (not just the verdict) so filter ablations
+    are a column select, not a recompute.
+
+    Rules (defaults are the paper's):
+      - word count in [min_words, max_words]
+      - mean word length in [3, 10]
+      - symbol-to-word ratio (# or ellipsis) <= 0.1
+      - <= 90% of lines start with a bullet; <= 30% end with an ellipsis
+      - >= 80% of words contain an alphabetic character
+      - >= 2 of the 8 Gopher stop words present
+
+    Shape at scale: a PURE per-row projection — words/lines arrays via
+    split, statistics via higher-order filter/aggregate lambdas, all
+    whole-stage codegen; no explode, no shuffle, no UDF. Fractions are
+    round(…, 6) for cross-engine oracle parity (repo convention).
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, " "), lambda w: w != "")
+    lines = F.split(text, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.round(total_word_chars / F.greatest(n_words, F.lit(1)), 6)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round(
+        (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)), 6
+    )
+    bullet_frac = F.round(
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+        ) / F.greatest(n_lines, F.lit(1)),
+        6,
+    )
+    ellipsis_line_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("...")))
+        / F.greatest(n_lines, F.lit(1)),
+        6,
+    )
+    alpha_word_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    stop_hits = sum(
+        [
+            F.array_contains(words, sw).cast("int")
+            for sw in GOPHER_STOPWORDS
+        ],
+        F.lit(0),
+    )
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stopword_hits"),
+    )
+    r_words = F.col("n_words").between(min_words, max_words)
+    r_mwl = F.col("mean_word_len").between(3.0, 10.0)
+    r_sym = F.col("symbol_ratio") <= 0.1
+    r_bullet = F.col("bullet_line_frac") <= 0.9
+    r_ellipsis = F.col("ellipsis_line_frac") <= 0.3
+    r_alpha = F.col("alpha_word_frac") >= 0.8
+    r_stop = F.col("stopword_hits") >= 2
+    return out.select(
+        "*",
+        r_words.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_bullet.alias("rule_bullet_lines"),
+        r_ellipsis.alias("rule_ellipsis_lines"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_mwl & r_sym & r_bullet & r_ellipsis & r_alpha & r_stop).alias("keep"),
     )

@@ -91,3 +91,46 @@ def test_engine_quarantine(spark, mini_cfg, tmp_path):
     )
     assert n2 == 0  # nothing left below the horizon
     assert run.resume(max_supersteps=1)
+
+
+def test_adaptive_politeness_rule(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.health import adaptive_politeness
+
+    rows = (
+        [("a", 100.0, True)] * 19 + [("a", 1000.0, True)]   # p95 = 145.0
+        + [("b", 5000.0, True)] + [("b", 5000.0, False)] * 3  # err 0.75
+        + [("c", 50.0, True)] * 4
+    )
+    log = spark.createDataFrame(rows, ["host", "latency_ms", "ok"])
+    out = {r["host"]: r for r in adaptive_politeness(log).collect()}
+    # healthy, slow-ish host: base floor dominates 2*p95=290
+    assert out["a"]["p95_latency_ms"] == 145.0
+    assert out["a"]["error_rate"] == 0.0
+    assert out["a"]["next_delay_ms"] == 1000.0
+    # sick host: max(1000, 2*5000) * (1 + 10*0.7) = 80000 -> clamped
+    assert out["b"]["error_rate"] == 0.75
+    assert out["b"]["next_delay_ms"] == 30000.0
+    # fast healthy host with a low base: the min clamp holds the floor
+    out2 = {r["host"]: r
+            for r in adaptive_politeness(log, base_delay_ms=100).collect()}
+    assert out2["c"]["next_delay_ms"] == 200.0
+
+
+def test_adaptive_politeness_single_agg_plan(spark):
+    import contextlib
+    import io
+
+    from sparkcrawl.operators.health import adaptive_politeness
+
+    log = spark.createDataFrame(
+        [("a", 1.0, True)], ["host", "latency_ms", "ok"]
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        adaptive_politeness(log).explain("simple")
+    p = buf.getvalue()
+    # one shuffle (the host agg), no window, no Python
+    assert p.count("Exchange") == 1, p
+    assert "Window" not in p and "EvalPython" not in p

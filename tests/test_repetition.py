@@ -120,3 +120,49 @@ def test_domain_mixing_weights(spark):
     # alpha=0.7 damping: s1's weight share < its raw token share (6/8)
     assert got["s1"]["weight"] < 6 / 8
     assert got["s1"]["weight"] > got["s2"]["weight"]
+
+
+def test_gopher_quality_rules_verdicts(spark):
+    from sparkcrawl.operators.repetition import gopher_quality_rules
+
+    good = "the cat and the dog " + " ".join(f"word{i}" for i in range(60))
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "the and short doc"),                    # fails word count
+        (3, good + " " + "#" * 40),                  # symbol ratio trips
+        (4, "- a\n- b"),                             # all lines bulleted
+        (5, good.replace("word", "...\nend...")),    # ellipsis line endings
+        (6, "the and " + " ".join(str(i) for i in range(60))),  # numeric words
+        (7, " ".join(f"word{i}" for i in range(60))),  # no stop words
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in gopher_quality_rules(docs).collect()}
+    assert out[1]["keep"]
+    assert all(
+        out[1][c]
+        for c in out[1].asDict()
+        if c.startswith("rule_")
+    )
+    assert not out[2]["rule_word_count"] and not out[2]["keep"]
+    assert not out[3]["rule_symbol_ratio"]
+    assert out[4]["bullet_line_frac"] == 1.0 and not out[4]["rule_bullet_lines"]
+    assert not out[5]["rule_ellipsis_lines"]
+    assert out[6]["alpha_word_frac"] < 0.8 and not out[6]["rule_alpha_words"]
+    assert out[7]["stopword_hits"] < 2 and not out[7]["rule_stopwords"]
+
+
+def test_gopher_rules_plan_pure_projection(spark):
+    import contextlib
+    import io
+
+    from sparkcrawl.operators.repetition import gopher_quality_rules
+
+    docs = spark.createDataFrame([(1, "the cat")], ["doc_id", "text"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gopher_quality_rules(docs).explain("formatted")
+    p = buf.getvalue()
+    # per-row projection only: no shuffle, no generator, no Python
+    assert "Exchange" not in p
+    assert "Generate" not in p
+    assert "EvalPython" not in p
