@@ -800,6 +800,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.minhash_lsh_pairs(dupped, num_perms=8, n=8, max_bucket_size=100)
 
+    def dedup_incremental_index(spark, sf):
+        """Continuous-crawl incremental dedup: even doc_ids are the
+        archived corpus (pre-computed signature index), odd ids plus
+        re-crawled copies of the first 30 even docs (+30000) are the
+        incoming batch — the copies MUST hit their archived originals
+        on every band, intra-batch pairs must NOT appear."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        indexed = docs.filter(F.col("doc_id") % 2 == 0)
+        incoming = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+            indexed.filter(F.col("doc_id") < 60).select(
+                (F.col("doc_id") + 30000).alias("doc_id"), "text"
+            )
+        )
+        idx_sigs = textops.minhash_signatures(indexed, num_perms=8, n=8)
+        return textops.dedup_against_index(
+            incoming, idx_sigs, num_perms=8, n=8, max_bucket_size=100
+        )
+
     def dedup_lsh_verified(spark, sf):
         """The two-phase corpus-dedup shape end-to-end: MinHash-LSH
         candidate generation -> exact n-gram-Jaccard verify, only over
@@ -1687,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "decontaminate_eval_overlap": decontaminate_eval_overlap,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_incremental_index": dedup_incremental_index,
         "dedup_lsh_verified": dedup_lsh_verified,
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_substring_cut": dedup_substring_cut,
@@ -2194,6 +2213,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM spairs WHERE sim >= 0.3) WHERE rn = 1)
             SELECT s.id, s.centroid_id, d.id IS NULL AS keep, d.dup_of, d.sim
             FROM assigned s LEFT JOIN dups d ON d.id = s.id
+        """,
+        "dedup_incremental_index": """
+            WITH idx_docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+            inc_docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 30000, text FROM documents
+              WHERE doc_id % 2 = 0 AND doc_id < 60),
+            sh_i AS (
+              SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle
+              FROM idx_docs, generate_series(1, 2000) AS g(i)
+              WHERE i <= len(text) - 7),
+            sh_n AS (
+              SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle
+              FROM inc_docs, generate_series(1, 2000) AS g(i)
+              WHERE i <= len(text) - 7),
+            hsh_i AS (
+              SELECT id,
+                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h1,
+                     CAST(concat('0x', substr(md5(shingle || '#'), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h2
+              FROM sh_i),
+            hsh_n AS (
+              SELECT id,
+                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h1,
+                     CAST(concat('0x', substr(md5(shingle || '#'), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h2
+              FROM sh_n),
+            sig_i AS (
+              SELECT id, perm,
+                     min((h1 + (perm + 1) * h2) % 2147483647) AS sig
+              FROM hsh_i CROSS JOIN generate_series(0, 7) AS p(perm)
+              GROUP BY id, perm),
+            sig_n AS (
+              SELECT id, perm,
+                     min((h1 + (perm + 1) * h2) % 2147483647) AS sig
+              FROM hsh_n CROSS JOIN generate_series(0, 7) AS p(perm)
+              GROUP BY id, perm),
+            ok AS (
+              SELECT perm, sig FROM sig_i
+              GROUP BY perm, sig HAVING count(*) <= 100),
+            sig_i2 AS (SELECT sig_i.* FROM sig_i JOIN ok USING (perm, sig))
+            SELECT n.id AS new_id, i.id AS index_id, count(*) AS n_bands
+            FROM sig_n n JOIN sig_i2 i ON n.perm = i.perm AND n.sig = i.sig
+            GROUP BY 1, 2
         """,
         "dedup_minhash_lsh": f"""
             WITH dup AS (

@@ -83,7 +83,11 @@ BENCH_QUERIES = [
     "sitemap_entry_hints",
     "canonical_dedup_rollup",
     "dedup_semantic",
-    "dedup_containment",
+    # dedup_containment is EXCLUDED like dedup_ngram_jaccard: both are
+    # exact shared-shingle verifiers — quadratic in co-shingled pairs by
+    # design (measured 183s at sf0.1 on the word-salad fixture, whose
+    # tiny vocabulary co-shingles everything). At scale they run ONLY on
+    # LSH candidates (dedup_lsh_verified is the benched composition).
     "corpus_perplexity_buckets",
     "multimodal_packed_sequences",
     "text_gopher_rules",

@@ -334,6 +334,55 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_against_index(
+    incoming: DataFrame,
+    index_sigs: DataFrame,
+    num_perms: int = 8,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental corpus dedup: near-dup candidates of an incoming
+    batch against a PRE-COMPUTED minhash signature index — the
+    continuous-crawl shape. The archive's signatures (the exact
+    ``minhash_signatures`` rows: (id, perm, sig)) are computed once and
+    stored; each crawl increment hashes ONLY its own documents and
+    band-joins against the index, so per-increment cost scales with the
+    increment, not the archive.
+
+    Returns (new_id, index_id, n_bands) — strictly BIPARTITE: incoming
+    x index only, never incoming x incoming (run
+    :func:`minhash_lsh_pairs` on the batch for intra-batch dups), and
+    feed candidates through :func:`verify_jaccard_pairs` /
+    :func:`cross_corpus_contamination` for the exact verify stage —
+    identical composition to dedup_lsh_verified, just incremental.
+
+    At scale, write the index table bucketed by (perm, sig): the band
+    equi-join then co-locates with the stored buckets and only the
+    increment's signatures shuffle. ``max_bucket_size`` caps INDEX-side
+    band buckets (the big side): an archive-wide stop-shingle bucket is
+    noise, and its |bucket| x |increment-hits| blowup is the skew
+    hazard here.
+    """
+    new_sig = minhash_signatures(incoming, num_perms, n, text_col, id_col)
+    idx = index_sigs
+    if max_bucket_size is not None:
+        ok = (
+            idx.groupBy("perm", "sig")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+        idx = idx.join(ok, ["perm", "sig"])
+    return (
+        new_sig.alias("a")
+        .join(idx.alias("b"), on=["perm", "sig"])
+        .groupBy(F.col("a.id").alias("new_id"), F.col("b.id").alias("index_id"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -67,6 +67,45 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 3) in cand
 
 
+def test_dedup_against_index_bipartite(spark):
+    from pyspark.sql import functions as SF
+
+    indexed = spark.createDataFrame(
+        [(1, "the cat sat on the mat and looked at the dog"),
+         (2, "zzzz qqqq xxxx wwww vvvv uuuu tttt ssss")],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [(10, "the cat sat on the mat and looked at the dog"),  # dup of 1
+         (12, "the cat sat on the mat and looked at the dog"),  # dup of 1 AND 10
+         (11, "jjjj kkkk llll mmmm nnnn oooo pppp rrrr")],       # unique
+        ["doc_id", "text"],
+    )
+    sigs = textops.minhash_signatures(indexed, num_perms=8, n=5)
+    out = {(r["new_id"], r["index_id"]): r["n_bands"]
+           for r in textops.dedup_against_index(
+               incoming, sigs, num_perms=8, n=5).collect()}
+    # identical text -> every band agrees
+    assert out[(10, 1)] == 8 and out[(12, 1)] == 8
+    # strictly bipartite: the 10~12 intra-batch dup never appears
+    assert not any(a in (10, 12) and b in (10, 12) for a, b in out)
+    assert (11, 2) not in out
+    # index-side bucket cap only removes candidates
+    capped = {(r["new_id"], r["index_id"])
+              for r in textops.dedup_against_index(
+                  incoming, sigs, num_perms=8, n=5, max_bucket_size=0
+              ).collect()}
+    assert capped == set()
+    # composition check: the verify stage on candidates confirms the dup
+    cand = spark.createDataFrame(
+        [(10, 1)], ["id_a", "id_b"]
+    ).select(SF.col("id_a"), SF.col("id_b"))
+    ver = textops.verify_jaccard_pairs(
+        cand, incoming.unionByName(indexed), n=5, threshold=0.9
+    ).collect()
+    assert len(ver) == 1 and ver[0]["jaccard"] == 1.0
+
+
 def test_minhash_agreement_reflects_similarity(docs):
     rows = {(r["id_a"], r["id_b"]): r["n_bands"]
             for r in textops.minhash_lsh_pairs(docs, num_perms=8).collect()}
