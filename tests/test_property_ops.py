@@ -102,3 +102,105 @@ def test_revisit_always_clamped(spark, obs):
     ).collect()
     for r in out:
         assert 600 <= r["revisit_sec"] <= 7 * 86400
+
+
+words = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1, max_size=8),
+    min_size=0, max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(words, min_size=1, max_size=10), st.integers(2, 9))
+def test_pack_multimodal_tiling_invariants(spark, docs_words, seq_len):
+    """For any corpus: non-dropped pieces tile each span exactly
+    (contiguous offsets summing to the span's tokens), media pieces are
+    whole-or-dropped, and no example exceeds seq_len tokens."""
+    from sparkcrawl.operators.multimodal import pack_multimodal_sequences
+
+    rows = []
+    for i, ws in enumerate(docs_words):
+        spans = []
+        for j, w in enumerate(ws):
+            if j % 3 == 2:
+                spans.append({"kind": "media", "text": None,
+                              "media_ref": f"m{i}_{j}", "offset": j})
+            else:
+                spans.append({"kind": "text", "text": w,
+                              "media_ref": None, "offset": j})
+        rows.append((f"d{i}", spans))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    cost = 3
+    out = pack_multimodal_sequences(df, seq_len=seq_len, media_token_cost=cost)
+    pieces = out.collect()
+    by_span = {}
+    per_example = {}
+    for r in pieces:
+        key = (r["doc_id"], r["span_idx"])
+        by_span.setdefault(key, []).append(r)
+        if r["example_id"] is not None:
+            per_example[r["example_id"]] = (
+                per_example.get(r["example_id"], 0) + r["piece_len"]
+            )
+    for key, rs in by_span.items():
+        if rs[0]["kind"] == "media":
+            assert len(rs) == 1
+            r = rs[0]
+            # whole (cost tokens in one example) or dropped
+            assert (r["dropped"] and r["example_id"] is None
+                    and r["piece_len"] == cost) or (
+                        not r["dropped"] and r["piece_len"] == cost)
+        else:
+            rs = sorted(rs, key=lambda r: r["span_offset"])
+            total = sum(r["piece_len"] for r in rs)
+            # pieces tile the span contiguously from offset 0
+            assert rs[0]["span_offset"] == 0
+            for a, b in zip(rs, rs[1:]):
+                assert b["span_offset"] == a["span_offset"] + a["piece_len"]
+            assert all(not r["dropped"] for r in rs)
+            assert total == rs[0]["span_offset"] + total  # non-empty tiling
+    for ex, tot in per_example.items():
+        assert tot <= seq_len
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(alphabet="abcd", min_size=0, max_size=40),
+                min_size=2, max_size=12))
+def test_containment_bounds_and_prefix_law(spark, texts):
+    """Containment is in (0, 1]; a document's PREFIX (long enough to
+    shingle) is always fully contained in it."""
+    from sparkcrawl.operators.textops import ngram_containment_pairs
+
+    base = [(i, t) for i, t in enumerate(texts)]
+    prefixes = [
+        (1000 + i, t[:12]) for i, t in enumerate(texts) if len(t) >= 12
+    ]
+    df = spark.createDataFrame(base + prefixes, ["doc_id", "text"])
+    out = ngram_containment_pairs(df, n=8, threshold=0.0)
+    got = {(r["src_id"], r["dst_id"]): r["containment"] for r in out.collect()}
+    for (s, d), c in got.items():
+        assert 0.0 < c <= 1.0
+    for i, t in enumerate(texts):
+        if len(t) >= 12 and len(t) >= 8 + 4:  # prefix shingles exist
+            # prefix -> original fully contained (when distinct docs share
+            # the prefix's shingles the direction still scores 1.0)
+            assert got.get((1000 + i, i)) == 1.0
+
+
+@settings(**SETTINGS)
+@given(st.lists(printable, min_size=1, max_size=15))
+def test_gopher_keep_is_rule_conjunction(spark, texts):
+    from sparkcrawl.operators.repetition import gopher_quality_rules
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    for r in gopher_quality_rules(df).collect():
+        rules = [v for k, v in r.asDict().items() if k.startswith("rule_")]
+        assert len(rules) == 7
+        assert r["keep"] == all(rules)
