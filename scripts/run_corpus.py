@@ -6,14 +6,18 @@ training-data counterpart to run_crawl.py.
         --py-files dist/sparkcrawl.zip \
         scripts/run_corpus.py \
         --input /data/docs.parquet --output /data/curated \
-        [--min-quality 0.3] [--near-dup] [--decontaminate /data/eval.parquet] \
+        [--min-quality 0.3] [--gopher-rules] [--keep-buckets head,middle] \
+        [--near-dup] [--semantic-threshold 0.95 --embeddings /data/emb.parquet] \
+        [--decontaminate /data/eval.parquet] \
         [--mixture-budget N --mixture-alpha 0.7] [--shard-tokens 100000000] \
         [--splits train=0.9,val=0.05,test=0.05]
 
 Stages (each built ONLY from the repo's operators; every flag is
 optional and the stages compose in this order):
 
-  language-ID -> quality gate -> repetition gate -> exact dedup
+  language-ID -> quality gate -> repetition gate
+  [-> Gopher rule verdicts] [-> CCNet perplexity-bucket gate]
+  -> exact dedup [-> SemDeDup semantic dedup]
   [-> near-dup canonical dedup] [-> eval decontamination]
   [-> temperature-weighted mixture draw] -> salted-hash split
   -> partitioned export with manifests [-> token-balanced shard ids]
@@ -54,6 +58,19 @@ def main() -> None:
     ap.add_argument("--mixture-alpha", type=float, default=0.7)
     ap.add_argument("--shard-tokens", type=int, default=0,
                     help="assign token-balanced shard ids with this target (0 = off)")
+    ap.add_argument("--gopher-rules", action="store_true",
+                    help="require ALL seven Gopher quality-rule verdicts "
+                         "(repetition.gopher_quality_rules) in addition to "
+                         "the composite quality gate")
+    ap.add_argument("--keep-buckets", default="",
+                    help="comma list of CCNet perplexity buckets to keep "
+                         "(e.g. head,middle); empty = no bucket gate")
+    ap.add_argument("--embeddings",
+                    help="parquet with (doc_id, embedding) for --semantic-threshold")
+    ap.add_argument("--semantic-threshold", type=float, default=0.0,
+                    help="SemDeDup: drop docs whose intra-cluster cosine to "
+                         "a lower-id kept doc reaches this (0 = off; "
+                         "needs --embeddings)")
     ap.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
     ap.add_argument("--salt", default="corpus-v1")
     args = ap.parse_args()
@@ -101,7 +118,38 @@ def main() -> None:
             & (F.coalesce(F.col("dup_word_frac"), F.lit(0.0)) <= args.max_repetition)
         )
     )
+    if args.gopher_rules:
+        from sparkcrawl.operators.repetition import gopher_quality_rules
+
+        gq = gopher_quality_rules(kept).select(
+            F.col("id").alias("doc_id"), F.col("keep").alias("_gkeep")
+        )
+        kept = kept.join(gq, "doc_id").filter(F.col("_gkeep")).drop("_gkeep")
+    if args.keep_buckets:
+        wanted = [b.strip() for b in args.keep_buckets.split(",") if b.strip()]
+        pb = textops.perplexity_buckets(kept, lang_col="pred_lang").select(
+            F.col("id").alias("doc_id"), "bucket"
+        )
+        kept = (
+            kept.join(pb, "doc_id")
+            .filter(F.col("bucket").isin(wanted))
+            .drop("bucket")
+        )
     kept = textops.exact_dedup(kept)
+    if args.semantic_threshold and args.embeddings:
+        from sparkcrawl.operators import simsearch
+
+        emb = spark.read.parquet(args.embeddings).join(
+            kept.select("doc_id"), "doc_id"
+        )
+        keep_ids = (
+            simsearch.semantic_dedup(
+                emb, threshold=args.semantic_threshold, id_col="doc_id"
+            )
+            .filter(F.col("keep"))
+            .select(F.col("id").alias("doc_id"))
+        )
+        kept = kept.join(keep_ids, "doc_id")
     if args.near_dup:
         kept = textops.dedup_corpus_canonical(kept)
     if args.cut_substrings:
