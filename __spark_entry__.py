@@ -213,6 +213,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(slot * 1.5, 6).alias("scheduled_offset"),
         )
 
+    def r3_crawl_delay_slots(spark, sf):
+        """R3 -> W3 end-to-end: robots Crawl-delay overrides flow into
+        politeness slotting THROUGH the real operators (crawl_delays +
+        politeness_slots). Every 3rd host carries a '*' delay (must
+        apply), every 5th an 'otherbot' delay (must NOT apply — the
+        agent filter is the point); everyone else uses the 1.0s
+        default."""
+        from sparkcrawl.config import CrawlConfig
+        from sparkcrawl.operators.robots import crawl_delays
+        from sparkcrawl.operators.schedule import politeness_slots
+
+        ev = _read(spark, sf, "events")
+        batch = ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 30).cast("string")).alias("host"),
+            F.col("ts").alias("next_date"),
+            (F.col("event_id") % 3 + 1).cast("int").alias("priority"),
+            F.md5(F.col("event_id").cast("string")).alias("url_hash"),
+        )
+        hosts = spark.range(30).select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+            F.col("id"),
+        )
+        robots = hosts.filter(F.col("id") % 3 == 0).select(
+            "host",
+            F.lit("*").alias("agent"),
+            (F.col("id") % 7 + 1).cast("double").alias("crawl_delay"),
+        ).unionByName(
+            hosts.filter(F.col("id") % 5 == 0).select(
+                "host",
+                F.lit("otherbot").alias("agent"),
+                F.lit(99.0).alias("crawl_delay"),
+            )
+        )
+        slotted = politeness_slots(batch, CrawlConfig(), crawl_delays(robots))
+        return slotted.select(
+            "host",
+            "url_hash",
+            F.col("slot").cast("long").alias("slot"),
+            "effective_delay",
+            F.round(F.col("scheduled_offset"), 6).alias("scheduled_offset"),
+        )
+
     def q2_queue_assignment(spark, sf):
         from sparkcrawl.functions.hashing import md5_bucket
 
@@ -1672,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule_flagship": crawl_schedule,
         "w1_w2_schedule_topk": w1_w2_schedule_topk,
         "w3_politeness_slots": w3_politeness_slots,
+        "r3_crawl_delay_slots": r3_crawl_delay_slots,
         "q2_queue_assignment": q2_queue_assignment,
         "r2_robots_gate": r2_robots_gate,
         "r2_robots_wildcard": r2_robots_wildcard,
@@ -1803,6 +1846,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_id, ts,
                      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
               FROM events) WHERE rn <= 3
+        """,
+        "r3_crawl_delay_slots": """
+            WITH batch AS (
+              SELECT 'h' || CAST(user_id % 30 AS VARCHAR) AS host,
+                     ts AS next_date,
+                     CAST(event_id % 3 + 1 AS INTEGER) AS priority,
+                     md5(CAST(event_id AS VARCHAR)) AS url_hash
+              FROM events),
+            delays AS (
+              SELECT 'h' || CAST(i AS VARCHAR) AS host,
+                     CAST(i % 7 + 1 AS DOUBLE) AS crawl_delay
+              FROM range(30) t(i) WHERE i % 3 = 0),
+            slotted AS (
+              SELECT b.host, b.url_hash,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY b.host
+                       ORDER BY b.next_date, b.priority, b.url_hash) - 1 AS slot,
+                     coalesce(d.crawl_delay, 1.0) AS effective_delay
+              FROM batch b LEFT JOIN delays d USING (host))
+            SELECT host, url_hash, CAST(slot AS BIGINT) AS slot,
+                   effective_delay,
+                   round(slot * effective_delay, 6) AS scheduled_offset
+            FROM slotted
         """,
         "w3_politeness_slots": """
             SELECT user_id, event_id, rn - 1 AS slot, round((rn - 1) * 1.5, 6) AS scheduled_offset

@@ -52,6 +52,11 @@ def main() -> None:
     ap.add_argument("--warc-archive",
                     help="archive-while-crawling: write each superstep's "
                          "fetched pages as WARC shards under this dir")
+    ap.add_argument("--focus-terms",
+                    help="comma list of topic terms: after the crawl (or "
+                         "resume) leg, run the focused-crawl relevance "
+                         "refresh (plans/relevance.py) so the NEXT --resume "
+                         "leg schedules on-topic hosts first")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("sparkcrawl-run").getOrCreate()
@@ -98,6 +103,15 @@ def main() -> None:
             "denied": s.denied, "discovered": s.discovered, "new": s.new_urls,
             "pending": s.pending_after, "seen": s.seen_total,
         }))
+    if args.focus_terms:
+        from sparkcrawl.plans.relevance import refresh_relevance_priorities
+
+        terms = tuple(t.strip() for t in args.focus_terms.split(",") if t.strip())
+        n = refresh_relevance_priorities(
+            spark, args.workdir, cfg, terms,
+            refresh_id=stats[-1].superstep if stats else 0,
+        )
+        print(json.dumps({"relevance_refresh_rows": n}))
 
 
 if __name__ == "__main__":
