@@ -655,6 +655,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
 
+    def c1_canonicalize_classes(spark, sf):
+        """C1 + F3 + F4 through the REAL hybrid hot path
+        (with_canonical_host): five deterministic URL classes —
+        uppercase scheme/host (fails the JVM rlike gate, exercises the
+        pandas lane), jsessionid path params, session query params
+        mixed with kept params, fragments, and empty paths. Expected
+        outputs are enumerated analytically per class (the generation
+        is known), not by re-implementing the parser in SQL."""
+        from sparkcrawl.functions.urlnorm import with_canonical_host
+
+        ev = _read(spark, sf, "events")
+        n = F.col("event_id")
+        raw = F.when(
+            n % 5 == 0,
+            F.concat(F.lit("HTTP://H"), n.cast("string"), F.lit(".EXample")),
+        ).otherwise(
+            F.concat(
+                F.lit("http://h"), n.cast("string"), F.lit(".example/p"),
+                n.cast("string"),
+                F.when(n % 3 == 0, F.lit(";jsessionid=ab12")).otherwise(F.lit("")),
+                F.when(n % 2 == 0, F.lit("?q=1&jsessionid=zz")).otherwise(F.lit("")),
+                F.when(n % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+            )
+        )
+        out = with_canonical_host(
+            ev.select(n.alias("event_id"), raw.alias("url_in"), raw.alias("url"))
+        )
+        return out.select("event_id", "url_in", "url", "host")
+
     def c8_prioritizer_requeue(spark, sf):
         ev = _read(spark, sf, "events")
         status = (
@@ -1728,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u2_first_discovery_distinct": u2_first_discovery_distinct,
         "a4_distinct_count": a4_distinct_count,
         "c2_url_hash": c2_url_hash,
+        "c1_canonicalize_classes": c1_canonicalize_classes,
         "c9_registered_domain": c9_registered_domain,
         "cdx_urlkey": cdx_urlkey,
         "warc_revisit_marks": warc_revisit_marks,
@@ -1846,6 +1876,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_id, ts,
                      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
               FROM events) WHERE rn <= 3
+        """,
+        "c1_canonicalize_classes": """
+            SELECT event_id,
+                   CASE WHEN event_id % 5 = 0
+                        THEN 'HTTP://H' || CAST(event_id AS VARCHAR) || '.EXample'
+                        ELSE 'http://h' || CAST(event_id AS VARCHAR)
+                             || '.example/p' || CAST(event_id AS VARCHAR)
+                             || CASE WHEN event_id % 3 = 0
+                                     THEN ';jsessionid=ab12' ELSE '' END
+                             || CASE WHEN event_id % 2 = 0
+                                     THEN '?q=1&jsessionid=zz' ELSE '' END
+                             || CASE WHEN event_id % 4 = 0
+                                     THEN '#frag' ELSE '' END
+                   END AS url_in,
+                   CASE WHEN event_id % 5 = 0
+                        THEN 'http://h' || CAST(event_id AS VARCHAR)
+                             || '.example/'
+                        ELSE 'http://h' || CAST(event_id AS VARCHAR)
+                             || '.example/p' || CAST(event_id AS VARCHAR)
+                             || CASE WHEN event_id % 2 = 0
+                                     THEN '?q=1' ELSE '' END
+                   END AS url,
+                   'h' || CAST(event_id AS VARCHAR) || '.example' AS host
+            FROM events
         """,
         "r3_crawl_delay_slots": """
             WITH batch AS (
