@@ -452,13 +452,16 @@ def semantic_dedup(
                 F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
             )
         )
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     # persist: referenced by BOTH sides of the intra-cluster self-join
     # and by the final left join — three subplan evaluations otherwise.
-    assigned = tracked_persist(_cap_buckets(assigned, ["centroid_id"], max_cluster_size))
+    assigned = tracked_persist(ivf_assign(embeddings, centroids, id_col, vec_col))
+    # the cap bounds the PAIR SEARCH only: rows of an over-sized cluster
+    # skip near-dup detection (kept as-is), they are never dropped from
+    # the verdict table — every input id gets exactly one output row
+    joinable = _cap_buckets(assigned, ["centroid_id"], max_cluster_size)
     pairs = (
-        assigned.alias("a")
-        .join(assigned.alias("b"), "centroid_id")
+        joinable.alias("a")
+        .join(joinable.alias("b"), "centroid_id")
         .filter(F.col("a.id") < F.col("b.id"))
         .withColumn("sim", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6))
         .filter(F.col("sim") >= threshold)

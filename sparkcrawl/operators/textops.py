@@ -158,17 +158,25 @@ def ngram_containment_pairs(
         .join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
     )
-    fwd = inter.select(
-        F.col("id_a").alias("src_id"),
-        F.col("id_b").alias("dst_id"),
-        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+    # both directions via ONE explode over the same row — a fwd/rev
+    # union would evaluate the shared-shingle join subplan twice
+    both = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+                ),
+            )
+        ).alias("d")
     )
-    rev = inter.select(
-        F.col("id_b").alias("src_id"),
-        F.col("id_a").alias("dst_id"),
-        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
-    )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    return both.select("d.*").filter(F.col("containment") >= threshold)
 
 
 def cross_corpus_contamination(
@@ -1077,9 +1085,14 @@ def perplexity_buckets(
     "nothing like the reference corpus" verdict is exactly tail.
     """
     scores = trigram_lm_scores(docs, train, text_col, id_col)
-    labeled = docs.select(
-        F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
-    ).join(scores.select("id", "ppl"), "id")
+    # persist: referenced by the cut aggregation AND the final join —
+    # without the cache the whole trigram scoring pipeline runs twice
+    # tracked: released via operators._caching.release_caches()
+    labeled = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
+        ).join(scores.select("id", "ppl"), "id")
+    )
     # cuts rounded to 6dp: the interpolated quantile is only ever USED in
     # a <= comparison against 4dp-rounded ppl values, and rounding both
     # engines' cut to a common precision removes any last-ulp

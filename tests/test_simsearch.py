@@ -152,10 +152,12 @@ def test_semantic_dedup_cap_only_removes_drops(semdedup_fixture):
     emb, cents = semdedup_fixture
     capped = simsearch.semantic_dedup(
         emb, threshold=0.95, centroids=cents, max_cluster_size=1
-    )
+    ).collect()
     # cluster capped to one row -> the self-join finds no pairs ->
-    # nothing is dropped (the cap bounds work, never invents dups)
-    assert all(r["keep"] for r in capped.collect())
+    # nothing is dropped, and EVERY input id still gets a verdict row
+    # (the cap bounds the pair search, never the output)
+    assert len(capped) == emb.count()
+    assert all(r["keep"] for r in capped)
 
 
 def test_semantic_dedup_plan_no_window(semdedup_fixture):
