@@ -445,3 +445,86 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return files.mapInPandas(_parse, schema=WARC_READ_SCHEMA)
+
+
+def _conversion_record(url: str, date: str, text: bytes) -> bytes:
+    """A WET-style WARC conversion record (ISO 28500 §6.8): the plain
+    text EXTRACTED from a crawled page — what Common Crawl ships as
+    .wet files. Record id is derived like the response records so a
+    conversion can be correlated with its source capture."""
+    rid = hashlib.md5(f"{url}|{date}|conversion".encode()).hexdigest()
+    src = hashlib.md5(f"{url}|{date}".encode()).hexdigest()
+    return (
+        WARC_VERSION + b"\r\n"
+        + f"WARC-Type: conversion\r\n"
+          f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+          f"WARC-Refers-To: <urn:md5:{src}>\r\n"
+          f"WARC-Date: {date}\r\n"
+          f"WARC-Target-URI: {url}\r\n"
+          f"Content-Type: text/plain\r\n"
+          f"Content-Length: {len(text)}\r\n\r\n".encode("ascii")
+        + text + b"\r\n\r\n"
+    )
+
+
+def write_wet(
+    docs_spans: DataFrame,
+    out_dir: str,
+    compress: bool = False,
+    date_col: str | None = None,
+) -> DataFrame:
+    """WET export: interleaved-span documents -> WARC conversion-record
+    shards holding the extracted PLAIN TEXT only (media refs dropped) —
+    the text-pipeline interchange format next to the full archive
+    (write_warc). Returns the same (path, n_records, n_bytes) manifest.
+
+    Shape: spans flatten to text inside a codegen projection
+    (spans_to_text's array_join — no explode); one shard per partition
+    inside mapInPandas, identical to write_warc, so a repartition(N)
+    upstream chooses the shard count. Deterministic record ids ->
+    byte-identical re-export, same as the response shards."""
+    from pyspark import TaskContext
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.textops import spans_to_text
+
+    os.makedirs(out_dir, exist_ok=True)
+    flat = spans_to_text(docs_spans).withColumnRenamed("doc_id", "url")
+    if date_col and date_col in docs_spans.columns:
+        flat = flat.join(
+            docs_spans.select(
+                F.col("doc_id").alias("url"),
+                F.date_format(F.col(date_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                .alias("date"),
+            ),
+            "url",
+        )
+    else:
+        flat = flat.withColumn("date", F.lit("1970-01-01T00:00:00Z"))
+    suffix = ".warc.wet.gz" if compress else ".warc.wet"
+
+    def _write(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        n = 0
+        raw = io.BytesIO()
+        sink = gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) if compress else raw
+        for pdf in batches:
+            for url, text, date in zip(pdf["url"], pdf["text"], pdf["date"]):
+                sink.write(_conversion_record(
+                    url, date or "1970-01-01T00:00:00Z",
+                    (text or "").encode("utf-8")))
+                n += 1
+        if compress:
+            sink.close()
+        data = raw.getvalue()
+        if n:
+            with open(path, "wb") as f:
+                f.write(data)
+            yield pd.DataFrame({"path": [path], "n_records": [n],
+                                "n_bytes": [len(data)]})
+
+    return flat.select("url", "text", "date").mapInPandas(
+        _write, schema=_MANIFEST_SCHEMA
+    )

@@ -246,3 +246,46 @@ def test_cdx_latest_lookup(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         cdx_latest(idx, urls).explain("simple")
     assert "Window" not in buf.getvalue()
+
+
+def test_wet_export_roundtrip(spark, tmp_path):
+    """WET conversion records: extracted text only, readable back by the
+    generic WARC reader, media refs gone, refers-to correlates with the
+    source capture's record id."""
+    import hashlib
+
+    from sparkcrawl.sources.warc import read_warc, write_wet
+
+    docs = spark.createDataFrame(
+        [
+            ("http://a.example/p1",
+             [{"kind": "text", "text": "hello", "media_ref": "", "offset": 0},
+              {"kind": "media", "text": "", "media_ref": "m.png", "offset": 1},
+              {"kind": "text", "text": "world", "media_ref": "", "offset": 2}]),
+            ("http://a.example/p2",
+             [{"kind": "text", "text": "only text", "media_ref": "", "offset": 0}]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    ).repartition(1)
+    out = str(tmp_path / "wet")
+    manifest = write_wet(docs, out).collect()
+    assert len(manifest) == 1 and manifest[0]["n_records"] == 2
+
+    back = {r["target_uri"]: r for r in read_warc(spark, out + "/*").collect()}
+    assert set(back) == {"http://a.example/p1", "http://a.example/p2"}
+    r1 = back["http://a.example/p1"]
+    assert r1["warc_type"] == "conversion"
+    assert bytes(r1["body"]).decode() == "hello world"   # media ref dropped
+    assert "m.png" not in bytes(r1["body"]).decode()
+    # refers-to points at the would-be source capture record id
+    src = hashlib.md5(
+        b"http://a.example/p1|1970-01-01T00:00:00Z").hexdigest()
+    assert r1["refers_to"] == f"urn:md5:{src}"
+
+    # deterministic: re-export is byte-identical
+    out2 = str(tmp_path / "wet2")
+    write_wet(docs, out2).collect()
+    b1 = open(manifest[0]["path"], "rb").read()
+    b2 = open(out2 + "/" + manifest[0]["path"].split("/")[-1], "rb").read()
+    assert b1 == b2
