@@ -115,9 +115,10 @@ class ParquetManifestStore:
 
     def snapshot(self) -> list[dict]:
         """The current committed delta list — a durable snapshot pointer
-        (delta dirs are never deleted; compaction only rewrites the
-        manifest), so a checkpoint can pin the exact table state it saw
-        (Iceberg snapshot-id analog)."""
+        (compaction only rewrites the manifest; superseded dirs stay on
+        disk until a :meth:`vacuum` maintenance pass, which excludes any
+        externally pinned snapshot), so a checkpoint can pin the exact
+        table state it saw (Iceberg snapshot-id analog)."""
         return [dict(d) for d in self._read_manifest()["deltas"]]
 
     def read_raw(self, spark: SparkSession,
@@ -158,6 +159,41 @@ class ParquetManifestStore:
             manifest["meta"].update(meta)
         self._write_manifest(manifest)
         return f"{self.name}-v{manifest['version']}"
+
+    def vacuum(self, keep_paths: frozenset[str] | set[str] = frozenset(),
+               min_age_s: float = 0.0) -> list[str]:
+        """Delete delta/compact dirs no longer referenced by the current
+        manifest — the Iceberg expire_snapshots/remove_orphan_files
+        analog for this store. Compaction and tag-replacement only
+        rewrite the MANIFEST; their superseded dirs stay on disk until
+        this maintenance call reclaims them.
+
+        ``keep_paths`` protects externally pinned snapshots (a
+        checkpoint's as-of delta list — see :func:`vacuum_workdir`);
+        ``min_age_s`` skips dirs younger than the horizon, the standard
+        guard against racing an in-flight append whose atomic manifest
+        commit has not landed yet. Single-writer tables (this engine)
+        can vacuum with 0 between supersteps.
+
+        Returns the removed directory paths.
+        """
+        import shutil
+        import time as _time
+
+        referenced = {d["path"] for d in self._read_manifest()["deltas"]}
+        referenced |= set(keep_paths)
+        data_root = os.path.join(self.root, "data")
+        removed: list[str] = []
+        now = _time.time()
+        for name in sorted(os.listdir(data_root)):
+            path = os.path.join(data_root, name)
+            if path in referenced or not os.path.isdir(path):
+                continue
+            if now - os.path.getmtime(path) < min_age_s:
+                continue
+            shutil.rmtree(path)
+            removed.append(path)
+        return removed
 
     @property
     def meta(self) -> dict:
@@ -455,3 +491,32 @@ class RobotsTable:
             F.max("fetched_superstep").alias("fetched_superstep")
         )
         return raw.join(latest, ["host", "fetched_superstep"])
+
+
+def vacuum_workdir(workdir: str, min_age_s: float = 0.0) -> dict[str, int]:
+    """Reclaim superseded delta dirs across EVERY table in a crawl
+    workdir, protecting the paths the last checkpoint pinned for as-of
+    replay (T5): a mid-superstep kill must still be able to time-travel
+    its reads to the last checkpoint's exact snapshot, so those dirs
+    are excluded from reclamation even after a compaction superseded
+    them. Run between supersteps (the engine is the single writer).
+
+    Returns {table_name: dirs_removed}.
+    """
+    pinned: set[str] = set()
+    ckpt_meta_path = os.path.join(workdir, "checkpoints", "manifest.json")
+    if os.path.exists(ckpt_meta_path):
+        meta = ParquetManifestStore(workdir, "checkpoints").meta
+        for key in ("last_frontier_snapshot", "last_queue_state_snapshot"):
+            for d in meta.get(key) or []:
+                pinned.add(d["path"])
+    removed: dict[str, int] = {}
+    for name in sorted(os.listdir(workdir)):
+        root = os.path.join(workdir, name)
+        if not os.path.isdir(root) or not os.path.exists(
+            os.path.join(root, "manifest.json")
+        ):
+            continue
+        store = ParquetManifestStore(workdir, name)
+        removed[name] = len(store.vacuum(keep_paths=pinned, min_age_s=min_age_s))
+    return removed

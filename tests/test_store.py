@@ -82,3 +82,70 @@ def test_manifest_commit_is_atomic_replace(spark, tmp_path):
     # no tmp files left behind
     leftovers = [p for p in os.listdir(store.root) if p.startswith("manifest.json.tmp")]
     assert leftovers == []
+
+
+def _data_dirs(store):
+    root = os.path.join(store.root, "data")
+    return {os.path.join(root, n) for n in os.listdir(root)}
+
+
+def test_vacuum_reclaims_compacted_deltas(spark, tmp_path):
+    store = ParquetManifestStore(str(tmp_path), "t")
+    store.append(_df(spark, [("a", 1)]))
+    store.append(_df(spark, [("b", 2)]))
+    before = _data_dirs(store)
+    store.replace_all(_df(spark, [("a", 1), ("b", 2)]))
+    removed = store.vacuum()
+    # both superseded delta dirs reclaimed, the compact dir survives
+    assert set(removed) == before
+    assert len(_data_dirs(store)) == 1
+    rows = {(r["url_hash"], r["val"])
+            for r in store.read_raw(spark).drop("_delta_seq").collect()}
+    assert rows == {("a", 1), ("b", 2)}
+
+
+def test_vacuum_protects_pinned_snapshot(spark, tmp_path):
+    store = ParquetManifestStore(str(tmp_path), "t")
+    store.append(_df(spark, [("a", 1)]))
+    pinned = store.snapshot()          # as-of pointer (a checkpoint's view)
+    store.replace_all(_df(spark, [("a", 99)]))
+    removed = store.vacuum(keep_paths={d["path"] for d in pinned})
+    assert removed == []
+    # the pinned as-of read still works after the vacuum pass
+    old = store.read_raw(spark, snapshot=pinned).collect()
+    assert [(r["url_hash"], r["val"]) for r in old] == [("a", 1)]
+    # without the pin the superseded dir goes away
+    assert len(store.vacuum()) == 1
+
+
+def test_vacuum_min_age_guards_inflight(spark, tmp_path):
+    store = ParquetManifestStore(str(tmp_path), "t")
+    store.append(_df(spark, [("a", 1)]))
+    store.replace_all(_df(spark, [("a", 1)]))
+    assert store.vacuum(min_age_s=3600) == []   # everything too young
+    assert len(store.vacuum()) == 1
+
+
+def test_vacuum_workdir_respects_checkpoint_pins(spark, mini_cfg, mini_web, tmp_path):
+    """End-to-end: after a crawl + frontier compaction, vacuum_workdir
+    reclaims superseded dirs but keeps the last checkpoint's pinned
+    frontier snapshot readable, and the crawl resumes afterwards."""
+    from sparkcrawl.plans.superstep import CrawlRun
+    from sparkcrawl.sources.store import vacuum_workdir
+
+    wd = str(tmp_path / "w")
+    run = CrawlRun(spark, wd, mini_cfg, mini_web["web"], mini_web["robots"])
+    run.run(mini_web["seeds"], max_supersteps=3)
+    seen_before = run.frontier.read(spark).count()
+
+    run.frontier.compact(spark)
+    removed = vacuum_workdir(wd)
+    assert sum(removed.values()) > 0
+    # pinned as-of replay still possible: the last checkpoint's snapshot
+    # paths survived the vacuum
+    last = run.checkpoints.last()
+    for d in last["frontier_snapshot"] or []:
+        assert os.path.exists(d["path"])
+    assert run.frontier.read(spark).count() == seen_before
+    more = run.resume(max_supersteps=1)
+    assert more and more[0].fetched >= 0
