@@ -107,6 +107,9 @@ class CrawlConfig:
     scope_negative: tuple[str, ...] = ()
     # --- compaction of the append-only frontier store ---
     compact_every: int = 4
+    # --- storage maintenance: reclaim superseded delta dirs every N
+    # supersteps (0 = off); checkpoint-pinned snapshots always survive ---
+    vacuum_every: int = 0
     # --- archive-while-crawling: WARC shards per superstep (None = off) ---
     warc_archive_dir: str | None = None
     # --- plugin points (X1-X3: import-path config like the reference's

@@ -535,6 +535,14 @@ class CrawlRun:
             )
         if cfg.compact_every and superstep % cfg.compact_every == 0:
             self.frontier.compact(spark)
+        if cfg.vacuum_every and superstep % cfg.vacuum_every == 0:
+            # storage maintenance AFTER compaction, BEFORE this superstep's
+            # checkpoint: the previous checkpoint's pinned snapshot survives
+            # (vacuum_workdir excludes it), the current manifests are kept
+            # by definition — so a kill at any point still replays exactly.
+            from sparkcrawl.sources.store import vacuum_workdir
+
+            vacuum_workdir(self.workdir)
 
         # 10: CHECKPOINT + counters (A3)
         # one agg pass over the (cached, config-bounded) batch ...

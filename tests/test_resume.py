@@ -107,3 +107,30 @@ def test_orphan_delta_ignored_on_resume(spark, mini_cfg, mini_web, tmp_path_fact
         r["url_hash"] for r in run2.frontier.read(spark).select("url_hash").collect()
     )
     assert seen_after == seen_before
+
+
+def test_vacuum_cadence_preserves_parity_and_resume(
+    spark, mini_cfg, mini_web, tmp_path_factory
+):
+    """cfg.vacuum_every: an every-superstep vacuum must change NOTHING
+    observable — same fetch order and frontier as a no-vacuum run —
+    and a kill + resume across a vacuumed boundary still works."""
+    import dataclasses
+
+    cfg_v = dataclasses.replace(mini_cfg, vacuum_every=1)
+
+    run_a = CrawlRun(spark, str(tmp_path_factory.mktemp("novac")), mini_cfg,
+                     mini_web["web"], mini_web["robots"])
+    run_a.run(mini_web["seeds"], max_supersteps=4)
+
+    work_b = str(tmp_path_factory.mktemp("vac"))
+    run_b1 = CrawlRun(spark, work_b, cfg_v, mini_web["web"], mini_web["robots"])
+    run_b1.run(mini_web["seeds"], max_supersteps=2)
+    del run_b1
+    run_b2 = CrawlRun(spark, work_b, cfg_v, mini_web["web"], mini_web["robots"])
+    run_b2.resume(max_supersteps=2)
+
+    state_a, order_a = _final_state(run_a, spark)
+    state_b, order_b = _final_state(run_b2, spark)
+    assert order_a == order_b
+    assert state_a == state_b
