@@ -255,6 +255,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("scheduled_offset"), 6).alias("scheduled_offset"),
         )
 
+    def j5_redirect_chains(spark, sf):
+        """Redirect-chain alias collapse (pointer doubling): events form
+        5-node chains u(5g+4)->...->u(5g); every 7th group closes into a
+        5-cycle. Non-cycle sources resolve to their group head with
+        hops == position; cycle members flag cycle=true/NULL final.
+        Expectations enumerated analytically (groups are complete on the
+        fixture: |events| divisible by 5)."""
+        from sparkcrawl.operators.redirects import resolve_redirect_chains
+
+        ev = _read(spark, sf, "events")
+        ids = ev.select(
+            F.col("event_id").alias("id"),
+            F.floor(F.col("event_id") / 5).alias("g"),
+            (F.col("event_id") % 5).alias("p"),
+        )
+        u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+        chain = ids.filter(F.col("p") > 0).select(
+            u(F.col("id")).alias("src"), u(F.col("id") - 1).alias("dst")
+        )
+        cyc = (
+            ids.filter(F.col("g") % 7 == 0).select("g").distinct()
+            .select(
+                u(F.col("g") * 5).alias("src"),
+                u(F.col("g") * 5 + 4).alias("dst"),
+            )
+        )
+        return resolve_redirect_chains(chain.unionByName(cyc), max_hops=8)
+
     def q2_queue_assignment(spark, sf):
         from sparkcrawl.functions.hashing import md5_bucket
 
@@ -1744,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_w2_schedule_topk": w1_w2_schedule_topk,
         "w3_politeness_slots": w3_politeness_slots,
         "r3_crawl_delay_slots": r3_crawl_delay_slots,
+        "j5_redirect_chains": j5_redirect_chains,
         "q2_queue_assignment": q2_queue_assignment,
         "r2_robots_gate": r2_robots_gate,
         "r2_robots_wildcard": r2_robots_wildcard,
@@ -1876,6 +1905,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_id, ts,
                      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
               FROM events) WHERE rn <= 3
+        """,
+        "j5_redirect_chains": """
+            WITH ids AS (
+              SELECT event_id AS id, event_id // 5 AS g, event_id % 5 AS p
+              FROM events),
+            srcs AS (
+              SELECT id, g, p FROM ids WHERE p > 0
+              UNION ALL
+              SELECT g * 5 AS id, g, 0 AS p
+              FROM (SELECT DISTINCT g FROM ids) WHERE g % 7 = 0)
+            SELECT 'u' || CAST(id AS VARCHAR) AS src,
+                   CASE WHEN g % 7 = 0 THEN NULL
+                        ELSE 'u' || CAST(g * 5 AS VARCHAR) END AS final,
+                   CASE WHEN g % 7 = 0 THEN NULL
+                        ELSE CAST(p AS BIGINT) END AS hops,
+                   g % 7 = 0 AS cycle
+            FROM srcs
         """,
         "c1_canonicalize_classes": """
             SELECT event_id,
