@@ -520,3 +520,32 @@ def vacuum_workdir(workdir: str, min_age_s: float = 0.0) -> dict[str, int]:
         store = ParquetManifestStore(workdir, name)
         removed[name] = len(store.vacuum(keep_paths=pinned, min_age_s=min_age_s))
     return removed
+
+
+class SignatureIndexTable:
+    """Persistent minhash signature index — the stored half of the
+    incremental corpus-dedup pipeline (textops.dedup_against_index).
+
+    The archive's (id, perm, sig) rows are computed ONCE per ingested
+    batch and appended here; each new crawl increment band-joins
+    against the stored index and then appends its own signatures, so
+    dedup cost stays proportional to the increment forever. Appends are
+    batch-tagged (T5 family): replaying an ingest batch replaces its
+    delta instead of duplicating signatures. On a real cluster this
+    table is written bucketed by (perm, sig) so the band join
+    co-locates with storage.
+    """
+
+    def __init__(self, root: str):
+        self.store = ParquetManifestStore(root, "signature_index")
+
+    def append(self, sigs: DataFrame, batch_id: str) -> str:
+        return self.store.append(
+            sigs.select("id", "perm", "sig"),
+            meta={"last_batch": batch_id},
+            replace_tag=f"sig-batch-{batch_id}",
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        raw = self.store.read_raw(spark)
+        return None if raw is None else raw.select("id", "perm", "sig")

@@ -480,3 +480,40 @@ def test_cut_token_spans(spark):
         "C": ("", 16),
         "D": ("solo words only here", 0),
     }
+
+
+def test_signature_index_incremental_pipeline(spark, tmp_path):
+    """Continuous-crawl dedup end-to-end with the PERSISTED index:
+    ingest batch A (signatures stored) -> batch B dedups against the
+    store and appends its own -> batch C sees BOTH; a replayed append
+    (same batch id) replaces instead of duplicating."""
+    from sparkcrawl.sources.store import SignatureIndexTable
+
+    idx = SignatureIndexTable(str(tmp_path))
+    a = spark.createDataFrame(
+        [(1, "the cat sat on the mat and looked at the dog")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(10, "the cat sat on the mat and looked at the dog"),  # dup of 1
+         (11, "qqqq wwww eeee rrrr tttt yyyy uuuu iiii")],
+        ["doc_id", "text"],
+    )
+    c = spark.createDataFrame(
+        [(20, "qqqq wwww eeee rrrr tttt yyyy uuuu iiii")],      # dup of 11
+        ["doc_id", "text"],
+    )
+    idx.append(textops.minhash_signatures(a, 8, 5), batch_id="a")
+    hits_b = {(r["new_id"], r["index_id"])
+              for r in textops.dedup_against_index(
+                  b, idx.read(spark), 8, 5).collect()}
+    assert hits_b == {(10, 1)}
+    idx.append(textops.minhash_signatures(b, 8, 5), batch_id="b")
+    hits_c = {(r["new_id"], r["index_id"])
+              for r in textops.dedup_against_index(
+                  c, idx.read(spark), 8, 5).collect()}
+    assert (20, 11) in hits_c and (20, 1) not in hits_c
+    # replay-idempotent: re-appending batch b replaces its delta
+    n_before = idx.read(spark).count()
+    idx.append(textops.minhash_signatures(b, 8, 5), batch_id="b")
+    assert idx.read(spark).count() == n_before
