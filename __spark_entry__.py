@@ -213,6 +213,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(slot * 1.5, 6).alias("scheduled_offset"),
         )
 
+    def r1_robots_parse(spark, sf):
+        """R1: robots.txt parser over five body classes (rules+trailing
+        delay, multi-agent groups + empty-Disallow allow-all, comments/
+        garbage lines, delay-before-rules delay inheritance, empty
+        body). Expected rule rows enumerated per class — the grammar is
+        known, so the oracle never re-implements the parser."""
+        from sparkcrawl.operators.robots import parse_robots_bodies
+
+        ev = _read(spark, sf, "events")
+        hosts = ev.select((F.col("user_id") % 40).alias("hn")).distinct()
+        hn = F.col("hn")
+        body = (
+            F.when(hn % 5 == 0, F.lit(
+                "User-agent: *\nDisallow: /private/\nAllow: /public/\nCrawl-delay: 2"))
+            .when(hn % 5 == 1, F.lit(
+                "User-agent: a\nUser-agent: b\nDisallow: /x\n\nUser-agent: *\nDisallow:"))
+            .when(hn % 5 == 2, F.lit(
+                "# hi\nUser-agent: *\nDisallow: /tmp # inline\nfoo\nNoColonLine"))
+            .when(hn % 5 == 3, F.lit(
+                "User-agent: *\nCrawl-delay: 1.5\nDisallow: /d"))
+            .otherwise(F.lit(""))
+        )
+        bodies = hosts.select(
+            F.concat(F.lit("h"), hn.cast("string")).alias("host"),
+            body.alias("body"),
+        )
+        return parse_robots_bodies(bodies)
+
     def r3_crawl_delay_slots(spark, sf):
         """R3 -> W3 end-to-end: robots Crawl-delay overrides flow into
         politeness slotting THROUGH the real operators (crawl_delays +
@@ -1771,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule_flagship": crawl_schedule,
         "w1_w2_schedule_topk": w1_w2_schedule_topk,
         "w3_politeness_slots": w3_politeness_slots,
+        "r1_robots_parse": r1_robots_parse,
         "r3_crawl_delay_slots": r3_crawl_delay_slots,
         "j5_redirect_chains": j5_redirect_chains,
         "q2_queue_assignment": q2_queue_assignment,
@@ -1946,6 +1975,33 @@ def oracle_sql() -> dict[str, str]:
                    END AS url,
                    'h' || CAST(event_id AS VARCHAR) || '.example' AS host
             FROM events
+        """,
+        "r1_robots_parse": """
+            WITH hosts AS (SELECT DISTINCT user_id % 40 AS hn FROM events),
+            rules AS (
+              SELECT hn, '*' AS agent, false AS allow,
+                     '/private/' AS path_prefix,
+                     CAST(NULL AS DOUBLE) AS crawl_delay
+              FROM hosts WHERE hn % 5 = 0
+              UNION ALL SELECT hn, '*', true, '/public/', NULL
+              FROM hosts WHERE hn % 5 = 0
+              UNION ALL SELECT hn, '*', true, NULL, 2.0
+              FROM hosts WHERE hn % 5 = 0
+              UNION ALL SELECT hn, 'a', false, '/x', NULL
+              FROM hosts WHERE hn % 5 = 1
+              UNION ALL SELECT hn, 'b', false, '/x', NULL
+              FROM hosts WHERE hn % 5 = 1
+              UNION ALL SELECT hn, '*', true, '/', NULL
+              FROM hosts WHERE hn % 5 = 1
+              UNION ALL SELECT hn, '*', false, '/tmp', NULL
+              FROM hosts WHERE hn % 5 = 2
+              UNION ALL SELECT hn, '*', true, NULL, 1.5
+              FROM hosts WHERE hn % 5 = 3
+              UNION ALL SELECT hn, '*', false, '/d', 1.5
+              FROM hosts WHERE hn % 5 = 3)
+            SELECT 'h' || CAST(hn AS VARCHAR) AS host,
+                   agent, allow, path_prefix, crawl_delay
+            FROM rules
         """,
         "r3_crawl_delay_slots": """
             WITH batch AS (
