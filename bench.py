@@ -92,11 +92,14 @@ BENCH_QUERIES = [
     "multimodal_packed_sequences",
     "text_gopher_rules",
     "crawl_adaptive_politeness",
+    "c1_canonicalize_classes",
+    "j5_redirect_chains",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION
-# (connected components): timed as construction+write, see main()
-EAGER_QUERIES = {"dedup_corpus_canonical"}
+# (connected components, pointer-doubling localCheckpoint rounds):
+# timed as construction+write, see main()
+EAGER_QUERIES = {"dedup_corpus_canonical", "j5_redirect_chains"}
 
 FRONTIER_REPLICAS = int(os.environ.get("SPARK_GRAFT_FRONTIER_REPLICAS", "20"))
 # best-of-5: this box shows external interference spikes (a clean rep
