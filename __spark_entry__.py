@@ -1109,6 +1109,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents").select("doc_id", "text")
         return textops.trigram_lm_scores(docs)
 
+    def text_normalize_unicode(spark, sf):
+        """Unicode+whitespace normalization classes: decomposed NFC
+        (e+combining-acute), NBSP, a C0 control char, CRLF, trailing
+        spaces — each appended deterministically; untouched docs must
+        come back changed=false. DuckDB twin: nfc_normalize + the same
+        RE2/Java-shared regexes."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        n = F.col("doc_id")
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.when(n % 2 == 0, F.lit("cafe\u0301 ")).otherwise(F.lit("")),
+                F.col("text"),
+                F.when(n % 3 == 0, F.lit("\u00a0x")).otherwise(F.lit("")),
+                F.when(n % 5 == 0, F.lit("\x07bell")).otherwise(F.lit("")),
+                F.when(n % 7 == 0, F.lit("\r\nline")).otherwise(F.lit("")),
+                F.when(n % 11 == 0, F.lit("  ")).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return textops.normalize_text(aug)
+
     def corpus_perplexity_buckets(spark, sf):
         """CCNet head/middle/tail: per-language perplexity terciles over
         the self-scored trigram LM — cut points are a broadcast
@@ -1856,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_query": text_bm25_query,
         "text_trigram_lm": text_trigram_lm,
         "corpus_perplexity_buckets": corpus_perplexity_buckets,
+        "text_normalize_unicode": text_normalize_unicode,
         "text_redact_pii": text_redact_pii,
         "corpus_rollup_cube": corpus_rollup_cube,
         "temporal_asof_join": temporal_asof_join,
@@ -2888,6 +2910,36 @@ def oracle_sql() -> dict[str, str]:
                    round(a, 6) AS avg_logp,
                    round(exp(-a), 4) AS ppl
             FROM agg
+        """,
+        "text_normalize_unicode": r"""
+            WITH aug AS (
+              SELECT doc_id AS id,
+                     (CASE WHEN doc_id % 2 = 0
+                           THEN 'cafe' || chr(769) || ' ' ELSE '' END)
+                     || text
+                     || (CASE WHEN doc_id % 3 = 0
+                              THEN chr(160) || 'x' ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 0
+                              THEN chr(7) || 'bell' ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 0
+                              THEN chr(13) || chr(10) || 'line' ELSE '' END)
+                     || (CASE WHEN doc_id % 11 = 0 THEN '  ' ELSE '' END)
+                     AS t
+              FROM documents),
+            n1 AS (SELECT id, t, nfc_normalize(t) AS u FROM aug),
+            n2 AS (SELECT id, t,
+                     regexp_replace(u,
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS v
+                   FROM n1),
+            n3 AS (SELECT id, t,
+                     regexp_replace(v,
+                       '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]',
+                       ' ', 'g') AS w
+                   FROM n2),
+            fin AS (SELECT id, t,
+                      trim(regexp_replace(w, '\s+', ' ', 'g')) AS norm_text
+                    FROM n3)
+            SELECT id, norm_text, norm_text <> t AS changed FROM fin
         """,
         "corpus_perplexity_buckets": """
             WITH p AS (

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "crawl_adaptive_politeness",
     "c1_canonicalize_classes",
     "j5_redirect_chains",
+    "text_normalize_unicode",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

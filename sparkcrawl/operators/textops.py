@@ -22,6 +22,7 @@ DuckDB); integers derived via base-16 conv of hex prefixes.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -1184,4 +1185,54 @@ def corpus_rollup(docs: DataFrame, dims: tuple[str, ...] = ("source", "lang")) -
         F.count("*").alias("n_docs"),
         F.countDistinct("doc_id").alias("n_unique"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def normalize_text(
+    docs: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode + whitespace normalization — the canonical first stage of
+    a corpus-curation pipeline: the same visible text must hash/shingle
+    identically whether a page shipped it precomposed (é) or decomposed
+    (e + U+0301), with NBSP or ASCII space, CRLF or LF. Without this,
+    EVERY downstream dedup family silently misses visually-identical
+    duplicates.
+
+    Steps (applied in order, output column ``norm_text`` + change flag):
+      1. Unicode normalization to ``form`` (NFC default) — the one step
+         that genuinely needs Python (no JVM builtin): a vectorized
+         pandas ``str.normalize`` over an Arrow batch, not per-row.
+      2. C0/C1 control chars (except \\t \\n) -> dropped   (JVM regex)
+      3. unicode space separators (NBSP & friends) -> ' ' (JVM regex)
+      4. whitespace runs -> one space, ends trimmed       (JVM regex)
+
+    Only step 1 pays an Arrow round-trip; steps 2-4 are codegen'd
+    regexp_replace on the normalized column. The DuckDB oracle twin
+    uses ``nfc_normalize`` + the same regexes (RE2/Java-compatible
+    character classes).
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _unicode_norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    text = F.col(text_col)
+    u = _unicode_norm(text)
+    no_ctrl = F.regexp_replace(u, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    spaces = F.regexp_replace(
+        no_ctrl,
+        # \x{...} hex escapes: the one code-point syntax Java regex and
+        # RE2 (the DuckDB twin) share — \uXXXX is Java-only
+        r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]",
+        " ",
+    )
+    collapsed = F.trim(F.regexp_replace(spaces, r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        collapsed.alias("norm_text"),
+        (collapsed != text).alias("changed"),
     )

@@ -517,3 +517,27 @@ def test_signature_index_incremental_pipeline(spark, tmp_path):
     n_before = idx.read(spark).count()
     idx.append(textops.minhash_signatures(b, 8, 5), batch_id="b")
     assert idx.read(spark).count() == n_before
+
+
+def test_normalize_text_unicode_and_whitespace(spark):
+    rows = [
+        (1, "café au lait"),        # decomposed -> NFC precomposed
+        (2, "a b c"),           # NBSP + em-space -> plain spaces
+        (3, "x\x07y\x00z"),               # control chars dropped
+        (4, "line1\r\nline2\t end  "),    # CRLF/tab/trailing -> collapsed
+        (5, "already clean"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in textops.normalize_text(docs).collect()}
+    assert out[1]["norm_text"] == "café au lait" and out[1]["changed"]
+    assert out[2]["norm_text"] == "a b c" and out[2]["changed"]
+    assert out[3]["norm_text"] == "xyz" and out[3]["changed"]
+    assert out[4]["norm_text"] == "line1 line2 end" and out[4]["changed"]
+    assert out[5]["norm_text"] == "already clean" and not out[5]["changed"]
+    # idempotent: normalizing the output changes nothing
+    again = textops.normalize_text(
+        spark.createDataFrame(
+            [(i, r["norm_text"]) for i, r in out.items()], ["doc_id", "text"]
+        )
+    )
+    assert all(not r["changed"] for r in again.collect())
