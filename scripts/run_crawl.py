@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--warc-archive",
                     help="archive-while-crawling: write each superstep's "
                          "fetched pages as WARC shards under this dir")
+    ap.add_argument("--vacuum-every", type=int, default=0,
+                    help="reclaim superseded store delta dirs every N "
+                         "supersteps (0 = off); checkpoint-pinned "
+                         "snapshots always survive")
     ap.add_argument("--focus-terms",
                     help="comma list of topic terms: after the crawl (or "
                          "resume) leg, run the focused-crawl relevance "
@@ -76,6 +80,7 @@ def main() -> None:
         filter_traps=args.filter_traps,
         record_link_graph=args.record_link_graph,
         warc_archive_dir=args.warc_archive,
+        vacuum_every=args.vacuum_every,
     )
 
     if args.generate_fixtures:
