@@ -69,3 +69,48 @@ def test_refresh_noop_without_documents(spark, mini_cfg, tmp_path):
         )
         == 0
     )
+
+
+def test_composite_refresh_blends_signals(spark, mini_cfg, mini_web, tmp_path):
+    """Composite refresh: weights (1,0) reproduce the rank-only result;
+    a 50/50 blend rewrites priorities, is idempotent per refresh id,
+    and the crawl resumes on the blended order."""
+    import dataclasses
+
+    from sparkcrawl.plans.composite import refresh_composite_priorities
+    from sparkcrawl.plans.rank import refresh_frontier_priorities
+
+    cfg = dataclasses.replace(mini_cfg, record_link_graph=True)
+    wd = str(tmp_path / "w")
+    run = CrawlRun(spark, wd, cfg, mini_web["web"], mini_web["robots"])
+    run.run(mini_web["seeds"], max_supersteps=3)
+    terms = _topic_terms(spark, run)
+
+    # rank-only composite == the dedicated rank refresh (same buckets)
+    wd2 = str(tmp_path / "w2")
+    run2 = CrawlRun(spark, wd2, cfg, mini_web["web"], mini_web["robots"])
+    run2.run(mini_web["seeds"], max_supersteps=3)
+    refresh_composite_priorities(spark, wd, cfg, terms,
+                                 w_rank=1.0, w_relevance=0.0, refresh_id=1)
+    refresh_frontier_priorities(spark, wd2, cfg, refresh_id=1)
+    pri1 = {r["url_hash"]: r["priority"]
+            for r in run.frontier.read(spark)
+            .filter(F.col("state") == "pending").collect()}
+    pri2 = {r["url_hash"]: r["priority"]
+            for r in run2.frontier.read(spark)
+            .filter(F.col("state") == "pending").collect()}
+    assert pri1 == pri2
+
+    # 50/50 blend: rewrites something, stays in range, idempotent
+    n = refresh_composite_priorities(spark, wd, cfg, terms,
+                                     w_rank=0.5, w_relevance=0.5, refresh_id=2)
+    assert n > 0
+    after = run.frontier.read(spark).filter(F.col("state") == "pending")
+    assert all(1 <= r["priority"] <= cfg.num_priorities
+               for r in after.collect())
+    refresh_composite_priorities(spark, wd, cfg, terms,
+                                 w_rank=0.5, w_relevance=0.5, refresh_id=2)
+    assert run.frontier.read(spark).filter(
+        F.col("state") == "pending").count() == after.count()
+    more = run.resume(max_supersteps=1)
+    assert more and more[0].fetched > 0
