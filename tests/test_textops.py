@@ -541,3 +541,19 @@ def test_normalize_text_unicode_and_whitespace(spark):
         )
     )
     assert all(not r["changed"] for r in again.collect())
+
+
+def test_normalize_text_plan_one_arrow_pass(spark):
+    import contextlib
+    import io
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        textops.normalize_text(docs).explain("simple")
+    p = buf.getvalue()
+    # NFC is the only Python step: ONE ArrowEvalPython, the regex
+    # stages are codegen'd on top — and nothing shuffles
+    assert p.count("ArrowEvalPython") == 1, p
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
