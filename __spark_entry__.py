@@ -213,6 +213,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(slot * 1.5, 6).alias("scheduled_offset"),
         )
 
+    def a2_budget_allocation(spark, sf):
+        """Largest-remainder apportionment of a 1000-fetch budget across
+        16 queues weighted by their event volume — allocations sum to
+        exactly the budget (the property naive rounding breaks)."""
+        from sparkcrawl.operators.schedule import allocate_budgets
+
+        ev = _read(spark, sf, "events")
+        w = ev.groupBy((F.col("user_id") % 16).alias("queue")).agg(
+            F.count("*").cast("double").alias("weight")
+        )
+        return allocate_budgets(w, 1000)
+
     def r1_robots_parse(spark, sf):
         """R1: robots.txt parser over five body classes (rules+trailing
         delay, multi-agent groups + empty-Disallow allow-all, comments/
@@ -1820,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule_flagship": crawl_schedule,
         "w1_w2_schedule_topk": w1_w2_schedule_topk,
         "w3_politeness_slots": w3_politeness_slots,
+        "a2_budget_allocation": a2_budget_allocation,
         "r1_robots_parse": r1_robots_parse,
         "r3_crawl_delay_slots": r3_crawl_delay_slots,
         "j5_redirect_chains": j5_redirect_chains,
@@ -1997,6 +2010,31 @@ def oracle_sql() -> dict[str, str]:
                    END AS url,
                    'h' || CAST(event_id AS VARCHAR) || '.example' AS host
             FROM events
+        """,
+        "a2_budget_allocation": """
+            WITH w AS (
+              SELECT user_id % 16 AS queue,
+                     CAST(count(*) AS DOUBLE) AS weight
+              FROM events GROUP BY 1),
+            tot AS (SELECT sum(weight) AS tw FROM w),
+            q AS (
+              SELECT queue, weight,
+                     weight * 1000 / (SELECT tw FROM tot) AS quota
+              FROM w),
+            b AS (
+              SELECT queue, weight,
+                     CAST(floor(quota) AS BIGINT) AS base,
+                     quota - floor(quota) AS rem
+              FROM q),
+            l AS (SELECT 1000 - sum(base) AS leftover FROM b),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, queue) AS rk
+              FROM b)
+            SELECT queue, weight,
+                   CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                                         AND rem > 0
+                                    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM r
         """,
         "r1_robots_parse": """
             WITH hosts AS (SELECT DISTINCT user_id % 40 AS hn FROM events),

@@ -208,3 +208,71 @@ def queue_pending_counts(frontier: DataFrame) -> DataFrame:
         .groupBy("queue")
         .agg(F.count("*").alias("pending"))
     )
+
+
+def allocate_budgets(
+    weights: DataFrame,
+    total_budget: int,
+    key_col: str = "queue",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Apportion an integer fetch budget across queues by weight —
+    largest-remainder (Hamilton) apportionment, the deterministic
+    integer-exact rule: every queue gets floor of its proportional
+    quota, and the leftover units go to the largest fractional
+    remainders (ties -> lowest key). The allocations always sum to
+    EXACTLY ``total_budget`` — the property a naive round() breaks.
+
+    Weights are the planner's signal: per-queue yield (new URLs per
+    fetch), mixing weights, or pending counts — anything non-negative;
+    zero/negative weights allocate 0.
+
+    Output: (key, weight, alloc). Shape at scale: the quota arithmetic
+    is per-row codegen; the remainder ranking is ONE window over the
+    QUEUE table (config-bounded cardinality, same contract as the A1/A2
+    queue-stats windows — never frontier rows).
+    """
+    w = F.when(F.col(weight_col) > 0, F.col(weight_col)).otherwise(F.lit(0.0))
+    base = weights.select(
+        F.col(key_col).alias("key"), w.cast("double").alias("weight")
+    )
+    total_w = base.agg(F.sum("weight").alias("_tw"))
+    quota = (
+        base.crossJoin(F.broadcast(total_w))
+        .withColumn(
+            "_quota",
+            F.when(F.col("_tw") > 0,
+                   F.col("weight") * F.lit(total_budget) / F.col("_tw"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn("_base", F.floor(F.col("_quota")).cast("bigint"))
+        .withColumn("_rem", F.col("_quota") - F.col("_base"))
+    )
+    # leftover units = budget - sum of floors; hand them to the largest
+    # remainders (rank over the bounded queue table)
+    leftover = quota.agg(
+        (F.lit(total_budget) - F.sum("_base")).alias("_left")
+    )
+    rank = F.row_number().over(W.orderBy(F.desc("_rem"), F.asc("key")))
+    out = (
+        quota.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", rank)
+        .withColumn(
+            "alloc",
+            (
+                F.col("_base")
+                # bonus units only where there IS a signal: with an
+                # all-zero weight table every remainder is 0 and the
+                # leftover equals the whole budget — handing it out by
+                # key order would allocate budget to queues the planner
+                # scored at zero
+                + F.when(
+                    (F.col("_rk") <= F.col("_left")) & (F.col("_rem") > 0),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("bigint"),
+        )
+    )
+    return out.select(
+        F.col("key").alias(key_col), F.col("weight"), F.col("alloc")
+    )

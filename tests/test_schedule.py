@@ -214,3 +214,27 @@ def test_budget_carry_crawl_run_smoke(spark, mini_web, tmp_path):
     run2 = CrawlRun(spark, work, cfg, mini_web["web"], mini_web["robots"])
     stats = run2.resume(max_supersteps=1)
     assert stats[0].superstep == 4
+
+
+def test_allocate_budgets_largest_remainder(spark):
+    from sparkcrawl.operators.schedule import allocate_budgets
+
+    def run(rows, budget):
+        df = spark.createDataFrame(rows, ["queue", "weight"])
+        return {r["queue"]: r["alloc"]
+                for r in allocate_budgets(df, budget).collect()}
+
+    # 5:3:2 over 7 -> quotas 3.5/2.1/1.4 -> floors 3/2/1, the one
+    # leftover unit goes to the largest remainder (.5)
+    assert run([("a", 5.0), ("b", 3.0), ("c", 2.0)], 7) == {
+        "a": 4, "b": 2, "c": 1}
+    # equal thirds of 10: remainder tie broken to the lowest key
+    assert run([("a", 1.0), ("b", 1.0), ("c", 1.0)], 10) == {
+        "a": 4, "b": 3, "c": 3}
+    # zero-weight queues allocate 0 even when units are left over
+    assert run([("a", 2.0), ("b", 0.0)], 5) == {"a": 5, "b": 0}
+    # no signal at all -> nothing allocated (never spread by key order)
+    assert run([("a", 0.0), ("b", 0.0)], 5) == {"a": 0, "b": 0}
+    # exact-sum invariant on awkward weights
+    out = run([("q%d" % i, float((i * 7) % 5 + 1)) for i in range(9)], 101)
+    assert sum(out.values()) == 101
