@@ -939,6 +939,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.minhash_lsh_pairs(dupped, num_perms=8, n=8, max_bucket_size=100)
 
+    def dedup_lsh_curve(spark, sf):
+        """Analytic AND-OR banding calibration: P(band collision) over
+        the similarity axis for the 8-perm / 4-rows-per-band config —
+        the table an operator consults before setting rows_per_band."""
+        return textops.lsh_collision_curve(
+            spark, num_perms=8, rows_per_band=4, points=20
+        )
+
     def dedup_incremental_index(spark, sf):
         """Continuous-crawl incremental dedup: even doc_ids are the
         archived corpus (pre-computed signature index), odd ids plus
@@ -1871,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_eval_overlap": decontaminate_eval_overlap,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_incremental_index": dedup_incremental_index,
+        "dedup_lsh_curve": dedup_lsh_curve,
         "dedup_lsh_verified": dedup_lsh_verified,
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_substring_cut": dedup_substring_cut,
@@ -2495,6 +2504,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM spairs WHERE sim >= 0.3) WHERE rn = 1)
             SELECT s.id, s.centroid_id, d.id IS NULL AS keep, d.dup_of, d.sim
             FROM assigned s LEFT JOIN dups d ON d.id = s.id
+        """,
+        "dedup_lsh_curve": """
+            SELECT round(i / 20.0, 6) AS s,
+                   round(1 - pow(1 - pow(i / 20.0, 4), 2), 6) AS p_collide
+            FROM generate_series(1, 20) AS t(i)
         """,
         "dedup_incremental_index": """
             WITH idx_docs AS (

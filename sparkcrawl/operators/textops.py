@@ -1236,3 +1236,29 @@ def normalize_text(
         collapsed.alias("norm_text"),
         (collapsed != text).alias("changed"),
     )
+
+
+def lsh_collision_curve(
+    spark,
+    num_perms: int = 8,
+    rows_per_band: int = 1,
+    points: int = 20,
+) -> DataFrame:
+    """Analytic MinHash-LSH calibration table: for Jaccard similarity
+    s, the probability at least one band collides is
+
+        P(s) = 1 - (1 - s^r)^b     (r = rows_per_band, b = perms / r)
+
+    — the curve operators consult to pick the AND-OR knob
+    (minhash_lsh_pairs rows_per_band): r=1 maximizes recall, larger r
+    sharpens the threshold around (1/b)^(1/r). Returns (s, p_collide)
+    over ``points`` evenly spaced similarities; pure generate-series
+    arithmetic, no data read.
+    """
+    b = num_perms // rows_per_band
+    return spark.range(1, points + 1).select(
+        F.round(F.col("id") / points, 6).alias("s"),
+        F.round(
+            1 - F.pow(1 - F.pow(F.col("id") / points, rows_per_band), b), 6
+        ).alias("p_collide"),
+    )
