@@ -1837,6 +1837,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     return {
+        "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
+        "simsearch_ivf_topk": simsearch_ivf_topk,
+        "embedding_quantized_topk": embedding_quantized_topk,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "text_language_id": text_language_id,
+        "text_quality_score": text_quality_score,
+        "text_token_counts": text_token_counts,
+        "text_doc_fingerprint": text_doc_fingerprint,
+        "text_tfidf_topterms": text_tfidf_topterms,
+        "text_bm25_query": text_bm25_query,
+        "text_trigram_lm": text_trigram_lm,
+        "corpus_perplexity_buckets": corpus_perplexity_buckets,
+        "text_normalize_unicode": text_normalize_unicode,
+        "text_redact_pii": text_redact_pii,
+        "corpus_rollup_cube": corpus_rollup_cube,
+        "temporal_asof_join": temporal_asof_join,
+        "range_join_sizes": range_join_sizes,
+        "corpus_hash_split": corpus_hash_split,
+        "corpus_curation_pipeline": corpus_curation_pipeline,
+        "corpus_stratified_sample": corpus_stratified_sample,
+        "corpus_length_quantiles": corpus_length_quantiles,
+        "text_repetition_metrics": text_repetition_metrics,
+        "text_gopher_rules": text_gopher_rules,
+        "crawl_adaptive_politeness": crawl_adaptive_politeness,
+        "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
+        "corpus_boilerplate_share": corpus_boilerplate_share,
+        "corpus_domain_weights": corpus_domain_weights,
+        "corpus_mixture_sample": corpus_mixture_sample,
+        "corpus_token_shards": corpus_token_shards,
+        "corpus_packed_sequences": corpus_packed_sequences,
+        "media_ref_rollup": media_ref_rollup,
+        "multimodal_packed_sequences": multimodal_packed_sequences,
+        "span_media_layout": span_media_layout,
+        "anchor_text_agg": anchor_text_agg,
+        "graph_host_rank": graph_host_rank,
+        "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+        "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+        "interleaved_span_extract": interleaved_span_extract,
+        "freshness_revisit_schedule": freshness_revisit_schedule,
+        "trap_detection": trap_detection,
+        "host_error_quarantine": host_error_quarantine,
+        "robots_sitemap_urls": robots_sitemap_urls,
+        "multimodal_mime_sniff": multimodal_mime_sniff,
+        "multimodal_media_features": multimodal_media_features,
+        "streaming_host_sessions": streaming_host_sessions,
+        "crawl_mini_superstep": crawl_mini_superstep,
+        # --- driver-green in r3 (CORRECTNESS_r03.json); rotated behind the
+        # --- 46 keys above so the driver's 50-query sample covers them in r4
         "crawl_schedule_flagship": crawl_schedule,
         "w1_w2_schedule_topk": w1_w2_schedule_topk,
         "w3_politeness_slots": w3_politeness_slots,
@@ -1887,52 +1935,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_canonical": dedup_corpus_canonical,
         "dedup_simhash": dedup_simhash,
         "simsearch_bruteforce_topk": simsearch_bruteforce_topk,
-        "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
-        "simsearch_ivf_topk": simsearch_ivf_topk,
-        "embedding_quantized_topk": embedding_quantized_topk,
-        "embedding_near_dup_pairs": embedding_near_dup_pairs,
-        "text_language_id": text_language_id,
-        "text_quality_score": text_quality_score,
-        "text_token_counts": text_token_counts,
-        "text_doc_fingerprint": text_doc_fingerprint,
-        "text_tfidf_topterms": text_tfidf_topterms,
-        "text_bm25_query": text_bm25_query,
-        "text_trigram_lm": text_trigram_lm,
-        "corpus_perplexity_buckets": corpus_perplexity_buckets,
-        "text_normalize_unicode": text_normalize_unicode,
-        "text_redact_pii": text_redact_pii,
-        "corpus_rollup_cube": corpus_rollup_cube,
-        "temporal_asof_join": temporal_asof_join,
-        "range_join_sizes": range_join_sizes,
-        "corpus_hash_split": corpus_hash_split,
-        "corpus_curation_pipeline": corpus_curation_pipeline,
-        "corpus_stratified_sample": corpus_stratified_sample,
-        "corpus_length_quantiles": corpus_length_quantiles,
-        "text_repetition_metrics": text_repetition_metrics,
-        "text_gopher_rules": text_gopher_rules,
-        "crawl_adaptive_politeness": crawl_adaptive_politeness,
-        "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
-        "corpus_boilerplate_share": corpus_boilerplate_share,
-        "corpus_domain_weights": corpus_domain_weights,
-        "corpus_mixture_sample": corpus_mixture_sample,
-        "corpus_token_shards": corpus_token_shards,
-        "corpus_packed_sequences": corpus_packed_sequences,
-        "media_ref_rollup": media_ref_rollup,
-        "multimodal_packed_sequences": multimodal_packed_sequences,
-        "span_media_layout": span_media_layout,
-        "anchor_text_agg": anchor_text_agg,
-        "graph_host_rank": graph_host_rank,
-        "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
-        "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
-        "interleaved_span_extract": interleaved_span_extract,
-        "freshness_revisit_schedule": freshness_revisit_schedule,
-        "trap_detection": trap_detection,
-        "host_error_quarantine": host_error_quarantine,
-        "robots_sitemap_urls": robots_sitemap_urls,
-        "multimodal_mime_sniff": multimodal_mime_sniff,
-        "multimodal_media_features": multimodal_media_features,
-        "streaming_host_sessions": streaming_host_sessions,
-        "crawl_mini_superstep": crawl_mini_superstep,
     }
 
 
