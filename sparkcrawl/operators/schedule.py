@@ -145,6 +145,35 @@ def select_fetch_batch(
     return politeness_slots(picked, cfg, crawl_delays)
 
 
+def ranked_in_total_order(spark, batch: DataFrame) -> DataFrame:
+    """S6/A3: dense 0-based ``rank`` over the batch's deterministic total
+    order (slot, host, url_hash) — WITHOUT a single-partition window.
+
+    Rank within each slot (partitioned window, runs in parallel) plus a
+    per-slot base offset. Offsets come from the per-slot COUNTS — an
+    aggregate whose cardinality is bounded by the politeness depth (max
+    URLs any one host contributes to a batch, a config bound, never
+    data-sized) — collected, cumulated driver-side, and broadcast back.
+    At 100× batch size every slot group still ranks in parallel; the
+    driver only ever sees |distinct slots| count rows.
+    """
+    slot_counts = sorted(
+        (r["slot"], r["n"])
+        for r in batch.groupBy("slot").agg(F.count("*").alias("n")).collect()
+    )
+    bases, acc = [], 0
+    for s, n in slot_counts:
+        bases.append((s, acc))
+        acc += n
+    base_df = spark.createDataFrame(bases or [(0, 0)], "slot int, rank_base long")
+    w_slot = W.partitionBy("slot").orderBy(F.asc("host"), F.asc("url_hash"))
+    return (
+        batch.join(F.broadcast(base_df), "slot")
+        .withColumn("rank", F.col("rank_base") + F.row_number().over(w_slot) - F.lit(1))
+        .drop("rank_base")
+    )
+
+
 def update_queue_state(
     eligible_counts: DataFrame,
     taken_counts: DataFrame,

@@ -364,16 +364,14 @@ class CrawlRun:
             # fetch rows (bodies) are no longer referenced
             fetched.unpersist()
 
-        # S6/A3: ordered fetch log — rank over the full batch's total order
-        # (slot, host, url_hash); window is single-partition but the batch
-        # is config-bounded (active_queues × budget), never data-sized.
-        from pyspark.sql import Window as W
-
+        # S6/A3: ordered fetch log — same total order (slot, host,
+        # url_hash), de-serialized: per-slot partitioned rank + config-
+        # bounded base offsets (see ranked_in_total_order).
         from sparkcrawl.operators.prioritize import outcome_class
+        from sparkcrawl.operators.schedule import ranked_in_total_order
 
-        rank_w = W.orderBy(F.asc("slot"), F.asc("host"), F.asc("url_hash"))
         log_df = (
-            batch.withColumn("rank", F.row_number().over(rank_w) - F.lit(1))
+            ranked_in_total_order(spark, batch)
             .filter(F.col("robots_allowed"))
             .select("url_hash", "rank", "slot")
             .join(extracted.select("url_hash", "status_code"), "url_hash", "left")

@@ -228,3 +228,32 @@ def test_revisit_marks_is_agg_join_not_window(spark, queries):
     assert "Window" not in p
     assert "HashAggregate" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_fetch_log_rank_window_is_partitioned(spark):
+    """S6/A3 total-order rank (plans/superstep.py) must never move the
+    batch to one task: every Window in ranked_in_total_order's plan
+    carries a partition spec (three bracket groups in the plan line —
+    an unpartitioned Window prints only [exprs], [order])."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.schedule import ranked_in_total_order
+
+    batch = spark.range(100).select(
+        (F.col("id") % 7).cast("int").alias("slot"),
+        F.concat(F.lit("h"), (F.col("id") % 13).cast("string")).alias("host"),
+        F.md5(F.col("id").cast("string")).alias("url_hash"),
+    )
+    ranked = ranked_in_total_order(spark, batch)
+    p = plan_of(ranked, "simple")
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert win_lines, "expected a Window operator"
+    for ln in win_lines:
+        assert ln.count("], [") >= 2, f"unpartitioned Window: {ln.strip()[:160]}"
+    # and the dense total order is intact: rank == global (slot, host, url_hash) order
+    rows = ranked.orderBy("rank").collect()
+    expect = sorted(rows, key=lambda r: (r["slot"], r["host"], r["url_hash"]))
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+    assert [(r["slot"], r["host"], r["url_hash"]) for r in rows] == [
+        (r["slot"], r["host"], r["url_hash"]) for r in expect
+    ]
