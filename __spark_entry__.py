@@ -1093,6 +1093,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf, "embeddings")
         return _widen(simsearch.semantic_dedup(emb, threshold=0.3, n_cells=8))
 
+    def dedup_semantic_canonical(spark, sf):
+        """The embedding-side END-TO-END dedup policy (mirror of
+        dedup_corpus_canonical for the semantic path): banded-LSH
+        cosine near-dup pairs -> connected components -> keep min
+        vec_id per cluster. Threshold 0.3 (fixture sims top out ~0.49)
+        so components are non-trivial and transitivity is exercised."""
+        emb = _read(spark, sf, "embeddings")
+        kept = simsearch.semantic_dedup_canonical(
+            emb, threshold=0.3, n_planes=_ND_PLANES, dim=_EMB_DIM,
+            seed=_LSH_SEED, n_bands=_LSH_BANDS, max_bucket_size=_ND_CAP,
+        )
+        return kept.select("vec_id")
+
     def text_language_id(spark, sf):
         docs = _read(spark, sf, "documents")
         return _widen(textops.language_id(docs))
@@ -1883,6 +1896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_features": multimodal_media_features,
         "streaming_host_sessions": streaming_host_sessions,
         "crawl_mini_superstep": crawl_mini_superstep,
+        # --- new in r4 ---
+        "dedup_semantic_canonical": dedup_semantic_canonical,
         # --- driver-green in r3 (CORRECTNESS_r03.json); rotated behind the
         # --- 46 keys above so the driver's 50-query sample covers them in r4
         "crawl_schedule_flagship": crawl_schedule,
@@ -2880,6 +2895,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings ea ON ea.vec_id = cand.id_a
             JOIN embeddings eb ON eb.vec_id = cand.id_b
             WHERE round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) >= 0.3
+        """,
+        "dedup_semantic_canonical": f"""
+            WITH RECURSIVE
+            bb AS ({_banded_bucket_cte(_ND_PLANES)}),
+            ok AS (
+              SELECT band, bucket FROM bb
+              GROUP BY band, bucket HAVING count(*) <= {_ND_CAP}),
+            bc AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+              FROM bc a JOIN bc b2
+                ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+            ver AS (
+              SELECT id_a, id_b
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = cand.id_a
+              JOIN embeddings eb ON eb.vec_id = cand.id_b
+              WHERE round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) >= 0.3),
+            sym AS (SELECT id_a AS a, id_b AS b FROM ver
+                    UNION SELECT id_b, id_a FROM ver),
+            nodes AS (SELECT DISTINCT a AS id FROM sym),
+            reach AS (
+              SELECT id, id AS comp FROM nodes
+              UNION
+              SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+            comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+            losers AS (SELECT id FROM comp WHERE id <> comp)
+            SELECT e.vec_id
+            FROM embeddings e LEFT JOIN losers l ON l.id = e.vec_id
+            WHERE l.id IS NULL
         """,
         "text_language_id": _language_id_sql(),
         "text_quality_score": _quality_sql(),

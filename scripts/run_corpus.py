@@ -18,6 +18,7 @@ optional and the stages compose in this order):
   language-ID -> quality gate -> repetition gate
   [-> Gopher rule verdicts] [-> CCNet perplexity-bucket gate]
   -> exact dedup [-> SemDeDup semantic dedup]
+  [-> embedding canonical dedup (LSH pairs -> components -> keep-min)]
   [-> near-dup canonical dedup] [-> eval decontamination]
   [-> temperature-weighted mixture draw] -> salted-hash split
   -> partitioned export with manifests [-> token-balanced shard ids]
@@ -71,6 +72,12 @@ def main() -> None:
                     help="SemDeDup: drop docs whose intra-cluster cosine to "
                          "a lower-id kept doc reaches this (0 = off; "
                          "needs --embeddings)")
+    ap.add_argument("--semantic-canonical", type=float, default=0.0,
+                    help="embedding canonical dedup: banded-LSH cosine "
+                         "near-dup pairs -> connected components -> keep "
+                         "min doc_id per cluster (0 = off; needs "
+                         "--embeddings). The transitive, policy-grade "
+                         "counterpart to --semantic-threshold")
     ap.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
     ap.add_argument("--salt", default="corpus-v1")
     args = ap.parse_args()
@@ -150,6 +157,16 @@ def main() -> None:
             .select(F.col("id").alias("doc_id"))
         )
         kept = kept.join(keep_ids, "doc_id")
+    if args.semantic_canonical and args.embeddings:
+        from sparkcrawl.operators import simsearch
+
+        emb = spark.read.parquet(args.embeddings).join(
+            kept.select("doc_id"), "doc_id"
+        )
+        survivors = simsearch.semantic_dedup_canonical(
+            emb, threshold=args.semantic_canonical, id_col="doc_id"
+        ).select("doc_id")
+        kept = kept.join(survivors, "doc_id")
     if args.near_dup:
         kept = textops.dedup_corpus_canonical(kept)
     if args.cut_substrings:

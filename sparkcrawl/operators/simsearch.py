@@ -484,3 +484,44 @@ def semantic_dedup(
             F.col("_d.sim").alias("sim"),
         )
     )
+
+
+def semantic_dedup_canonical(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 0,
+    n_bands: int = 1,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The embedding-side corpus dedup policy, end to end — the exact
+    mirror of :func:`sparkcrawl.operators.textops.dedup_corpus_canonical`
+    for the semantic path:
+
+        banded-LSH cosine near-dup pairs -> connected components ->
+        keep the MIN vec id per cluster.
+
+    Returns the SURVIVING rows of ``embeddings``. The component step is
+    what makes this a POLICY rather than a pair list: embedding
+    near-duplication is transitive in practice (A~B, B~C but A!~C at
+    the threshold), so pair-level dropping either over-deletes or
+    leaves dups. Every stage keeps the 100 TB shape: the pair search is
+    banded + capped (never all-pairs), components are one shuffle per
+    round over the PAIRS (a tiny fraction of the corpus), and the final
+    keep is a left-anti join on the id.
+    """
+    from sparkcrawl.operators.textops import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold=threshold, n_planes=n_planes, dim=dim,
+        seed=seed, n_bands=n_bands, max_bucket_size=max_bucket_size,
+        id_col=id_col, vec_col=vec_col,
+    )
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return embeddings.join(losers, id_col, "left_anti")

@@ -433,3 +433,28 @@ def test_pack_multimodal_long_text_pieces_and_fitting_media(spark):
     text_pieces = [(r["example_id"], r["span_offset"], r["piece_len"])
                    for r in rows[1:]]
     assert text_pieces == [(1, 0, 8), (2, 8, 8), (3, 16, 4)]
+
+
+def test_semantic_dedup_canonical_transitive_keep_min(spark):
+    """A~B and B~C but A!~C at the threshold: the component step must
+    merge all three into ONE cluster keeping only the min id — a
+    pair-level rule would keep A and C (leaving a near-dup of B) or
+    double-delete. Vector 9 is orthogonal: a surviving singleton."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.4359, 0.0, 0.0]),   # cos(1,2) ~= 0.90
+        (3, [0.62, 0.7846, 0.0, 0.0]),  # cos(2,3) ~= 0.90, cos(1,3) ~= 0.62
+        (9, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    kept = simsearch.semantic_dedup_canonical(
+        emb, threshold=0.85, n_planes=2, dim=4, n_bands=2
+    )
+    assert sorted(r["vec_id"] for r in kept.collect()) == [1, 9]
+    # sanity: the pair list itself has no (1,3) edge at the threshold
+    pairs = simsearch.embedding_near_dup_pairs(
+        emb, threshold=0.85, n_planes=2, dim=4, n_bands=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2), (2, 3)}
