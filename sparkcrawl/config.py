@@ -80,6 +80,10 @@ class CrawlConfig:
     # snapshot (functions/domains.py) so subdomains of one registrable
     # domain share a politeness queue, as north_star requires.
     use_public_suffix: bool = False
+    # optional path to a real public_suffix_list.dat (publicsuffix.org
+    # syntax); None = bundled snapshot. Loaded once at plan time via
+    # functions.domains.load_public_suffix_list.
+    public_suffix_file: str | None = None
     # --- extraction (C3/F5) ---
     max_content_length: int = 2_000_000     # limiter size gate
     allowed_content_types: str = r"^text/html"

@@ -62,21 +62,51 @@ PUBLIC_SUFFIX_SNAPSHOT: tuple[str, ...] = (
 _IPV4 = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
 _LAST_TWO = r"([^.]+\.[^.]+)$"
 
-# rule classes, parsed once from the PSL-syntax snapshot
-_EXCEPTIONS: tuple[str, ...] = tuple(
-    s[1:] for s in PUBLIC_SUFFIX_SNAPSHOT if s.startswith("!")
-)
-_WILDCARDS: tuple[str, ...] = tuple(
-    s[2:] for s in PUBLIC_SUFFIX_SNAPSHOT if s.startswith("*.")
-)
-_NORMAL: tuple[str, ...] = tuple(
-    s for s in PUBLIC_SUFFIX_SNAPSHOT if not s.startswith(("!", "*."))
-)
+
+def load_public_suffix_list(path: str) -> tuple[str, ...]:
+    """Parse the REAL ``public_suffix_list.dat`` syntax (publicsuffix.org):
+    ``//`` comment lines, blank lines, one rule per line (anything after
+    the first whitespace is ignored, per the PSL wiki's parsing rules),
+    ``*.``-wildcards and ``!``-exceptions verbatim. Returns the rules
+    tuple in file order — feed it to :func:`set_public_suffix_rules` to
+    make it the active rule set. A real deployment downloads the list
+    once and ships it with ``--files``; the bundled snapshot stays the
+    fallback so the sandbox needs no network."""
+    rules: list[str] = []
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line.split()[0].lower())
+    return tuple(rules)
+
+
+def _classify(rules: tuple[str, ...]) -> dict[str, tuple[str, ...]]:
+    return {
+        "exceptions": tuple(s[1:] for s in rules if s.startswith("!")),
+        "wildcards": tuple(s[2:] for s in rules if s.startswith("*.")),
+        "normal": tuple(s for s in rules if not s.startswith(("!", "*."))),
+    }
+
+
+# active rule classes; default = bundled snapshot, swappable via
+# set_public_suffix_rules(load_public_suffix_list(path))
+_ACTIVE: dict[str, tuple[str, ...]] = _classify(PUBLIC_SUFFIX_SNAPSHOT)
+
+
+def set_public_suffix_rules(rules: tuple[str, ...] | None = None) -> None:
+    """Swap the active PSL rule set (None = restore the bundled
+    snapshot). Affects every subsequent registered_domain* call — the
+    column expressions bake the rule set in at PLAN time, so call this
+    before building the plan, not mid-query."""
+    global _ACTIVE
+    _ACTIVE = _classify(rules if rules is not None else PUBLIC_SUFFIX_SNAPSHOT)
 
 
 def _ordered_exceptions() -> list[str]:
     """Exception rules, most-labels first (PSL: exceptions beat wildcards)."""
-    return sorted(_EXCEPTIONS, key=lambda s: (-s.count("."), -len(s), s))
+    return sorted(_ACTIVE["exceptions"], key=lambda s: (-s.count("."), -len(s), s))
 
 
 def _ordered_rules() -> list[tuple[int, str]]:
@@ -84,10 +114,13 @@ def _ordered_rules() -> list[tuple[int, str]]:
     are literal patterns; a wildcard base ``b`` contributes the pattern
     ``[^.]+\\.b`` (any ONE label under the base is itself a public
     suffix), counting one extra label."""
-    rules = [(s.count(".") + 1, len(s), s.replace(".", r"\.")) for s in _NORMAL]
+    rules = [
+        (s.count(".") + 1, len(s), s.replace(".", r"\."))
+        for s in _ACTIVE["normal"]
+    ]
     rules += [
         (b.count(".") + 2, len(b) + 2, r"[^.]+\." + b.replace(".", r"\."))
-        for b in _WILDCARDS
+        for b in _ACTIVE["wildcards"]
     ]
     rules.sort(key=lambda r: (-r[0], -r[1], r[2]))
     return [(r[0], r[2]) for r in rules]

@@ -75,10 +75,18 @@ class SuperstepStats:
 
 
 def _registered_domain_col(cfg: CrawlConfig):
-    """C9: host (parity default) or eTLD+1 (cfg.use_public_suffix)."""
+    """C9: host (parity default) or eTLD+1 (cfg.use_public_suffix).
+    cfg.public_suffix_file swaps in a full publicsuffix.org list file;
+    the bundled snapshot is the fallback."""
     if cfg.use_public_suffix:
-        from sparkcrawl.functions.domains import registered_domain
+        from sparkcrawl.functions.domains import (
+            load_public_suffix_list,
+            registered_domain,
+            set_public_suffix_rules,
+        )
 
+        if cfg.public_suffix_file:
+            set_public_suffix_rules(load_public_suffix_list(cfg.public_suffix_file))
         return registered_domain(F.col("host"))
     return F.col("host")
 

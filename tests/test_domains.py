@@ -91,3 +91,63 @@ def test_subdomains_share_politeness_queue(spark):
     assert {r["registered_domain"] for r in rows} == {
         "a.shop.example.co.uk", "b.shop.example.co.uk"
     }
+
+
+def test_load_real_psl_file_syntax(spark, tmp_path):
+    """load_public_suffix_list parses the REAL public_suffix_list.dat
+    syntax — comments, blank lines, section markers, trailing junk
+    after whitespace, wildcard + exception rules — and the swapped-in
+    rule set changes registered_domain plan-wide (then restores)."""
+    from sparkcrawl.functions.domains import (
+        load_public_suffix_list,
+        registered_domain,
+        registered_domain_py,
+        set_public_suffix_rules,
+    )
+
+    dat = tmp_path / "public_suffix_list.dat"
+    dat.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "\n"
+        "// ck : https://example\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "com\n"
+        "co.uk   // trailing comment after whitespace is ignored\n"
+        "// ===BEGIN PRIVATE DOMAINS===\n"
+        "EXAMPLE.dyndns.org\n"          # case-folded on load
+        "// ===END PRIVATE DOMAINS===\n",
+        encoding="utf-8",
+    )
+    rules = load_public_suffix_list(str(dat))
+    assert rules == ("*.ck", "!www.ck", "com", "co.uk", "example.dyndns.org")
+
+    set_public_suffix_rules(rules)
+    try:
+        cases = {
+            "a.b.www.ck": "www.ck",          # exception beats wildcard
+            "x.other.ck": "x.other.ck",      # wildcard: other.ck is a suffix
+            "a.shop.co.uk": "shop.co.uk",
+            # example.dyndns.org is a SUFFIX: registrable = suffix + 1 label
+            "deep.sub.example.dyndns.org": "sub.example.dyndns.org",
+            "foo.bar.com": "bar.com",
+            # dyndns.org itself is NOT a suffix in this file: last-two fallback
+            "me.dyndns.org": "dyndns.org",
+        }
+        df = spark.createDataFrame([(h,) for h in cases], ["host"])
+        got = {
+            r["host"]: r["rd"]
+            for r in df.select(
+                "host", registered_domain(F.col("host")).alias("rd")
+            ).collect()
+        }
+        for h, want in cases.items():
+            assert got[h] == want, (h, got[h])
+            assert registered_domain_py(h) == want, h  # python twin agrees
+    finally:
+        set_public_suffix_rules(None)  # restore the bundled snapshot
+    # restored: snapshot semantics back in force
+    df2 = spark.createDataFrame([("me.dyndns.org",)], ["host"])
+    assert df2.select(
+        registered_domain(F.col("host")).alias("rd")
+    ).collect()[0]["rd"] == "dyndns.org"
