@@ -246,15 +246,46 @@ def parse_png_ihdr(payload: bytes) -> tuple[int, int] | None:
     return width, height
 
 
+def parse_gif_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a GIF logical-screen descriptor, or None.
+
+    GIF87a/GIF89a: 6-byte signature, then canvas width/height as
+    little-endian uint16 at bytes 6..10. Pure byte parsing."""
+    import struct
+
+    if not payload or len(payload) < 10:
+        return None
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack("<HH", payload[6:10])
+    return width, height
+
+
+def parse_bmp_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a BMP BITMAPINFOHEADER, or None.
+
+    'BM' magic; with the standard 40-byte info header, width/height are
+    little-endian int32 at offsets 18/22 (height may be negative for
+    top-down rows — abs() is the pixel count). Pure byte parsing."""
+    import struct
+
+    if not payload or len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    width, height = struct.unpack("<ii", payload[18:26])
+    return abs(width), abs(height)
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """First real kernel: PNG header dims + an 8-bin normalized byte
-    histogram as the feature (a genuine payload statistic, no external
-    libs). Non-PNG payloads still need PIL/libav — guarded seam."""
-    dims = parse_png_ihdr(payload)
+    """Real header kernels (PNG IHDR, GIF screen descriptor, BMP info
+    header) + an 8-bin normalized byte histogram as the feature (a
+    genuine payload statistic, no external libs). Formats that need a
+    full decoder (JPEG/webp/video) still raise — guarded seam until
+    PIL/libav exist in the runtime."""
+    dims = parse_png_ihdr(payload) or parse_gif_header(payload) or parse_bmp_header(payload)
     if dims is None:
         raise NotImplementedError(
-            "real decode implemented for PNG headers only; other formats "
-            "need PIL/libav, absent in this container"
+            "real decode implemented for PNG/GIF/BMP headers only; other "
+            "formats need PIL/libav, absent in this container"
         )
     n = len(payload)
     hist = [0] * 8

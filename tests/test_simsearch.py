@@ -458,3 +458,41 @@ def test_semantic_dedup_canonical_transitive_keep_min(spark):
         emb, threshold=0.85, n_planes=2, dim=4, n_bands=2
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2), (2, 3)}
+
+
+def test_real_gif_bmp_header_decode(spark):
+    """fake=False kernels beyond PNG: GIF logical-screen descriptor and
+    BMP BITMAPINFOHEADER dims from hand-built bytes (incl. GIF87a vs
+    GIF89a, top-down negative-height BMP, and the mixed-format batch
+    through mapInPandas)."""
+    import struct
+
+    from sparkcrawl.operators import multimodal
+
+    def gif(width, height, ver=b"GIF89a"):
+        return ver + struct.pack("<HH", width, height) + b"\x00" * 6
+
+    def bmp(width, height):
+        return (
+            b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)      # file header
+            + struct.pack("<Iii", 40, width, height)        # info header
+            + b"\x00" * 28
+        )
+
+    assert multimodal.parse_gif_header(gif(320, 200)) == (320, 200)
+    assert multimodal.parse_gif_header(gif(17, 9, b"GIF87a")) == (17, 9)
+    assert multimodal.parse_gif_header(b"GIF88a" + b"\x00" * 8) is None
+    assert multimodal.parse_bmp_header(bmp(800, 600)) == (800, 600)
+    assert multimodal.parse_bmp_header(bmp(800, -600)) == (800, 600)  # top-down
+    assert multimodal.parse_bmp_header(b"notabmp" * 8) is None
+
+    rows = [
+        ("a.gif", gif(320, 200), "image", 16),
+        ("b.bmp", bmp(800, 600), "image", 70),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r["media_ref"]: (r["width"], r["height"], len(r["feature"]))
+        for r in multimodal.decode_and_featurize(media, fake=False).collect()
+    }
+    assert got == {"a.gif": (320, 200, 8), "b.bmp": (800, 600, 8)}
