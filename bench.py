@@ -345,6 +345,103 @@ def full_superstep_metric(spark, sf_dir: str, replicas: int = FRONTIER_REPLICAS,
     }
 
 
+def _synthetic_corpus(spark, n_docs: int, uniq_words: int = 12,
+                      boiler_every: int = 10):
+    """n_docs deterministic word-salad docs (md5-derived tokens, so no
+    accidental cross-doc duplication) + a >=13-token boilerplate block
+    appended to every ``boiler_every``-th doc — a controlled corpus-wide
+    duplication rate, the shape substring dedup hunts at scale."""
+    par = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "0")) \
+        or spark.sparkContext.defaultParallelism * 2
+    base = spark.range(n_docs).repartition(par)
+    words = [
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"w{j}")))
+        for j in range(uniq_words)
+    ]
+    boiler = F.lit(
+        "this content is licensed under the terms described in the "
+        "site wide boilerplate footer block"
+    )
+    text = F.concat_ws(" ", *words)
+    text = F.when(
+        F.col("id") % boiler_every == 0, F.concat_ws(" ", text, boiler)
+    ).otherwise(text)
+    return base.select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def dedup_scale_probes(spark, sf_dir: str, reps: int = 2) -> dict:
+    """Scaling curves for the two newest scale-critical dedup paths —
+    sf0.1's 5k-doc floor hides them (VERDICT r3 #6), so each is probed
+    at two synthetic corpus sizes:
+
+    - dedup_incremental_index: a FIXED 500-doc increment band-joined
+      against a precomputed signature index of 20k vs 80k archive docs.
+      The claim under test: per-increment cost scales with the
+      increment, not the archive -> time_growth_x should sit near 1.0
+      while the archive grows 4x.
+    - dedup_substring_spans: the whole corpus-wide k-gram pipeline at
+      10k vs 40k docs. One shuffle on digests -> time_growth_x should
+      track ~4x (linear), not ~16x (quadratic).
+    """
+    from sparkcrawl.operators import release_caches
+    from sparkcrawl.operators.textops import (
+        dedup_against_index,
+        duplicated_substring_spans,
+        minhash_signatures,
+    )
+
+    def timed(mk) -> float:
+        times = []
+        for rep in range(reps + 1):  # rep 0 = warm-up
+            t0 = time.perf_counter()
+            _noop_write(mk())
+            if rep > 0:
+                times.append(time.perf_counter() - t0)
+        return min(times)
+
+    increment = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 500)
+        .persist()
+    )
+    n_inc = increment.count()
+    inc_probe: dict = {"increment_docs": n_inc, "archive_growth_x": 4.0}
+    sub_probe: dict = {"corpus_growth_x": 4.0}
+    for tag, n_arch in (("x1", 20_000), ("x4", 80_000)):
+        # index precomputed + materialized OUTSIDE the timed region —
+        # that is the operator's contract (signatures stored once)
+        idx = minhash_signatures(
+            _synthetic_corpus(spark, n_arch), num_perms=8, n=8
+        ).persist()
+        idx.count()
+        sec = timed(lambda: dedup_against_index(
+            increment, idx, num_perms=8, n=8, max_bucket_size=100
+        ))
+        inc_probe[f"archive_{tag}_docs"] = n_arch
+        inc_probe[f"sec_{tag}"] = round(sec, 3)
+        idx.unpersist()
+    inc_probe["time_growth_x"] = round(inc_probe["sec_x4"] / inc_probe["sec_x1"], 2)
+    increment.unpersist()
+    release_caches()
+    spark.catalog.clearCache()
+
+    for tag, n_docs in (("x1", 10_000), ("x4", 40_000)):
+        corpus = _synthetic_corpus(spark, n_docs).persist()
+        corpus.count()
+        sec = timed(lambda: duplicated_substring_spans(corpus, k=8))
+        sub_probe[f"docs_{tag}"] = n_docs
+        sub_probe[f"sec_{tag}"] = round(sec, 3)
+        corpus.unpersist()
+    sub_probe["time_growth_x"] = round(sub_probe["sec_x4"] / sub_probe["sec_x1"], 2)
+    release_caches()
+    spark.catalog.clearCache()
+    return {
+        "dedup_incremental_index": inc_probe,
+        "dedup_substring_spans": sub_probe,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -364,6 +461,7 @@ def main() -> None:
     # Python path an always-measured number, not a trust-me.
     north_mixed = north_metric(spark, sf_dir, slow_noise=True)
     spark.catalog.clearCache()
+    scale_probes = dedup_scale_probes(spark, sf_dir)
 
     from sparkcrawl.operators import release_caches
 
@@ -407,6 +505,7 @@ def main() -> None:
                 "cpus": cpus,
                 "north": north,
                 "north_mixed": north_mixed,
+                "scale_probes": scale_probes,
                 "query_total_sec": round(sum(timings.values()), 3),
             }
         )
