@@ -218,13 +218,19 @@ def north_metric(spark, sf_dir: str, replicas: int = FRONTIER_REPLICAS,
     seen_keys.count()
 
     times = []
-    for rep in range(reps + 1):  # rep 0 = untimed warm-up
+    # TWO untimed warm-up reps: measured r4 ladders (e.g. 8.5, 8.0, 7.4,
+    # 7.8, 10.3, 6.0, 4.8, 4.1) show this box sometimes needs >1 rep of
+    # JIT/codegen/GC warm-up before the steady state a 1000-executor
+    # cluster would amortize away; one warm rep under-warms and best-of-5
+    # then reports warm-up, not the engine.
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
+    for rep in range(reps + warmups):
         t0 = time.perf_counter()
         hashed, slotted = _superstep_pipeline(raw, seen_keys, cfg)
         _noop_write(slotted)
         dt = time.perf_counter() - t0
         hashed.unpersist()
-        if rep > 0:
+        if rep >= warmups:
             times.append(dt)
     raw.unpersist()
     seen_keys.unpersist()
