@@ -1106,6 +1106,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kept.select("vec_id")
 
+    def text_c4_filters(spark, sf):
+        """C4 cleaning-heuristic verdicts (Raffel et al. 2020 §2.2).
+        The fixture text has no punctuation/lines, so trigger features
+        are injected deterministically per doc_id: a 3-sentence closing
+        line (baseline keep=True), a no-punct line on %3, a bad phrase
+        on %7, a curly brace on %11, 'javascript' on %13."""
+        from sparkcrawl.operators.repetition import c4_quality_filters
+
+        docs = _read(spark, sf, "documents")
+        d = F.col("doc_id")
+        text2 = F.concat(
+            F.col("text"),
+            F.lit("\nA good closing sentence. It has punctuation. Yes."),
+            F.when(d % 3 == 0, F.lit("\nno terminal punct here")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit("\nLorem Ipsum dolor sit.")).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit("\nif (x) { return; }")).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit("\nPlease enable JavaScript now.")).otherwise(F.lit("")),
+        )
+        return c4_quality_filters(docs.select("doc_id", text2.alias("text")))
+
+    def corpus_paragraph_dedup(spark, sf):
+        """Paragraph-level exact dedup, first occurrence wins (the
+        C4/Dolma paragraph stage). Fixture docs are single-line word
+        salad, so paragraphs are materialized as 8-token chunks joined
+        by blank lines — the small vocabulary makes chunks collide
+        across docs, which is exactly the boilerplate shape."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        toks = F.split(F.col("text"), " ")
+        n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+        paras = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        )
+        paragraphed = docs.select(
+            "doc_id", F.array_join(paras, "\n\n").alias("text")
+        )
+        return textops.paragraph_dedup(paragraphed)
+
+    def corpus_url_filter(spark, sf):
+        """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1):
+        domain blocklist + keyword score + shape heuristics, before any
+        fetch. URLs synthesized per doc_id: blocklisted domain on %13,
+        digit-heavy host on %9, bad keyword on %5, param overload on
+        %4, overlong path on %31."""
+        from sparkcrawl.operators.urlfilter import url_quality_filter
+
+        docs = _read(spark, sf, "documents").select("doc_id")
+        d = F.col("doc_id")
+        host = (
+            F.when(d % 13 == 0, F.concat(F.lit("x"), d.cast("string"), F.lit(".blocked.example")))
+            .when(d % 9 == 0, F.concat((d * 7919 + 1000000).cast("string"), F.lit(".ex")))
+            .otherwise(F.concat(F.lit("h"), d.cast("string"), F.lit(".example.com")))
+        )
+        path = (
+            F.when(d % 5 == 0, F.lit("/casino/page"))
+            .when(d % 31 == 0, F.concat(F.lit("/"), F.repeat(F.lit("p"), 600)))
+            .otherwise(F.lit("/page"))
+        )
+        query = F.when(
+            d % 4 == 0, F.lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9")
+        ).otherwise(F.lit(""))
+        urls = docs.select(
+            "doc_id",
+            F.concat(F.lit("http://"), host, path, query).alias("url"),
+        )
+        bl = spark.createDataFrame([("blocked.example",)], ["domain"])
+        out = url_quality_filter(urls, blocklist=bl)
+        return out.select(
+            "doc_id", "registered_domain", "blocked", "kw_hits",
+            "host_digit_frac", "url_len", "n_params", "keep",
+        )
+
     def text_language_id(spark, sf):
         docs = _read(spark, sf, "documents")
         return _widen(textops.language_id(docs))
@@ -1898,6 +1970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_mini_superstep": crawl_mini_superstep,
         # --- new in r4 ---
         "dedup_semantic_canonical": dedup_semantic_canonical,
+        "text_c4_filters": text_c4_filters,
+        "corpus_paragraph_dedup": corpus_paragraph_dedup,
+        "corpus_url_filter": corpus_url_filter,
         # --- driver-green in r3 (CORRECTNESS_r03.json); rotated behind the
         # --- 46 keys above so the driver's 50-query sample covers them in r4
         "crawl_schedule_flagship": crawl_schedule,
@@ -1977,6 +2052,8 @@ FROM votes GROUP BY id
 
 
 def oracle_sql() -> dict[str, str]:
+    from sparkcrawl.functions.domains import registered_domain_sql
+
     # generate_series cannot take lateral column bounds in DuckDB 1.0:
     # cross-join a constant range and filter by doc length instead.
     shingle8 = (
@@ -2925,6 +3002,126 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id
             FROM embeddings e LEFT JOIN losers l ON l.id = e.vec_id
             WHERE l.id IS NULL
+        """,
+        "text_c4_filters": r"""
+            WITH t2 AS (
+              SELECT doc_id,
+                     text
+                     || e'\nA good closing sentence. It has punctuation. Yes.'
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN e'\nno terminal punct here' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN e'\nLorem Ipsum dolor sit.' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN e'\nif (x) { return; }' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN e'\nPlease enable JavaScript now.' ELSE '' END
+                       AS text
+              FROM documents),
+            st AS (
+              SELECT doc_id AS id,
+                     lower(text) AS low,
+                     string_split(text, chr(10)) AS lines,
+                     CAST(
+                       (len(text) - len(replace(text, '.', '')))
+                       + (len(text) - len(replace(text, '!', '')))
+                       + (len(text) - len(replace(text, '?', ''))) AS INTEGER
+                     ) AS n_sentences
+              FROM t2),
+            fr AS (
+              SELECT id, n_sentences, low,
+                     round(len(list_filter(lines,
+                           l -> regexp_matches(l, '[.!?"'']\s*$')))
+                           * 1.0 / greatest(len(lines), 1), 6)
+                       AS terminal_punct_line_frac,
+                     round(len(list_filter(lines,
+                           l -> len(list_filter(string_split(l, ' '),
+                                                w -> w <> '')) >= 5))
+                           * 1.0 / greatest(len(lines), 1), 6)
+                       AS long_line_frac
+              FROM st)
+            SELECT id, n_sentences, terminal_punct_line_frac, long_line_frac,
+                   contains(low, '{') AS has_curly_brace,
+                   (contains(low, 'lorem ipsum') OR contains(low, 'terms of use')
+                    OR contains(low, 'privacy policy') OR contains(low, 'cookie policy')
+                    OR contains(low, 'uses cookies')) AS has_bad_phrase,
+                   regexp_matches(low, '\bjavascript\b') AS has_javascript,
+                   (n_sentences >= 3 AND NOT contains(low, '{')
+                    AND NOT (contains(low, 'lorem ipsum') OR contains(low, 'terms of use')
+                             OR contains(low, 'privacy policy') OR contains(low, 'cookie policy')
+                             OR contains(low, 'uses cookies'))
+                    AND NOT regexp_matches(low, '\bjavascript\b')) AS keep
+            FROM fr
+        """,
+        "corpus_paragraph_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            chunked AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, CAST(ceil(len(t) / 8.0) AS INTEGER)),
+                       i -> array_to_string(t[i*8+1 : i*8+8], ' ')) AS paras
+              FROM toks),
+            paras AS (
+              SELECT doc_id AS id, g.i AS idx, chunked.paras[g.i + 1] AS para
+              FROM chunked, generate_series(0, 512) AS g(i)
+              WHERE g.i < len(paras)),
+            ranked AS (
+              SELECT id, idx, para,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY md5(para) ORDER BY id, idx) AS rn
+              FROM paras),
+            rebuilt AS (
+              SELECT id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text
+              FROM ranked WHERE rn = 1 GROUP BY id)
+            SELECT d.doc_id AS id, coalesce(r.text, '') AS text
+            FROM documents d LEFT JOIN rebuilt r ON r.id = d.doc_id
+        """,
+        "corpus_url_filter": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0
+                          THEN 'x' || CAST(doc_id AS VARCHAR) || '.blocked.example'
+                          WHEN doc_id % 9 = 0
+                          THEN CAST(doc_id * 7919 + 1000000 AS VARCHAR) || '.ex'
+                          ELSE 'h' || CAST(doc_id AS VARCHAR) || '.example.com'
+                     END AS host,
+                     CASE WHEN doc_id % 5 = 0 THEN '/casino/page'
+                          WHEN doc_id % 31 = 0 THEN '/' || repeat('p', 600)
+                          ELSE '/page' END AS path,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9'
+                          ELSE '' END AS qs
+              FROM documents),
+            v AS (
+              SELECT doc_id,
+                     'http://' || host || path || qs AS url,
+                     host,
+                     {registered_domain_sql('host')} AS registered_domain,
+                     CAST(contains(lower('http://' || host || path || qs), 'casino') AS INTEGER)
+                     + CAST(contains(lower('http://' || host || path || qs), 'porn') AS INTEGER)
+                     + CAST(contains(lower('http://' || host || path || qs), 'xxx') AS INTEGER)
+                     + CAST(contains(lower('http://' || host || path || qs), 'viagra') AS INTEGER)
+                     + CAST(contains(lower('http://' || host || path || qs), 'warez') AS INTEGER)
+                     + CAST(contains(lower('http://' || host || path || qs), 'crack') AS INTEGER)
+                     + CAST(contains(lower('http://' || host || path || qs), 'torrent') AS INTEGER)
+                       AS kw_hits,
+                     round((len(host) - len(regexp_replace(host, '[0-9]', '', 'g')))
+                           * 1.0 / greatest(len(host), 1), 6) AS host_digit_frac,
+                     CAST(len('http://' || host || path || qs) AS INTEGER) AS url_len,
+                     CASE WHEN qs <> ''
+                          THEN CAST(len(qs) - 1
+                               - len(replace(substr(qs, 2), '&', '')) + 1 AS INTEGER)
+                          ELSE 0 END AS n_params
+              FROM u)
+            SELECT doc_id, registered_domain,
+                   registered_domain = 'blocked.example' AS blocked,
+                   kw_hits, host_digit_frac, url_len, n_params,
+                   (NOT (registered_domain = 'blocked.example')
+                    AND kw_hits <= 0 AND host_digit_frac <= 0.5
+                    AND url_len <= 512 AND n_params <= 8) AS keep
+            FROM v
         """,
         "text_language_id": _language_id_sql(),
         "text_quality_score": _quality_sql(),

@@ -16,8 +16,11 @@ Stages (each built ONLY from the repo's operators; every flag is
 optional and the stages compose in this order):
 
   language-ID -> quality gate -> repetition gate
-  [-> Gopher rule verdicts] [-> CCNet perplexity-bucket gate]
-  -> exact dedup [-> SemDeDup semantic dedup]
+  [-> URL quality gate (RefinedWeb-style, needs URL doc ids)]
+  [-> Gopher rule verdicts] [-> C4 cleaning heuristics]
+  [-> CCNet perplexity-bucket gate]
+  -> exact dedup [-> paragraph-level first-wins dedup]
+  [-> SemDeDup semantic dedup]
   [-> embedding canonical dedup (LSH pairs -> components -> keep-min)]
   [-> near-dup canonical dedup] [-> eval decontamination]
   [-> temperature-weighted mixture draw] -> salted-hash split
@@ -63,6 +66,19 @@ def main() -> None:
                     help="require ALL seven Gopher quality-rule verdicts "
                          "(repetition.gopher_quality_rules) in addition to "
                          "the composite quality gate")
+    ap.add_argument("--c4-rules", action="store_true",
+                    help="require the C4 cleaning-heuristic verdicts "
+                         "(repetition.c4_quality_filters)")
+    ap.add_argument("--dedup-paragraphs", action="store_true",
+                    help="corpus-wide paragraph-level exact dedup, first "
+                         "occurrence wins (textops.paragraph_dedup); docs "
+                         "emptied by the cut are dropped")
+    ap.add_argument("--url-filter", action="store_true",
+                    help="RefinedWeb-style URL quality gate on doc_id "
+                         "(with --from-warc, doc_id IS the URL); "
+                         "combine with --url-blocklist")
+    ap.add_argument("--url-blocklist",
+                    help="parquet/text of blocked registered domains for --url-filter")
     ap.add_argument("--keep-buckets", default="",
                     help="comma list of CCNet perplexity buckets to keep "
                          "(e.g. head,middle); empty = no bucket gate")
@@ -125,6 +141,22 @@ def main() -> None:
             & (F.coalesce(F.col("dup_word_frac"), F.lit(0.0)) <= args.max_repetition)
         )
     )
+    if args.url_filter:
+        from sparkcrawl.operators.urlfilter import url_quality_filter
+
+        bl = None
+        if args.url_blocklist:
+            bl = (
+                spark.read.parquet(args.url_blocklist)
+                if args.url_blocklist.endswith(".parquet")
+                else spark.read.text(args.url_blocklist)
+            )
+        ok_urls = (
+            url_quality_filter(kept.select(F.col("doc_id").alias("url")), bl)
+            .filter(F.col("keep"))
+            .select(F.col("url").alias("doc_id"))
+        )
+        kept = kept.join(ok_urls, "doc_id")
     if args.gopher_rules:
         from sparkcrawl.operators.repetition import gopher_quality_rules
 
@@ -132,6 +164,13 @@ def main() -> None:
             F.col("id").alias("doc_id"), F.col("keep").alias("_gkeep")
         )
         kept = kept.join(gq, "doc_id").filter(F.col("_gkeep")).drop("_gkeep")
+    if args.c4_rules:
+        from sparkcrawl.operators.repetition import c4_quality_filters
+
+        cq = c4_quality_filters(kept).select(
+            F.col("id").alias("doc_id"), F.col("keep").alias("_ckeep")
+        )
+        kept = kept.join(cq, "doc_id").filter(F.col("_ckeep")).drop("_ckeep")
     if args.keep_buckets:
         wanted = [b.strip() for b in args.keep_buckets.split(",") if b.strip()]
         pb = textops.perplexity_buckets(kept, lang_col="pred_lang").select(
@@ -143,6 +182,12 @@ def main() -> None:
             .drop("bucket")
         )
     kept = textops.exact_dedup(kept)
+    if args.dedup_paragraphs:
+        cleaned = textops.paragraph_dedup(kept).withColumnRenamed("id", "doc_id")
+        kept = (
+            kept.drop("text")
+            .join(cleaned.filter(F.col("text") != ""), "doc_id")
+        )
     if args.semantic_threshold and args.embeddings:
         from sparkcrawl.operators import simsearch
 

@@ -310,3 +310,75 @@ def gopher_quality_rules(
         r_stop.alias("rule_stopwords"),
         (r_words & r_mwl & r_sym & r_bullet & r_ellipsis & r_alpha & r_stop).alias("keep"),
     )
+
+
+C4_BAD_PHRASES = ("lorem ipsum", "terms of use", "privacy policy",
+                  "cookie policy", "uses cookies")
+
+
+def c4_quality_filters(
+    docs: DataFrame,
+    min_sentences: int = 3,
+    min_words_per_line: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 cleaning-heuristic verdicts (Raffel et al. 2020 §2.2 — the
+    public rule set): per document, the measured statistic AND the
+    boolean verdict for each rule, plus the overall ``keep``
+    conjunction. Like :func:`gopher_quality_rules`, verdicts are kept
+    per-rule so filter ablations are a column select.
+
+    Rules:
+      - >= ``min_sentences`` sentences (terminal-punctuation count)
+      - no curly brace (code markers)
+      - no placeholder/boilerplate phrase (lorem ipsum, policy pages)
+      - no line containing the word "javascript"
+      - fraction of lines that END in terminal punctuation (C4 drops
+        lines that don't; the doc-level fraction is the signal) and
+        fraction with >= ``min_words_per_line`` words
+
+    Shape at scale: pure per-row projection — split + higher-order
+    filters, all whole-stage codegen; no explode, no shuffle, no UDF.
+    """
+    text = F.col(text_col)
+    low = F.lower(text)
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    def _cnt(ch: str):
+        return F.length(text) - F.length(F.replace(text, F.lit(ch), F.lit("")))
+
+    n_sentences = _cnt(".") + _cnt("!") + _cnt("?")
+    term_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"[.!?\"']\s*$"))) / n_lines, 6
+    )
+    longline_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.size(F.filter(F.split(l, " "), lambda w: w != ""))
+                >= min_words_per_line,
+            )
+        )
+        / n_lines,
+        6,
+    )
+    has_phrase = F.lit(False)
+    for p in C4_BAD_PHRASES:
+        has_phrase = has_phrase | low.contains(p)
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        n_sentences.cast("int").alias("n_sentences"),
+        term_frac.alias("terminal_punct_line_frac"),
+        longline_frac.alias("long_line_frac"),
+        low.contains("{").alias("has_curly_brace"),
+        has_phrase.alias("has_bad_phrase"),
+        low.rlike(r"\bjavascript\b").alias("has_javascript"),
+    )
+    keep = (
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_curly_brace")
+        & ~F.col("has_bad_phrase")
+        & ~F.col("has_javascript")
+    )
+    return out.select("*", keep.alias("keep"))

@@ -1262,3 +1262,58 @@ def lsh_collision_curve(
             1 - F.pow(1 - F.pow(F.col("id") / points, rows_per_band), b), 6
         ).alias("p_collide"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    sep_regex: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact dedup, corpus-wide, FIRST occurrence wins
+    (the C4/Dolma paragraph-dedup stage — public method: Raffel et al.
+    2020 drop duplicate three-sentence spans; Dolma's dedupe tool does
+    exact paragraph hashes). Whole-doc dedup misses the boilerplate
+    block pasted into otherwise-distinct pages; substring-span dedup
+    (:func:`duplicated_substring_spans`) removes EVERY occurrence — this
+    keeps exactly one, the policy training pipelines usually want.
+
+    Returns one row per input doc: (id, text) with only first-occurrence
+    paragraphs kept, in original order ("first" = lowest (doc id,
+    paragraph index), deterministic under any partitioning). Docs whose
+    every paragraph loses come back with text '' — the caller's filter.
+
+    Shape at scale: ONE corpus-wide shuffle on the 32-hex paragraph
+    digest (min hash-agg, map-side combine — uniform keys, no skew by
+    construction), a semi-join back on the digest, and a per-doc
+    re-assembly groupBy. No window over the corpus, no Python.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep_regex)).alias("idx", "para"),
+        )
+        .filter(F.col("para") != "")
+        .withColumn("h", F.md5(F.col("para")))
+    )
+    winners = (
+        paras.groupBy("h")
+        .agg(F.min(F.struct("id", "idx")).alias("w"))
+        .select("h", F.col("w.id").alias("id"), F.col("w.idx").alias("idx"))
+    )
+    kept = paras.join(winners, ["h", "id", "idx"])
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            join_sep,
+        ).alias(text_col)
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select("id", F.coalesce(text_col, F.lit("")).alias(text_col))
+    )

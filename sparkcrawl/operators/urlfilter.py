@@ -1,0 +1,101 @@
+"""URL-level quality filtering — the RefinedWeb/C4 pre-fetch gate
+(public method: Penedo et al. 2023 §3.1 "URL filtering": a domain
+blocklist, a weighted URL keyword score, and shape heuristics applied
+BEFORE a page is ever fetched or its text scored).
+
+This sits upstream of the text-quality family (gopher/C4/perplexity):
+at crawl scale, dropping a URL costs nothing while dropping a fetched
+document already paid fetch + parse. The crawl engine's scoper (F2,
+functions/scope.py) handles parity-pinned regex scoping; this module is
+the corpus-curation policy layer on top.
+
+Everything is JVM column expressions plus ONE broadcast join for the
+blocklist — no Python, no extra shuffle on the URL table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkcrawl.functions.domains import registered_domain
+from sparkcrawl.functions.urlnorm import host_of_canonical_col
+
+# default soft-score keyword list (RefinedWeb-style categories; the
+# public method weights adult/gambling/piracy terms — this is a compact
+# deterministic stand-in, swappable per deployment)
+URL_BAD_KEYWORDS: tuple[str, ...] = (
+    "casino", "porn", "xxx", "viagra", "warez", "crack", "torrent",
+)
+
+
+def url_quality_filter(
+    urls: DataFrame,
+    blocklist: DataFrame | None = None,
+    bad_keywords: tuple[str, ...] = URL_BAD_KEYWORDS,
+    max_kw_hits: int = 0,
+    max_digit_frac: float = 0.5,
+    max_url_len: int = 512,
+    max_params: int = 8,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-URL verdict columns + overall ``keep`` conjunction.
+
+    - ``blocked``: registered domain appears in ``blocklist`` (a small
+      (domain) DataFrame — broadcast; NULL blocklist = nothing blocked)
+    - ``kw_hits``: count of ``bad_keywords`` appearing in the lowered
+      URL (soft score; keep iff <= ``max_kw_hits``)
+    - ``host_digit_frac``: digits / length of the host (DGA-ish or
+      session-y hosts)
+    - ``url_len`` / ``n_params``: shape heuristics (crawler traps and
+      tracking overload)
+
+    Verdicts stay per-rule so ablations are a column select, mirroring
+    gopher_quality_rules / c4_quality_filters.
+    """
+    url = F.col(url_col)
+    host = host_of_canonical_col(url)
+    rd = registered_domain(host)
+    low = F.lower(url)
+    kw_hits = F.lit(0)
+    for kw in bad_keywords:
+        kw_hits = kw_hits + low.contains(kw).cast("int")
+    host_len = F.greatest(F.length(host), F.lit(1))
+    digit_frac = F.round(
+        (host_len - F.length(F.regexp_replace(host, r"[0-9]", ""))) / host_len, 6
+    )
+    # n_params: '&' count in the query string + 1 if a query exists
+    q = F.substring_index(url, "?", -1)
+    has_q = url.contains("?")
+    n_params = F.when(
+        has_q,
+        F.length(q) - F.length(F.replace(q, F.lit("&"), F.lit(""))) + 1,
+    ).otherwise(F.lit(0))
+    out = urls.withColumns(
+        {
+            "host": host,
+            "registered_domain": rd,
+            "kw_hits": kw_hits.cast("int"),
+            "host_digit_frac": digit_frac,
+            "url_len": F.length(url).cast("int"),
+            "n_params": n_params.cast("int"),
+        }
+    )
+    if blocklist is not None:
+        bl = blocklist.select(
+            F.col(blocklist.columns[0]).alias("registered_domain"),
+            F.lit(True).alias("blocked"),
+        ).distinct()
+        out = out.join(F.broadcast(bl), "registered_domain", "left").withColumn(
+            "blocked", F.coalesce("blocked", F.lit(False))
+        )
+    else:
+        out = out.withColumn("blocked", F.lit(False))
+    keep = (
+        ~F.col("blocked")
+        & (F.col("kw_hits") <= max_kw_hits)
+        & (F.col("host_digit_frac") <= max_digit_frac)
+        & (F.col("url_len") <= max_url_len)
+        & (F.col("n_params") <= max_params)
+    )
+    return out.withColumn("keep", keep)

@@ -166,3 +166,27 @@ def test_gopher_rules_plan_pure_projection(spark):
     assert "Exchange" not in p
     assert "Generate" not in p
     assert "EvalPython" not in p
+
+
+def test_c4_quality_filters_verdicts(spark):
+    """C4 rule verdicts on crafted docs: sentence floor, curly brace,
+    bad phrase, javascript line, terminal-punct/long-line fractions."""
+    from sparkcrawl.operators.repetition import c4_quality_filters
+
+    rows = [
+        (1, "One good sentence here. Another one follows. And a third."),
+        (2, "Too few sentences."),
+        (3, "Has sentences. Three of them. Yes. But also { code }."),
+        (4, "Fine text. More text. End. Please read our privacy policy."),
+        (5, "Good. Good. Good.\nEnable JavaScript to continue"),
+        (6, "ends well.\nno punct line\nfive words make this long."),
+    ]
+    out = {r["id"]: r for r in c4_quality_filters(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1]["keep"] and out[1]["n_sentences"] == 3
+    assert not out[2]["keep"]                      # 1 sentence < 3
+    assert not out[3]["keep"] and out[3]["has_curly_brace"]
+    assert not out[4]["keep"] and out[4]["has_bad_phrase"]
+    assert not out[5]["keep"] and out[5]["has_javascript"]
+    assert out[6]["terminal_punct_line_frac"] == round(2 / 3, 6)
+    assert out[6]["long_line_frac"] == round(1 / 3, 6)

@@ -557,3 +557,46 @@ def test_normalize_text_plan_one_arrow_pass(spark):
     assert p.count("ArrowEvalPython") == 1, p
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_paragraph_dedup_first_wins_and_order(spark):
+    """Corpus-wide paragraph dedup: the FIRST (lowest doc id, lowest
+    index) occurrence survives, later copies are cut, surviving
+    paragraphs keep original order, and a doc made entirely of losers
+    comes back as ''."""
+    from sparkcrawl.operators.textops import paragraph_dedup
+
+    rows = [
+        (1, "alpha one\n\nshared block\n\nbeta two"),
+        (2, "shared block\n\ngamma three"),   # loses 'shared block' to doc 1
+        (3, "shared block"),                  # loses everything
+        (4, "delta four\n\n\n\ndelta four"),  # self-dup: keep first, cut second
+    ]
+    out = {
+        r["id"]: r["text"]
+        for r in paragraph_dedup(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out == {
+        1: "alpha one\n\nshared block\n\nbeta two",
+        2: "gamma three",
+        3: "",
+        4: "delta four",
+    }
+
+
+def test_paragraph_dedup_plan_no_corpus_window(spark):
+    """The first-wins rule must be a min hash-agg (map-side combine),
+    never a corpus-wide window sort."""
+    import contextlib
+    import io
+
+    from sparkcrawl.operators.textops import paragraph_dedup
+
+    docs = spark.createDataFrame([(1, "a\n\nb")], ["doc_id", "text"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        paragraph_dedup(docs).explain("simple")
+    p = buf.getvalue()
+    assert "Window" not in p
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p
+    assert "BatchEvalPython" not in p
