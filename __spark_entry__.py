@@ -1178,6 +1178,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "host_digit_frac", "url_len", "n_params", "keep",
         )
 
+    def text_hashed_features(spark, sf):
+        """Hashing-trick bag-of-words (sparse (id, bucket, tf)): the
+        vocabulary-free feature map quality classifiers run on at
+        corpus scale."""
+        docs = _read(spark, sf, "documents")
+        return textops.hashed_bow(docs, dim=64)
+
+    def text_classifier_score(spark, sf):
+        """Pre-trained linear quality classifier applied relationally
+        (broadcast weights + one agg over hashed-BoW features — the
+        DCLM/FineWeb-style scoring pass). Deterministic weight table:
+        w[b] = (b % 13 - 6) * 0.05."""
+        docs = _read(spark, sf, "documents")
+        weights = spark.range(64).select(
+            F.col("id").cast("int").alias("bucket"),
+            ((F.col("id") % 13 - 6) * 0.05).alias("weight"),
+        )
+        return textops.linear_text_classifier(docs, weights, dim=64)
+
     def text_language_id(spark, sf):
         docs = _read(spark, sf, "documents")
         return _widen(textops.language_id(docs))
@@ -1973,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_filters": text_c4_filters,
         "corpus_paragraph_dedup": corpus_paragraph_dedup,
         "corpus_url_filter": corpus_url_filter,
+        "text_hashed_features": text_hashed_features,
+        "text_classifier_score": text_classifier_score,
         # --- driver-green in r3 (CORRECTNESS_r03.json); rotated behind the
         # --- 46 keys above so the driver's 50-query sample covers them in r4
         "crawl_schedule_flagship": crawl_schedule,
@@ -3122,6 +3143,39 @@ def oracle_sql() -> dict[str, str]:
                     AND kw_hits <= 0 AND host_digit_frac <= 0.5
                     AND url_len <= 512 AND n_params <= 8) AS keep
             FROM v
+        """,
+        "text_hashed_features": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+              FROM documents)
+            SELECT id,
+                   CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                        % 64 AS INTEGER) AS bucket,
+                   count(*) AS tf
+            FROM toks WHERE tok <> '' GROUP BY 1, 2
+        """,
+        "text_classifier_score": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+              FROM documents),
+            feats AS (
+              SELECT id,
+                     CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                          % 64 AS INTEGER) AS bucket,
+                     count(*) AS tf
+              FROM toks WHERE tok <> '' GROUP BY 1, 2),
+            w AS (
+              SELECT CAST(i AS INTEGER) AS bucket, (i % 13 - 6) * 0.05 AS weight
+              FROM range(64) t(i)),
+            z AS (
+              SELECT f.id, sum(f.tf * coalesce(w.weight, 0.0)) AS z
+              FROM feats f LEFT JOIN w USING (bucket) GROUP BY f.id)
+            SELECT d.doc_id AS id,
+                   round(1.0 / (1.0 + exp(-coalesce(z.z, 0.0))), 6) AS score,
+                   round(1.0 / (1.0 + exp(-coalesce(z.z, 0.0))), 6) >= 0.5 AS label
+            FROM documents d LEFT JOIN z ON z.id = d.doc_id
         """,
         "text_language_id": _language_id_sql(),
         "text_quality_score": _quality_sql(),

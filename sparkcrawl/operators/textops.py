@@ -1317,3 +1317,72 @@ def paragraph_dedup(
         .join(rebuilt, "id", "left")
         .select("id", F.coalesce(text_col, F.lit("")).alias(text_col))
     )
+
+
+def hashed_bow(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick bag-of-words features (Weinberger et al. 2009 —
+    the public method behind fastText-style quality classifiers at
+    corpus scale): token -> md5 bucket in [0, dim), term frequency per
+    (doc, bucket). SPARSE output (id, bucket, tf) — the join-able shape;
+    a dense vector is one groupBy+transform away when a consumer needs
+    it.
+
+    Shape at scale: explode + ONE hash agg on (id, bucket) with
+    map-side combine; bucket keys are uniform by construction (md5), so
+    no skew. The vocabulary never materializes — that is the point of
+    the hashing trick at 10^10 docs.
+    """
+    from sparkcrawl.functions.hashing import md5_bucket
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.withColumn("bucket", md5_bucket(F.col("tok"), dim))
+        .groupBy("id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def linear_text_classifier(
+    docs: DataFrame,
+    weights: DataFrame,
+    dim: int = 64,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a PRE-TRAINED linear classifier over hashed-BoW features —
+    how DCLM/FineWeb-edu-style quality classifiers actually run over a
+    web corpus: training happens offline on a sample; scoring is a
+    broadcast join + one aggregation over the whole corpus.
+
+    ``weights``: small (bucket, weight) DataFrame — broadcast. Returns
+    one row per input doc: (id, score, label) with
+    score = sigmoid(bias + sum_b tf_b * w_b) rounded to 6 (cross-engine
+    oracle convention); docs whose tokens all miss the weight table
+    score sigmoid(bias).
+    """
+    feats = hashed_bow(docs, dim, text_col, id_col)
+    z = feats.join(
+        F.broadcast(weights.select("bucket", "weight")), "bucket", "left"
+    ).groupBy("id").agg(
+        F.sum(F.col("tf") * F.coalesce(F.col("weight"), F.lit(0.0))).alias("_z")
+    )
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + F.coalesce("_z", F.lit(0.0))))),
+        6,
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(z, "id", "left")
+        .select("id", score.alias("score"))
+        .withColumn("label", F.col("score") >= threshold)
+    )

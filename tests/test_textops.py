@@ -600,3 +600,42 @@ def test_paragraph_dedup_plan_no_corpus_window(spark):
     assert "Window" not in p
     assert "HashAggregate" in p or "ObjectHashAggregate" in p
     assert "BatchEvalPython" not in p
+
+
+def test_hashed_bow_and_linear_classifier(spark):
+    """Hashing-trick features + broadcast linear scoring: tf counts per
+    md5 bucket, sigmoid of the weighted sum, bias-only fallback for a
+    doc whose buckets all miss the weight table."""
+    import math
+
+    from sparkcrawl.functions.hashing import md5_bucket
+    from sparkcrawl.operators.textops import hashed_bow, linear_text_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "window")], ["doc_id", "text"]
+    )
+    feats = {(r["id"], r["bucket"]): r["tf"] for r in hashed_bow(docs, dim=16).collect()}
+    b = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame([("spark",), ("join",), ("window",)], ["t"])
+        .select("t", md5_bucket(F.col("t"), 16).alias("b"))
+        .collect()
+    }
+    assert feats[(1, b["spark"])] == 2 + (2 if b["spark"] == b["join"] else 0)
+    assert feats[(2, b["window"])] == 1
+
+    # weights hit doc 1's buckets only -> doc 2 scores sigmoid(bias)
+    weights = spark.createDataFrame(
+        [(b["spark"], 0.5), (b["join"], -0.25)], ["bucket", "weight"]
+    )
+    if b["window"] in (b["spark"], b["join"]):  # md5-bucket collision guard
+        weights = weights.filter(F.col("bucket") != b["window"])
+    out = {
+        r["id"]: r
+        for r in linear_text_classifier(docs, weights, dim=16, bias=0.1).collect()
+    }
+    z1 = 0.1 + 2 * 0.5 + 1 * -0.25
+    assert out[1]["score"] == round(1 / (1 + math.exp(-z1)), 6)
+    assert out[1]["label"]
+    if b["window"] not in (b["spark"], b["join"]):
+        assert out[2]["score"] == round(1 / (1 + math.exp(-0.1)), 6)
