@@ -257,3 +257,14 @@ def test_fetch_log_rank_window_is_partitioned(spark):
     assert [(r["slot"], r["host"], r["url_hash"]) for r in rows] == [
         (r["slot"], r["host"], r["url_hash"]) for r in expect
     ]
+
+
+def test_hashed_bow_classifier_plan(spark, queries):
+    """Classifier scoring must stay JVM-side: hash aggs (map-side
+    combine) + a BROADCAST weights join; no Python eval, no sort-merge
+    join onto the tiny weight table."""
+    p = plan_of(queries["text_classifier_score"](spark, SF), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "HashAggregate" in p
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
