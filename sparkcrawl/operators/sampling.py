@@ -136,14 +136,25 @@ def weighted_mixture_sample(
             [(k, float(v)) for k, v in weights.items()],
             [strata_col, "weight"],
         )
-    w_rows = weights.collect()  # |domains|-bounded by contract
-    total_w = sum(float(r["weight"]) for r in w_rows) or 1.0
-    quotas = spark.createDataFrame(
-        [
-            (r[strata_col], int(round(budget * float(r["weight"]) / total_w)))
-            for r in w_rows
-        ],
-        [strata_col, "quota"],
+    # fully relational quota derivation (r3 VERDICT finding #3: the old
+    # |domains|-bounded collect would not survive strata keyed by
+    # registered domain at web scale) — one scalar agg cross-joined
+    # back, broadcast; rounding is HALF_UP (F.round), where the old
+    # driver-side python round() was banker's — identical off the
+    # exact-.5 knife edge.
+    tot = weights.agg(
+        F.coalesce(F.sum("weight"), F.lit(1.0)).alias("_tw")
+    ).select(
+        F.when(F.col("_tw") != 0, F.col("_tw")).otherwise(F.lit(1.0)).alias("_tw")
+    )
+    quotas = (
+        weights.crossJoin(F.broadcast(tot))
+        .select(
+            strata_col,
+            F.round(F.lit(budget) * F.col("weight") / F.col("_tw"))
+            .cast("int")
+            .alias("quota"),
+        )
     )
     counts = docs.groupBy(strata_col).agg(F.count("*").alias("n_domain"))
     dim = quotas.join(counts, strata_col, "inner").withColumn(
