@@ -1197,6 +1197,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.linear_text_classifier(docs, weights, dim=64)
 
+    def decontaminate_spans(spark, sf):
+        """Positional exact-substring decontamination: maximal train-doc
+        token spans whose every 8-token window occurs in the probe
+        corpus (every 11th doc) — the cut-not-drop companion to
+        decontaminate_eval_overlap."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        probe = docs.filter(F.col("doc_id") % 11 == 0)
+        return textops.contaminated_spans(docs, probe, k=8).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+        )
+
     def text_language_id(spark, sf):
         docs = _read(spark, sf, "documents")
         return _widen(textops.language_id(docs))
@@ -1994,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_url_filter": corpus_url_filter,
         "text_hashed_features": text_hashed_features,
         "text_classifier_score": text_classifier_score,
+        "decontaminate_spans": decontaminate_spans,
         # --- driver-green in r3 (CORRECTNESS_r03.json); rotated behind the
         # --- 46 keys above so the driver's 50-query sample covers them in r4
         "crawl_schedule_flagship": crawl_schedule,
@@ -2712,6 +2727,34 @@ def oracle_sql() -> dict[str, str]:
               FROM idx),
             dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
             hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos - lag(pos) OVER w > 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            isl2 AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl)
+            SELECT doc_id,
+                   min(pos) + 1 AS span_start,
+                   max(pos) + 8 AS span_end,
+                   max(pos) - min(pos) + 8 AS span_tokens
+            FROM isl2 GROUP BY doc_id, island
+        """,
+        "decontaminate_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            idx AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM toks WHERE len(t) >= 8),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(t[i : i + 7], ' ')) AS gram
+              FROM idx),
+            pg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0),
+            hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN pg USING (gram)),
             isl AS (
               SELECT doc_id, pos,
                      CASE WHEN lag(pos) OVER w IS NULL

@@ -1386,3 +1386,72 @@ def linear_text_classifier(
         .select("id", score.alias("score"))
         .withColumn("label", F.col("score") >= threshold)
     )
+
+
+def contaminated_spans(
+    train: DataFrame,
+    probe: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram decontamination WITH POSITIONS — the surgical
+    counterpart to :func:`cross_corpus_contamination`: every maximal
+    token span of a TRAIN doc whose every k-token window also occurs
+    somewhere in the PROBE (eval) corpus (Lee et al. 2022-style exact
+    substring matching, public method). Doc-level Jaccard says "this
+    doc leaked, drop it"; this says WHICH tokens leaked, so
+    :func:`cut_token_spans` can remove the quoted eval item and keep
+    the rest of the document.
+
+    Returns (doc_id, span_start, span_end, span_tokens), 1-based
+    inclusive — the exact :func:`duplicated_substring_spans` output
+    shape, so the downstream cut is shared.
+
+    Shape at scale: train-side window digests are built INSIDE the row
+    (higher-order transform, one md5 per window, one posexplode);
+    probe-side digests collapse to a DISTINCT gram set (bounded by the
+    eval corpus, tiny next to training); ONE equi-join on the 32-hex
+    digest; islands merge per doc (window partitioned BY DOC). Strictly
+    bipartite — train never self-joins.
+    """
+    def _win_digests(tc: str):
+        toks = F.split(F.col(tc), " ")
+        n = F.size(toks)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pos = train.select(
+        F.col(id_col), F.posexplode(_win_digests(text_col)).alias("pos", "gram")
+    )
+    probe_grams = probe.select(
+        F.explode(_win_digests(text_col)).alias("gram")
+    ).distinct()
+    hits = pos.join(probe_grams, "gram").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    islands = (
+        hits.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_brk",
+            (F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k)).cast("int"),
+        )
+        .withColumn("_island", F.sum("_brk").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            (F.min("pos") + 1).alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -639,3 +639,36 @@ def test_hashed_bow_and_linear_classifier(spark):
     assert out[1]["label"]
     if b["window"] not in (b["spark"], b["join"]):
         assert out[2]["score"] == round(1 / (1 + math.exp(-0.1)), 6)
+
+
+def test_contaminated_spans_surgical_cut(spark):
+    """Positional decontamination: a train doc quoting an eval item
+    verbatim reports exactly the quoted span (not the whole doc), the
+    span feeds cut_token_spans, and clean docs report nothing. k=4."""
+    from sparkcrawl.operators.textops import contaminated_spans, cut_token_spans
+
+    eval_item = "the secret eval question with answer"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words here " + eval_item + " outro trailing text"),
+            (2, "completely unrelated training document text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame([(100, eval_item)], ["doc_id", "text"])
+    spans = contaminated_spans(train, probe, k=4).collect()
+    assert len(spans) == 1
+    sp = spans[0]
+    # eval item = tokens 4..9 (1-based) of doc 1
+    assert (sp["doc_id"], sp["span_start"], sp["span_end"], sp["span_tokens"]) == (
+        1, 4, 9, 6,
+    )
+    cut = {
+        r["doc_id"]: r["text"]
+        for r in cut_token_spans(
+            train,
+            spark.createDataFrame(spans).select("doc_id", "span_start", "span_end"),
+        ).collect()
+    }
+    assert cut[1] == "intro words here outro trailing text"
+    assert cut[2] == "completely unrelated training document text here"
