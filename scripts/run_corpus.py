@@ -57,6 +57,11 @@ def main() -> None:
                          "corpus-wide (0 = off); docs emptied by the cut are dropped")
     ap.add_argument("--decontaminate",
                     help="parquet of eval docs; drop training docs overlapping them")
+    ap.add_argument("--decontaminate-cut", action="store_true",
+                    help="with --decontaminate: surgically CUT the leaked "
+                         "spans (textops.contaminated_spans) instead of "
+                         "dropping whole docs; docs emptied by the cut are "
+                         "dropped")
     ap.add_argument("--mixture-budget", type=int, default=0,
                     help="total docs to draw via tokens^alpha domain weights (0 = keep all)")
     ap.add_argument("--mixture-alpha", type=float, default=0.7)
@@ -223,10 +228,19 @@ def main() -> None:
         )
     if args.decontaminate:
         evalset = spark.read.parquet(args.decontaminate)
-        leaks = textops.cross_corpus_contamination(
-            kept, evalset, n=8, threshold=0.8
-        ).select(F.col("train_id").alias("doc_id")).distinct()
-        kept = kept.join(leaks, "doc_id", "left_anti")
+        if args.decontaminate_cut:
+            spans = textops.contaminated_spans(kept, evalset, k=8)
+            cut = textops.cut_token_spans(kept, spans)
+            kept = (
+                kept.drop("text")
+                .join(cut.filter(F.col("text") != "").select("doc_id", "text"),
+                      "doc_id")
+            )
+        else:
+            leaks = textops.cross_corpus_contamination(
+                kept, evalset, n=8, threshold=0.8
+            ).select(F.col("train_id").alias("doc_id")).distinct()
+            kept = kept.join(leaks, "doc_id", "left_anti")
     if args.mixture_budget:
         weights = sampling.domain_mixing_weights(
             kept, alpha=args.mixture_alpha
