@@ -95,12 +95,21 @@ BENCH_QUERIES = [
     "c1_canonicalize_classes",
     "j5_redirect_chains",
     "text_normalize_unicode",
+    # new in r4
+    "dedup_semantic_canonical",
+    "corpus_paragraph_dedup",
+    "text_c4_filters",
+    "corpus_url_filter",
+    "text_classifier_score",
+    "decontaminate_spans",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION
 # (connected components, pointer-doubling localCheckpoint rounds):
 # timed as construction+write, see main()
-EAGER_QUERIES = {"dedup_corpus_canonical", "j5_redirect_chains"}
+EAGER_QUERIES = {
+    "dedup_corpus_canonical", "j5_redirect_chains", "dedup_semantic_canonical",
+}
 
 FRONTIER_REPLICAS = int(os.environ.get("SPARK_GRAFT_FRONTIER_REPLICAS", "20"))
 # best-of-5: this box shows external interference spikes (a clean rep
