@@ -204,3 +204,41 @@ def test_gopher_keep_is_rule_conjunction(spark, texts):
         rules = [v for k, v in r.asDict().items() if k.startswith("rule_")]
         assert len(rules) == 7
         assert r["keep"] == all(rules)
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.lists(printable.filter(lambda s: s.strip() != ""), min_size=1, max_size=5),
+    min_size=1, max_size=10,
+))
+def test_paragraph_dedup_idempotent_and_conserving(spark, paras_per_doc):
+    """r4 paragraph_dedup laws on arbitrary paragraph lists:
+    (1) idempotence — running the dedup on its own output changes
+    nothing (all survivors are already first occurrences);
+    (2) conservation — every surviving paragraph existed in the input
+    doc at the same relative order; (3) one winner per distinct
+    paragraph corpus-wide."""
+    from sparkcrawl.operators.textops import paragraph_dedup
+
+    rows = [
+        (i, "\n\n".join(p)) for i, p in enumerate(paras_per_doc)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = paragraph_dedup(docs)
+    got1 = {r["id"]: r["text"] for r in once.collect()}
+    twice = paragraph_dedup(
+        spark.createDataFrame(
+            [(i, t) for i, t in got1.items()], ["doc_id", "text"]
+        )
+    )
+    got2 = {r["id"]: r["text"] for r in twice.collect()}
+    assert got1 == got2  # idempotence
+    all_kept = []
+    for i, p in enumerate(paras_per_doc):
+        kept = [x for x in got1[i].split("\n\n") if x != ""]
+        all_kept.extend(kept)
+        # conservation + order: kept is a subsequence of the input
+        it = iter(p)
+        assert all(any(x == y for y in it) for x in kept), (p, kept)
+    # one winner per distinct paragraph corpus-wide
+    assert len(all_kept) == len(set(all_kept))
