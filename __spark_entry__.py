@@ -1197,6 +1197,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textops.linear_text_classifier(docs, weights, dim=64)
 
+    def simsearch_pq_topk(spark, sf):
+        """Product-quantization ADC top-k (Jégou et al. 2011): pinned
+        deterministic codebooks (first-16 subvectors per subspace, the
+        SQL-reproducible mode), 8 one-byte codes per 64-dim vector
+        (32x compression), per-query lookup tables, approximate-
+        distance scan over codes only."""
+        from sparkcrawl.operators import quantize
+
+        emb = _read(spark, sf, "embeddings")
+        cb = quantize.pq_codebooks(emb, m=8, n_codes=16, dim=_EMB_DIM)
+        codes = quantize.pq_encode(emb, cb, m=8, dim=_EMB_DIM)
+        q = emb.filter(F.col("vec_id") < 3)
+        return quantize.pq_topk(q, codes, cb, k=5, m=8, dim=_EMB_DIM)
+
     def decontaminate_spans(spark, sf):
         """Positional exact-substring decontamination: maximal train-doc
         token spans whose every 8-token window occurs in the probe
@@ -2009,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashed_features": text_hashed_features,
         "text_classifier_score": text_classifier_score,
         "decontaminate_spans": decontaminate_spans,
+        "simsearch_pq_topk": simsearch_pq_topk,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; text_hashed_features,
@@ -2091,6 +2106,58 @@ votes AS (
 SELECT id, CAST(SUM(CASE WHEN s >= 0 THEN 1 ELSE 0 END * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS simhash
 FROM votes GROUP BY id
 """
+
+
+def _pq_sql(m: int = 8, d_sub: int = 8, n_codes: int = 16, k: int = 5) -> str:
+    """DuckDB twin of the PQ query: same pinned codebooks, same
+    explicit left-associated squared-L2 term order (matches Spark's
+    aggregate fold), same round(9) per-subspace / round(6) ADC
+    convention."""
+    def l2(a: str, b: str) -> str:
+        return " + ".join(
+            f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+            for i in range(1, d_sub + 1)
+        )
+
+    return f"""
+        WITH base AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_codes})),
+        cb AS (
+          SELECT CAST(j.i AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code,
+                 v[j.i*{d_sub}+1 : j.i*{d_sub}+{d_sub}] AS centroid
+          FROM base, range({m}) j(i)),
+        sv AS (
+          SELECT vec_id AS id, CAST(j.i AS INTEGER) AS subspace,
+                 (CAST(embedding AS DOUBLE[]))[j.i*{d_sub}+1 : j.i*{d_sub}+{d_sub}] AS sub
+          FROM embeddings, range({m}) j(i)),
+        dist AS (
+          SELECT id, subspace, code,
+                 round({l2('sub', 'centroid')}, 9) AS d
+          FROM sv JOIN cb USING (subspace)),
+        best AS (
+          SELECT id, subspace, code FROM (
+            SELECT id, subspace, code,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY id, subspace ORDER BY d, code) AS rn
+            FROM dist) WHERE rn = 1),
+        qt AS (
+          SELECT s.id AS query_id, s.subspace, cb.code,
+                 round({l2('s.sub', 'cb.centroid')}, 9) AS d
+          FROM sv s JOIN cb USING (subspace) WHERE s.id < 3),
+        adist AS (
+          SELECT qt.query_id, b.id AS cand_id, round(sum(qt.d), 6) AS adist
+          FROM best b
+          JOIN qt ON qt.subspace = b.subspace AND qt.code = b.code
+          WHERE b.id <> qt.query_id
+          GROUP BY 1, 2)
+        SELECT query_id, cand_id, adist, rank FROM (
+          SELECT query_id, cand_id, adist,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adist, cand_id) AS rank
+          FROM adist) WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2749,6 +2816,7 @@ def oracle_sql() -> dict[str, str]:
                    max(pos) - min(pos) + 8 AS span_tokens
             FROM isl2 GROUP BY doc_id, island
         """,
+        "simsearch_pq_topk": _pq_sql(),
         "decontaminate_spans": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -113,3 +113,185 @@ def brute_force_topk_quantized(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — FAISS-IVFADC-style, relational
+# --------------------------------------------------------------------------
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, public
+    method): the vector space splits into ``m`` subspaces of dim/m
+    dims; each gets its own ``n_codes``-entry codebook. Compression:
+    a 64-dim float32 vector (256 B) becomes m=8 one-byte codes — 32x —
+    and the scan stage reads codes + per-query lookup tables only.
+
+    This constructor is the DETERMINISTIC oracle mode (mirrors
+    semantic_dedup's pinned centroids): codebook entry ``c`` of
+    subspace ``j`` is the j-th subvector of the c-th lowest-id vector —
+    SQL-reproducible, no iteration. The data-adaptive swap-in is one
+    :func:`sparkcrawl.operators.simsearch.kmeans_fit` per subspace over
+    the subvector slices; the (subspace, code, centroid) output shape
+    below is what both produce.
+
+    Returns (subspace int, code int, centroid array<double>) —
+    m * n_codes rows, a broadcast-sized dimension table by contract.
+    """
+    d_sub = dim // m
+    base = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(n_codes)
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    code = F.row_number().over(W.orderBy("_cid")) - 1  # n_codes rows: fine
+    sub = base.withColumn("code", code).select(
+        "code",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("subspace"),
+                    F.slice(F.col("_v"), j * d_sub + 1, d_sub).alias("centroid"),
+                ),
+            )
+        ).alias("_s"),
+    )
+    return sub.select(F.col("_s.subspace"), F.col("code").cast("int"), F.col("_s.centroid"))
+
+
+def _sq_l2(a, b) -> Column:
+    """Squared L2 between two equal-length double arrays — fixed
+    left-to-right fold, so DuckDB's explicit term sum reproduces the
+    accumulation order bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest codebook entry:
+    (id, codes array<int>, ordered by subspace).
+
+    Shape at scale: vectors explode into m subvector rows (the only
+    corpus-sized step), equi-join the BROADCAST codebook on subspace,
+    argmin via min-struct hash agg (map-side combine, no window over
+    the corpus), then one groupBy re-assembles the code array. The
+    encoded table is what persists; the float corpus can be dropped.
+    """
+    d_sub = dim // m
+    subvecs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("subspace"),
+                    F.slice(
+                        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                        j * d_sub + 1,
+                        d_sub,
+                    ).alias("sub"),
+                ),
+            )
+        ).alias("_s"),
+    ).select("id", "_s.subspace", "_s.sub")
+    scored = subvecs.join(F.broadcast(codebooks), "subspace").withColumn(
+        "_d", F.round(_sq_l2(F.col("sub"), F.col("centroid")), 9)
+    )
+    best = scored.groupBy("id", "subspace").agg(
+        F.min(F.struct(F.col("_d"), F.col("code"))).alias("_b")
+    )
+    return best.groupBy("id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("subspace"), F.col("_b.code").alias("c")))
+            ),
+            lambda s: s["c"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, the distance to each
+    codebook entry of each subspace is tabulated ONCE (m * n_codes
+    rows — the lookup table), then every corpus vector's approximate
+    distance is the sum of m table lookups on its codes. The corpus
+    side never touches floats — the 32x-compressed codes are the scan.
+
+    Plan: queries x codebooks broadcast cross (tiny), corpus codes
+    posexplode to (cand, subspace, code), equi-join the broadcast table
+    on (query, subspace, code), ONE hash agg summing m terms per
+    (query, cand), rank-limit top-k. No window over anything bigger
+    than per-query candidates.
+    """
+    d_sub = dim // m
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("subspace"),
+                    F.slice(
+                        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                        j * d_sub + 1,
+                        d_sub,
+                    ).alias("qsub"),
+                ),
+            )
+        ).alias("_s"),
+    ).select("query_id", "_s.subspace", "_s.qsub")
+    table = q.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.round(_sq_l2(F.col("qsub"), F.col("centroid")), 9).alias("_d"),
+    )
+    cand = codes.select(
+        F.col("id").alias("cand_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    summed = (
+        cand.join(F.broadcast(table), ["subspace", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("_d"), 6).alias("adist"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "rank")
+    )

@@ -105,3 +105,49 @@ def test_quantized_ops_stay_jvm_side(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_encode_exact_on_codebook_sources(spark):
+    """PQ invariants: codebook shape m*n_codes; a vector that IS a
+    codebook source encodes to its own code in every subspace
+    (distance 0 beats everything); codes are bounded by n_codes."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.quantize import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebooks(emb, m=8, n_codes=16, dim=64)
+    assert cb.count() == 8 * 16
+    codes = pq_encode(emb, cb, m=8, dim=64)
+    rows = {r["id"]: r["codes"] for r in codes.collect()}
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in rows.values())
+    # the 16 lowest-id vectors are the codebook sources: vector c must
+    # self-encode as [c]*8 (its own subvectors are at distance 0; ties
+    # broken toward the lowest code can only fire on duplicate sources)
+    src_ids = [r["vec_id"] for r in
+               emb.orderBy(F.asc("vec_id")).limit(16).collect()]
+    for c, vid in enumerate(src_ids):
+        assert rows[vid] == [c] * 8, (vid, rows[vid])
+
+
+def test_pq_topk_orders_by_adc(spark):
+    """ADC top-k: per query, ranks are dense from 1, adist is
+    non-decreasing, the query never returns itself."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.quantize import pq_codebooks, pq_encode, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebooks(emb, m=8, n_codes=16, dim=64)
+    codes = pq_encode(emb, cb, m=8, dim=64)
+    q = emb.filter(F.col("vec_id") < 2)
+    out = pq_topk(q, codes, cb, k=5, m=8, dim=64).collect()
+    by_q = {}
+    for r in out:
+        assert r["cand_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adist"]))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [x[0] for x in ranks] == list(range(1, len(ranks) + 1))
+        dists = [x[1] for x in ranks]
+        assert dists == sorted(dists)
