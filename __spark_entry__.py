@@ -1211,6 +1211,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = emb.filter(F.col("vec_id") < 3)
         return quantize.pq_topk(q, codes, cb, k=5, m=8, dim=_EMB_DIM)
 
+    def simsearch_ivfpq_topk(spark, sf):
+        """IVF-PQ (FAISS IVFADC shape): coarse cells route each query
+        to nprobe=2 cells; the ADC scan touches only those cells'
+        one-byte codes. Pinned centroids + codebooks (oracle mode)."""
+        from sparkcrawl.operators import quantize
+
+        emb = _read(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        return quantize.ivfpq_topk(
+            emb, q, k=5, n_cells=8, m=8, n_codes=16, dim=_EMB_DIM, nprobe=2
+        )
+
     def decontaminate_spans(spark, sf):
         """Positional exact-substring decontamination: maximal train-doc
         token spans whose every 8-token window occurs in the probe
@@ -2024,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier_score": text_classifier_score,
         "decontaminate_spans": decontaminate_spans,
         "simsearch_pq_topk": simsearch_pq_topk,
+        "simsearch_ivfpq_topk": simsearch_ivfpq_topk,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; text_hashed_features,
@@ -2150,6 +2163,81 @@ def _pq_sql(m: int = 8, d_sub: int = 8, n_codes: int = 16, k: int = 5) -> str:
           SELECT qt.query_id, b.id AS cand_id, round(sum(qt.d), 6) AS adist
           FROM best b
           JOIN qt ON qt.subspace = b.subspace AND qt.code = b.code
+          WHERE b.id <> qt.query_id
+          GROUP BY 1, 2)
+        SELECT query_id, cand_id, adist, rank FROM (
+          SELECT query_id, cand_id, adist,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adist, cand_id) AS rank
+          FROM adist) WHERE rank <= {k}
+    """
+
+
+def _ivfpq_sql(m: int = 8, d_sub: int = 8, n_codes: int = 16, k: int = 5,
+               n_cells: int = 8, nprobe: int = 2) -> str:
+    """DuckDB twin of the IVF-PQ query: the _pq_sql codebook/encode
+    CTEs + the ivf oracle's pinned-centroid cosine assignment, candidate
+    set restricted to each query's top-nprobe cells."""
+    def l2(a: str, b: str) -> str:
+        return " + ".join(
+            f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+            for i in range(1, d_sub + 1)
+        )
+
+    cos = _cos_sql("v.embedding", "c.c_vec")
+    qcos = _cos_sql("qv.embedding", "c.c_vec")
+    return f"""
+        WITH base AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_codes})),
+        cb AS (
+          SELECT CAST(j.i AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code,
+                 v[j.i*{d_sub}+1 : j.i*{d_sub}+{d_sub}] AS centroid
+          FROM base, range({m}) j(i)),
+        sv AS (
+          SELECT vec_id AS id, CAST(j.i AS INTEGER) AS subspace,
+                 (CAST(embedding AS DOUBLE[]))[j.i*{d_sub}+1 : j.i*{d_sub}+{d_sub}] AS sub
+          FROM embeddings, range({m}) j(i)),
+        dist AS (
+          SELECT id, subspace, code,
+                 round({l2('sub', 'centroid')}, 9) AS d
+          FROM sv JOIN cb USING (subspace)),
+        best AS (
+          SELECT id, subspace, code FROM (
+            SELECT id, subspace, code,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY id, subspace ORDER BY d, code) AS rn
+            FROM dist) WHERE rn = 1),
+        cents AS (
+          SELECT vec_id AS centroid_id, embedding AS c_vec
+          FROM embeddings ORDER BY vec_id LIMIT {n_cells}),
+        assigned AS (
+          SELECT id, centroid_id FROM (
+            SELECT v.vec_id AS id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY round({cos}, 6) DESC, c.centroid_id) AS rn
+            FROM embeddings v CROSS JOIN cents c) WHERE rn = 1),
+        qcells AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT qv.vec_id AS query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY qv.vec_id
+                     ORDER BY round({qcos}, 6) DESC, c.centroid_id) AS rn
+            FROM embeddings qv CROSS JOIN cents c
+            WHERE qv.vec_id < 3) WHERE rn <= {nprobe}),
+        qt AS (
+          SELECT s.id AS query_id, s.subspace, cb.code,
+                 round({l2('s.sub', 'cb.centroid')}, 9) AS d
+          FROM sv s JOIN cb USING (subspace) WHERE s.id < 3),
+        adist AS (
+          SELECT qt.query_id, b.id AS cand_id, round(sum(qt.d), 6) AS adist
+          FROM best b
+          JOIN assigned a ON a.id = b.id
+          JOIN qcells qc ON qc.centroid_id = a.centroid_id
+          JOIN qt ON qt.query_id = qc.query_id
+                 AND qt.subspace = b.subspace AND qt.code = b.code
           WHERE b.id <> qt.query_id
           GROUP BY 1, 2)
         SELECT query_id, cand_id, adist, rank FROM (
@@ -2817,6 +2905,7 @@ def oracle_sql() -> dict[str, str]:
             FROM isl2 GROUP BY doc_id, island
         """,
         "simsearch_pq_topk": _pq_sql(),
+        "simsearch_ivfpq_topk": _ivfpq_sql(),
         "decontaminate_spans": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents),

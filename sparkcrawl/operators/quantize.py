@@ -182,6 +182,29 @@ def _sq_l2(a, b) -> Column:
     )
 
 
+def _subvectors(df: DataFrame, m: int, d_sub: int, id_col: str, vec_col: str,
+                out_id: str = "id") -> DataFrame:
+    """(out_id, subspace, sub): every vector exploded into its m
+    double-cast subvectors — the shared front half of encode / lookup-
+    table construction."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("subspace"),
+                    F.slice(
+                        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                        j * d_sub + 1,
+                        d_sub,
+                    ).alias("sub"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(out_id, "_s.subspace", "_s.sub")
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: DataFrame,
@@ -200,22 +223,7 @@ def pq_encode(
     encoded table is what persists; the float corpus can be dropped.
     """
     d_sub = dim // m
-    subvecs = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.struct(
-                    j.cast("int").alias("subspace"),
-                    F.slice(
-                        F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                        j * d_sub + 1,
-                        d_sub,
-                    ).alias("sub"),
-                ),
-            )
-        ).alias("_s"),
-    ).select("id", "_s.subspace", "_s.sub")
+    subvecs = _subvectors(embeddings, m, d_sub, id_col, vec_col)
     scored = subvecs.join(F.broadcast(codebooks), "subspace").withColumn(
         "_d", F.round(_sq_l2(F.col("sub"), F.col("centroid")), 9)
     )
@@ -255,27 +263,12 @@ def pq_topk(
     than per-query candidates.
     """
     d_sub = dim // m
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.struct(
-                    j.cast("int").alias("subspace"),
-                    F.slice(
-                        F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                        j * d_sub + 1,
-                        d_sub,
-                    ).alias("qsub"),
-                ),
-            )
-        ).alias("_s"),
-    ).select("query_id", "_s.subspace", "_s.qsub")
+    q = _subvectors(queries, m, d_sub, id_col, vec_col, out_id="query_id")
     table = q.join(F.broadcast(codebooks), "subspace").select(
         "query_id",
         "subspace",
         "code",
-        F.round(_sq_l2(F.col("qsub"), F.col("centroid")), 9).alias("_d"),
+        F.round(_sq_l2(F.col("sub"), F.col("centroid")), 9).alias("_d"),
     )
     cand = codes.select(
         F.col("id").alias("cand_id"),
@@ -284,6 +277,89 @@ def pq_topk(
     summed = (
         cand.join(F.broadcast(table), ["subspace", "code"])
         .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("_d"), 6).alias("adist"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "rank")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production ANN configuration (FAISS IVFADC, Jégou
+    et al. 2011): a coarse quantizer (IVF cells) routes each query to
+    ``nprobe`` cells, and the fine asymmetric-distance scan runs only
+    over THOSE cells' PQ codes. The corpus-sized state is the
+    (cell, codes) table — one byte per subspace per vector; floats
+    appear only in the broadcast-sized codebooks/centroids and the
+    per-query lookup tables.
+
+    Sandbox-deterministic defaults (SQL-reproducible): centroids = the
+    ``n_cells`` lowest-id vectors (ivf_topk's pinned mode), codebooks =
+    :func:`pq_codebooks` pinned mode over RAW vectors (classic IVFADC
+    encodes residuals vector - centroid; the residual variant drops in
+    by passing pre-subtracted embeddings + matching codebooks — the
+    operator graph is unchanged, and the raw-vector form keeps the
+    oracle exact).
+
+    Shape at scale: everything is broadcast-join + hash-agg; the only
+    corpus shuffles are pq_encode's argmin agg and the final per-query
+    rank over cell-local candidates (|cells probed| / |cells| of the
+    corpus, not all of it).
+    """
+    from sparkcrawl.operators.simsearch import ivf_assign, ivf_assign_topn
+
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(F.asc(id_col))
+            .limit(n_cells)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec"))
+        )
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m, n_codes, dim, id_col, vec_col)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    codes = pq_encode(embeddings, codebooks, m, dim, id_col, vec_col)
+    cell_codes = codes.join(assigned.select("id", "centroid_id"), "id")
+    q_cells = ivf_assign_topn(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col("id").alias("query_id"), "centroid_id"
+    )
+    d_sub = dim // m
+    q = _subvectors(queries, m, d_sub, id_col, vec_col, out_id="query_id")
+    table = q.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.round(_sq_l2(F.col("sub"), F.col("centroid")), 9).alias("_d"),
+    )
+    cand = (
+        cell_codes.join(q_cells, "centroid_id")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("cand_id"),
+            F.posexplode("codes").alias("subspace", "code"),
+        )
+    )
+    summed = (
+        cand.join(F.broadcast(table), ["query_id", "subspace", "code"])
         .groupBy("query_id", "cand_id")
         .agg(F.round(F.sum("_d"), 6).alias("adist"))
     )

@@ -151,3 +151,49 @@ def test_pq_topk_orders_by_adc(spark):
         assert [x[0] for x in ranks] == list(range(1, len(ranks) + 1))
         dists = [x[1] for x in ranks]
         assert dists == sorted(dists)
+
+
+def test_ivfpq_full_probe_matches_pq(spark):
+    """IVF-PQ with nprobe == n_cells degenerates to the full ADC scan:
+    every cell is probed, so the candidate set is the whole corpus and
+    the result must equal pq_topk row-for-row. This pins the coarse
+    quantizer as a pure candidate-pruning layer — it must never change
+    distances or ordering, only drop cells."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.quantize import (
+        ivfpq_topk, pq_codebooks, pq_encode, pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2)
+    cb = pq_codebooks(emb, m=8, n_codes=16, dim=64)
+    codes = pq_encode(emb, cb, m=8, dim=64)
+    full = sorted(map(tuple, pq_topk(q, codes, cb, k=5, m=8, dim=64).collect()))
+    ivf = sorted(map(tuple, ivfpq_topk(
+        emb, q, k=5, n_cells=4, m=8, n_codes=16, dim=64, nprobe=4,
+        codebooks=cb).collect()))
+    assert ivf == full
+
+
+def test_ivfpq_narrow_probe_prunes(spark):
+    """nprobe=1: candidates are confined to each query's own cell —
+    every returned cand_id shares the query's IVF assignment."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.quantize import ivfpq_topk
+    from sparkcrawl.operators.simsearch import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2)
+    out = ivfpq_topk(emb, q, k=5, n_cells=8, m=8, n_codes=16, dim=64,
+                     nprobe=1).collect()
+    assert out, "narrow probe should still find same-cell candidates"
+    centroids = (
+        emb.orderBy(F.asc("vec_id")).limit(8)
+        .select(F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("c_vec")))
+    cell = {r["id"]: r["centroid_id"]
+            for r in ivf_assign(emb, centroids).collect()}
+    for r in out:
+        assert cell[r["cand_id"]] == cell[r["query_id"]], r
