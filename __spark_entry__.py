@@ -1223,6 +1223,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, q, k=5, n_cells=8, m=8, n_codes=16, dim=_EMB_DIM, nprobe=2
         )
 
+    def embedding_dbscan_clusters(spark, sf):
+        """DBSCAN over the embedding corpus with the eps-neighborhood
+        graph from the banded-LSH pair search (same oracle-mirrored
+        buckets as embedding_near_dup_pairs): core = 4+ points in the
+        0.3-cosine ball (self included), clusters = connected
+        components over core-core edges labeled by min id, borders
+        take their minimum core neighbor's cluster, noise = -1."""
+        emb = _read(spark, sf, "embeddings")
+        return simsearch.dbscan_lsh(
+            emb, threshold=0.3, min_pts=4, n_planes=_ND_PLANES,
+            dim=_EMB_DIM, seed=_LSH_SEED, n_bands=_LSH_BANDS,
+            max_bucket_size=_ND_CAP,
+        )
+
+    def graph_link_spam(spark, sf):
+        """Host link-spam signals (reciprocity / concentration / self-
+        link share + link_farm flag) over a deterministic host graph
+        synthesized from events, same construction family as
+        graph_host_rank: src=user_id%120, dst=(event_id*7+user_id)%120
+        (self-loops land where the moduli collide)."""
+        ev = _read(spark, sf, "events")
+        edges = ev.select(
+            (F.col("user_id") % 120).alias("src"),
+            ((F.col("event_id") * 7 + F.col("user_id")) % 120).alias("dst"),
+        )
+        return graph.link_spam_signals(edges, recip_threshold=0.8, min_out_hosts=3)
+
+    def membership_bloom_fpr(spark, sf):
+        """Analytic FPR-vs-fill curve for the seen-URL bloom exactly as
+        _bloom_params sizes it (capacity 100k @ 1% design FPR), swept
+        to 2x overload — the dropped-URL risk readout for a frontier
+        that outgrows its filter. Pure generate-series arithmetic."""
+        from sparkcrawl.operators.membership import bloom_fpr_curve
+
+        return bloom_fpr_curve(spark, capacity=100_000, fpp=0.01,
+                               points=20, max_load=2.0)
+
     def decontaminate_spans(spark, sf):
         """Positional exact-substring decontamination: maximal train-doc
         token spans whose every 8-token window occurs in the probe
@@ -2037,6 +2074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": decontaminate_spans,
         "simsearch_pq_topk": simsearch_pq_topk,
         "simsearch_ivfpq_topk": simsearch_ivfpq_topk,
+        "embedding_dbscan_clusters": embedding_dbscan_clusters,
+        "graph_link_spam": graph_link_spam,
+        "membership_bloom_fpr": membership_bloom_fpr,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; text_hashed_features,
@@ -2245,6 +2285,79 @@ def _ivfpq_sql(m: int = 8, d_sub: int = 8, n_codes: int = 16, k: int = 5,
                  ROW_NUMBER() OVER (
                    PARTITION BY query_id ORDER BY adist, cand_id) AS rank
           FROM adist) WHERE rank <= {k}
+    """
+
+
+def _dbscan_sql(threshold: float = 0.3, min_pts: int = 4) -> str:
+    """DuckDB twin of embedding_dbscan_clusters: the near-dup bucket/
+    verify CTEs + degree->core->CC(core-core)->border recursive form."""
+    return f"""
+        WITH RECURSIVE
+        bb AS ({_banded_bucket_cte(_ND_PLANES)}),
+        ok AS (
+          SELECT band, bucket FROM bb
+          GROUP BY band, bucket HAVING count(*) <= {_ND_CAP}),
+        bc AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM bc a JOIN bc b2
+            ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        ver AS (
+          SELECT id_a, id_b
+          FROM cand
+          JOIN embeddings ea ON ea.vec_id = cand.id_a
+          JOIN embeddings eb ON eb.vec_id = cand.id_b
+          WHERE round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) >= {threshold}),
+        sym AS (SELECT id_a AS a, id_b AS b FROM ver
+                UNION ALL SELECT id_b, id_a FROM ver),
+        deg AS (SELECT a, count(*) AS n FROM sym GROUP BY a),
+        core AS (SELECT a AS id FROM deg WHERE n + 1 >= {min_pts}),
+        csym AS (
+          SELECT s.a, s.b FROM sym s
+          WHERE s.a IN (SELECT id FROM core) AND s.b IN (SELECT id FROM core)),
+        cnodes AS (SELECT DISTINCT a AS id FROM csym),
+        reach AS (
+          SELECT id, id AS comp FROM cnodes
+          UNION
+          SELECT s.b AS id, r.comp FROM reach r JOIN csym s ON s.a = r.id),
+        comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        allcore AS (
+          SELECT id, comp AS cluster FROM comp
+          UNION ALL
+          SELECT id, id AS cluster FROM core
+          WHERE id NOT IN (SELECT id FROM comp)),
+        border AS (
+          SELECT s.a AS id, min(ac.cluster) AS cluster
+          FROM sym s JOIN allcore ac ON ac.id = s.b
+          WHERE s.a NOT IN (SELECT id FROM core)
+          GROUP BY s.a)
+        SELECT e.vec_id AS id,
+               CASE WHEN ac.id IS NOT NULL THEN 'core'
+                    WHEN bo.id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               COALESCE(ac.cluster, bo.cluster, -1) AS cluster
+        FROM embeddings e
+        LEFT JOIN allcore ac ON ac.id = e.vec_id
+        LEFT JOIN border bo ON bo.id = e.vec_id
+    """
+
+
+def _bloom_fpr_sql(capacity: int = 100_000, fpp: float = 0.01,
+                   points: int = 20, max_load: float = 2.0) -> str:
+    """DuckDB twin of membership_bloom_fpr, sized by the SAME
+    _bloom_params call so the (m, k) pair can never drift."""
+    from sparkcrawl.operators.membership import _bloom_params
+
+    m, k = _bloom_params(capacity, fpp)
+    base = 1.0 - 1.0 / m  # Python-computed, inlined on both sides
+    return f"""
+        SELECT round(i * {max_load} / {points}, 6) AS fill,
+               CAST(floor(i * {max_load} / {points} * {capacity}) AS BIGINT) AS n_keys,
+               {m} AS m_bits, {k} AS k_hashes,
+               round(pow(1.0 - pow({base!r},
+                         {float(k)!r} * floor(i * {max_load} / {points} * {capacity})),
+                         {float(k)!r}), 9) AS fpr
+        FROM range(1, {points + 1}) t(i)
     """
 
 
@@ -2906,6 +3019,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simsearch_pq_topk": _pq_sql(),
         "simsearch_ivfpq_topk": _ivfpq_sql(),
+        "embedding_dbscan_clusters": _dbscan_sql(),
+        "graph_link_spam": """
+            WITH e AS (
+              SELECT user_id % 120 AS src,
+                     (event_id * 7 + user_id) % 120 AS dst
+              FROM events),
+            pair AS (SELECT src, dst, count(*) AS links FROM e GROUP BY src, dst),
+            ext AS (SELECT * FROM pair WHERE src <> dst),
+            selfc AS (SELECT src, links AS self_links FROM pair WHERE src = dst),
+            recip AS (
+              SELECT a.src, count(*) AS recip_hosts
+              FROM ext a
+              WHERE EXISTS (SELECT 1 FROM ext b
+                            WHERE b.src = a.dst AND b.dst = a.src)
+              GROUP BY a.src),
+            agg AS (
+              SELECT src, count(*) AS out_hosts,
+                     CAST(sum(links) AS BIGINT) AS out_links,
+                     max(links) AS top_target_links
+              FROM ext GROUP BY src)
+            SELECT agg.src AS host, out_hosts, out_links,
+                   round(COALESCE(self_links, 0)
+                         / (out_links + COALESCE(self_links, 0)), 6) AS self_share,
+                   round(COALESCE(recip_hosts, 0) / out_hosts, 6) AS recip_share,
+                   round(top_target_links / out_links, 6) AS top_target_share,
+                   (COALESCE(recip_hosts, 0) / out_hosts >= 0.8
+                    AND out_hosts >= 3) AS link_farm
+            FROM agg
+            LEFT JOIN selfc USING (src)
+            LEFT JOIN recip ON recip.src = agg.src
+        """,
+        "membership_bloom_fpr": _bloom_fpr_sql(),
         "decontaminate_spans": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents),

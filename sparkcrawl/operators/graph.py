@@ -75,3 +75,85 @@ def pagerank(
     nodes.unpersist()
     out.unpersist()
     return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def link_spam_signals(
+    edges: DataFrame,
+    recip_threshold: float = 0.8,
+    min_out_hosts: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Host-level link-spam signals over the crawl's (src_host,
+    dst_host) edge stream — the frontier-poisoning defense that sits
+    next to PageRank on the scheduler's priority side: link farms
+    inflate in-link counts, so the prioritizer needs a cheap,
+    relational tell BEFORE rank rewards them. Signals are the classic
+    public ones (Fetterly/Davison link-spam features): reciprocity
+    (link exchanges), single-target concentration, and intra-host
+    (self) link share.
+
+    Per host with >=1 external out-link:
+
+    - ``out_hosts``   distinct external link targets
+    - ``out_links``   total external link count (multiplicity)
+    - ``self_share``  fraction of ALL its links that point at itself
+    - ``recip_share`` fraction of its out-neighbors that link back
+    - ``top_target_share`` heaviest single target's share of external
+      links
+    - ``link_farm``   recip_share >= ``recip_threshold`` AND
+      out_hosts >= ``min_out_hosts``
+
+    Shape at scale: one groupBy(src,dst) count (map-side combine —
+    the edge stream collapses to the distinct-pair table before
+    anything else touches it), one semi-join of that pair table
+    against its own reversal (both sides hash-partitioned on the same
+    (src,dst) key), and one groupBy(src) rollup. No windows, no
+    collects, no skew trap — a mega-host is just a large group under
+    partial aggregation.
+    """
+    pair = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("links"))
+    )
+    ext = pair.filter(F.col("src") != F.col("dst"))
+    selfc = pair.filter(F.col("src") == F.col("dst")).select(
+        "src", F.col("links").alias("self_links")
+    )
+    rev = ext.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        ext.join(rev, ["src", "dst"], "semi")
+        .groupBy("src")
+        .agg(F.count("*").alias("recip_hosts"))
+    )
+    agg = ext.groupBy("src").agg(
+        F.count("*").alias("out_hosts"),
+        F.sum("links").alias("out_links"),
+        F.max("links").alias("top_target_links"),
+    )
+    return (
+        agg.join(selfc, "src", "left")
+        .join(recip, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            "out_hosts",
+            "out_links",
+            F.round(
+                F.coalesce("self_links", F.lit(0))
+                / (F.col("out_links") + F.coalesce("self_links", F.lit(0))),
+                6,
+            ).alias("self_share"),
+            F.round(
+                F.coalesce("recip_hosts", F.lit(0)) / F.col("out_hosts"), 6
+            ).alias("recip_share"),
+            F.round(F.col("top_target_links") / F.col("out_links"), 6).alias(
+                "top_target_share"
+            ),
+            (
+                (F.coalesce("recip_hosts", F.lit(0)) / F.col("out_hosts")
+                 >= F.lit(recip_threshold))
+                & (F.col("out_hosts") >= F.lit(min_out_hosts))
+            ).alias("link_farm"),
+        )
+    )

@@ -221,3 +221,43 @@ class BloomStore:
         np.savez(tmp, **merged.shards)
         os.replace(tmp, self._path())
         return merged
+
+
+def bloom_fpr_curve(
+    spark, capacity: int, fpp: float, points: int = 20, max_load: float = 2.0
+) -> DataFrame:
+    """Analytic false-positive-rate curve for the SEEN-URL bloom as
+    actually sized by :func:`_bloom_params` — the membership-side
+    companion of :func:`sparkcrawl.operators.textops.lsh_collision_curve`.
+
+    For a filter of ``m`` bits and ``k`` hashes holding ``n`` keys the
+    exact-expectation FPR is
+
+        fpr(n) = (1 - (1 - 1/m)^(k*n))^k
+
+    The curve answers the operational question the crawl loop keeps
+    hitting: the filter was sized for ``capacity`` URLs at ``fpp`` —
+    how fast does the false-positive rate (i.e. NEVER-crawled URLs
+    silently dropped as seen) degrade as the frontier OVERSHOOTS that
+    capacity? Rows sweep fill = n/capacity from 1/points to
+    ``max_load`` (default 2x — past design load). Pure generate-series
+    arithmetic on the driver-declared grid; no data read, no shuffle.
+
+    Returns (fill, n_keys, m_bits, k_hashes, fpr).
+    """
+    m, k = _bloom_params(capacity, fpp)
+    fill = F.round(F.col("id") * max_load / points, 6)
+    n = F.floor(F.col("id") * max_load / points * capacity)
+    return spark.range(1, points + 1).select(
+        fill.alias("fill"),
+        n.alias("n_keys"),
+        F.lit(m).alias("m_bits"),
+        F.lit(k).alias("k_hashes"),
+        F.round(
+            F.pow(
+                1.0 - F.pow(F.lit(1.0 - 1.0 / m), F.lit(float(k)) * n),
+                F.lit(float(k)),
+            ),
+            9,
+        ).alias("fpr"),
+    )

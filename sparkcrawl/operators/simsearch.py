@@ -525,3 +525,106 @@ def semantic_dedup_canonical(
         F.col("id").alias(id_col)
     )
     return embeddings.join(losers, id_col, "left_anti")
+
+
+def dbscan_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    min_pts: int = 3,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 0,
+    n_bands: int = 1,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996 — public
+    method) over an embedding corpus, with the eps-neighborhood graph
+    built by the banded-LSH pair search instead of an all-pairs
+    distance scan. The use case beyond dedup: near-dup CLUSTERS keep
+    everything connected at the threshold; DBSCAN additionally
+    separates dense regions (template families, spam campaigns, topic
+    clumps worth downsampling) from sparse noise — the corpus-shaping
+    signal curation pipelines act on.
+
+    Deterministic semantics (classic DBSCAN is scan-order-dependent at
+    borders; this form is order-free so the oracle can pin it):
+
+    - ``neighbors(p)`` = ids with cosine >= ``threshold`` discovered by
+      the banded bucket join (same recall contract and oracle-mirrored
+      buckets as :func:`embedding_near_dup_pairs`).
+    - core: ``|neighbors(p)| + 1 >= min_pts`` (the point itself counts).
+    - clusters: connected components over CORE-CORE edges; label = min
+      core id in the component. A core point with no core neighbor is
+      its own singleton cluster.
+    - border: non-core with >=1 core neighbor -> the MINIMUM cluster
+      label among its core neighbors (deterministic tie-break).
+    - noise: everything else -> cluster -1 (the scikit-learn
+      convention).
+
+    Returns one row per input vector: (id, role, cluster) with role in
+    {'core','border','noise'}.
+
+    Shape at scale: the pair search is banded + capped (never
+    all-pairs); degrees are ONE map-side-combinable count shuffle over
+    the pair list; components run over core-core edges only (a subset
+    of the pairs, not the corpus); border assignment is one equi-join +
+    min-agg; the final role stitch is two left joins on the corpus id.
+    The only collects are connected_components' scalar convergence
+    probes.
+    """
+    from sparkcrawl.operators.textops import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold=threshold, n_planes=n_planes, dim=dim,
+        seed=seed, n_bands=n_bands, max_bucket_size=max_bucket_size,
+        id_col=id_col, vec_col=vec_col,
+    ).select("id_a", "id_b")
+    sym = tracked_persist(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+        )
+    )
+    core = tracked_persist(
+        sym.groupBy("a")
+        .agg(F.count("*").alias("n_nbrs"))
+        .filter(F.col("n_nbrs") + 1 >= min_pts)
+        .select(F.col("a").alias("id"))
+    )
+    core_edges = pairs.join(
+        core.select(F.col("id").alias("id_a")), "id_a", "semi"
+    ).join(core.select(F.col("id").alias("id_b")), "id_b", "semi")
+    comp = connected_components(core_edges)
+    singleton_cores = core.join(comp, "id", "anti").withColumn(
+        "comp", F.col("id")
+    )
+    core_clusters = comp.unionByName(singleton_cores).withColumnRenamed(
+        "comp", "cluster"
+    )
+    border = (
+        sym.join(core.select(F.col("id").alias("a")), "a", "anti")
+        .join(
+            core_clusters.select(
+                F.col("id").alias("b"), F.col("cluster").alias("_bc")
+            ),
+            "b",
+        )
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.min("_bc").alias("cluster"))
+    )
+    out = (
+        embeddings.select(F.col(id_col).alias("id"))
+        .join(core_clusters.withColumnRenamed("cluster", "_cc"), "id", "left")
+        .join(border.withColumnRenamed("cluster", "_bcl"), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_cc").isNotNull(), F.lit("core"))
+            .when(F.col("_bcl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("_cc", "_bcl", F.lit(-1)).alias("cluster"),
+        )
+    )
+    return out

@@ -46,3 +46,28 @@ def test_hand_computed_one_iteration(spark):
     assert r[1] == pytest.approx(0.05, abs=1e-6)
     assert r[2] == pytest.approx(0.05 + 0.85 / 6, abs=1e-6)
     assert r[3] == pytest.approx(0.05 + 0.85 * (1 / 6 + 1 / 3), abs=1e-6)
+
+
+def test_link_spam_signals_hand_graph(spark):
+    """A 3-host reciprocal ring (farm) vs an honest hub: the ring flags,
+    the hub doesn't; self-links and concentration computed exactly."""
+    from sparkcrawl.operators.graph import link_spam_signals
+
+    # farm: 10<->11, 11<->12, 12<->10 (full reciprocity, 2 targets each)
+    farm = []
+    for a, b in [(10, 11), (11, 12), (12, 10)]:
+        farm += [(a, b), (b, a)]
+    # honest hub 1 -> 20..24 one-way, plus 3 self-links and a double link to 20
+    hub = [(1, t) for t in (20, 21, 22, 23, 24)] + [(1, 20)] + [(1, 1)] * 3
+    edges = spark.createDataFrame(farm + hub, ["src", "dst"])
+    rows = {r["host"]: r.asDict() for r in
+            link_spam_signals(edges, recip_threshold=0.9, min_out_hosts=2).collect()}
+    assert rows[1]["out_hosts"] == 5 and rows[1]["out_links"] == 6
+    assert rows[1]["self_share"] == round(3 / 9, 6)
+    assert rows[1]["recip_share"] == 0.0 and rows[1]["link_farm"] is False
+    assert rows[1]["top_target_share"] == round(2 / 6, 6)
+    for h in (10, 11, 12):
+        assert rows[h]["recip_share"] == 1.0 and rows[h]["link_farm"] is True
+        assert rows[h]["out_hosts"] == 2 and rows[h]["self_share"] == 0.0
+    # targets with no out-links don't appear
+    assert 21 not in rows

@@ -97,3 +97,22 @@ def test_prefix_sharding_matches_reference_scheme(spark):
     bloom = ShardedBloom.build(seen, depth=2, capacity_per_shard=1 << 10, fpp=0.01)
     prefixes = {r["url_hash"][:2] for r in seen.collect()}
     assert set(bloom.shards) == prefixes
+
+
+def test_bloom_fpr_curve_shape(spark):
+    """The analytic curve is strictly increasing in fill and lands at
+    (or under) the design fpp at the design load — _bloom_params
+    over-provisions via the pow2 round-up, so fill=1.0 must be <= fpp."""
+    from sparkcrawl.operators.membership import _bloom_params, bloom_fpr_curve
+
+    rows = sorted(
+        bloom_fpr_curve(spark, capacity=100_000, fpp=0.01, points=20,
+                        max_load=2.0).collect(),
+        key=lambda r: r["fill"],
+    )
+    fprs = [r["fpr"] for r in rows]
+    assert all(b > a for a, b in zip(fprs, fprs[1:]))
+    at_design = next(r for r in rows if abs(r["fill"] - 1.0) < 1e-9)
+    assert at_design["fpr"] <= 0.01
+    m, k = _bloom_params(100_000, 0.01)
+    assert rows[0]["m_bits"] == m and rows[0]["k_hashes"] == k

@@ -496,3 +496,56 @@ def test_real_gif_bmp_header_decode(spark):
         for r in multimodal.decode_and_featurize(media, fake=False).collect()
     }
     assert got == {"a.gif": (320, 200, 8), "b.bmp": (800, 600, 8)}
+
+
+def test_dbscan_lsh_invariants_vs_pairs(spark):
+    """Structural DBSCAN invariants recomputed brute-force from the
+    operator's OWN pair list at sf0.001: role partition, core degree
+    >= min_pts-1, border has a core neighbor, noise has none, cluster
+    label = min core id of the core component."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.simsearch import dbscan_lsh, embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(threshold=0.3, n_planes=3, dim=64, seed=0, n_bands=2,
+              max_bucket_size=150)
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(emb, **kw).collect()]
+    out = {r["id"]: (r["role"], r["cluster"])
+           for r in dbscan_lsh(emb, min_pts=4, **kw).collect()}
+    n_ids = emb.count()
+    assert len(out) == n_ids
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    core = {i for i, ns in nbrs.items() if len(ns) + 1 >= 4}
+    # union-find over core-core edges
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a in core and b in core:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    label = {i: min(j for j in core if find(j) == find(i)) for i in core}
+
+    roles = {"core": 0, "border": 0, "noise": 0}
+    for i, (role, cluster) in out.items():
+        roles[role] += 1
+        if i in core:
+            assert role == "core" and cluster == label[i], i
+        elif nbrs.get(i, set()) & core:
+            assert role == "border", i
+            assert cluster == min(label[c] for c in nbrs[i] & core), i
+        else:
+            assert role == "noise" and cluster == -1, i
+    assert min(roles.values()) > 0, roles
