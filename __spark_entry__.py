@@ -2079,10 +2079,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "membership_bloom_fpr": membership_bloom_fpr,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
-        # --- the "new in r4" block; text_hashed_features,
-        # --- text_classifier_score and decontaminate_spans (positions
-        # --- 51-53) plus everything below are pytest-oracle-only this
-        # --- round — rotate them forward next round.
+        # --- the "new in r4" block; positions 51+ (text_hashed_features,
+        # --- text_classifier_score, decontaminate_spans, simsearch_pq_topk,
+        # --- simsearch_ivfpq_topk, embedding_dbscan_clusters,
+        # --- graph_link_spam, membership_bloom_fpr) plus everything below
+        # --- are pytest-oracle-only this round — rotate them into the
+        # --- first 50 next round.
         # --- driver-green in r3 (CORRECTNESS_r03.json); rotated behind the
         # --- 46 keys above so the driver's 50-query sample covers them in r4
         "crawl_schedule_flagship": crawl_schedule,
