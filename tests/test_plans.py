@@ -268,3 +268,21 @@ def test_hashed_bow_classifier_plan(spark, queries):
     assert "HashAggregate" in p
     assert "BroadcastHashJoin" in p
     assert "Window" not in p
+
+
+def test_link_spam_signals_plan(spark, queries):
+    """Link-spam rollup: pure hash-agg + joins — no window, no
+    cartesian, no Python eval; the degenerate self-pair join must stay
+    an equi-join on (src, dst)."""
+    plan = plan_of(queries["graph_link_spam"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_dbscan_plan_no_cartesian_no_python(spark, queries):
+    """DBSCAN's pair search must stay the banded bucket equi-join
+    (never an all-pairs product) and the whole pipeline stays JVM-side."""
+    plan = plan_of(queries["embedding_dbscan_clusters"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
