@@ -1260,6 +1260,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bloom_fpr_curve(spark, capacity=100_000, fpp=0.01,
                                points=20, max_load=2.0)
 
+    def corpus_cluster_downsample(spark, sf):
+        """Density-aware redundancy cut: DBSCAN clusters (same params
+        as embedding_dbscan_clusters) capped at 3 members each by a
+        salted-hash draw; border/noise kept. The mixing-side policy on
+        top of clustering — dedup removes equivalents, this removes
+        redundancy."""
+        emb = _read(spark, sf, "embeddings")
+        assign = simsearch.dbscan_lsh(
+            emb, threshold=0.3, min_pts=4, n_planes=_ND_PLANES,
+            dim=_EMB_DIM, seed=_LSH_SEED, n_bands=_LSH_BANDS,
+            max_bucket_size=_ND_CAP,
+        )
+        return simsearch.cluster_downsample(assign, cap=3, salt="ds")
+
     def decontaminate_spans(spark, sf):
         """Positional exact-substring decontamination: maximal train-doc
         token spans whose every 8-token window occurs in the probe
@@ -2077,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dbscan_clusters": embedding_dbscan_clusters,
         "graph_link_spam": graph_link_spam,
         "membership_bloom_fpr": membership_bloom_fpr,
+        "corpus_cluster_downsample": corpus_cluster_downsample,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -3022,6 +3037,17 @@ def oracle_sql() -> dict[str, str]:
         "simsearch_pq_topk": _pq_sql(),
         "simsearch_ivfpq_topk": _ivfpq_sql(),
         "embedding_dbscan_clusters": _dbscan_sql(),
+        "corpus_cluster_downsample": f"""
+            SELECT id, role, cluster FROM (
+              SELECT d.*,
+                     CASE WHEN cluster < 0 THEN 1
+                          ELSE ROW_NUMBER() OVER (
+                            PARTITION BY cluster
+                            ORDER BY md5('ds' || CAST(id AS VARCHAR)), id)
+                     END AS rn
+              FROM ({_dbscan_sql()}) AS d)
+            WHERE cluster < 0 OR rn <= 3
+        """,
         "graph_link_spam": """
             WITH e AS (
               SELECT user_id % 120 AS src,

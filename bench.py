@@ -102,6 +102,12 @@ BENCH_QUERIES = [
     "corpus_url_filter",
     "text_classifier_score",
     "decontaminate_spans",
+    "simsearch_pq_topk",
+    "simsearch_ivfpq_topk",
+    "embedding_dbscan_clusters",
+    "graph_link_spam",
+    # membership_bloom_fpr / dedup_lsh_curve are generate-series
+    # calibration tables (20 rows, no data read) — nothing to bench.
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION
@@ -109,6 +115,7 @@ BENCH_QUERIES = [
 # timed as construction+write, see main()
 EAGER_QUERIES = {
     "dedup_corpus_canonical", "j5_redirect_chains", "dedup_semantic_canonical",
+    "embedding_dbscan_clusters",
 }
 
 FRONTIER_REPLICAS = int(os.environ.get("SPARK_GRAFT_FRONTIER_REPLICAS", "20"))

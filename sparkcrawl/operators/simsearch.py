@@ -628,3 +628,43 @@ def dbscan_lsh(
         )
     )
     return out
+
+
+def cluster_downsample(
+    assignments: DataFrame,
+    cap: int = 3,
+    salt: str = "ds",
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """The actionable policy on top of :func:`dbscan_lsh` — what
+    curation pipelines DO with density clusters (the data-mixing
+    counterpart of canonical-keep dedup): dense template families and
+    spam campaigns get capped at ``cap`` members, sparse/noise rows
+    are kept untouched. Deduplication removes equivalents; this
+    removes REDUNDANCY — a thousand near-identical boilerplate pages
+    add nothing past the first few.
+
+    Selection inside a cluster is by md5(salt || id) ascending (id
+    tie-break): a deterministic, retry- and partition-stable draw
+    that is UNBIASED w.r.t. crawl/id order — min-id keeps would
+    systematically favor early-crawled pages (same rationale as
+    sampling.py's salted-hash splits).
+
+    Shape at scale: one rank window PARTITIONED BY cluster — Spark's
+    WindowGroupLimit pushes the rank<=cap cut below the sort, so no
+    cluster's full membership is ever ranked past the cap; noise rows
+    bypass the window entirely via a cheap codegen filter + union.
+    """
+    clustered = assignments.filter(F.col(cluster_col) >= 0)
+    noise = assignments.filter(F.col(cluster_col) < 0)
+    from pyspark.sql import Window as W
+
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = W.partitionBy(cluster_col).orderBy(key.asc(), F.col(id_col).asc())
+    kept = (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return kept.unionByName(noise)

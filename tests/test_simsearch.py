@@ -549,3 +549,38 @@ def test_dbscan_lsh_invariants_vs_pairs(spark):
         else:
             assert role == "noise" and cluster == -1, i
     assert min(roles.values()) > 0, roles
+
+
+def test_cluster_downsample_caps_clusters_keeps_noise(spark):
+    """Cap-invariants recomputed brute-force: every cluster emits
+    min(cap, size) rows, noise passes through untouched, and the kept
+    members are exactly the cap-smallest by md5(salt||id) — i.e. the
+    draw is the documented salted hash, not Spark partition order."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.simsearch import cluster_downsample, dbscan_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assign = dbscan_lsh(emb, threshold=0.3, min_pts=4, n_planes=3, dim=64,
+                        seed=0, n_bands=2, max_bucket_size=150)
+    full = [(r["id"], r["cluster"]) for r in assign.collect()]
+    kept = {(r["id"], r["cluster"])
+            for r in cluster_downsample(assign, cap=3, salt="ds").collect()}
+
+    by_cluster: dict[int, list[int]] = {}
+    noise = set()
+    for i, c in full:
+        if c < 0:
+            noise.add((i, c))
+        else:
+            by_cluster.setdefault(c, []).append(i)
+    expect = set(noise)
+    for c, ids in by_cluster.items():
+        draw = sorted(ids, key=lambda i: (
+            hashlib.md5(f"ds{i}".encode()).hexdigest(), i))
+        expect.update((i, c) for i in draw[:3])
+    assert kept == expect
+    assert any(len(ids) > 3 for ids in by_cluster.values()), \
+        "fixture never exercised the cap"
