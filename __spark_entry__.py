@@ -1274,6 +1274,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return simsearch.cluster_downsample(assign, cap=3, salt="ds")
 
+    def corpus_dsir_weights(spark, sf):
+        """DSIR log importance weights (arXiv:2302.03169): hashed
+        unigram+bigram distributions over TARGET = English docs vs
+        RAW = whole corpus; one (id, logw) row per raw doc."""
+        from sparkcrawl.operators import importance
+
+        docs = _read(spark, sf, "documents")
+        return importance.dsir_log_weights(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+            dim=1024,
+        )
+
+    def corpus_dsir_sample(spark, sf):
+        """Gumbel-top-k resample (without replacement, proportional to
+        exp(logw)) of 100 docs from the DSIR weights — deterministic
+        md5-derived noise, so the draw itself is oracle-checkable."""
+        from sparkcrawl.operators import importance
+
+        docs = _read(spark, sf, "documents")
+        lw = importance.dsir_log_weights(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+            dim=1024,
+        )
+        return importance.gumbel_topk_sample(lw, k=100, salt="dsir")
+
     def decontaminate_spans(spark, sf):
         """Positional exact-substring decontamination: maximal train-doc
         token spans whose every 8-token window occurs in the probe
@@ -2092,6 +2119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_spam": graph_link_spam,
         "membership_bloom_fpr": membership_bloom_fpr,
         "corpus_cluster_downsample": corpus_cluster_downsample,
+        "corpus_dsir_weights": corpus_dsir_weights,
+        "corpus_dsir_sample": corpus_dsir_sample,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -2375,6 +2404,57 @@ def _bloom_fpr_sql(capacity: int = 100_000, fpp: float = 0.01,
                          {float(k)!r} * floor(i * {max_load} / {points} * {capacity})),
                          {float(k)!r}), 9) AS fpr
         FROM range(1, {points + 1}) t(i)
+    """
+
+
+def _dsir_lw_sql(dim: int = 1024) -> str:
+    """DSIR log-weight CTE chain: hashed unigram+bigram distributions,
+    target = lang='en', raw = all documents; mirrors
+    sparkcrawl/operators/importance.py bucket-for-bucket (same md5
+    bucket expression, same Laplace smoothing, ROUND(...,6))."""
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS l
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, lang, g
+          FROM (SELECT doc_id, lang,
+                       list_concat(l, list_transform(range(2, len(l) + 1),
+                                       i -> l[i - 1] || ' ' || l[i])) AS gl
+                FROM toklists),
+               UNNEST(gl) AS t(g)
+        ),
+        bucketed AS (
+          SELECT doc_id, lang,
+                 CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {dim} AS bucket
+          FROM grams
+        ),
+        doc_counts AS (
+          SELECT doc_id, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY 1, 2
+        ),
+        raw_counts AS (SELECT bucket, COUNT(*) AS rc FROM bucketed GROUP BY 1),
+        tgt_counts AS (SELECT bucket, COUNT(*) AS tc FROM bucketed
+                       WHERE lang = 'en' GROUP BY 1),
+        totals AS (SELECT (SELECT COUNT(*) FROM bucketed) AS rt,
+                          (SELECT COUNT(*) FROM bucketed WHERE lang = 'en') AS tt),
+        ratio AS (
+          SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+                 ln(COALESCE(t.tc, 0) + 1) - ln(tt + {dim})
+                 - ln(COALESCE(r.rc, 0) + 1) + ln(rt + {dim}) AS log_ratio
+          FROM raw_counts r FULL OUTER JOIN tgt_counts t ON r.bucket = t.bucket,
+               totals
+        ),
+        lw AS (
+          SELECT d.doc_id AS id,
+                 ROUND(COALESCE(SUM(c.cnt * ratio.log_ratio), 0.0), 6) AS logw
+          FROM documents d
+          LEFT JOIN doc_counts c ON c.doc_id = d.doc_id
+          LEFT JOIN ratio ON ratio.bucket = c.bucket
+          GROUP BY 1
+        )
     """
 
 
@@ -3047,6 +3127,17 @@ def oracle_sql() -> dict[str, str]:
                      END AS rn
               FROM ({_dbscan_sql()}) AS d)
             WHERE cluster < 0 OR rn <= 3
+        """,
+        "corpus_dsir_weights": _dsir_lw_sql() + "SELECT id, logw FROM lw",
+        "corpus_dsir_sample": _dsir_lw_sql() + """
+            , keyed AS (
+              SELECT id, logw,
+                     ROUND(logw - ln(-ln(
+                       (CAST(concat('0x',
+                            substr(md5('dsir' || CAST(id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 0.5) / 4294967296.0)), 6) AS k
+              FROM lw)
+            SELECT id, logw FROM keyed ORDER BY k DESC, id LIMIT 100
         """,
         "graph_link_spam": """
             WITH e AS (

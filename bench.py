@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "simsearch_ivfpq_topk",
     "embedding_dbscan_clusters",
     "graph_link_spam",
+    "corpus_dsir_sample",
     # membership_bloom_fpr / dedup_lsh_curve are generate-series
     # calibration tables (20 rows, no data read) — nothing to bench.
 ]
@@ -115,7 +116,7 @@ BENCH_QUERIES = [
 # timed as construction+write, see main()
 EAGER_QUERIES = {
     "dedup_corpus_canonical", "j5_redirect_chains", "dedup_semantic_canonical",
-    "embedding_dbscan_clusters",
+    "embedding_dbscan_clusters", "corpus_dsir_sample",
 }
 
 FRONTIER_REPLICAS = int(os.environ.get("SPARK_GRAFT_FRONTIER_REPLICAS", "20"))

@@ -286,3 +286,15 @@ def test_dbscan_plan_no_cartesian_no_python(spark, queries):
     plan = plan_of(queries["embedding_dbscan_clusters"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_plan_broadcast_ratio_heap_topk_no_python(spark, queries):
+    """DSIR: the <=dim-row bucket-ratio table must broadcast into the
+    per-doc scoring join, the Gumbel top-k must run as
+    TakeOrderedAndProject (per-partition heaps, no global Sort), and
+    nothing falls back to row-at-a-time Python."""
+    p = plan_of(queries["corpus_dsir_sample"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p

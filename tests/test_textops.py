@@ -672,3 +672,35 @@ def test_contaminated_spans_surgical_cut(spark):
     }
     assert cut[1] == "intro words here outro trailing text"
     assert cut[2] == "completely unrelated training document text here"
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR sanity: target = en docs => mean logw of en docs must
+    exceed mean logw of zh docs (disjoint token distributions in the
+    fixture), and token-free docs score exactly 0."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.importance import (
+        dsir_log_weights,
+        gumbel_topk_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw = docs.select("doc_id", "text")
+    lw = dsir_log_weights(
+        raw, docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        dim=1024,
+    )
+    joined = lw.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    ).groupBy("lang").agg(F.avg("logw").alias("m"))
+    means = {r["lang"]: r["m"] for r in joined.collect()}
+    assert means["en"] > means["zh"], means
+
+    empty = spark.createDataFrame([(999999, "")], ["doc_id", "text"])
+    z = dsir_log_weights(raw.unionByName(empty), empty, dim=1024)
+    assert z.filter("id = 999999").first()["logw"] == 0.0
+
+    s1 = sorted(r["id"] for r in gumbel_topk_sample(lw, k=10).collect())
+    s2 = sorted(r["id"] for r in gumbel_topk_sample(lw, k=10).collect())
+    assert s1 == s2 and len(s1) == 10
