@@ -1479,6 +1479,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graph.pagerank(edges, damping=0.85, iters=10)
 
+    def graph_trustrank(spark, sf):
+        """TrustRank over the same synthetic host graph: teleport mass
+        confined to a vetted seed set (hosts ≡ 0 mod 17), so trust
+        decays with link distance from the seeds — the demotion-side
+        spam defense next to graph_link_spam's structural detector."""
+        ev = _read(spark, sf, "events")
+        edges = ev.select(
+            (F.col("user_id") % 200).alias("src"),
+            (F.col("event_id") % 200).alias("dst"),
+        )
+        seeds = spark.range(0, 200, 17).select(F.col("id"))
+        return graph.trustrank(edges, seeds, damping=0.85, iters=10)
+
     def corpus_length_quantiles(spark, sf):
         """Exact per-language length percentiles (linear-interpolation
         semantics, matching DuckDB quantile_cont). At corpus scale the
@@ -2121,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cluster_downsample": corpus_cluster_downsample,
         "corpus_dsir_weights": corpus_dsir_weights,
         "corpus_dsir_sample": corpus_dsir_sample,
+        "graph_trustrank": graph_trustrank,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -3865,6 +3879,38 @@ def oracle_sql() -> dict[str, str]:
               WHERE pr.iter < 10
               GROUP BY pr.iter, we.dst)
             SELECT id, round(rank, 6) AS rank FROM pr WHERE iter = 10
+        """,
+        "graph_trustrank": """
+            WITH RECURSIVE
+            e AS (
+              SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+              FROM events WHERE user_id % 200 <> event_id % 200),
+            nodes AS (
+              SELECT DISTINCT id FROM (
+                SELECT src AS id FROM e UNION SELECT dst FROM e)),
+            ns AS (SELECT CAST(count(*) AS DOUBLE) AS s
+                   FROM nodes WHERE id % 17 = 0),
+            deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            we AS (
+              SELECT e.src, e.dst, 1.0 / deg.out_deg AS w
+              FROM e JOIN deg ON deg.src = e.src
+              UNION ALL
+              SELECT id, id, 0.0 FROM nodes),
+            tr AS (
+              SELECT 0 AS iter, id,
+                     CASE WHEN id % 17 = 0 THEN (SELECT 1.0 / s FROM ns)
+                          ELSE 0.0 END AS trust
+              FROM nodes
+              UNION ALL
+              SELECT tr.iter + 1, we.dst AS id,
+                     0.15 * (CASE WHEN we.dst % 17 = 0
+                                  THEN (SELECT 1.0 / s FROM ns)
+                                  ELSE 0.0 END)
+                     + 0.85 * sum(tr.trust * we.w) AS trust
+              FROM tr JOIN we ON we.src = tr.id
+              WHERE tr.iter < 10
+              GROUP BY tr.iter, we.dst)
+            SELECT id, round(trust, 6) AS trust FROM tr WHERE iter = 10
         """,
         "corpus_length_quantiles": """
             SELECT lang, count(*) AS n_docs,

@@ -157,3 +157,91 @@ def link_spam_signals(
             ).alias("link_farm"),
         )
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    personalized PageRank whose teleport mass lands ONLY on a vetted
+    seed set, so trust decays with link distance from the seeds and
+    spam neighborhoods — unreachable from good pages except through
+    bought links — end up with near-zero score. The demotion-side
+    companion to :func:`link_spam_signals` (which detects farms
+    structurally; this one discounts everything they prop up).
+
+        trust_0(x)   = 1/|S| if x in S else 0
+        trust_i+1(x) = (1-d)*1[x in S]/|S|
+                       + d * sum over in-neighbors y of trust_i(y)/out_deg(y)
+
+    Same iteration shape (and the same dangling-mass-drops contract)
+    as :func:`pagerank`: one equi-join + one hash agg per round,
+    ``localCheckpoint`` truncating lineage; the seed table is tiny
+    (hand-vetted lists are hundreds of hosts) and broadcast. Only
+    scalar |S| is ever collected.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    seed_ids = F.broadcast(
+        seeds.select(F.col(seed_col).alias("id")).distinct()
+        .join(nodes, "id", "semi")
+        .withColumn("_seed", F.lit(1.0))
+    ).persist()
+    n_seeds = seed_ids.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank: no seed appears in the graph")
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    out = e.join(deg, "src").select(
+        F.col("src").alias("id"), "dst",
+        (F.lit(1.0) / F.col("out_deg")).alias("w"),
+    ).persist()
+    out.count()
+
+    def seed_mass(df):
+        return df.join(seed_ids, "id", "left").withColumn(
+            "_base", F.coalesce(F.col("_seed"), F.lit(0.0)) / n_seeds
+        )
+
+    ranks = (
+        seed_mass(nodes)
+        .select("id", F.col("_base").alias("trust"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(out, "id")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("trust") * F.col("w")).alias("_in"))
+        )
+        ranks = (
+            seed_mass(nodes.join(contrib, "id", "left"))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("_base")
+                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                ).alias("trust"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    out.unpersist()
+    seed_ids.unpersist()
+    return ranks.select("id", F.round("trust", 6).alias("trust"))

@@ -48,6 +48,32 @@ def test_hand_computed_one_iteration(spark):
     assert r[3] == pytest.approx(0.05 + 0.85 * (1 / 6 + 1 / 3), abs=1e-6)
 
 
+def test_trustrank_decays_with_seed_distance(spark):
+    """Chain seed->1->2->3 plus a disconnected spam pair: trust strictly
+    decays along the chain, the spam pair (unreachable from the seed)
+    gets exactly zero, and a hand-computed 1-iteration value matches."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (90, 91), (91, 90)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    tr = {r["id"]: r["trust"] for r in
+          graph.trustrank(edges, seeds, iters=10).collect()}
+    assert tr[0] > tr[1] > tr[2] > tr[3] > 0
+    assert tr[90] == 0.0 and tr[91] == 0.0
+    # one iteration by hand: seed keeps (1-d)*1, node1 gets d*1/out_deg(0)=d
+    tr1 = {r["id"]: r["trust"] for r in
+           graph.trustrank(edges, seeds, iters=1).collect()}
+    assert tr1[0] == pytest.approx(0.15, abs=1e-6)
+    assert tr1[1] == pytest.approx(0.85, abs=1e-6)
+    assert tr1[2] == 0.0  # trust hasn't propagated two hops yet
+
+
+def test_trustrank_seed_outside_graph_raises(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(99,)], ["id"])
+    with pytest.raises(ValueError):
+        graph.trustrank(edges, seeds)
+
+
 def test_link_spam_signals_hand_graph(spark):
     """A 3-host reciprocal ring (farm) vs an honest hub: the ring flags,
     the hub doesn't; self-links and concentration computed exactly."""
