@@ -1492,6 +1492,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = spark.range(0, 200, 17).select(F.col("id"))
         return graph.trustrank(edges, seeds, damping=0.85, iters=10)
 
+    def graph_hits(spark, sf):
+        """HITS hubs/authorities over the same synthetic host graph:
+        authority = fetch-depth prior, hub = frontier-yield prior
+        (a good hub's link list discovers the most new authorities per
+        fetch). Five L1-normalized half-step iterations; DuckDB unrolls
+        the identical half-steps CTE by CTE."""
+        ev = _read(spark, sf, "events")
+        edges = ev.select(
+            (F.col("user_id") % 200).alias("src"),
+            (F.col("event_id") % 200).alias("dst"),
+        )
+        return graph.hits(edges, iters=5)
+
+    def graph_spam_mass(spark, sf):
+        """Relative spam mass: the share of each host's PageRank NOT
+        attributable to the vetted seed core (hosts ≡ 0 mod 17).
+        Rank and trust iterate JOINTLY — one out-edge join + one agg
+        per round carries both measures."""
+        ev = _read(spark, sf, "events")
+        edges = ev.select(
+            (F.col("user_id") % 200).alias("src"),
+            (F.col("event_id") % 200).alias("dst"),
+        )
+        seeds = spark.range(0, 200, 17).select(F.col("id"))
+        return graph.spam_mass(edges, seeds, damping=0.85, iters=10)
+
+    def graph_rank_budget(spark, sf):
+        """Rank-weighted crawl budget: Hamilton-apportion a 10k-fetch
+        budget across hosts proportional to PageRank — the composition
+        a scheduler actually runs (graph signal → integer per-host
+        quota summing to EXACTLY the budget)."""
+        from sparkcrawl.operators.schedule import allocate_budgets
+
+        ev = _read(spark, sf, "events")
+        edges = ev.select(
+            (F.col("user_id") % 200).alias("src"),
+            (F.col("event_id") % 200).alias("dst"),
+        )
+        ranks = graph.pagerank(edges, damping=0.85, iters=10)
+        return allocate_budgets(ranks, 10000, key_col="id", weight_col="rank")
+
+    def dedup_prefix_filter(spark, sf):
+        """Exact all-pairs 8-gram Jaccard ≥ 0.6 via PREFIX FILTERING
+        (SSJoin/PPJoin): self-join only each doc's rarest prefix
+        shingles under a global df-ascending order — zero false
+        negatives, cost tracks the true-pair count. The oracle is
+        BRUTE-FORCE Jaccard, so a hash match proves the pruning loses
+        nothing."""
+        docs = _read(spark, sf, "documents")
+        return textops.prefix_filter_jaccard_pairs(docs, n=8, threshold=0.6)
+
     def corpus_length_quantiles(spark, sf):
         """Exact per-language length percentiles (linear-interpolation
         semantics, matching DuckDB quantile_cont). At corpus scale the
@@ -2135,6 +2186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_weights": corpus_dsir_weights,
         "corpus_dsir_sample": corpus_dsir_sample,
         "graph_trustrank": graph_trustrank,
+        "graph_hits": graph_hits,
+        "graph_spam_mass": graph_spam_mass,
+        "graph_rank_budget": graph_rank_budget,
+        "dedup_prefix_filter": dedup_prefix_filter,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -2485,6 +2540,48 @@ def oracle_sql() -> dict[str, str]:
     dupped = (
         "SELECT doc_id, text FROM documents "
         "UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents"
+    )
+    # HITS: the L1-normalized half-steps unroll mechanically, so the
+    # oracle SQL is generated per iteration instead of hand-written.
+    # Every CTE is MATERIALIZED: each is referenced 2-3 times (next
+    # half-step + its own normalization total), and letting the
+    # optimizer inline them doubles the plan per half-step —
+    # exponential planning time by iteration 5.
+    _hits_iters = 5
+    _h = [
+        "e AS MATERIALIZED (SELECT DISTINCT user_id % 200 AS src,"
+        " event_id % 200 AS dst"
+        " FROM events WHERE user_id % 200 <> event_id % 200)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM"
+        " (SELECT src AS id FROM e UNION SELECT dst FROM e))",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM nodes)",
+    ]
+    for _k in range(1, _hits_iters + 1):
+        _h.append(
+            f"a{_k}r AS MATERIALIZED (SELECT e.dst AS id,"
+            f" sum(h{_k - 1}.hub) AS v"
+            f" FROM h{_k - 1} JOIN e ON e.src = h{_k - 1}.id GROUP BY e.dst)"
+        )
+        _h.append(
+            f"a{_k} AS MATERIALIZED (SELECT n.id, coalesce(v, 0) /"
+            f" (SELECT sum(v) FROM a{_k}r) AS auth"
+            f" FROM nodes n LEFT JOIN a{_k}r USING (id))"
+        )
+        _h.append(
+            f"h{_k}r AS MATERIALIZED (SELECT e.src AS id,"
+            f" sum(a{_k}.auth) AS v"
+            f" FROM a{_k} JOIN e ON e.dst = a{_k}.id GROUP BY e.src)"
+        )
+        _h.append(
+            f"h{_k} AS MATERIALIZED (SELECT n.id, coalesce(v, 0) /"
+            f" (SELECT sum(v) FROM h{_k}r) AS hub"
+            f" FROM nodes n LEFT JOIN h{_k}r USING (id))"
+        )
+    hits_sql = (
+        "WITH " + ",\n".join(_h)
+        + f"\nSELECT h{_hits_iters}.id, round(h{_hits_iters}.hub, 6) AS hub,"
+        f" round(a{_hits_iters}.auth, 6) AS auth"
+        f" FROM h{_hits_iters} JOIN a{_hits_iters} USING (id)"
     )
     return {
         "crawl_schedule_flagship": _CRAWL_SCHEDULE_SQL,
@@ -3911,6 +4008,108 @@ def oracle_sql() -> dict[str, str]:
               WHERE tr.iter < 10
               GROUP BY tr.iter, we.dst)
             SELECT id, round(trust, 6) AS trust FROM tr WHERE iter = 10
+        """,
+        "graph_hits": hits_sql,
+        "graph_spam_mass": """
+            WITH RECURSIVE
+            e AS (
+              SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+              FROM events WHERE user_id % 200 <> event_id % 200),
+            nodes AS (
+              SELECT DISTINCT id FROM (
+                SELECT src AS id FROM e UNION SELECT dst FROM e)),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            ns AS (SELECT CAST(count(*) AS DOUBLE) AS s
+                   FROM nodes WHERE id % 17 = 0),
+            deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            we AS (
+              SELECT e.src, e.dst, 1.0 / deg.out_deg AS w
+              FROM e JOIN deg ON deg.src = e.src
+              UNION ALL
+              SELECT id, id, 0.0 FROM nodes),
+            st AS (
+              SELECT 0 AS iter, id, (SELECT 1.0 / n FROM nn) AS rank,
+                     CASE WHEN id % 17 = 0 THEN (SELECT 1.0 / s FROM ns)
+                          ELSE 0.0 END AS trust
+              FROM nodes
+              UNION ALL
+              SELECT st.iter + 1, we.dst AS id,
+                     (SELECT 0.15 / n FROM nn)
+                       + 0.85 * sum(st.rank * we.w) AS rank,
+                     0.15 * (CASE WHEN we.dst % 17 = 0
+                                  THEN (SELECT 1.0 / s FROM ns)
+                                  ELSE 0.0 END)
+                       + 0.85 * sum(st.trust * we.w) AS trust
+              FROM st JOIN we ON we.src = st.id
+              WHERE st.iter < 10
+              GROUP BY st.iter, we.dst)
+            SELECT id, round(rank, 6) AS rank,
+                   round(trust * (SELECT s FROM ns) / (SELECT n FROM nn), 6)
+                     AS good_rank,
+                   round((rank - trust * (SELECT s FROM ns)
+                          / (SELECT n FROM nn)) / rank, 6) AS rel_mass
+            FROM st WHERE iter = 10
+        """,
+        "graph_rank_budget": """
+            WITH RECURSIVE
+            e AS (
+              SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+              FROM events WHERE user_id % 200 <> event_id % 200),
+            nodes AS (
+              SELECT DISTINCT id FROM (
+                SELECT src AS id FROM e UNION SELECT dst FROM e)),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            we AS (
+              SELECT e.src, e.dst, 1.0 / deg.out_deg AS w
+              FROM e JOIN deg ON deg.src = e.src
+              UNION ALL
+              SELECT id, id, 0.0 FROM nodes),
+            pr AS (
+              SELECT 0 AS iter, id, (SELECT 1.0 / n FROM nn) AS rank
+              FROM nodes
+              UNION ALL
+              SELECT pr.iter + 1, we.dst AS id,
+                     (SELECT 0.15 / n FROM nn) + 0.85 * sum(pr.rank * we.w)
+                       AS rank
+              FROM pr JOIN we ON we.src = pr.id
+              WHERE pr.iter < 10
+              GROUP BY pr.iter, we.dst),
+            w AS (SELECT id, round(rank, 6) AS weight
+                  FROM pr WHERE iter = 10),
+            tot AS (SELECT sum(weight) AS tw FROM w),
+            q AS (
+              SELECT id, weight,
+                     weight * 10000 / (SELECT tw FROM tot) AS quota
+              FROM w),
+            b AS (
+              SELECT id, weight,
+                     CAST(floor(quota) AS BIGINT) AS base,
+                     quota - floor(quota) AS rem
+              FROM q),
+            l AS (SELECT 10000 - sum(base) AS leftover FROM b),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, id) AS rk
+              FROM b)
+            SELECT id, weight,
+                   CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                                         AND rem > 0
+                                    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM r
+        """,
+        "dedup_prefix_filter": f"""
+            WITH sh AS ({shingle8}),
+            sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6
         """,
         "corpus_length_quantiles": """
             SELECT lang, count(*) AS n_docs,

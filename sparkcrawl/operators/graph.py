@@ -245,3 +245,189 @@ def trustrank(
     out.unpersist()
     seed_ids.unpersist()
     return ranks.select("id", F.round("trust", 6).alias("trust"))
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) — the third
+    classic link signal next to :func:`pagerank` (global importance)
+    and :func:`trustrank` (seed-anchored trust). For a crawl scheduler
+    the two scores answer different questions: high-AUTHORITY hosts are
+    worth fetching deeply (many good hubs endorse them); high-HUB hosts
+    are worth re-fetching often (their link lists discover the most new
+    authorities per fetch) — hub score is a direct frontier-yield
+    prior.
+
+        auth_k(x) = Σ over in-neighbors y of hub_{k-1}(y),  L1-normalized
+        hub_k(x)  = Σ over out-neighbors y of auth_k(y),    L1-normalized
+
+    L1 normalization per half-step makes the fixed-iteration values
+    deterministic (and oracle-reproducible) instead of growing
+    unboundedly. Nodes outside the largest component simply converge
+    to 0 — no teleport term in HITS.
+
+    Shape at scale: per iteration, two equi-joins on the distinct edge
+    list + two hash aggs + two single-row normalization totals joined
+    back via broadcast (never collected); ``localCheckpoint`` truncates
+    lineage per round exactly like :func:`pagerank`.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+
+    def _normalize(raw, col):
+        """nodes left-joined with raw sums, divided by the L1 total
+        (broadcast single-row agg — no driver collect)."""
+        tot = raw.agg(F.sum("_v").alias("_tot"))
+        return (
+            nodes.join(raw, "id", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "id",
+                (F.coalesce("_v", F.lit(0.0)) / F.col("_tot")).alias(col),
+            )
+        )
+
+    hub = nodes.withColumn("hub", F.lit(1.0)).localCheckpoint(eager=True)
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            hub.join(e, hub["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("_v"))
+        )
+        auth = _normalize(a_raw, "auth").localCheckpoint(eager=True)
+        h_raw = (
+            auth.join(e, auth["id"] == e["dst"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("_v"))
+        )
+        hub = _normalize(h_raw, "hub").localCheckpoint(eager=True)
+    out = (
+        hub.join(auth, "id")
+        .select("id", F.round("hub", 6).alias("hub"),
+                F.round("auth", 6).alias("auth"))
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Spam-mass estimation (Gyongyi, Berkhin, Garcia-Molina &
+    Pedersen, VLDB 2006): how much of a host's PageRank is NOT
+    attributable to a vetted good core. PageRank is linear in its
+    teleport vector, so the share of rank(x) whose teleport originated
+    at the seed set S is exactly (|S|/N)·trust(x) with trust =
+    :func:`trustrank` (uniform teleport over S). Then
+
+        good_rank(x) = (|S|/N) · trust(x)        ∈ [0, rank(x)]
+        rel_mass(x)  = (rank(x) − good_rank(x)) / rank(x)  ∈ [0, 1]
+
+    rel_mass near 1 = rank propped up almost entirely by pages
+    unreachable from the good core — the scheduler demotes those
+    queues; near 0 = rank flows from vetted seeds. Both iterations run
+    JOINTLY: one state table carries (rank, trust), so each round is
+    ONE out-edge join + ONE hash agg for both measures (half the
+    shuffles of running pagerank then trustrank separately). Same
+    dangling-mass-drops contract and ``localCheckpoint`` lineage
+    truncation as :func:`pagerank`; only scalar N and |S| are ever
+    collected.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    seed_ids = F.broadcast(
+        seeds.select(F.col(seed_col).alias("id")).distinct()
+        .join(nodes, "id", "semi")
+        .withColumn("_seed", F.lit(1.0))
+    ).persist()
+    n_seeds = seed_ids.count()
+    if n_seeds == 0:
+        raise ValueError("spam_mass: no seed appears in the graph")
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    out = e.join(deg, "src").select(
+        F.col("src").alias("id"), "dst",
+        (F.lit(1.0) / F.col("out_deg")).alias("w"),
+    ).persist()
+    out.count()
+
+    def seed_base(df):
+        return df.join(seed_ids, "id", "left").withColumn(
+            "_base", F.coalesce(F.col("_seed"), F.lit(0.0)) / n_seeds
+        )
+
+    state = (
+        seed_base(nodes)
+        .select("id", F.lit(1.0 / n).alias("rank"),
+                F.col("_base").alias("trust"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        contrib = (
+            state.join(out, "id")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum(F.col("rank") * F.col("w")).alias("_r"),
+                F.sum(F.col("trust") * F.col("w")).alias("_t"),
+            )
+        )
+        state = (
+            seed_base(nodes.join(contrib, "id", "left"))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("_r", F.lit(0.0))
+                ).alias("rank"),
+                (
+                    F.lit(1.0 - damping) * F.col("_base")
+                    + F.lit(damping) * F.coalesce("_t", F.lit(0.0))
+                ).alias("trust"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    good = F.col("trust") * F.lit(n_seeds / n)
+    res = state.select(
+        "id",
+        F.round("rank", 6).alias("rank"),
+        F.round(good, 6).alias("good_rank"),
+        F.round((F.col("rank") - good) / F.col("rank"), 6).alias("rel_mass"),
+    )
+    e.unpersist()
+    nodes.unpersist()
+    out.unpersist()
+    seed_ids.unpersist()
+    return res

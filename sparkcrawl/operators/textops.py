@@ -180,6 +180,103 @@ def ngram_containment_pairs(
     return both.select("d.*").filter(F.col("containment") >= threshold)
 
 
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 8,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via PREFIX FILTERING — the
+    EXACT (zero-false-negative) scale path next to MinHash-LSH's
+    probabilistic one. Classic all-pairs similarity-join technique
+    (Chaudhuri/Ganti/Kaushik SSJoin ICDE'06; Bayardo/Ma/Srikant
+    WWW'07; Xiao et al. PPJoin): order every doc's shingles by a
+    single global total order (ascending document frequency, rarest
+    first — ties broken by shingle value), and note that two sets
+    with |x∩y| ≥ α MUST share an element within their first
+    |x|−α+1 positions. For Jaccard ≥ t, |x∩y| ≥ t·|x∪y| ≥
+    ⌈t·|x|⌉ on each side, so joining only on each doc's first
+    |x|−⌈t·|x|⌉+1 rarest shingles finds every qualifying pair while
+    the frequency ordering keeps join-key fan-out minimal (hot common
+    shingles never appear in a short prefix).
+
+    Pipeline (all relational, one pass each):
+      1. distinct (id, shingle) + global df(shingle) counts
+      2. per-doc rank by (df, shingle) — a PER-DOC window, bounded by
+         document length, never data-skewed
+      3. prefix self-join (id_a < id_b) + symmetric size prune
+         (t·max(|a|,|b|) ≤ min — a qualifying pair can't differ in
+         size by more than 1/t)
+      4. exact intersection count restricted to candidate pairs, then
+         the true-Jaccard filter.
+
+    vs ngram_jaccard_pairs (which joins on ALL shared shingles —
+    documented quadratic): identical output, but the join touches only
+    prefix shingles, so corpus-scale cost tracks the number of truly
+    similar pairs, not the square of shared-boilerplate postings. Use
+    this when false negatives are unacceptable (LSH's s-curve always
+    leaks near-threshold pairs); use LSH when approximate recall is
+    acceptable and t is low.
+    """
+    # tracked: release via operators._caching.release_caches()
+    sh = tracked_persist(char_shingles(docs, n, text_col, id_col))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("id").orderBy("df", "shingle")),
+        )
+        .join(sizes, "id")
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("id", "shingle", "sz")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.sz").alias("n_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.sz").alias("n_b"),
+        )
+        .distinct()
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b")
+        )
+    )
+    inter = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(
+            sh.withColumnsRenamed({"id": "id_b"}),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            >= threshold
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def cross_corpus_contamination(
     train: DataFrame,
     probe: DataFrame,

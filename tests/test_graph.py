@@ -74,6 +74,59 @@ def test_trustrank_seed_outside_graph_raises(spark):
         graph.trustrank(edges, seeds)
 
 
+def test_hits_star_and_hand_iteration(spark):
+    """Star 1,2,3 -> 9: node 9 is the sole authority (auth 1.0), the
+    leaves are equal hubs (1/3 each), and cross scores are zero."""
+    edges = spark.createDataFrame([(1, 9), (2, 9), (3, 9)], ["src", "dst"])
+    r = {row["id"]: (row["hub"], row["auth"])
+         for row in graph.hits(edges, iters=3).collect()}
+    assert r[9] == (0.0, 1.0)
+    for leaf in (1, 2, 3):
+        assert r[leaf][0] == pytest.approx(1 / 3, abs=1e-6)
+        assert r[leaf][1] == 0.0
+
+
+def test_hits_one_iteration_hand_computed(spark):
+    """Edges (1,3),(1,4),(2,4), one iteration from hub=1:
+    auth: 3 gets 1, 4 gets 2 -> normalized 1/3, 2/3;
+    hub: 1 gets 1/3+2/3=1, 2 gets 2/3 -> normalized 3/5, 2/5."""
+    edges = spark.createDataFrame([(1, 3), (1, 4), (2, 4)], ["src", "dst"])
+    r = {row["id"]: (row["hub"], row["auth"])
+         for row in graph.hits(edges, iters=1).collect()}
+    assert r[3][1] == pytest.approx(1 / 3, abs=1e-6)
+    assert r[4][1] == pytest.approx(2 / 3, abs=1e-6)
+    assert r[1][0] == pytest.approx(3 / 5, abs=1e-6)
+    assert r[2][0] == pytest.approx(2 / 5, abs=1e-6)
+    assert r[1][1] == 0.0 and r[3][0] == 0.0
+
+
+def test_spam_mass_invariants_and_spam_component(spark):
+    """good_rank never exceeds rank; rel_mass in [0,1]; a component
+    unreachable from the seed has rel_mass exactly 1; the seed's own
+    rel_mass is the smallest in the graph."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (90, 91), (91, 90)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    rows = {r["id"]: r.asDict()
+            for r in graph.spam_mass(edges, seeds, iters=10).collect()}
+    for d in rows.values():
+        assert 0 <= d["good_rank"] <= d["rank"] + 1e-9
+        assert 0 <= d["rel_mass"] <= 1
+    assert rows[90]["rel_mass"] == 1.0 and rows[91]["rel_mass"] == 1.0
+    assert rows[90]["good_rank"] == 0.0
+    # every node reachable from the seed keeps some good mass
+    for n in (0, 1, 2):
+        assert rows[n]["rel_mass"] < 1.0
+    # one iteration by hand (n=5 nodes, seed={0}): rank(1) = 0.15/5
+    # + 0.85*(1/5) = 0.2; trust(1) = 0.85; good = 0.85/5 = 0.17;
+    # rel_mass = (0.2-0.17)/0.2 = 0.15
+    one = {r["id"]: r.asDict()
+           for r in graph.spam_mass(edges, seeds, iters=1).collect()}
+    assert one[1]["rank"] == pytest.approx(0.2, abs=1e-6)
+    assert one[1]["good_rank"] == pytest.approx(0.17, abs=1e-6)
+    assert one[1]["rel_mass"] == pytest.approx(0.15, abs=1e-6)
+
+
 def test_link_spam_signals_hand_graph(spark):
     """A 3-host reciprocal ring (farm) vs an honest hub: the ring flags,
     the hub doesn't; self-links and concentration computed exactly."""

@@ -298,3 +298,23 @@ def test_dsir_plan_broadcast_ratio_heap_topk_no_python(spark, queries):
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_prefix_filter_plan_no_cartesian_no_python(spark, queries):
+    """Prefix-filter similarity join: candidate generation must stay an
+    equi-join on the prefix shingle (never a cross product), the only
+    window is the per-doc rarity rank, and everything is JVM-side."""
+    p = plan_of(queries["dedup_prefix_filter"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_graph_iterations_stay_relational(spark, queries):
+    """HITS / spam-mass rounds: equi-joins + hash aggs only — no
+    Python eval, no cross products; normalization totals come in via
+    broadcast joins, not collects."""
+    for key in ("graph_hits", "graph_spam_mass"):
+        p = plan_of(queries[key](spark, SF))
+        assert "CartesianProduct" not in p, key
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, key

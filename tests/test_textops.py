@@ -40,6 +40,28 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 6) not in pairs
 
 
+def test_prefix_filter_matches_bruteforce(docs):
+    """Prefix filtering is exact: identical output to the quadratic
+    shared-shingle join at the same (n, threshold)."""
+    for t in (0.15, 0.5, 0.9):
+        brute = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in textops.ngram_jaccard_pairs(
+                     docs, n=5, threshold=t).collect()}
+        pref = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in textops.prefix_filter_jaccard_pairs(
+                    docs, n=5, threshold=t).collect()}
+        assert pref == brute, f"threshold {t}"
+
+
+def test_prefix_filter_known_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in textops.prefix_filter_jaccard_pairs(
+                 docs, n=5, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 6) not in pairs
+
+
 def test_ngram_containment_asymmetry(spark):
     # doc 2 is a verbatim prefix of doc 1: every one of its 8-gram
     # shingles is contained in 1 (containment 1.0 that direction) while
