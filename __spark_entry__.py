@@ -1533,6 +1533,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ranks = graph.pagerank(edges, damping=0.85, iters=10)
         return allocate_budgets(ranks, 10000, key_col="id", weight_col="rank")
 
+    def graph_opic(spark, sf):
+        """OPIC page importance (Abiteboul et al. WWW'03) — the crawl-
+        native estimator: cash distribution over out-links + a virtual
+        page absorbing dangling mass, history/(k+1) as importance.
+        Synchronous-rounds variant, 10 rounds; the DuckDB twin carries
+        (cash, hist) through a recursive CTE using zero-weight self
+        edges to ferry each node's own history forward."""
+        ev = _read(spark, sf, "events")
+        edges = ev.select(
+            (F.col("user_id") % 200).alias("src"),
+            (F.col("event_id") % 200).alias("dst"),
+        )
+        return graph.opic(edges, iters=10)
+
+    def graph_cocitation(spark, sf):
+        """Co-citation related-host pairs (≥2 common citing sources,
+        per-source fanout capped at 50 smallest targets so a mega-hub
+        never materializes its full pair square)."""
+        ev = _read(spark, sf, "events")
+        edges = ev.select(
+            (F.col("user_id") % 200).alias("src"),
+            (F.col("event_id") % 200).alias("dst"),
+        )
+        return graph.cocitation_pairs(edges, min_common=2, max_out=50)
+
+    def graph_coupling(spark, sf):
+        """Bibliographic coupling (hosts sharing ≥2 OUT-link targets) =
+        co-citation on the transposed edge list — same operator, same
+        cap, reversed roles."""
+        ev = _read(spark, sf, "events")
+        rev = ev.select(
+            (F.col("event_id") % 200).alias("src"),
+            (F.col("user_id") % 200).alias("dst"),
+        )
+        return graph.cocitation_pairs(rev, min_common=2, max_out=50)
+
     def dedup_prefix_filter(spark, sf):
         """Exact all-pairs 8-gram Jaccard ≥ 0.6 via PREFIX FILTERING
         (SSJoin/PPJoin): self-join only each doc's rarest prefix
@@ -2189,6 +2225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": graph_hits,
         "graph_spam_mass": graph_spam_mass,
         "graph_rank_budget": graph_rank_budget,
+        "graph_opic": graph_opic,
+        "graph_cocitation": graph_cocitation,
+        "graph_coupling": graph_coupling,
         "dedup_prefix_filter": dedup_prefix_filter,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
@@ -4010,6 +4049,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, round(trust, 6) AS trust FROM tr WHERE iter = 10
         """,
         "graph_hits": hits_sql,
+        "graph_opic": """
+            WITH RECURSIVE
+            e AS (
+              SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+              FROM events WHERE user_id % 200 <> event_id % 200),
+            nodes AS (
+              SELECT DISTINCT id FROM (
+                SELECT src AS id FROM e UNION SELECT dst FROM e)),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+            allnodes AS (SELECT id FROM nodes UNION ALL SELECT -1),
+            we AS (
+              SELECT e.src, e.dst, 1.0 / (deg.d + 1) AS w, 0.0 AS sw
+              FROM e JOIN deg ON deg.src = e.src
+              UNION ALL
+              SELECT src, -1, 1.0 / (d + 1), 0.0 FROM deg
+              UNION ALL
+              SELECT id, -1, 1.0, 0.0 FROM nodes
+              WHERE id NOT IN (SELECT src FROM deg)
+              UNION ALL
+              SELECT -1, id, (SELECT 1.0 / n FROM nn), 0.0 FROM nodes
+              UNION ALL
+              SELECT id, id, 0.0, 1.0 FROM allnodes),
+            st AS (
+              -- hist MUST be cast: a bare 0.0 literal fixes the
+              -- recursive column type at DECIMAL(2,1), silently
+              -- rounding every accumulated history to one decimal
+              SELECT 0 AS iter, id,
+                     (SELECT 1.0 / (n + 1) FROM nn) AS cash,
+                     CAST(0.0 AS DOUBLE) AS hist
+              FROM allnodes
+              UNION ALL
+              SELECT st.iter + 1, we.dst AS id,
+                     sum(st.cash * we.w) AS cash,
+                     sum((st.hist + st.cash) * we.sw) AS hist
+              FROM st JOIN we ON we.src = st.id
+              WHERE st.iter < 10
+              GROUP BY st.iter, we.dst)
+            SELECT id, round((hist + cash) / 11, 6) AS importance
+            FROM st WHERE iter = 10 AND id <> -1
+        """,
+        "graph_cocitation": """
+            WITH e AS (
+              SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+              FROM events WHERE user_id % 200 <> event_id % 200),
+            cap AS (
+              SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                         AS rn
+                FROM e) WHERE rn <= 50)
+            SELECT a.dst AS host_a, b.dst AS host_b,
+                   count(*) AS common_sources
+            FROM cap a JOIN cap b ON a.src = b.src AND a.dst < b.dst
+            GROUP BY a.dst, b.dst
+            HAVING count(*) >= 2
+        """,
+        "graph_coupling": """
+            WITH e AS (
+              SELECT DISTINCT event_id % 200 AS src, user_id % 200 AS dst
+              FROM events WHERE user_id % 200 <> event_id % 200),
+            cap AS (
+              SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                         AS rn
+                FROM e) WHERE rn <= 50)
+            SELECT a.dst AS host_a, b.dst AS host_b,
+                   count(*) AS common_sources
+            FROM cap a JOIN cap b ON a.src = b.src AND a.dst < b.dst
+            GROUP BY a.dst, b.dst
+            HAVING count(*) >= 2
+        """,
         "graph_spam_mass": """
             WITH RECURSIVE
             e AS (

@@ -21,7 +21,7 @@ float summation order (output rounded).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -431,3 +431,151 @@ def spam_mass(
     out.unpersist()
     seed_ids.unpersist()
     return res
+
+
+def opic(
+    edges: DataFrame,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    virtual_id: int = -1,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003): the importance estimator built FOR crawlers.
+    Unlike batch PageRank it needs no convergence loop over a frozen
+    graph snapshot — each page holds "cash", distributes it over its
+    out-links when visited, and its accumulated HISTORY estimates
+    importance; a virtual page wired both ways to every node absorbs
+    dangling mass and re-seeds new pages. This implementation runs the
+    synchronous-rounds variant (every page distributes each round —
+    the deterministic, oracle-checkable form; the async per-fetch form
+    is the same arithmetic at superstep granularity).
+
+        cash_0 = 1/(N+1) on every node incl. the virtual page
+        each round: node x sends cash(x)/(deg(x)+1) along each real
+          out-link and to the virtual page (dangling: all to virtual);
+          the virtual page sends cash(V)/N to every real node;
+          history(x) += cash(x) at distribution time
+        importance_k(x) = (history_k(x) + cash_k(x)) / (k+1)
+          (total cash is conserved at 1, so round-k history totals k
+          and importances sum to 1 over all nodes incl. virtual)
+
+    Output: (id, importance) over REAL nodes, rounded to 6dp.
+
+    Shape at scale: identical to :func:`pagerank` — the virtual page
+    is just one more row, so every round is ONE equi-join on the
+    weighted edge list + ONE hash agg, ``localCheckpoint`` truncating
+    lineage. ``virtual_id`` must not collide with a real node id.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    vlit = F.lit(virtual_id)
+    real = e.join(deg, "src").select(
+        F.col("src").alias("id"), "dst",
+        (F.lit(1.0) / (F.col("d") + 1)).alias("w"),
+    )
+    to_virt = deg.select(
+        F.col("src").alias("id"), vlit.alias("dst"),
+        (F.lit(1.0) / (F.col("d") + 1)).alias("w"),
+    )
+    dangling = nodes.join(deg.withColumnRenamed("src", "id"), "id", "anti").select(
+        "id", vlit.alias("dst"), F.lit(1.0).alias("w")
+    )
+    from_virt = nodes.select(
+        vlit.alias("id"), F.col("id").alias("dst"),
+        F.lit(1.0 / n).alias("w"),
+    )
+    wedges = real.unionByName(to_virt).unionByName(dangling).unionByName(from_virt).persist()
+    wedges.count()
+    allnodes = nodes.unionByName(
+        nodes.sparkSession.range(1).select(vlit.alias("id"))
+    ).persist()
+
+    state = allnodes.select(
+        "id", F.lit(1.0 / (n + 1)).alias("cash"), F.lit(0.0).alias("hist")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            state.join(wedges, "id")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("cash") * F.col("w")).alias("_in"))
+        )
+        state = (
+            state.join(contrib, "id", "left")
+            .select(
+                "id",
+                F.coalesce("_in", F.lit(0.0)).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        state.filter(F.col("id") != vlit)
+        .select(
+            "id",
+            F.round((F.col("hist") + F.col("cash")) / (iters + 1), 6).alias(
+                "importance"
+            ),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    wedges.unpersist()
+    allnodes.unpersist()
+    return out
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_out: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Co-citation similarity (Small 1973, applied to the web graph by
+    Dean & Henzinger WWW'99 "related pages"): two hosts are related if
+    the same sources link to BOTH. Output (host_a < host_b,
+    common_sources) for pairs co-cited by ≥ ``min_common`` distinct
+    sources — the crawl-side "related host" discovery signal (seed a
+    focused crawl from one vetted host, co-citation proposes its
+    peers). Bibliographic coupling (sharing OUT-links) is the same
+    computation on the transposed edge list.
+
+    Shape at scale: self-join of the distinct edge table on src makes
+    d·(d-1)/2 pairs per source — a mega-hub's link page would explode
+    it, so ``max_out`` caps each source's fanout FIRST, keeping its
+    lexicographically-smallest targets (deterministic, and Catalyst
+    runs the cut as WindowGroupLimit below the sort: a capped source
+    never materializes its full pair square). The groupBy counts
+    distinct-by-construction rows — no count_distinct shuffle.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if max_out is not None:
+        rn = F.row_number().over(W.partitionBy("src").orderBy("dst"))
+        e = e.withColumn("_rn", rn).filter(F.col("_rn") <= max_out).drop("_rn")
+    return (
+        e.alias("a")
+        .join(e.alias("b"), "src")
+        .filter(F.col("a.dst") < F.col("b.dst"))
+        .groupBy(
+            F.col("a.dst").alias("host_a"), F.col("b.dst").alias("host_b")
+        )
+        .agg(F.count("*").alias("common_sources"))
+        .filter(F.col("common_sources") >= min_common)
+    )

@@ -127,6 +127,61 @@ def test_spam_mass_invariants_and_spam_component(spark):
     assert one[1]["rel_mass"] == pytest.approx(0.15, abs=1e-6)
 
 
+def test_opic_one_round_hand_computed(spark):
+    """Graph 1->2 (N=2 real + virtual): cash_0 = 1/3 each.
+    Round 1: node1 gets V's half = 1/6; node2 gets half of node1's
+    cash + V's half = 1/3. importance = (hist + cash)/2:
+    node1 (1/3 + 1/6)/2 = 0.25, node2 (1/3 + 1/3)/2 = 1/3."""
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    r = {row["id"]: row["importance"]
+         for row in graph.opic(edges, iters=1).collect()}
+    assert r[1] == pytest.approx(0.25, abs=1e-6)
+    assert r[2] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_opic_mass_conserved_and_ranks_popular_node(spark):
+    """Total importance over real+virtual is exactly 1 (cash conserved,
+    history totals k), and the node every other node links to scores
+    highest among real nodes."""
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (9, 1)], ["src", "dst"])
+    rows = {r["id"]: r["importance"]
+            for r in graph.opic(edges, iters=8).collect()}
+    assert rows[9] == max(rows.values())
+    # real-node importances sum to < 1; the virtual page holds the
+    # remainder (total over real+virtual is exactly 1 by construction:
+    # cash is conserved at 1 and round-k history totals k)
+    assert 0.5 < sum(rows.values()) < 1.0
+
+
+def test_cocitation_pairs_hand_graph(spark):
+    """Sources 10,11 both cite {1,2}; source 12 cites {1,3}: only
+    (1,2) clears min_common=2; with min_common=1 the (1,3) and (2,3)
+    style singles appear."""
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3)],
+        ["src", "dst"])
+    two = {(r["host_a"], r["host_b"]): r["common_sources"]
+           for r in graph.cocitation_pairs(edges, min_common=2).collect()}
+    assert two == {(1, 2): 2}
+    one = {(r["host_a"], r["host_b"]): r["common_sources"]
+           for r in graph.cocitation_pairs(edges, min_common=1).collect()}
+    assert one == {(1, 2): 2, (1, 3): 1}
+
+
+def test_cocitation_max_out_caps_fanout(spark):
+    """A source with 3 targets capped at max_out=2 keeps its two
+    smallest targets only, so pairs touching the dropped target lose
+    that source's vote."""
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (11, 2), (11, 3)], ["src", "dst"])
+    capped = {(r["host_a"], r["host_b"]): r["common_sources"]
+              for r in graph.cocitation_pairs(
+                  edges, min_common=1, max_out=2).collect()}
+    # source 10 keeps {1,2}; pair (2,3) now only from source 11
+    assert capped == {(1, 2): 1, (2, 3): 1}
+
+
 def test_link_spam_signals_hand_graph(spark):
     """A 3-host reciprocal ring (farm) vs an honest hub: the ring flags,
     the hub doesn't; self-links and concentration computed exactly."""

@@ -314,7 +314,8 @@ def test_graph_iterations_stay_relational(spark, queries):
     """HITS / spam-mass rounds: equi-joins + hash aggs only — no
     Python eval, no cross products; normalization totals come in via
     broadcast joins, not collects."""
-    for key in ("graph_hits", "graph_spam_mass"):
+    for key in ("graph_hits", "graph_spam_mass", "graph_opic",
+                "graph_cocitation", "graph_coupling"):
         p = plan_of(queries[key](spark, SF))
         assert "CartesianProduct" not in p, key
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, key
