@@ -1569,6 +1569,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graph.cocitation_pairs(rev, min_common=2, max_out=50)
 
+    def multimodal_image_near_dup(spark, sf):
+        """Perceptual image near-dup over REAL decoded pixels: 40
+        deterministic 18x16 PNGs are synthesized per run (pure-stdlib
+        encoder) — 20 md5-patterned bases plus a +30-brightness copy of
+        each — then decoded (full stdlib PNG pixel decoder: zlib +
+        filter reconstruction), dHashed, and banded-hamming paired.
+        Exactly the 20 (base, copy) pairs at distance 0 survive: dHash
+        compares neighbor cells, so a uniform brightness shift is
+        invariant while distinct bases differ in ~half their bits.
+        Rows-only driver check — PNG entropy coding is not
+        SQL-expressible; the codec and hash are pytest-verified
+        bit-for-bit (tests/test_images.py)."""
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from sparkcrawl.operators import images as _img
+
+        ks = _read(spark, sf, "events").select(
+            (F.col("event_id") % 40).alias("k")
+        ).distinct()
+
+        def _gen(batches):
+            for b in batches:
+                recs = []
+                for k in b["k"]:
+                    k = int(k)
+                    base, shift = k % 20, 30 if k >= 20 else 0
+                    cells = [[60 + _hl.md5(f"{base}-{y}-{x}".encode())
+                              .digest()[0] % 120
+                              for x in range(9)] for y in range(8)]
+                    rgb = [[(min(cells[y // 2][x // 2] + shift, 255),) * 3
+                            for x in range(18)] for y in range(16)]
+                    recs.append((str(k), _img.encode_png(rgb)))
+                yield pd.DataFrame(recs, columns=["media_ref", "payload"])
+
+        media = ks.mapInPandas(
+            _gen, "media_ref string, payload binary")
+        return _img.image_near_dup_pairs(media, max_distance=4)
+
     def dedup_prefix_filter(spark, sf):
         """Exact all-pairs 8-gram Jaccard ≥ 0.6 via PREFIX FILTERING
         (SSJoin/PPJoin): self-join only each doc's rarest prefix
@@ -2228,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_opic": graph_opic,
         "graph_cocitation": graph_cocitation,
         "graph_coupling": graph_coupling,
+        "multimodal_image_near_dup": multimodal_image_near_dup,
         "dedup_prefix_filter": dedup_prefix_filter,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
