@@ -1609,6 +1609,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _gen, "media_ref string, payload binary")
         return _img.image_near_dup_pairs(media, max_distance=4)
 
+    def multimodal_audio_near_dup(spark, sf):
+        """Perceptual audio near-dup over REAL decoded PCM: 40
+        deterministic WAV clips per run (pure-stdlib 16-bit encoder) —
+        20 seeded three-tone mixtures plus a 0.4x-volume copy of each —
+        decoded, envelope-fingerprinted (64-bit energy dHash), and
+        banded-hamming paired. Exactly the 20 (base, copy) pairs at
+        distance 0 survive: the fingerprint compares neighboring frame
+        energies, so uniform volume scaling is invariant. Rows-only
+        driver check — PCM byte layout is not SQL-expressible; codec
+        and fingerprint are pytest-verified (tests/test_audio.py)."""
+        import math as _math
+
+        import pandas as pd
+
+        from sparkcrawl.operators import audio as _aud
+
+        ks = _read(spark, sf, "events").select(
+            (F.col("event_id") % 40).alias("k")
+        ).distinct()
+
+        def _gen(batches):
+            for b in batches:
+                recs = []
+                for k in b["k"]:
+                    k = int(k)
+                    base, vol = k % 20, 0.4 if k >= 20 else 1.0
+                    freqs = [137 + 61 * base, 449 + 97 * base, 853 + 31 * base]
+                    s = [
+                        vol * 0.3 * sum(
+                            _math.sin(2 * _math.pi * f * i / 8000)
+                            for f in freqs
+                        )
+                        for i in range(1600)
+                    ]
+                    recs.append((str(k), _aud.encode_wav(s, 8000)))
+                yield pd.DataFrame(recs, columns=["media_ref", "payload"])
+
+        media = ks.mapInPandas(_gen, "media_ref string, payload binary")
+        return _aud.audio_near_dup_pairs(media, max_distance=4)
+
     def dedup_prefix_filter(spark, sf):
         """Exact all-pairs 8-gram Jaccard ≥ 0.6 via PREFIX FILTERING
         (SSJoin/PPJoin): self-join only each doc's rarest prefix
@@ -2269,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cocitation": graph_cocitation,
         "graph_coupling": graph_coupling,
         "multimodal_image_near_dup": multimodal_image_near_dup,
+        "multimodal_audio_near_dup": multimodal_audio_near_dup,
         "dedup_prefix_filter": dedup_prefix_filter,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of

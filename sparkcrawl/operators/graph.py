@@ -438,7 +438,7 @@ def opic(
     iters: int = 10,
     src: str = "src",
     dst: str = "dst",
-    virtual_id: int = -1,
+    virtual_id: int | str = -1,
 ) -> DataFrame:
     """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
     Cobena, WWW 2003): the importance estimator built FOR crawlers.
@@ -465,7 +465,8 @@ def opic(
     Shape at scale: identical to :func:`pagerank` — the virtual page
     is just one more row, so every round is ONE equi-join on the
     weighted edge list + ONE hash agg, ``localCheckpoint`` truncating
-    lineage. ``virtual_id`` must not collide with a real node id.
+    lineage. ``virtual_id`` must not collide with a real node id (use
+    e.g. the empty string for string-keyed host graphs).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))

@@ -23,15 +23,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from sparkcrawl.config import CrawlConfig
-from sparkcrawl.operators.graph import pagerank
+from sparkcrawl.operators.graph import opic, pagerank
 from sparkcrawl.sources.store import FrontierTable, LinkEdgesTable
 
 
 def host_ranks(spark: SparkSession, workdir: str,
-               damping: float = 0.85, iters: int = 10) -> DataFrame | None:
+               damping: float = 0.85, iters: int = 10,
+               method: str = "pagerank") -> DataFrame | None:
     """(host, rank) over the accumulated link-edges graph, or None if
     nothing was recorded yet. Edge weight = total link count (the
-    graph is re-aggregated across supersteps before ranking)."""
+    graph is re-aggregated across supersteps before ranking).
+
+    ``method``: ``pagerank`` (default) or ``opic`` — OPIC (Abiteboul
+    et al. WWW'03) is the crawl-native estimator: no damping knob, a
+    virtual page absorbs dangling mass and re-seeds hosts discovered
+    mid-crawl, and its per-round cash arithmetic matches the
+    incremental way a crawl's graph actually grows. Both emit the same
+    (host, rank) shape, so the refresh below is signal-agnostic."""
     edges = LinkEdgesTable(workdir).read(spark)
     if edges is None:
         return None
@@ -40,12 +48,19 @@ def host_ranks(spark: SparkSession, workdir: str,
         .agg(F.sum("n_links").alias("n"))
         .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
     )
+    if method == "opic":
+        # host ids are strings; the virtual page needs a non-colliding
+        # id in the same type (no real host is the empty string)
+        return (
+            opic(flat, iters=iters, virtual_id="")
+            .withColumnsRenamed({"id": "host", "importance": "rank"})
+        )
     return pagerank(flat, damping=damping, iters=iters).withColumnRenamed("id", "host")
 
 
 def refresh_frontier_priorities(
     spark: SparkSession, workdir: str, cfg: CrawlConfig,
-    refresh_id: int = 0,
+    refresh_id: int = 0, method: str = "pagerank",
 ) -> int:
     """Re-prioritize PENDING frontier rows from the link-graph ranks.
 
@@ -57,7 +72,7 @@ def refresh_frontier_priorities(
     distinct-host table), never over frontier rows; frontier rows get
     their new priority through a broadcastable host-level join.
     """
-    ranks = host_ranks(spark, workdir)
+    ranks = host_ranks(spark, workdir, method=method)
     if ranks is None:
         return 0
     # percent_rank over hosts -> priority buckets 1..num_priorities

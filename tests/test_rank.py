@@ -48,3 +48,22 @@ def test_refresh_rewrites_pending_priorities(spark, mini_cfg, mini_web, tmp_path
     # the crawl continues normally on the re-prioritized frontier
     more = run.resume(max_supersteps=1)
     assert more and more[0].fetched > 0
+
+
+def test_refresh_with_opic_signal(spark, mini_cfg, mini_web, tmp_path):
+    """The crawl-native OPIC estimator drives the same refresh seam:
+    virtual page excluded from host ranks, importances positive, and
+    pending priorities land in 1..num_priorities."""
+    wd = str(tmp_path / "w")
+    run, cfg = _run_crawl(spark, mini_cfg, mini_web, wd)
+    ranks = host_ranks(spark, wd, method="opic")
+    assert ranks is not None
+    rows = ranks.collect()
+    assert rows and all(r["rank"] > 0 for r in rows)
+    assert "" not in {r["host"] for r in rows}  # virtual page filtered
+
+    n = refresh_frontier_priorities(spark, wd, cfg, refresh_id=2, method="opic")
+    assert n > 0
+    after = run.frontier.read(spark).filter(F.col("state") == "pending")
+    pr = [r["priority"] for r in after.collect()]
+    assert all(1 <= p <= cfg.num_priorities for p in pr)
