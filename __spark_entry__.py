@@ -1649,6 +1649,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = ks.mapInPandas(_gen, "media_ref string, payload binary")
         return _aud.audio_near_dup_pairs(media, max_distance=4)
 
+    def dedup_winnowing(spark, sf):
+        """Robust winnowing (MOSS) fingerprint overlap: document pairs
+        sharing ≥2 selected fingerprint hashes. The min-of-window
+        selection (rightmost on ties) is packed into one integer so
+        both engines run it as a plain windowed min — any shared
+        substring of length ≥ w+k-1 = 11 chars is guaranteed to
+        produce a shared fingerprint while only ~2/(w+1) of k-grams
+        are indexed."""
+        docs = _read(spark, sf, "documents")
+        return textops.winnowing_pairs(docs, k=8, w=4, min_shared=2)
+
     def dedup_prefix_filter(spark, sf):
         """Exact all-pairs 8-gram Jaccard ≥ 0.6 via PREFIX FILTERING
         (SSJoin/PPJoin): self-join only each doc's rarest prefix
@@ -2310,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coupling": graph_coupling,
         "multimodal_image_near_dup": multimodal_image_near_dup,
         "multimodal_audio_near_dup": multimodal_audio_near_dup,
+        "dedup_winnowing": dedup_winnowing,
         "dedup_prefix_filter": dedup_prefix_filter,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
@@ -4290,6 +4302,27 @@ def oracle_sql() -> dict[str, str]:
                                          AND rem > 0
                                     THEN 1 ELSE 0 END AS BIGINT) AS alloc
             FROM r
+        """,
+        "dedup_winnowing": """
+            WITH g AS (
+              SELECT doc_id AS id, i - 1 AS pos,
+                     CAST(concat('0x', substr(md5(substr(text, i, 8)), 1, 8))
+                          AS BIGINT) AS h
+              FROM documents, generate_series(1, 2000) AS gs(i)
+              WHERE i <= len(text) - 7),
+            m AS (
+              SELECT id, pos,
+                     min(h * 1048576 + (1048575 - pos)) OVER (
+                       PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+              FROM g),
+            fp AS (
+              SELECT DISTINCT id, sel // 1048576 AS fp_hash
+              FROM m WHERE pos >= 3)
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fps
+            FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.id < b.id
+            GROUP BY a.id, b.id
+            HAVING count(*) >= 2
         """,
         "dedup_prefix_filter": f"""
             WITH sh AS ({shingle8}),

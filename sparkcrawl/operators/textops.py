@@ -277,6 +277,90 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+_WINNOW_POS = 1 << 20  # position encoding base; docs must be < 1M chars
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robust winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    the MOSS fingerprinting scheme): hash every k-gram, slide a window
+    of ``w`` consecutive hashes, and keep the MINIMUM of each window
+    (rightmost position on ties). Output: distinct (id, fp_pos,
+    fp_hash) selected fingerprints.
+
+    The winnowing guarantee: any shared substring of length >=
+    w + k - 1 produces at least one SHARED fingerprint, while only
+    ~2/(w+1) of all k-grams are kept — a principled, position-aware
+    downsampling of the full k-gram digest set
+    (:func:`substring dedup <kgram_digests>` keeps every position;
+    winnowing keeps a guaranteed-covering sample, the right index for
+    quotation/plagiarism search over a 100 TB corpus).
+
+    Relational form, identical in Spark and the DuckDB oracle: the
+    rightmost-min selection packs (hash, position) into one integer —
+    ``h * 2^20 + (2^20 - 1 - pos)`` — so a plain ``min`` over a
+    ROWS-frame window picks the smallest hash and, among ties, the
+    LARGEST position; decode by div/mod. The per-doc window is bounded
+    by document length (never corpus-skewed), and the distinct is a
+    hash agg on (id, fp) — no self-joins until pairing.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+                f" i -> substring({text_col}, i, {k}))"
+            )
+        ).alias("pos", "gram"),
+    ).filter(F.length("gram") == k)
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+    comb = h * F.lit(_WINNOW_POS) + (F.lit(_WINNOW_POS - 1) - F.col("pos"))
+    win = W.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = (
+        grams.withColumn("_comb", comb)
+        .withColumn("_sel", F.min("_comb").over(win))
+        .filter(F.col("pos") >= w - 1)  # full windows only
+    )
+    return sel.select(
+        "id",
+        (F.lit(_WINNOW_POS - 1) - F.col("_sel") % F.lit(_WINNOW_POS))
+        .cast("int").alias("fp_pos"),
+        F.expr(f"_sel div {_WINNOW_POS}").cast("bigint").alias("fp_hash"),
+    ).distinct()
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a < id_b, shared_fps) for document pairs sharing >=
+    ``min_shared`` distinct winnowing fingerprint HASHES — the
+    overlap-detection join over the sampled index. Same
+    shared-key-equi-join shape as the other dedup pairers; the
+    fingerprint table is ~2/(w+1) the size of the full k-gram
+    postings, which is exactly the point at corpus scale."""
+    fp = winnowing_fingerprints(docs, k, w, text_col, id_col).select(
+        "id", "fp_hash"
+    ).distinct()
+    return (
+        fp.alias("a")
+        .join(fp.alias("b"), "fp_hash")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def cross_corpus_contamination(
     train: DataFrame,
     probe: DataFrame,

@@ -726,3 +726,49 @@ def test_dsir_weights_favor_target_like_docs(spark):
     s1 = sorted(r["id"] for r in gumbel_topk_sample(lw, k=10).collect())
     s2 = sorted(r["id"] for r in gumbel_topk_sample(lw, k=10).collect())
     assert s1 == s2 and len(s1) == 10
+
+
+def test_winnowing_guarantee_and_tie_rule(spark):
+    """Winnowing guarantee: docs sharing a substring of length >=
+    w+k-1 share a fingerprint hash. Tie rule: a run of identical
+    k-grams selects the RIGHTMOST position of every full window."""
+    shared = "QUOTEDSENTENCE"  # 14 chars >= 4+8-1
+    rows = [
+        (1, "left padding text " + shared + " tail one"),
+        (2, "other document entirely, then " + shared + " end"),
+        (3, "no overlap with anything here at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = textops.winnowing_fingerprints(docs, k=8, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2]  # the guarantee
+    # tie rule: 'a'*15 -> 8 identical grams, full windows at pos 3..7,
+    # rightmost-min == window end each time
+    mono = spark.createDataFrame([(9, "a" * 15)], ["doc_id", "text"])
+    sel = textops.winnowing_fingerprints(mono, k=8, w=4).collect()
+    assert sorted(r["fp_pos"] for r in sel) == [3, 4, 5, 6, 7]
+    assert len({r["fp_hash"] for r in sel}) == 1
+
+
+def test_winnowing_samples_strictly_fewer_positions(docs):
+    """Density: selected fingerprints are a strict subset of all
+    k-gram positions (~2/(w+1)), and identical docs fingerprint
+    identically."""
+    fp = textops.winnowing_fingerprints(docs, k=5, w=4)
+    n_fp = fp.count()
+    n_grams = textops.char_shingles(docs, 5).count()
+    assert 0 < n_fp < n_grams
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["id"], set()).add((r["fp_pos"], r["fp_hash"]))
+    assert by_doc[1] == by_doc[2]  # docs 1 and 2 are exact dups
+
+
+def test_winnowing_pairs_thresholds(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["shared_fps"]
+             for r in textops.winnowing_pairs(docs, k=5, w=4,
+                                              min_shared=2).collect()}
+    assert (1, 2) in pairs  # exact dups share everything
+    assert all(v >= 2 for v in pairs.values())
