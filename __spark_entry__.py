@@ -1649,6 +1649,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = ks.mapInPandas(_gen, "media_ref string, payload binary")
         return _aud.audio_near_dup_pairs(media, max_distance=4)
 
+    def text_bpe_merges(spark, sf):
+        """BPE tokenizer TRAINING over the corpus (Sennrich ACL'16):
+        16 merge rounds on the word-frequency table (one corpus-sized
+        groupBy, then vocabulary-sized iterations; one scalar argmax
+        collect per round, ties broken deterministically). Rows-only
+        driver check — iterative argmax is not single-statement SQL;
+        the trainer is pytest-verified against an independent
+        pure-Python reference (tests/test_bpe.py)."""
+        from sparkcrawl.operators import bpe as _bpe
+
+        docs = _read(spark, sf, "documents")
+        return _bpe.bpe_train_df(docs, num_merges=16)
+
+    def text_bpe_tokens(spark, sf):
+        """Real subword token counts: encode each document with the
+        16 merges learned by text_bpe_merges (broadcast merge list,
+        one Arrow pass, per-word memoization) — the budget unit for
+        shard packing and mixture quotas. Rows-only driver check."""
+        from sparkcrawl.operators import bpe as _bpe
+
+        docs = _read(spark, sf, "documents")
+        merges = _bpe.bpe_train(docs, num_merges=16)
+        return _bpe.bpe_encode(docs, merges).select("id", "n_tokens")
+
     def dedup_winnowing(spark, sf):
         """Robust winnowing (MOSS) fingerprint overlap: document pairs
         sharing ≥2 selected fingerprint hashes. The min-of-window
@@ -2321,6 +2345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coupling": graph_coupling,
         "multimodal_image_near_dup": multimodal_image_near_dup,
         "multimodal_audio_near_dup": multimodal_audio_near_dup,
+        "text_bpe_merges": text_bpe_merges,
+        "text_bpe_tokens": text_bpe_tokens,
         "dedup_winnowing": dedup_winnowing,
         "dedup_prefix_filter": dedup_prefix_filter,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
