@@ -1680,9 +1680,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         both engines run it as a plain windowed min — any shared
         substring of length ≥ w+k-1 = 11 chars is guaranteed to
         produce a shared fingerprint while only ~2/(w+1) of k-grams
-        are indexed."""
+        are indexed. Boilerplate fingerprints appearing in >50 docs are
+        dropped before pairing (MOSS's own noise rule — a hash with
+        df=f contributes f²/2 pairs, the plan's only quadratic term)."""
         docs = _read(spark, sf, "documents")
-        return textops.winnowing_pairs(docs, k=8, w=4, min_shared=2)
+        return textops.winnowing_pairs(docs, k=8, w=4, min_shared=2,
+                                       max_postings=50)
 
     def dedup_prefix_filter(spark, sf):
         """Exact all-pairs 8-gram Jaccard ≥ 0.6 via PREFIX FILTERING
@@ -4342,9 +4345,13 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY id ORDER BY pos
                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
               FROM g),
-            fp AS (
+            fp0 AS (
               SELECT DISTINCT id, sel // 1048576 AS fp_hash
-              FROM m WHERE pos >= 3)
+              FROM m WHERE pos >= 3),
+            good AS (
+              SELECT fp_hash FROM fp0
+              GROUP BY fp_hash HAVING count(*) <= 50),
+            fp AS (SELECT fp0.* FROM fp0 JOIN good USING (fp_hash))
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fps
             FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.id < b.id
             GROUP BY a.id, b.id

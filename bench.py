@@ -109,6 +109,18 @@ BENCH_QUERIES = [
     "corpus_dsir_sample",
     # membership_bloom_fpr / dedup_lsh_curve are generate-series
     # calibration tables (20 rows, no data read) — nothing to bench.
+    # new in r4, second batch
+    "dedup_winnowing",
+    "text_bpe_tokens",
+    # dedup_prefix_filter is EXCLUDED like dedup_ngram_jaccard /
+    # dedup_containment: exact-by-construction similarity joins are
+    # quadratic in co-shingled pairs, and the word-salad fixture
+    # co-shingles everything (measured 195s at sf0.1). Its value is
+    # zero false negatives, verified against brute force at sf0.01.
+    # text_bpe_merges is EXCLUDED: the trainer's wall time is
+    # num_merges x fixed job overhead (vocabulary-sized iterations),
+    # not data-bound — the data-bound half (encode) is benched via
+    # text_bpe_tokens, which trains AND encodes.
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION
@@ -117,6 +129,7 @@ BENCH_QUERIES = [
 EAGER_QUERIES = {
     "dedup_corpus_canonical", "j5_redirect_chains", "dedup_semantic_canonical",
     "embedding_dbscan_clusters", "corpus_dsir_sample",
+    "text_bpe_tokens",  # trains (argmax collects) at construction
 }
 
 FRONTIER_REPLICAS = int(os.environ.get("SPARK_GRAFT_FRONTIER_REPLICAS", "20"))

@@ -339,6 +339,7 @@ def winnowing_pairs(
     k: int = 8,
     w: int = 4,
     min_shared: int = 2,
+    max_postings: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -347,10 +348,26 @@ def winnowing_pairs(
     overlap-detection join over the sampled index. Same
     shared-key-equi-join shape as the other dedup pairers; the
     fingerprint table is ~2/(w+1) the size of the full k-gram
-    postings, which is exactly the point at corpus scale."""
+    postings, which is exactly the point at corpus scale.
+
+    ``max_postings`` drops fingerprint hashes appearing in more than N
+    documents before pairing — MOSS's own "ignore fingerprints in too
+    many documents" rule (Schleimer et al. §5: shared boilerplate is
+    noise, not copying, and a hash with df=f contributes f²/2 pairs).
+    At corpus scale this is MANDATORY: a boilerplate fingerprint's
+    pair square is the only quadratic term in the plan. None = exact
+    (verification / small-SF oracle mode)."""
     fp = winnowing_fingerprints(docs, k, w, text_col, id_col).select(
         "id", "fp_hash"
     ).distinct()
+    if max_postings is not None:
+        keep = (
+            fp.groupBy("fp_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_postings)
+            .select("fp_hash")
+        )
+        fp = fp.join(keep, "fp_hash", "semi")
     return (
         fp.alias("a")
         .join(fp.alias("b"), "fp_hash")

@@ -772,3 +772,24 @@ def test_winnowing_pairs_thresholds(docs):
                                               min_shared=2).collect()}
     assert (1, 2) in pairs  # exact dups share everything
     assert all(v >= 2 for v in pairs.values())
+
+
+def test_winnowing_max_postings_drops_boilerplate(spark):
+    """A fingerprint hash shared by MORE than max_postings docs is
+    excluded from pairing; rare fingerprints still pair."""
+    # four EXACT copies: selection is identical, every hash has df=4
+    rows = [(i, "boilerplate footer repeated on every page") for i in range(1, 5)]
+    rows += [(10, "copy pair alpha beta gamma delta"),
+             (11, "copy pair alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in textops.winnowing_pairs(
+                    docs, k=8, w=4, min_shared=1).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in textops.winnowing_pairs(
+                  docs, k=8, w=4, min_shared=1, max_postings=3).collect()}
+    # the df=4 boilerplate family (4 docs > cap 3) disappears entirely;
+    # the df=2 true dup stays
+    assert (10, 11) in uncapped and (10, 11) in capped
+    assert any(a < 5 and b < 5 for a, b in uncapped)
+    assert not any(a < 5 and b < 5 for a, b in capped)
