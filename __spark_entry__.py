@@ -1673,6 +1673,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merges = _bpe.bpe_train(docs, num_merges=16)
         return _bpe.bpe_encode(docs, merges).select("id", "n_tokens")
 
+    def dedup_cdc_chunks(spark, sf):
+        """Content-defined chunking dedup readout: rolling-hash cut
+        rule (k-gram md5 ≡ 0 mod 64 → cut), so boundaries re-sync
+        after edits and chunk-level redundancy is found by ONE groupBy
+        on the 32-byte digest — no pairwise comparison. Returns chunks
+        appearing ≥2 times with copy/doc counts."""
+        docs = _read(spark, sf, "documents")
+        return textops.cdc_duplicate_chunks(docs, k=8, divisor=64,
+                                            min_copies=2)
+
     def dedup_winnowing(spark, sf):
         """Robust winnowing (MOSS) fingerprint overlap: document pairs
         sharing ≥2 selected fingerprint hashes. The min-of-window
@@ -2350,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_near_dup": multimodal_audio_near_dup,
         "text_bpe_merges": text_bpe_merges,
         "text_bpe_tokens": text_bpe_tokens,
+        "dedup_cdc_chunks": dedup_cdc_chunks,
         "dedup_winnowing": dedup_winnowing,
         "dedup_prefix_filter": dedup_prefix_filter,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
@@ -4331,6 +4342,37 @@ def oracle_sql() -> dict[str, str]:
                                          AND rem > 0
                                     THEN 1 ELSE 0 END AS BIGINT) AS alloc
             FROM r
+        """,
+        "dedup_cdc_chunks": """
+            WITH g AS (
+              SELECT doc_id AS id, i,
+                     CAST(concat('0x', substr(md5(substr(text, i, 8)), 1, 8))
+                          AS BIGINT) AS h
+              FROM documents, generate_series(1, 2000) AS gs(i)
+              WHERE i <= len(text) - 7),
+            b AS (SELECT id, i + 8 AS start FROM g WHERE h % 64 = 0),
+            s0 AS (
+              SELECT DISTINCT id, start FROM (
+                SELECT doc_id AS id, 1 AS start FROM documents
+                UNION ALL SELECT id, start FROM b)),
+            s1 AS (
+              SELECT s0.id, s0.start, len(d.text) AS l, d.text AS t
+              FROM s0 JOIN documents d ON d.doc_id = s0.id
+              WHERE s0.start <= len(d.text)),
+            c AS (
+              SELECT id, t, start,
+                     coalesce(lead(start) OVER (
+                       PARTITION BY id ORDER BY start), l + 1) - start
+                       AS length
+              FROM s1),
+            ch AS (
+              SELECT id, length,
+                     md5(substr(t, start, length)) AS chunk_md5
+              FROM c)
+            SELECT chunk_md5, length, count(*) AS n_copies,
+                   count(DISTINCT id) AS n_docs
+            FROM ch GROUP BY chunk_md5, length
+            HAVING count(*) >= 2
         """,
         "dedup_winnowing": """
             WITH g AS (

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     # calibration tables (20 rows, no data read) — nothing to bench.
     # new in r4, second batch
     "dedup_winnowing",
+    "dedup_cdc_chunks",
     "text_bpe_tokens",
     # dedup_prefix_filter is EXCLUDED like dedup_ngram_jaccard /
     # dedup_containment: exact-by-construction similarity joins are

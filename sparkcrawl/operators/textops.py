@@ -378,6 +378,96 @@ def winnowing_pairs(
     )
 
 
+def cdc_chunks(
+    docs: DataFrame,
+    k: int = 8,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the rolling-hash cut rule behind LBFS,
+    Venti, rsync and FastCDC): cut after every position whose k-gram
+    hash ≡ 0 (mod ``divisor``) — so chunk boundaries are functions of
+    CONTENT, not offsets, and an insertion near the top of a page only
+    rewrites the chunk it lands in; every later boundary re-synchronizes
+    and the remaining chunks dedup against the previous crawl of the
+    same page. Average chunk length ≈ ``divisor`` chars.
+
+    Output: (id, start, length, chunk_md5) — 1-based start, contiguous
+    cover of each document.
+
+    Shape at scale: gram hashing is pure codegen; the only window is
+    per-doc ``lead`` over the (sparse) boundary rows — bounded by
+    document length; the digest is one substr+md5 after a same-key
+    join back to the doc table. No Python anywhere.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+                f" i -> substring({text_col}, i, {k}))"
+            )
+        ).alias("pos0", "gram"),
+    ).filter(F.length("gram") == k)
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+    # cut AFTER the window's last byte e = p + k - 1 (p 1-based gram
+    # start = pos0 + 1), so the next chunk starts at e + 1 = pos0+k+1
+    bounds = grams.filter(h % divisor == 0).select(
+        "id", (F.col("pos0") + F.lit(k + 1)).alias("start")
+    )
+    starts = (
+        docs.select(F.col(id_col).alias("id"), F.lit(1).alias("start"))
+        .unionByName(bounds)
+        .distinct()
+        .join(
+            docs.select(
+                F.col(id_col).alias("id"),
+                F.length(text_col).alias("_len"),
+                F.col(text_col).alias("_t"),
+            ),
+            "id",
+        )
+        .filter(F.col("start") <= F.col("_len"))
+    )
+    w = W.partitionBy("id").orderBy("start")
+    return (
+        starts.withColumn("_next", F.lead("start").over(w))
+        .withColumn(
+            "length",
+            F.coalesce(F.col("_next"), F.col("_len") + 1) - F.col("start"),
+        )
+        .select(
+            "id", "start", "length",
+            F.md5(F.expr("substring(_t, start, length)")).alias("chunk_md5"),
+        )
+    )
+
+
+def cdc_duplicate_chunks(
+    docs: DataFrame,
+    k: int = 8,
+    divisor: int = 64,
+    min_copies: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(chunk_md5, length, n_copies, n_docs) for content-defined chunks
+    appearing ≥ ``min_copies`` times — the storage/dedup readout: how
+    much of the corpus is chunk-level redundant (shared boilerplate,
+    re-crawled pages, quoted passages), findable without any pairwise
+    comparison — one groupBy on the 32-byte digest."""
+    ch = cdc_chunks(docs, k, divisor, text_col, id_col)
+    return (
+        ch.groupBy("chunk_md5", "length")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_copies") >= min_copies)
+    )
+
+
 def cross_corpus_contamination(
     train: DataFrame,
     probe: DataFrame,

@@ -793,3 +793,48 @@ def test_winnowing_max_postings_drops_boilerplate(spark):
     assert (10, 11) in uncapped and (10, 11) in capped
     assert any(a < 5 and b < 5 for a, b in uncapped)
     assert not any(a < 5 and b < 5 for a, b in capped)
+
+
+def test_cdc_chunks_tile_documents_exactly(spark):
+    """Chunks are a contiguous 1-based cover: starts begin at 1,
+    lengths sum to the doc length, no gaps or overlaps."""
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "short"), (3, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ch = textops.cdc_chunks(docs, k=8, divisor=16)
+    by_doc = {}
+    for r in ch.collect():
+        by_doc.setdefault(r["id"], []).append((r["start"], r["length"]))
+    for did, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][0] == 1
+        for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 == s1 + l1  # contiguous
+        total = sum(l for _, l in spans)
+        assert total == len(dict(rows)[did])
+    assert 3 not in by_doc  # empty doc -> no chunks
+    assert by_doc[2] == [(1, 5)]  # too short for any boundary
+
+
+def test_cdc_boundaries_resync_after_prefix_edit(spark):
+    """The CDC property: prepending bytes only rewrites the first
+    chunk(s); boundaries re-synchronize and later chunks dedup."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [(1, base), (2, "EDITED-PREFIX-" + base)], ["doc_id", "text"])
+    ch = textops.cdc_chunks(docs, k=8, divisor=16)
+    digs = {}
+    for r in ch.collect():
+        digs.setdefault(r["id"], set()).add(r["chunk_md5"])
+    shared = digs[1] & digs[2]
+    assert len(shared) >= len(digs[1]) * 0.6  # most chunks re-align
+
+
+def test_cdc_duplicate_chunks_rollup(spark):
+    docs = spark.createDataFrame(
+        [(1, "identical page body " * 10), (2, "identical page body " * 10),
+         (3, "something else entirely unrelated")],
+        ["doc_id", "text"])
+    dup = textops.cdc_duplicate_chunks(docs, k=8, divisor=16)
+    rows = dup.collect()
+    assert rows and all(r["n_copies"] >= 2 and r["n_docs"] >= 2 for r in rows)
