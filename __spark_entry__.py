@@ -1673,6 +1673,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merges = _bpe.bpe_train(docs, num_merges=16)
         return _bpe.bpe_encode(docs, merges).select("id", "n_tokens")
 
+    def sketch_count_min(spark, sf):
+        """Count-min frequency sketch (4x256 md5-derived grid) built
+        over synthetic hosts, then point-estimated for every distinct
+        host. md5 hashing makes the grid deterministic and
+        cross-engine: the DuckDB oracle rebuilds it cell for cell, so
+        the sketch is exactly testable (and always >= the true count
+        by construction)."""
+        from sparkcrawl.operators.sketches import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        ev = _read(spark, sf, "events")
+        items = ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 500).cast("string"))
+            .alias("host")
+        )
+        sk = count_min_build(items, "host", depth=4, width=256)
+        hosts = items.distinct()
+        return count_min_estimate(hosts, sk, "host", depth=4, width=256)
+
     def dedup_cdc_chunks(spark, sf):
         """Content-defined chunking dedup readout: rolling-hash cut
         rule (k-gram md5 ≡ 0 mod 64 → cut), so boundaries re-sync
@@ -2360,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_near_dup": multimodal_audio_near_dup,
         "text_bpe_merges": text_bpe_merges,
         "text_bpe_tokens": text_bpe_tokens,
+        "sketch_count_min": sketch_count_min,
         "dedup_cdc_chunks": dedup_cdc_chunks,
         "dedup_winnowing": dedup_winnowing,
         "dedup_prefix_filter": dedup_prefix_filter,
@@ -4342,6 +4364,29 @@ def oracle_sql() -> dict[str, str]:
                                          AND rem > 0
                                     THEN 1 ELSE 0 END AS BIGINT) AS alloc
             FROM r
+        """,
+        "sketch_count_min": """
+            WITH items AS (
+              SELECT 'h' || CAST(user_id % 500 AS VARCHAR) AS v FROM events),
+            probes AS (
+              SELECT v, r.j AS row,
+                     CAST(CAST(concat('0x',
+                       substr(md5('cms' || r.j || ':' || v), 1, 8))
+                       AS BIGINT) % 256 AS INT) AS bucket
+              FROM items, range(4) AS r(j)),
+            sk AS (
+              SELECT row, bucket, count(*) AS cnt
+              FROM probes GROUP BY row, bucket),
+            d AS (SELECT DISTINCT v FROM items),
+            dp AS (
+              SELECT v, r.j AS row,
+                     CAST(CAST(concat('0x',
+                       substr(md5('cms' || r.j || ':' || v), 1, 8))
+                       AS BIGINT) % 256 AS INT) AS bucket
+              FROM d, range(4) AS r(j))
+            SELECT dp.v AS host, min(coalesce(sk.cnt, 0)) AS est
+            FROM dp LEFT JOIN sk USING (row, bucket)
+            GROUP BY dp.v
         """,
         "dedup_cdc_chunks": """
             WITH g AS (

@@ -63,3 +63,102 @@ def merge_sketches(
     return out.withColumn(
         "estimate", F.hll_sketch_estimate(F.col("sketch")).cast("bigint")
     )
+
+
+# --------------------------------------------------------------------------
+# count-min sketch (frequencies, mergeable, deterministic)
+# --------------------------------------------------------------------------
+
+def count_min_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005) of item
+    frequencies — the frequency-side companion to the HLL cardinality
+    sketch: per-superstep host/URL-pattern counts collapse to a
+    ``depth x width`` counter grid that answers "how often did X
+    appear" later WITHOUT rescanning, merges across supersteps by
+    plain cell-wise addition, and always over-estimates (never
+    under): estimate(x) = min over rows of cell[row, h_row(x)].
+
+    Hashes are md5-derived and therefore DETERMINISTIC AND
+    CROSS-ENGINE — unlike library CMS implementations, the DuckDB
+    oracle rebuilds the identical grid cell for cell, so this sketch
+    is exactly testable, not just property-testable.
+
+    Output: (row, bucket, cnt) — only touched cells are materialized
+    (an empty cell is 0 by omission); one explode + one hash agg.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("bigint")
+    rows = df.select(
+        F.col(value_col).cast("string").alias("v"), w.alias("w")
+    ).select(
+        "w",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"cms{j}:"), F.col("v"))),
+                                1, 8,
+                            ),
+                            16, 10,
+                        ).cast("bigint") % width
+                    ).cast("int").alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("rb"),
+    )
+    return (
+        rows.groupBy(F.col("rb.row").alias("row"),
+                     F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate each item's frequency from a (merged) sketch:
+    join the item's ``depth`` cells (broadcastable grid — at most
+    depth*width rows by construction) and take the min; absent cells
+    count 0. Output: items' columns + ``est``."""
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(
+                                    F.lit(f"cms{j}:"),
+                                    F.col(value_col).cast("string"),
+                                )),
+                                1, 8,
+                            ),
+                            16, 10,
+                        ).cast("bigint") % width
+                    ).cast("int").alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("rb"),
+    ).select("*", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    keys = [c for c in items.columns]
+    return (
+        joined.groupBy(*keys)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

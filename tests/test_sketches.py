@@ -59,3 +59,48 @@ def test_plan_single_agg_no_python(spark):
     p = buf.getvalue()
     assert p.count("Exchange") == 1, p
     assert "EvalPython" not in p
+
+
+def test_count_min_never_underestimates_and_is_exact_when_sparse(spark):
+    from sparkcrawl.operators.sketches import count_min_build, count_min_estimate
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, ["v"])
+    sk = count_min_build(df, "v", depth=4, width=256)
+    est = {r["v"]: r["est"] for r in count_min_estimate(
+        df.distinct(), sk, "v", depth=4, width=256).collect()}
+    exact = {"a": 7, "b": 3, "c": 1}
+    for k, n in exact.items():
+        assert est[k] >= n          # CMS never underestimates
+    # 3 items in a 4x256 grid: collisions need two of three md5 hashes
+    # to agree per row across all 4 rows — est is exact here
+    assert est == exact
+
+
+def test_count_min_merges_by_cellwise_addition(spark):
+    from pyspark.sql import functions as SF
+
+    from sparkcrawl.operators.sketches import count_min_build, count_min_estimate
+
+    half1 = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, ["v"])
+    half2 = spark.createDataFrame([("x",)] * 1 + [("z",)] * 5, ["v"])
+    whole = half1.unionByName(half2)
+    merged = (
+        count_min_build(half1, "v").unionByName(count_min_build(half2, "v"))
+        .groupBy("row", "bucket").agg(SF.sum("cnt").alias("cnt"))
+    )
+    direct = count_min_build(whole, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    est = {r["v"]: r["est"] for r in count_min_estimate(
+        whole.distinct(), merged, "v").collect()}
+    assert est == {"x": 5, "y": 2, "z": 5}
+
+
+def test_count_min_weighted_build(spark):
+    from sparkcrawl.operators.sketches import count_min_build, count_min_estimate
+
+    df = spark.createDataFrame([("a", 10), ("a", 5), ("b", 2)], ["v", "w"])
+    sk = count_min_build(df, "v", weight_col="w")
+    est = {r["v"]: r["est"] for r in count_min_estimate(
+        df.select("v").distinct(), sk, "v").collect()}
+    assert est == {"a": 15, "b": 2}
