@@ -1673,6 +1673,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merges = _bpe.bpe_train(docs, num_merges=16)
         return _bpe.bpe_encode(docs, merges).select("id", "n_tokens")
 
+    def temporal_sessionize(spark, sf):
+        """Batch sessionization (gaps-and-islands): sessions split
+        where the same-key gap exceeds 1 hour; lag + running-sum over
+        ONE (key, ts) ordering so Catalyst does a single sort+window
+        pass. The batch twin of the streaming applyInPandasWithState
+        sessionizer, for backfills."""
+        from sparkcrawl.operators.temporal import session_stats
+
+        ev = _read(spark, sf, "events")
+        s = session_stats(
+            ev.select((F.col("user_id") % 50).alias("key"), "ts"),
+            gap_seconds=3600, key_col="key", ts_col="ts",
+        )
+        return s.select(
+            "key", "session_id", "n_events",
+            _epoch_us("start_ts").alias("start_us"),
+            _epoch_us("end_ts").alias("end_us"),
+            F.round("duration_s", 6).alias("duration_s"),
+        )
+
     def sketch_count_min(spark, sf):
         """Count-min frequency sketch (4x256 md5-derived grid) built
         over synthetic hosts, then point-estimated for every distinct
@@ -2381,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_near_dup": multimodal_audio_near_dup,
         "text_bpe_merges": text_bpe_merges,
         "text_bpe_tokens": text_bpe_tokens,
+        "temporal_sessionize": temporal_sessionize,
         "sketch_count_min": sketch_count_min,
         "dedup_cdc_chunks": dedup_cdc_chunks,
         "dedup_winnowing": dedup_winnowing,
@@ -2392,7 +2413,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- simsearch_ivfpq_topk, embedding_dbscan_clusters,
         # --- graph_link_spam, membership_bloom_fpr) plus everything below
         # --- are pytest-oracle-only this round — rotate them into the
-        # --- first 50 next round.
+        # --- first 50 next round. r4 late additions never driver-checked:
+        # --- graph_trustrank/hits/spam_mass/rank_budget/opic/cocitation/
+        # --- coupling, dedup_prefix_filter/winnowing/cdc_chunks,
+        # --- sketch_count_min, text_bpe_merges/tokens (rows-only),
+        # --- multimodal_image_near_dup/audio_near_dup (rows-only).
         # --- driver-green in r3 (CORRECTNESS_r03.json); rotated behind the
         # --- 46 keys above so the driver's 50-query sample covers them in r4
         "crawl_schedule_flagship": crawl_schedule,
@@ -4364,6 +4389,28 @@ def oracle_sql() -> dict[str, str]:
                                          AND rem > 0
                                     THEN 1 ELSE 0 END AS BIGINT) AS alloc
             FROM r
+        """,
+        "temporal_sessionize": """
+            WITH e AS (SELECT user_id % 50 AS key, ts FROM events),
+            s AS (
+              SELECT key, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                          THEN 1 ELSE 0 END AS st
+              FROM e
+              WINDOW w AS (PARTITION BY key ORDER BY ts)),
+            sid AS (
+              SELECT key, ts,
+                     CAST(sum(st) OVER (
+                       PARTITION BY key ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - 1 AS INT) AS session_id
+              FROM s)
+            SELECT key, session_id, count(*) AS n_events,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
+                   round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s
+            FROM sid GROUP BY key, session_id
         """,
         "sketch_count_min": """
             WITH items AS (

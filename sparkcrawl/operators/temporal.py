@@ -103,3 +103,67 @@ def range_join(
     dimension table by contract). Half-open interval: lo <= v < hi."""
     cond = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
     return facts.join(F.broadcast(bounds), cond, how)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: float,
+    key_col: str = "host",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch sessionization — gaps-and-islands: a new session starts
+    wherever the gap to the previous event on the same key exceeds
+    ``gap_seconds``; the session id is the running count of starts.
+
+    The BATCH twin of streaming/sessions.py's
+    ``applyInPandasWithState`` operator (same gap semantics, the shape
+    for backfills / reprocessing where streaming state is pointless):
+    one lag + one running-sum window over the SAME (key, ts) ordering,
+    so Catalyst evaluates both in a single sort+window pass — one
+    shuffle on the key, no Python, fully oracle-expressible.
+
+    Output: events' columns + ``session_id`` (0-based per key).
+    Per-key windows are bounded by per-key event counts — the usual
+    contract (a mega-host's stream sorts within one partition; if a
+    single key's history outgrows a task, pre-split by time range
+    first).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col)
+    # unix_micros over an explicit timestamp cast: parquet event times
+    # arrive as TIMESTAMP_NTZ, which Spark will not cast to double
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    gap = sec - F.lag(sec).over(w)
+    is_start = F.when(
+        gap.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_id",
+        (F.sum(is_start).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ) - F.lit(1)).cast("int"),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: float,
+    key_col: str = "host",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(key, session_id, n_events, start_ts, end_ts, duration_s) per
+    session — the rollup a crawl-politeness audit reads (how long do
+    we hammer a host per visit, with what inter-visit gaps)."""
+    s = sessionize(events, gap_seconds, key_col, ts_col)
+    return s.groupBy(key_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        (
+            (
+                F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+                - F.min(F.unix_micros(F.col(ts_col).cast("timestamp")))
+            ) / F.lit(1e6)
+        ).alias("duration_s"),
+    )

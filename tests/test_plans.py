@@ -319,3 +319,17 @@ def test_graph_iterations_stay_relational(spark, queries):
         p = plan_of(queries[key](spark, SF))
         assert "CartesianProduct" not in p, key
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, key
+
+
+def test_cdc_and_cms_stay_jvm_side(spark, queries):
+    """Content-defined chunking and the count-min grid: pure codegen +
+    hash aggs; the only window is CDC's per-doc boundary lead. No
+    Python eval, no cross products, and CMS's probe join must
+    broadcast the (<= depth*width row) grid."""
+    p = plan_of(queries["dedup_cdc_chunks"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    p2 = plan_of(queries["sketch_count_min"](spark, SF), "simple")
+    assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2
+    assert "BroadcastHashJoin" in p2
+    assert "SortMergeJoin" not in p2

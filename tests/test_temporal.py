@@ -91,3 +91,39 @@ def test_asof_plan_has_no_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan, plan
+
+
+def test_sessionize_gap_splits_hand_case(spark):
+    from datetime import datetime, timezone
+
+    from sparkcrawl.operators.temporal import session_stats, sessionize
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    rows = [
+        ("a", t(0)), ("a", t(5)), ("a", t(14)),   # session 0 (gaps 5, 9)
+        ("a", t(40)), ("a", t(45)),               # session 1 (gap 26 > 10)
+        ("b", t(0)),                              # other key: own session 0
+    ]
+    ev = spark.createDataFrame(rows, ["host", "ts"])
+    sess = {(r["host"], r["ts"].second): r["session_id"]
+            for r in sessionize(ev, gap_seconds=10).collect()}
+    assert sess == {("a", 0): 0, ("a", 5): 0, ("a", 14): 0,
+                    ("a", 40): 1, ("a", 45): 1, ("b", 0): 0}
+    stats = {(r["host"], r["session_id"]): (r["n_events"], r["duration_s"])
+             for r in session_stats(ev, gap_seconds=10).collect()}
+    assert stats == {("a", 0): (3, 14.0), ("a", 1): (2, 5.0),
+                     ("b", 0): (1, 0.0)}
+
+
+def test_sessionize_boundary_is_strict_greater(spark):
+    """A gap of exactly gap_seconds stays in the SAME session (the
+    split rule is gap > threshold, matching the streaming operator)."""
+    from datetime import datetime, timezone
+
+    from sparkcrawl.operators.temporal import sessionize
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    ev = spark.createDataFrame(
+        [("a", t(0)), ("a", t(10)), ("a", t(21))], ["host", "ts"])
+    out = sorted(r["session_id"] for r in sessionize(ev, 10).collect())
+    assert out == [0, 0, 1]  # gap 10 == threshold stays; gap 11 splits
