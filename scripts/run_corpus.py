@@ -67,6 +67,11 @@ def main() -> None:
     ap.add_argument("--mixture-alpha", type=float, default=0.7)
     ap.add_argument("--shard-tokens", type=int, default=0,
                     help="assign token-balanced shard ids with this target (0 = off)")
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="train a BPE vocab of this many merges on the kept corpus "
+                         "and balance shards by SUBWORD counts instead of whitespace "
+                         "tokens (0 = whitespace; subword counts are the unit the "
+                         "training loader actually consumes)")
     ap.add_argument("--gopher-rules", action="store_true",
                     help="require ALL seven Gopher quality-rule verdicts "
                          "(repetition.gopher_quality_rules) in addition to "
@@ -254,8 +259,20 @@ def main() -> None:
     }
     labeled = sampling.hash_split(kept, splits, salt=args.salt)
     if args.shard_tokens:
+        tokens_col = None
+        shard_in = labeled
+        if args.bpe_merges:
+            from sparkcrawl.operators import bpe
+
+            merges = bpe.bpe_train(labeled, num_merges=args.bpe_merges)
+            counts = bpe.bpe_encode(labeled, merges).select(
+                F.col("id").alias("doc_id"), "n_tokens"
+            )
+            shard_in = labeled.join(counts, "doc_id")
+            tokens_col = "n_tokens"
         shards = sampling.token_balanced_shards(
-            labeled, target_tokens=args.shard_tokens, salt=args.salt
+            shard_in, target_tokens=args.shard_tokens, salt=args.salt,
+            tokens_col=tokens_col,
         ).select("doc_id", "shard")
         labeled = labeled.join(shards, "doc_id")
     manifest = export_curated(labeled, args.output)

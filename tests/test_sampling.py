@@ -197,3 +197,33 @@ def test_pack_token_sequences_invariants(spark):
     again = sampling.pack_token_sequences(docs.repartition(11), seq_len=L)
     assert out.exceptAll(again).count() == 0
     out.unpersist()
+
+
+def test_token_balanced_shards_with_bpe_counts(spark):
+    """The run_corpus --bpe-merges composition: shards balanced by
+    SUBWORD counts behave like the whitespace path but with the
+    provided tokens_col driving the prefix sums."""
+    from sparkcrawl.operators import bpe, sampling
+
+    rows = [(i, "newest lowest widest " * (1 + i % 3)) for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe.bpe_train(docs, num_merges=6)
+    counts = bpe.bpe_encode(docs, merges).select(
+        F.col("id").alias("doc_id"), "n_tokens")
+    joined = docs.join(counts, "doc_id")
+    out = sampling.token_balanced_shards(
+        joined, target_tokens=60, tokens_col="n_tokens")
+    rows_out = out.collect()
+    assert len(rows_out) == 30
+    # every shard's subword total lands in [target, target + max_doc)
+    by_shard = {}
+    tok = {r["doc_id"]: r["n_tokens"] for r in counts.collect()}
+    for r in rows_out:
+        by_shard.setdefault(r["shard"], []).append(tok[r["doc_id"]])
+    maxdoc = max(tok.values())
+    shards = sorted(by_shard)
+    # docs never split: a shard can over- or under-shoot the target by
+    # at most one document (the remainder shard only undershoots)
+    for s in shards[:-1]:
+        assert 60 - maxdoc < sum(by_shard[s]) < 60 + maxdoc
+    assert sum(sum(v) for v in by_shard.values()) == sum(tok.values())
