@@ -1748,6 +1748,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return textops.prefix_filter_jaccard_pairs(docs, n=8, threshold=0.6)
 
+    def sketch_heavy_hitters(spark, sf):
+        """phi-heavy-hitters from the count-min grid: items whose CMS
+        estimate reaches ceil(phi*N). CMS never under-estimates, so no
+        true heavy hitter is missed; the skewed item stream here is
+        floor(sqrt(user_id)) — bucket k carries ~2k+1 user ids, a
+        linear frequency ramp. The md5-derived grid is rebuilt cell
+        for cell by the oracle, so the survivor set is exactly
+        testable."""
+        from sparkcrawl.operators.sketches import heavy_hitters
+
+        ev = _read(spark, sf, "events")
+        items = ev.select(
+            F.concat(
+                F.lit("h"),
+                F.floor(F.sqrt(F.col("user_id").cast("double")))
+                .cast("int").cast("string"),
+            ).alias("host")
+        )
+        return heavy_hitters(items, "host", phi=0.05, depth=4, width=256)
+
+    def sketch_log_histogram(spark, sf):
+        """HDR-style log-linear histogram of an integer measure
+        (floor(value*100), i.e. cents) per event_type: bucket =
+        (bit-length exponent, 8 linear sub-buckets by pure integer
+        shifts). No float log anywhere, so the grid is bit-exact
+        across engines; per-superstep grids merge by cell-wise add."""
+        from sparkcrawl.operators.sketches import log_histogram_build
+
+        ev = _read(spark, sf, "events")
+        vals = ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        return log_histogram_build(vals, "cents", ["event_type"],
+                                   sub_buckets=8)
+
+    def sketch_histogram_quantiles(spark, sf):
+        """Quantile readout from the merged log-histogram: the value
+        for q is the first bucket upper bound whose cumulative count
+        reaches ceil(q*N) — a rank query over the KB-scale grid, never
+        over the data. Relative value error is bounded by the bucket
+        width (1/8 per octave)."""
+        from sparkcrawl.operators.sketches import (
+            histogram_quantiles,
+            log_histogram_build,
+        )
+
+        ev = _read(spark, sf, "events")
+        vals = ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        h = log_histogram_build(vals, "cents", ["event_type"],
+                                sub_buckets=8)
+        q = histogram_quantiles(h, [0.5, 0.9, 0.99], ["event_type"])
+        return q.select("event_type",
+                        F.round("q", 2).alias("q"), "value")
+
+    def dust_rule_mining(spark, sf):
+        """DustBuster-style DUST rule mining (Bar-Yossef et al., WWW
+        2007): site-specific string-substitution rules learned from
+        URL pairs observed to share a content key. Alias pages are
+        synthesized deterministically from documents (trailing
+        index.html and ?sid= tracking variants); groups are capped so
+        mega-duplicate families contribute bounded pair evidence; the
+        LCP/LCS factoring is pure higher-order column functions.
+        Output rules are oriented longer->shorter (the removing
+        rewrite a canonicalizer can apply)."""
+        from sparkcrawl.operators.dust import mine_dust_rules
+
+        docs = _read(spark, sf, "documents")
+        base = F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 25).cast("string"),
+            F.lit(".example/p"), F.col("doc_id").cast("string"),
+            F.lit("/"),
+        )
+        ck = F.md5(F.col("doc_id").cast("string"))
+        pages = (
+            docs.select(base.alias("url"), ck.alias("content_key"))
+            .union(
+                docs.select(
+                    F.concat(base, F.lit("index.html")).alias("url"),
+                    ck.alias("content_key"),
+                )
+            )
+            .union(
+                docs.filter(F.col("doc_id") % 3 == 0).select(
+                    F.concat(base, F.lit("?sid=abc123")).alias("url"),
+                    ck.alias("content_key"),
+                )
+            )
+        )
+        return mine_dust_rules(pages, max_group=6, min_support=2)
+
+    def layout_zorder_key(spark, sf):
+        """Z-order (Morton) write layout: interleave the bits of two
+        bounded dimensions into one key, range-partition + sort by it
+        so min/max file stats prune scans on BOTH columns. The key is
+        pure integer bit-surgery inside codegen; the oracle recomputes
+        it bit for bit."""
+        from sparkcrawl.operators.layout import zorder_layout
+
+        ev = _read(spark, sf, "events")
+        b = ev.select(
+            (F.col("user_id") % 256).alias("x"),
+            (F.floor("value").cast("int") % 256).alias("y"),
+        )
+        out = zorder_layout(b, "x", "y", n_partitions=8, bits=8)
+        return out.groupBy("x", "y", "z").agg(F.count("*").alias("n_rows"))
+
     def corpus_length_quantiles(spark, sf):
         """Exact per-language length percentiles (linear-interpolation
         semantics, matching DuckDB quantile_cont). At corpus scale the
@@ -2406,6 +2516,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_chunks": dedup_cdc_chunks,
         "dedup_winnowing": dedup_winnowing,
         "dedup_prefix_filter": dedup_prefix_filter,
+        "sketch_heavy_hitters": sketch_heavy_hitters,
+        "sketch_log_histogram": sketch_log_histogram,
+        "sketch_histogram_quantiles": sketch_histogram_quantiles,
+        "dust_rule_mining": dust_rule_mining,
+        "layout_zorder_key": layout_zorder_key,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -4524,6 +4639,217 @@ def oracle_sql() -> dict[str, str]:
                         WHEN u < 0.9 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "sketch_heavy_hitters": """
+            WITH items AS (
+              SELECT 'h' || CAST(CAST(floor(sqrt(CAST(user_id AS DOUBLE)))
+                     AS INT) AS VARCHAR) AS v
+              FROM events),
+            probes AS (
+              SELECT v, r.j AS row,
+                     CAST(CAST(concat('0x',
+                       substr(md5('cms' || r.j || ':' || v), 1, 8))
+                       AS BIGINT) % 256 AS INT) AS bucket
+              FROM items, range(4) AS r(j)),
+            sk AS (
+              SELECT row, bucket, count(*) AS cnt
+              FROM probes GROUP BY row, bucket),
+            d AS (SELECT DISTINCT v FROM items),
+            dp AS (
+              SELECT v, r.j AS row,
+                     CAST(CAST(concat('0x',
+                       substr(md5('cms' || r.j || ':' || v), 1, 8))
+                       AS BIGINT) % 256 AS INT) AS bucket
+              FROM d, range(4) AS r(j)),
+            est AS (
+              SELECT dp.v AS item, min(coalesce(sk.cnt, 0)) AS est
+              FROM dp LEFT JOIN sk USING (row, bucket)
+              GROUP BY dp.v),
+            tot AS (SELECT count(*) AS n_total FROM items)
+            SELECT item, est, n_total,
+                   CAST(ceil(n_total * 0.05) AS BIGINT) AS threshold
+            FROM est, tot
+            WHERE est >= CAST(ceil(n_total * 0.05) AS BIGINT)
+        """,
+        "sketch_log_histogram": """
+            WITH vals AS (
+              SELECT event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS v
+              FROM events),
+            e AS (
+              SELECT event_type, v,
+                     CASE WHEN v <= 0 THEN 0
+                          ELSE CAST(length(bin(v)) AS INT) END AS exp
+              FROM vals),
+            s AS (
+              SELECT event_type, exp,
+                     CASE WHEN v <= 0 THEN 0
+                          WHEN exp - 1 <= 3 THEN CAST(v - (
+                            CASE WHEN exp <= 1 THEN 0
+                                 ELSE (CAST(1 AS BIGINT) << (exp - 1)) END)
+                            AS INT)
+                          ELSE CAST((v - (CAST(1 AS BIGINT) << (exp - 1)))
+                            >> (exp - 1 - 3) AS INT) END AS sub
+              FROM e),
+            g AS (
+              SELECT event_type, exp, sub, count(*) AS cnt
+              FROM s GROUP BY event_type, exp, sub),
+            w AS (
+              SELECT *, CASE WHEN exp - 1 <= 3 THEN CAST(1 AS BIGINT)
+                             ELSE (CAST(1 AS BIGINT) << (exp - 1 - 3))
+                        END AS width
+              FROM g),
+            l AS (
+              SELECT event_type, exp, sub, cnt, width,
+                     CASE WHEN exp <= 0 THEN CAST(0 AS BIGINT)
+                          ELSE (CASE WHEN exp <= 1 THEN CAST(0 AS BIGINT)
+                                ELSE (CAST(1 AS BIGINT) << (exp - 1)) END)
+                               + CAST(sub AS BIGINT) * width END AS lo
+              FROM w)
+            SELECT event_type, exp, sub, lo,
+                   CASE WHEN exp <= 0 THEN CAST(0 AS BIGINT)
+                        ELSE lo + width - 1 END AS hi,
+                   cnt
+            FROM l
+        """,
+        "sketch_histogram_quantiles": """
+            WITH vals AS (
+              SELECT event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS v
+              FROM events),
+            e AS (
+              SELECT event_type, v,
+                     CASE WHEN v <= 0 THEN 0
+                          ELSE CAST(length(bin(v)) AS INT) END AS exp
+              FROM vals),
+            s AS (
+              SELECT event_type, exp,
+                     CASE WHEN v <= 0 THEN 0
+                          WHEN exp - 1 <= 3 THEN CAST(v - (
+                            CASE WHEN exp <= 1 THEN 0
+                                 ELSE (CAST(1 AS BIGINT) << (exp - 1)) END)
+                            AS INT)
+                          ELSE CAST((v - (CAST(1 AS BIGINT) << (exp - 1)))
+                            >> (exp - 1 - 3) AS INT) END AS sub
+              FROM e),
+            g AS (
+              SELECT event_type, exp, sub, count(*) AS cnt
+              FROM s GROUP BY event_type, exp, sub),
+            w AS (
+              SELECT *, CASE WHEN exp - 1 <= 3 THEN CAST(1 AS BIGINT)
+                             ELSE (CAST(1 AS BIGINT) << (exp - 1 - 3))
+                        END AS width
+              FROM g),
+            hist AS (
+              SELECT event_type, exp, sub, cnt,
+                     CASE WHEN exp <= 0 THEN CAST(0 AS BIGINT)
+                          ELSE (CASE WHEN exp <= 1 THEN CAST(0 AS BIGINT)
+                                ELSE (CAST(1 AS BIGINT) << (exp - 1)) END)
+                               + CAST(sub AS BIGINT) * width
+                               + width - 1 END AS hi
+              FROM w),
+            cum AS (
+              SELECT event_type, exp, sub, hi, cnt,
+                     sum(cnt) OVER (PARTITION BY event_type
+                       ORDER BY exp, sub
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM hist),
+            tot AS (
+              SELECT event_type, sum(cnt) AS n_total
+              FROM hist GROUP BY event_type),
+            probes AS (
+              SELECT t.event_type, t.n_total, q.q
+              FROM tot t, (VALUES (0.5), (0.9), (0.99)) AS q(q)),
+            hit AS (
+              SELECT c.event_type, p.q, c.hi
+              FROM cum c JOIN probes p ON c.event_type = p.event_type
+              WHERE c.cum >= ceil(p.q * p.n_total))
+            -- hi is strictly monotone in (exp, sub) bucket order, so
+            -- min(hi) IS the first bucket reaching the rank
+            SELECT event_type, round(q, 2) AS q, min(hi) AS value
+            FROM hit GROUP BY event_type, q
+        """,
+        "dust_rule_mining": """
+            WITH base AS (
+              SELECT 'http://h' || CAST(doc_id % 25 AS VARCHAR)
+                     || '.example/p' || CAST(doc_id AS VARCHAR) || '/' AS b,
+                     md5(CAST(doc_id AS VARCHAR)) AS ck, doc_id
+              FROM documents),
+            pages AS (
+              SELECT b AS u, ck FROM base
+              UNION ALL SELECT b || 'index.html', ck FROM base
+              UNION ALL SELECT b || '?sid=abc123', ck FROM base
+                        WHERE doc_id % 3 = 0),
+            capped AS (
+              SELECT ck, u FROM (
+                SELECT ck, u,
+                       row_number() OVER (PARTITION BY ck ORDER BY u) AS rn
+                FROM (SELECT DISTINCT ck, u FROM pages))
+              WHERE rn <= 6),
+            pairs AS (
+              SELECT a.u AS u1, b.u AS u2
+              FROM capped a JOIN capped b
+                ON a.ck = b.ck AND a.u < b.u),
+            pos AS (
+              SELECT u1, u2, least(len(u1), len(u2)) AS m, g.i AS i
+              FROM pairs, generate_series(1, 200) AS g(i)
+              WHERE g.i <= least(len(u1), len(u2))),
+            lc AS (
+              SELECT u1, u2, max(m) AS m,
+                     sum(CASE WHEN substr(u1, 1, i) = substr(u2, 1, i)
+                              THEN 1 ELSE 0 END) AS lcp,
+                     sum(CASE WHEN substr(reverse(u1), 1, i)
+                                   = substr(reverse(u2), 1, i)
+                              THEN 1 ELSE 0 END) AS lcs_raw
+              FROM pos GROUP BY u1, u2),
+            mid AS (
+              SELECT u1, u2, lcp,
+                     least(lcs_raw, m - lcp) AS lcs
+              FROM lc),
+            rr AS (
+              SELECT u1, u2,
+                     substr(u1, CAST(lcp + 1 AS INT),
+                            CAST(len(u1) - lcp - lcs AS INT)) AS f,
+                     substr(u2, CAST(lcp + 1 AS INT),
+                            CAST(len(u2) - lcp - lcs AS INT)) AS t,
+                     regexp_extract(u1, '^[a-z]+://([^/]+)', 1) AS host
+              FROM mid),
+            orient AS (
+              SELECT CASE WHEN len(f) > len(t)
+                               OR (len(f) = len(t) AND f > t)
+                          THEN f ELSE t END AS rule_from,
+                     CASE WHEN len(f) > len(t)
+                               OR (len(f) = len(t) AND f > t)
+                          THEN t ELSE f END AS rule_to,
+                     host,
+                     CASE WHEN len(f) > len(t)
+                               OR (len(f) = len(t) AND f > t)
+                          THEN u1 ELSE u2 END AS e1,
+                     CASE WHEN len(f) > len(t)
+                               OR (len(f) = len(t) AND f > t)
+                          THEN u2 ELSE u1 END AS e2
+              FROM rr)
+            SELECT rule_from, rule_to, count(*) AS support,
+                   count(DISTINCT host) AS n_hosts,
+                   min(e1) AS example_from, min(e2) AS example_to
+            FROM orient GROUP BY rule_from, rule_to
+            HAVING count(*) >= 2
+        """,
+        "layout_zorder_key": """
+            WITH b AS (
+              SELECT user_id % 256 AS x,
+                     CAST(floor(value) AS INT) % 256 AS y
+              FROM events),
+            c AS (SELECT x, y, count(*) AS n_rows FROM b GROUP BY x, y)
+            SELECT x, y,
+                   CAST((SELECT sum(((c.x >> g.i) & 1)
+                                      * (CAST(1 AS BIGINT) << (2 * g.i))
+                                    + ((c.y >> g.i) & 1)
+                                      * (CAST(1 AS BIGINT) << (2 * g.i + 1)))
+                         FROM range(8) AS g(i)) AS BIGINT) AS z,
+                   n_rows
+            FROM c
         """,
         "corpus_curation_pipeline": f"""
             WITH lang AS (SELECT id, pred_lang FROM ({_language_id_sql()})),

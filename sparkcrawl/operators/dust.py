@@ -1,0 +1,162 @@
+"""DUST rule mining — "Different URLs with Similar Text".
+
+A large crawl wastes budget re-fetching aliases of pages it already
+has: ``/a/`` vs ``/a/index.html``, ``http://`` vs ``https://``,
+``host`` vs ``www.host``, tracking-parameter variants. The public
+DustBuster method (Bar-Yossef, Keidar & Schonfeld, WWW 2007 — "Do not
+crawl in the DUST") mines SITE-SPECIFIC string-substitution rules from
+pairs of URLs already observed to carry the same content, then applies
+the high-support rules as a pre-fetch canonicalizer — cheaper than
+fetching and hashing the alias.
+
+Relational re-expression (no reference code — the original is an
+offline log-mining algorithm):
+
+1. group fetched URLs by content key (the content-seen hash the crawl
+   already computes), CAP each group (top-``max_group`` by URL order —
+   a mega-duplicate group contributes rule evidence quadratically and
+   is exactly the group that needs no more evidence);
+2. self-join within groups (u1 < u2): each pair is one observation of
+   an alias relation;
+3. factor each pair as (shared prefix, differing middles, shared
+   suffix) via longest-common-prefix/suffix — pure higher-order
+   column functions (``sequence``/``filter``/``size``), no UDF: prefix
+   equality is monotone, so COUNTING the prefix lengths that match IS
+   the LCP;
+4. the differing middles are the candidate rule (a -> b); aggregate
+   support = number of observing pairs and breadth = distinct hosts.
+
+Rules with high support + breadth are the crawl's DUST canonicalizer
+(fed to urlnorm as site rewrite rules). Cost model at scale: one
+capped self-join per content group + one hash agg over pair-bounded
+rows; the per-pair LCP is O(len^2) character compares on short URL
+strings, inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def mine_dust_rules(
+    pages: DataFrame,
+    url_col: str = "url",
+    content_col: str = "content_key",
+    max_group: int = 6,
+    min_support: int = 2,
+) -> DataFrame:
+    """Mine (rule_from, rule_to) substitution rules from same-content
+    URL pairs. Output: (rule_from, rule_to, support, n_hosts,
+    example_from, example_to), support >= min_support, rules ordered
+    by the (u1 < u2) pair orientation so each rule is canonical."""
+    rn = F.row_number().over(W.partitionBy("ck").orderBy("u"))
+    capped = (
+        pages.select(F.col(content_col).alias("ck"), F.col(url_col).alias("u"))
+        .distinct()
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= max_group)
+        .drop("rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.ck") == F.col("b.ck")) & (F.col("a.u") < F.col("b.u")),
+    ).select(F.col("a.u").alias("u1"), F.col("b.u").alias("u2"))
+
+    u1, u2 = F.col("u1"), F.col("u2")
+    m = F.least(F.length(u1), F.length(u2))
+
+    def _common_len(x, y):
+        # prefix equality is monotone in i, so the match count == LCP
+        return F.size(
+            F.filter(
+                F.sequence(F.lit(1), m),
+                lambda i: F.substr(x, F.lit(1), i) == F.substr(y, F.lit(1), i),
+            )
+        )
+
+    lcp = _common_len(u1, u2)
+    lcs_raw = _common_len(F.reverse(u1), F.reverse(u2))
+    d = pairs.select(
+        "u1", "u2",
+        lcp.alias("lcp"),
+        F.least(lcs_raw, m - lcp).alias("lcs"),
+    )
+    rule_from = F.substr(
+        u1, F.col("lcp") + 1, F.length(u1) - F.col("lcp") - F.col("lcs")
+    )
+    rule_to = F.substr(
+        u2, F.col("lcp") + 1, F.length(u2) - F.col("lcp") - F.col("lcs")
+    )
+    host = F.regexp_extract(u1, r"^[a-z]+://([^/]+)", 1)
+    # Orient every rule longer->shorter (tie: lexicographic) so the
+    # canonical direction is the REMOVING rewrite — 'index.html' -> ''
+    # not '' -> 'index.html'. An insertion rule has no anchor to apply
+    # at and is useless to a canonicalizer; the alias relation is
+    # symmetric so orientation is free.
+    fwd = (F.length(rule_from) > F.length(rule_to)) | (
+        (F.length(rule_from) == F.length(rule_to)) & (rule_from > rule_to)
+    )
+    rules = d.select(
+        F.when(fwd, rule_from).otherwise(rule_to).alias("rule_from"),
+        F.when(fwd, rule_to).otherwise(rule_from).alias("rule_to"),
+        host.alias("host"),
+        F.when(fwd, u1).otherwise(u2).alias("u1"),
+        F.when(fwd, u2).otherwise(u1).alias("u2"),
+    )
+    return (
+        rules.groupBy("rule_from", "rule_to")
+        .agg(
+            F.count("*").alias("support"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.min("u1").alias("example_from"),
+            F.min("u2").alias("example_to"),
+        )
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def apply_dust_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    min_support: int = 3,
+    min_hosts: int = 1,
+) -> DataFrame:
+    """Apply mined rules as a pre-fetch canonicalizer: rewrite each URL
+    by its single highest-support applicable rule (one pass — DustBuster
+    applies rules iteratively offline; one pass already collapses the
+    dominant alias classes). Broadcast the (small, curated) rule table;
+    a URL no rule matches passes through unchanged.
+
+    Output: urls' columns + ``dust_canonical``.
+    """
+    r = (
+        rules.filter(
+            (F.col("support") >= min_support) & (F.col("n_hosts") >= min_hosts)
+        )
+        .select("rule_from", "rule_to", "support")
+        .filter(F.length("rule_from") > 0)  # insertion rules need anchors
+    )
+    u = urls.withColumn("_u", F.col(url_col))
+    j = u.join(
+        F.broadcast(r),
+        F.col("_u").contains(F.col("rule_from")),
+        "left",
+    )
+    best = (
+        j.groupBy(*[F.col(c) for c in urls.columns])
+        .agg(
+            F.max_by(
+                F.struct("rule_from", "rule_to"), F.struct("support", "rule_from")
+            ).alias("_rule")
+        )
+    )
+    rewritten = F.when(
+        F.col("_rule.rule_from").isNotNull(),
+        F.replace(F.col(url_col), F.col("_rule.rule_from"), F.col("_rule.rule_to")),
+    ).otherwise(F.col(url_col))
+    return best.select(*urls.columns, rewritten.alias("dust_canonical"))

@@ -1,0 +1,85 @@
+"""Write-side data layout: Z-order (Morton) clustering and bucketed
+co-location.
+
+At 100 TB the dominant cost of a table is not computing it but READING
+it back — every later query pays the layout chosen at write time.
+Two public techniques (both in Delta/Iceberg's OPTIMIZE vocabulary,
+re-expressed here on plain Spark):
+
+* **Z-ordering**: interleave the bits of two (or more) bounded integer
+  dimensions into one Morton key, then range-partition + sort by it.
+  Rows close in EITHER dimension land in the same files, so min/max
+  file statistics prune scans on BOTH columns — the multi-column
+  generalization of sorting by one column. The key is pure integer
+  bit-surgery (shift/and/or), fully inside whole-stage codegen, no
+  UDF, and deterministic across engines.
+
+* **Bucketing**: ``bucketBy(n, key)`` at write time makes later
+  equi-joins/aggregations on ``key`` shuffle-free (both sides already
+  hash-co-located). The frontier<->seen-set anti-join is the crawl's
+  standing beneficiary. Evidenced by a plan gate in tests (no Exchange
+  in a bucketed self-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton key of two non-negative ints, each truncated to ``bits``
+    bits: bit i of x lands at position 2i, bit i of y at 2i+1. Built
+    as one folded expression of shifts/masks — O(bits) codegen ops per
+    row, zero Python. Dimension values are clamped to the bit budget
+    (callers bucket raw values first; clamping keeps the key total)."""
+    xm = F.least(x.cast("bigint"), F.lit((1 << bits) - 1).cast("bigint"))
+    ym = F.least(y.cast("bigint"), F.lit((1 << bits) - 1).cast("bigint"))
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_partitions: int,
+    bits: int = 16,
+    key_name: str = "z",
+) -> DataFrame:
+    """Re-layout ``df`` for write: Morton key over (x, y), RANGE
+    partition on it (contiguous, non-overlapping key ranges per output
+    file — that is what makes min/max pruning work), sort within each
+    partition. The write itself is the caller's (``.write.parquet``);
+    this returns the laid-out frame with the key attached."""
+    keyed = df.withColumn(key_name, zorder_key(F.col(x_col), F.col(y_col), bits))
+    return keyed.repartitionByRange(n_partitions, F.col(key_name)) \
+                .sortWithinPartitions(key_name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key_col: str,
+    n_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Write ``df`` hash-bucketed (and sorted) by ``key_col``: every
+    later equi-join or aggregation on the key reads both sides already
+    co-located, so the join plan has NO shuffle Exchange at any data
+    size — the write-once/join-many layout for the seen-set and
+    frontier tables. Parquet + catalog table (bucketing metadata lives
+    in the catalog; plain ``.parquet()`` cannot carry it)."""
+    w = (
+        df.write.format("parquet").mode("overwrite")
+        .bucketBy(n_buckets, key_col).sortBy(key_col)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

@@ -162,3 +162,166 @@ def count_min_estimate(
         joined.groupBy(*keys)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+# --------------------------------------------------------------------------
+# heavy hitters (count-min + threshold, mergeable, deterministic)
+# --------------------------------------------------------------------------
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    phi: float = 0.01,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """phi-heavy-hitters from the count-min grid: every item whose CMS
+    estimate is >= ceil(phi * N). CMS never under-estimates, so this
+    has NO false negatives — every true heavy hitter survives; the
+    (bounded) false positives are exactly what a second exact pass
+    over the SMALL survivor set would prune at scale. One build + one
+    broadcast probe join; the grid and the N scalar are the only
+    non-item state, so the operator merges across supersteps the same
+    way the grid does (cell-wise add, N add).
+
+    Output: (item, est, n_total, threshold), est >= threshold.
+    """
+    items = df.select(F.col(value_col).cast("string").alias("item"))
+    sketch = count_min_build(items, "item", depth=depth, width=width)
+    totals = items.groupBy().agg(F.count("*").alias("n_total"))
+    est = count_min_estimate(
+        items.distinct(), sketch, "item", depth=depth, width=width
+    )
+    out = est.crossJoin(F.broadcast(totals))
+    thr = F.ceil(F.col("n_total") * F.lit(float(phi))).cast("bigint")
+    return (
+        out.withColumn("threshold", thr)
+        .filter(F.col("est") >= F.col("threshold"))
+        .select("item", "est", "n_total", "threshold")
+    )
+
+
+# --------------------------------------------------------------------------
+# log-histogram quantile sketch (mergeable, integer-exact, deterministic)
+# --------------------------------------------------------------------------
+
+def log_histogram_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    sub_buckets: int = 8,
+) -> DataFrame:
+    """HDR-histogram-style log-linear bucketing of a positive INTEGER
+    measure (latency ms, doc length, queue depth): bucket index =
+    (exponent e = bit-length of v, linear sub-bucket within [2^(e-1),
+    2^e)). All-integer arithmetic — no float log at the bucket edge —
+    so the grid is deterministic and cross-engine, the quantile
+    companion to the HLL (distinct) and CMS (frequency) sketches:
+    store per-superstep (group, bucket, cnt) rows, merge by cell-wise
+    addition, answer later percentile questions with NO rescan, with
+    relative value error bounded by 1/sub_buckets.
+
+    v <= 0 goes to bucket (0, 0) so the sketch is total. sub_buckets
+    must be a power of two: sub-bucketing is then PURE INTEGER SHIFTS
+    (sub = (v - 2^(e-1)) >> (e-1-s)), with no float division anywhere —
+    the grid is bit-exact across engines by construction. Output:
+    group_cols + (exp, sub, lo, hi, cnt) where [lo, hi] is the bucket's
+    integer value range (hi is the value reported for quantiles).
+    """
+    s = int(sub_buckets).bit_length() - 1
+    if (1 << s) != sub_buckets:
+        raise ValueError("sub_buckets must be a power of two")
+    keys = list(group_cols or [])
+    # column-valued shift amounts need SQL-side shiftleft/shiftright
+    # (the Python wrapper only takes literal bit counts)
+    b = (
+        df.select(*[F.col(c) for c in keys],
+                  F.col(value_col).cast("bigint").alias("_v"))
+        # bit_length(v) via length(bin(v)) — integer, exact in both engines
+        .withColumn(
+            "exp",
+            F.expr("CASE WHEN _v <= 0 THEN 0 "
+                   "ELSE CAST(length(bin(_v)) AS INT) END"),
+        )
+        .withColumn(
+            "sub",
+            F.expr(
+                f"""CASE WHEN _v <= 0 THEN 0
+                    WHEN exp - 1 <= {s} THEN CAST(_v - (
+                      CASE WHEN exp <= 1 THEN 0
+                           ELSE shiftleft(CAST(1 AS BIGINT), exp - 1) END
+                    ) AS INT)
+                    ELSE CAST(shiftright(
+                      _v - shiftleft(CAST(1 AS BIGINT), exp - 1),
+                      exp - 1 - {s}) AS INT) END"""
+            ),
+        )
+    )
+    out = b.groupBy(*[*keys, "exp", "sub"]).agg(F.count("*").alias("cnt"))
+    return (
+        out.withColumn(
+            "_width",
+            F.expr(
+                f"CASE WHEN exp - 1 <= {s} THEN CAST(1 AS BIGINT) "
+                f"ELSE shiftleft(CAST(1 AS BIGINT), exp - 1 - {s}) END"
+            ),
+        )
+        .withColumn(
+            "lo",
+            F.expr(
+                "CASE WHEN exp <= 0 THEN CAST(0 AS BIGINT) ELSE "
+                "(CASE WHEN exp <= 1 THEN CAST(0 AS BIGINT) "
+                " ELSE shiftleft(CAST(1 AS BIGINT), exp - 1) END)"
+                " + CAST(sub AS BIGINT) * _width END"
+            ),
+        )
+        .withColumn(
+            "hi",
+            F.expr("CASE WHEN exp <= 0 THEN CAST(0 AS BIGINT) "
+                   "ELSE lo + _width - 1 END"),
+        )
+        .select(*keys, "exp", "sub", "lo", "hi", "cnt")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group quantile readout from a (merged) log-histogram: the
+    reported value for quantile q is the upper bound ``hi`` of the
+    first bucket whose cumulative count reaches ceil(q * N) — a rank
+    query, exact to within one bucket. One window pass in bucket order
+    per group (the histogram is at most exp*sub rows per group — KB
+    scale — so the window is over a bounded table, never over data).
+
+    Output: group_cols + (q, value).
+    """
+    from pyspark.sql import Window as W
+
+    keys = [F.col(c) for c in (group_cols or [])]
+    key_names = list(group_cols or [])
+    w = (
+        W.partitionBy(*keys).orderBy("exp", "sub")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(
+        *keys, "exp", "sub", "hi", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    totals = hist.groupBy(*keys).agg(F.sum("cnt").alias("n_total"))
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    probes = totals.select(*[F.col(c) for c in key_names], "n_total", qs)
+    j = cum.join(probes, key_names) if key_names else cum.crossJoin(
+        F.broadcast(probes)
+    )
+    hit = j.filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n_total"))
+    )
+    return (
+        hit.groupBy(*[F.col(c) for c in key_names], F.col("q"))
+        .agg(F.min_by(F.col("hi"), F.struct("exp", "sub")).alias("value"))
+    )

@@ -1,0 +1,80 @@
+"""DUST rule mining + application (operators/dust.py)."""
+
+from pyspark.sql import functions as F
+
+from sparkcrawl.operators.dust import apply_dust_rules, mine_dust_rules
+
+
+def _pages(spark):
+    return spark.createDataFrame(
+        [
+            ("http://a.com/p1/index.html", "k1"),
+            ("http://a.com/p1/", "k1"),
+            ("http://a.com/p2/index.html", "k2"),
+            ("http://a.com/p2/", "k2"),
+            ("http://b.com/q/index.html", "k3"),
+            ("http://b.com/q/", "k3"),
+            ("https://d.com/x", "k5"),
+            ("http://d.com/x", "k5"),
+            ("http://c.com/solo", "k4"),
+        ],
+        "url string, content_key string",
+    )
+
+
+def test_mined_rule_is_oriented_longer_to_shorter(spark):
+    rules = {
+        (r.rule_from, r.rule_to): (r.support, r.n_hosts)
+        for r in mine_dust_rules(_pages(spark)).collect()
+    }
+    assert ("index.html", "") in rules
+    support, n_hosts = rules[("index.html", "")]
+    assert support == 3 and n_hosts == 2
+    # never the useless insertion direction
+    assert ("", "index.html") not in rules
+
+
+def test_single_observation_rules_are_dropped(spark):
+    # the https->http pair ('s' -> '') has support 1 < min_support
+    rules = mine_dust_rules(_pages(spark), min_support=2).collect()
+    assert all(r.support >= 2 for r in rules)
+    assert ("s", "") not in {(r.rule_from, r.rule_to) for r in rules}
+
+
+def test_examples_witness_the_rule(spark):
+    [r] = mine_dust_rules(_pages(spark)).collect()
+    assert r.rule_from in r.example_from
+    assert r.example_from.replace(r.rule_from, r.rule_to) == r.example_to
+
+
+def test_apply_rewrites_only_matching_urls(spark):
+    rules = mine_dust_rules(_pages(spark))
+    urls = spark.createDataFrame(
+        [("http://z.com/r/index.html",), ("http://z.com/other",)],
+        "url string",
+    )
+    got = {
+        r.url: r.dust_canonical
+        for r in apply_dust_rules(urls, rules, min_support=2).collect()
+    }
+    assert got["http://z.com/r/index.html"] == "http://z.com/r/"
+    assert got["http://z.com/other"] == "http://z.com/other"
+
+
+def test_apply_picks_highest_support_rule(spark):
+    rules = spark.createDataFrame(
+        [("index.html", "", 10, 3), ("dex.html", "X", 2, 1)],
+        "rule_from string, rule_to string, support long, n_hosts long",
+    )
+    urls = spark.createDataFrame([("http://z.com/index.html",)], "url string")
+    [row] = apply_dust_rules(urls, rules, min_support=1).collect()
+    assert row.dust_canonical == "http://z.com/"
+
+
+def test_mega_group_pair_evidence_is_capped(spark):
+    # 100 aliases of one key: uncapped would be 4950 pairs; capped at
+    # max_group=6 the support can be at most C(6,2)=15
+    rows = [(f"http://m.com/a{i:03d}/index.html", "kk") for i in range(100)]
+    pages = spark.createDataFrame(rows, "url string, content_key string")
+    rules = mine_dust_rules(pages, max_group=6, min_support=1).collect()
+    assert all(r.support <= 15 for r in rules)

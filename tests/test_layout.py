@@ -1,0 +1,77 @@
+"""Write-side layout: Z-order clustering + bucketed co-location
+(operators/layout.py)."""
+
+from pyspark.sql import functions as F
+
+from sparkcrawl.operators.layout import (
+    write_bucketed,
+    zorder_key,
+    zorder_layout,
+)
+
+
+def _morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_reference_bit_interleave(spark):
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"),
+        (F.col("id") / 16).cast("int").alias("y"),
+    )
+    rows = df.withColumn("z", zorder_key(F.col("x"), F.col("y"), bits=4)).collect()
+    assert rows and all(_morton(r.x, r.y, 4) == r.z for r in rows)
+
+
+def test_zorder_key_clamps_to_bit_budget(spark):
+    row = (
+        spark.range(1)
+        .select(F.lit(9999).alias("x"), F.lit(3).alias("y"))
+        .select(zorder_key(F.col("x"), F.col("y"), bits=4).alias("z"))
+        .first()
+    )
+    assert row.z == _morton(15, 3, 4)  # x clamped to 2^4 - 1
+
+
+def test_zorder_layout_partitions_are_disjoint_key_ranges(spark):
+    """repartitionByRange must give contiguous non-overlapping z ranges
+    per partition — that is what makes file-level min/max pruning
+    work on BOTH source dimensions."""
+    df = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("int").alias("y")
+    )
+    out = zorder_layout(df, "x", "y", n_partitions=8, bits=5)
+    parts = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(parts) > 1
+    for prev, cur in zip(parts, parts[1:]):
+        assert prev.hi < cur.lo  # disjoint, ordered ranges
+
+
+def test_bucketed_self_join_has_no_exchange(spark, tmp_path):
+    """The point of bucketing: an equi-join on the bucket key needs no
+    shuffle — neither side has an Exchange in the physical plan."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_bucketed(df, "t_bucketed_a", "k", 4, path=str(tmp_path / "a"))
+    write_bucketed(df, "t_bucketed_b", "k", 4, path=str(tmp_path / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_bucketed_a").join(spark.table("t_bucketed_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_b")

@@ -104,3 +104,105 @@ def test_count_min_weighted_build(spark):
     est = {r["v"]: r["est"] for r in count_min_estimate(
         df.select("v").distinct(), sk, "v").collect()}
     assert est == {"a": 15, "b": 2}
+
+
+# --------------------------------------------------------------------------
+# heavy hitters
+# --------------------------------------------------------------------------
+
+def test_heavy_hitters_has_no_false_negatives(spark):
+    from sparkcrawl.operators.sketches import heavy_hitters
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [(f"x{i}",) for i in range(120)]
+    df = spark.createDataFrame(rows, "item string")
+    got = {r.item for r in heavy_hitters(df, "item", phi=0.1).collect()}
+    n = len(rows)
+    import math
+    true_hh = {"a", "b"}  # counts 50, 30 >= ceil(0.1 * 200) = 20
+    assert true_hh <= got  # CMS never under-estimates -> no misses
+    # and the threshold arithmetic matches
+    [r] = [r for r in heavy_hitters(df, "item", phi=0.1).collect()
+           if r.item == "a"]
+    assert r.n_total == n and r.threshold == math.ceil(0.1 * n)
+    assert r.est >= 50
+
+
+def test_heavy_hitters_false_positives_are_bounded_by_grid(spark):
+    from sparkcrawl.operators.sketches import heavy_hitters
+
+    # wide grid + few distinct items -> no collisions -> exact survivors
+    rows = [("a",)] * 40 + [(f"x{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "item string")
+    got = {r.item for r in heavy_hitters(df, "item", phi=0.5,
+                                         depth=4, width=1024).collect()}
+    assert got == {"a"}
+
+
+# --------------------------------------------------------------------------
+# log histogram + quantile readout
+# --------------------------------------------------------------------------
+
+def test_log_histogram_buckets_contain_their_values(spark):
+    from sparkcrawl.operators.sketches import log_histogram_build
+
+    import pyspark.sql.functions as SF
+
+    vals = [1, 2, 3, 5, 8, 13, 64, 77, 100, 1000, 0, -5]
+    df = spark.createDataFrame([(v, "g") for v in vals], "v long, g string")
+    hist = log_histogram_build(df, "v", ["g"], sub_buckets=4).collect()
+    assert sum(r.cnt for r in hist) == len(vals)
+    # every bucket's [lo, hi] really covers some input values, and
+    # every positive input lands in exactly one bucket that covers it
+    for v in vals:
+        vv = max(v, 0)
+        covering = [r for r in hist if r.lo <= vv <= r.hi]
+        assert len(covering) == 1, (v, covering)
+
+
+def test_log_histogram_merges_cellwise(spark):
+    from sparkcrawl.operators.sketches import log_histogram_build
+
+    import pyspark.sql.functions as SF
+
+    h1 = spark.createDataFrame([(v,) for v in [1, 5, 9, 100]], "v long")
+    h2 = spark.createDataFrame([(v,) for v in [5, 9, 1000]], "v long")
+    whole = h1.unionByName(h2)
+    merged = (
+        log_histogram_build(h1, "v").unionByName(log_histogram_build(h2, "v"))
+        .groupBy("exp", "sub", "lo", "hi").agg(SF.sum("cnt").alias("cnt"))
+    )
+    direct = log_histogram_build(whole, "v")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_histogram_quantiles_bound_the_exact_quantile(spark):
+    from sparkcrawl.operators.sketches import (
+        histogram_quantiles,
+        log_histogram_build,
+    )
+
+    import math
+
+    vals = sorted([1, 2, 3, 5, 8, 13, 64, 77, 100, 1000])
+    df = spark.createDataFrame([(v, "g") for v in vals], "v long, g string")
+    hist = log_histogram_build(df, "v", ["g"], sub_buckets=4)
+    got = {r.q: r.value
+           for r in histogram_quantiles(hist, [0.5, 0.9], ["g"]).collect()}
+    for q in (0.5, 0.9):
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        # reported value is the covering bucket's upper bound: >= exact,
+        # within one sub-bucket's relative width (1/4 per octave here)
+        assert exact <= got[q] <= exact + max(exact // 4, 1) + 1, (q, got[q])
+
+
+def test_histogram_quantiles_ungrouped(spark):
+    from sparkcrawl.operators.sketches import (
+        histogram_quantiles,
+        log_histogram_build,
+    )
+
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "v long")
+    hist = log_histogram_build(df, "v", sub_buckets=8)
+    got = {r.q: r.value for r in histogram_quantiles(hist, [1.0]).collect()}
+    assert got[1.0] >= 100
