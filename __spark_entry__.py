@@ -1858,6 +1858,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = zorder_layout(b, "x", "y", n_partitions=8, bits=8)
         return out.groupBy("x", "y", "z").agg(F.count("*").alias("n_rows"))
 
+    def embedding_knn_graph(spark, sf):
+        """Approximate kNN graph: every vector's top-5 neighbors among
+        its LSH bucket-mates — banded+capped self-join shuffled on
+        (band, bucket), per-node rank-limit window (WindowGroupLimit
+        heap). The structure diversity sampling and retrieval eval
+        consume; deterministic ties so the oracle replays it edge for
+        edge."""
+        emb = _read(spark, sf, "embeddings")
+        return _widen(
+            simsearch.knn_graph(
+                emb, k=5, n_planes=_ND_PLANES, dim=_EMB_DIM, seed=_LSH_SEED,
+                n_bands=_LSH_BANDS, max_bucket_size=_ND_CAP,
+            )
+        )
+
+    def corpus_quality_topfrac(spark, sf):
+        """FineWeb-style per-language quality gate: keep docs at or
+        above the stratum's 70th-percentile composite quality. The
+        scale shape is threshold-then-filter (one |strata|-row agg
+        broadcast back), never rank-then-cut (which would sort the
+        corpus per language)."""
+        docs = _read(spark, sf, "documents")
+        return textops.quality_top_fraction(docs, frac=0.3,
+                                            strata_col="lang")
+
+    def layout_skew_report(spark, sf):
+        """Partition-skew diagnostic: top heaviest keys with row share
+        and the salt factor that re-splits each under the target task
+        size — the measurement step behind every salting decision. One
+        map-side-combined agg + bounded top-N; nothing data-sized hits
+        the driver."""
+        from sparkcrawl.operators.layout import skew_report
+
+        ev = _read(spark, sf, "events")
+        return skew_report(ev, ["event_type"],
+                           target_rows_per_task=500, top_n=20)
+
     def corpus_length_quantiles(spark, sf):
         """Exact per-language length percentiles (linear-interpolation
         semantics, matching DuckDB quantile_cont). At corpus scale the
@@ -2521,6 +2558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_histogram_quantiles": sketch_histogram_quantiles,
         "dust_rule_mining": dust_rule_mining,
         "layout_zorder_key": layout_zorder_key,
+        "embedding_knn_graph": embedding_knn_graph,
+        "corpus_quality_topfrac": corpus_quality_topfrac,
+        "layout_skew_report": layout_skew_report,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -2532,7 +2572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- graph_trustrank/hits/spam_mass/rank_budget/opic/cocitation/
         # --- coupling, dedup_prefix_filter/winnowing/cdc_chunks,
         # --- sketch_count_min, text_bpe_merges/tokens (rows-only),
-        # --- multimodal_image_near_dup/audio_near_dup (rows-only).
+        # --- multimodal_image_near_dup/audio_near_dup (rows-only),
+        # --- sketch_heavy_hitters/log_histogram/histogram_quantiles,
+        # --- dust_rule_mining, layout_zorder_key.
         # --- driver-green in r3 (CORRECTNESS_r03.json); rotated behind the
         # --- 46 keys above so the driver's 50-query sample covers them in r4
         "crawl_schedule_flagship": crawl_schedule,
@@ -4835,6 +4877,58 @@ def oracle_sql() -> dict[str, str]:
                    min(e1) AS example_from, min(e2) AS example_to
             FROM orient GROUP BY rule_from, rule_to
             HAVING count(*) >= 2
+        """,
+        "embedding_knn_graph": f"""
+            WITH bb AS ({{bb}}),
+            ok AS (
+              SELECT band, bucket FROM bb
+              GROUP BY band, bucket HAVING count(*) <= {_ND_CAP}),
+            bc AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst
+              FROM bc a JOIN bc b2
+                ON a.band = b2.band AND a.bucket = b2.bucket
+                   AND a.vec_id <> b2.vec_id)
+            SELECT src, dst, sim, rank FROM (
+              SELECT src, dst,
+                     round({_cos_sql('ea.embedding', 'eb.embedding')}, 6)
+                       AS sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY src
+                       ORDER BY round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) DESC,
+                                dst) AS rank
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = cand.src
+              JOIN embeddings eb ON eb.vec_id = cand.dst)
+            WHERE rank <= 5
+        """.replace("{bb}", _banded_bucket_cte(_ND_PLANES)),
+        "corpus_quality_topfrac": f"""
+            WITH q AS (SELECT id, quality FROM ({_quality_sql()})),
+            d AS (SELECT doc_id AS id, lang AS stratum FROM documents),
+            j AS (SELECT d.id, d.stratum, q.quality
+                  FROM d JOIN q USING (id)),
+            thr AS (
+              -- {(1.0 - 0.3)!r}: the bit-identical double Spark's
+              -- F.lit(1.0 - frac) uses (0.7 alone would differ by 1 ulp
+              -- and can flip a boundary row at exact-integer ranks)
+              SELECT stratum, quantile_cont(quality, {(1.0 - 0.3)!r}) AS q_thr
+              FROM j GROUP BY stratum)
+            SELECT j.id, j.stratum, j.quality,
+                   round(thr.q_thr, 6) AS q_thr
+            FROM j JOIN thr USING (stratum)
+            WHERE j.quality >= thr.q_thr
+        """,
+        "layout_skew_report": """
+            WITH c AS (
+              SELECT event_type, count(*) AS n_rows FROM events
+              GROUP BY event_type),
+            t AS (SELECT count(*) AS total FROM events)
+            SELECT event_type, n_rows,
+                   round(n_rows * 1.0 / total, 6) AS share,
+                   CAST(ceil(n_rows / 500.0) AS BIGINT) AS salt_factor
+            FROM c, t
+            ORDER BY n_rows DESC, event_type
+            LIMIT 20
         """,
         "layout_zorder_key": """
             WITH b AS (

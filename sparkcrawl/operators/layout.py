@@ -63,6 +63,39 @@ def zorder_layout(
                 .sortWithinPartitions(key_name)
 
 
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    target_rows_per_task: int = 1_000_000,
+    top_n: int = 20,
+) -> DataFrame:
+    """Partition-skew diagnostic: the top-N heaviest keys with their
+    row share and the SALT FACTOR that would split each one back under
+    the target task size (``ceil(n/target)`` sub-keys). This is the
+    measurement step behind every salting decision — at 100 TB a
+    single hot host/domain key silently serializes a shuffle stage,
+    and AQE's skew handling only covers sort-merge joins, not
+    aggregations. One hash agg (map-side combined) + a bounded
+    TakeOrderedAndProject; nothing data-sized reaches the driver.
+
+    Output: key_cols + (n_rows, share, salt_factor), heaviest first,
+    ties broken by key so the report is deterministic."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    total = df.groupBy().agg(F.count("*").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.ceil(F.col("n_rows") / F.lit(float(target_rows_per_task)))
+            .cast("bigint").alias("salt_factor"),
+        )
+        .orderBy(F.desc("n_rows"), *key_cols)
+        .limit(top_n)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -412,6 +412,61 @@ def embedding_near_dup_pairs(
     )
 
 
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 0,
+    n_bands: int = 1,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN GRAPH: for EVERY vector, its top-k nearest
+    neighbors among its LSH bucket-mates — the structure diversity
+    sampling, cluster seeding, and retrieval-eval harnesses consume.
+
+    Distinct shape from :func:`lsh_bucketed_topk` (few queries,
+    broadcast) and :func:`embedding_near_dup_pairs` (undirected,
+    threshold): here every row is a query, so the candidate square is
+    a banded+capped SELF-join shuffled on (band, bucket), and each
+    node keeps its own top-k via one rank-limit window (Spark compiles
+    the row_number<=k filter to WindowGroupLimit — per-partition heap,
+    no full sort). Ties break to the lower neighbor id, so the graph
+    is deterministic and the DuckDB oracle can replay it edge for
+    edge. At 10^9 vectors nothing here is all-pairs: bucket caps bound
+    the join's worst cell and k bounds the output."""
+    emb_b = tracked_persist(
+        _cap_buckets(
+            _banded_buckets(
+                embeddings, n_planes, dim, seed, n_bands, "id", "vec",
+                id_col, vec_col,
+            ),
+            ["band", "bucket"], max_bucket_size,
+        )
+    )
+    cands = (
+        emb_b.alias("a")
+        .join(emb_b.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("src"), F.col("b.id").alias("dst"),
+            F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    scored = cands.withColumn(
+        "sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    )
+    w = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "sim", "rank")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -881,6 +881,40 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def quality_top_fraction(
+    docs: DataFrame,
+    frac: float = 0.3,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FineWeb/CCNet-style quality gate: keep (about) the top ``frac``
+    of documents PER STRATUM (language) by the composite quality
+    score. The scale-honest shape is threshold-then-filter, NOT
+    rank-then-cut: the per-stratum quality threshold at the (1-frac)
+    percentile is ONE small aggregate (|strata| rows, broadcast back),
+    so no per-stratum global sort of the corpus ever happens — the
+    rank-based formulation would sort 100 TB per language. Ties at the
+    threshold are kept (>=), so the kept fraction can slightly exceed
+    ``frac``; exact-k trimming, when required, runs on the already-
+    gated survivors.
+
+    Output: (id, stratum, quality, q_thr) for kept docs."""
+    q = quality_score(docs, text_col, id_col).select("id", "quality")
+    d = docs.select(
+        F.col(id_col).alias("id"), F.col(strata_col).alias("stratum")
+    ).join(q, "id")
+    thr = d.groupBy("stratum").agg(
+        F.percentile("quality", F.lit(1.0 - frac)).alias("q_thr")
+    )
+    return (
+        d.join(F.broadcast(thr), "stratum")
+        .filter(F.col("quality") >= F.col("q_thr"))
+        .select("id", "stratum", "quality",
+                F.round("q_thr", 6).alias("q_thr"))
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens (words / numbers / punct runs)."""
     return docs.select(

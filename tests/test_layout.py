@@ -75,3 +75,25 @@ def test_bucketed_self_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+
+
+def test_skew_report_counts_share_and_salt(spark):
+    from sparkcrawl.operators.layout import skew_report
+
+    rows = [("hot",)] * 70 + [("warm",)] * 25 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    got = skew_report(df, ["k"], target_rows_per_task=20, top_n=2).collect()
+    assert [(r.k, r.n_rows, r.salt_factor) for r in got] == [
+        ("hot", 70, 4),   # ceil(70/20)
+        ("warm", 25, 2),  # ceil(25/20)
+    ]
+    assert abs(got[0].share - 0.7) < 1e-9
+
+
+def test_skew_report_is_deterministic_on_ties(spark):
+    from sparkcrawl.operators.layout import skew_report
+
+    rows = [("b",)] * 3 + [("a",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = [r.k for r in skew_report(df, ["k"], 10, top_n=3).collect()]
+    assert got == ["a", "b", "c"]  # ties broken by key

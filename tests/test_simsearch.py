@@ -584,3 +584,77 @@ def test_cluster_downsample_caps_clusters_keeps_noise(spark):
     assert kept == expect
     assert any(len(ids) > 3 for ids in by_cluster.values()), \
         "fixture never exercised the cap"
+
+
+def test_knn_graph_every_node_ranked_and_bounded(spark):
+    """kNN graph over three tight clusters: every node's top neighbors
+    are its cluster-mates, ranks are 1..k dense per source, and no
+    all-pairs edge across distant clusters survives bucketing."""
+    import math
+
+    from sparkcrawl.operators._caching import release_caches
+    from sparkcrawl.operators.simsearch import cosine, knn_graph
+
+    def unit(theta):
+        # 2-D directions embedded in dim=4 so hyperplanes have work
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = []
+    for c, base in enumerate([0.1, 1.6, 3.1]):  # ~90deg apart
+        for j in range(4):
+            rows.append((c * 10 + j, unit(base + 0.02 * j)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = knn_graph(emb, k=2, n_planes=6, dim=4, seed=1, n_bands=3).collect()
+    release_caches()
+    by_src = {}
+    for r in g:
+        by_src.setdefault(r.src, []).append(r)
+    for src, edges in by_src.items():
+        ranks = sorted(e.rank for e in edges)
+        assert ranks == list(range(1, len(edges) + 1))
+        assert len(edges) <= 2
+        # sims are non-increasing with rank
+        ordered = sorted(edges, key=lambda e: e.rank)
+        assert all(a.sim >= b.sim for a, b in zip(ordered, ordered[1:]))
+        # top neighbor of each node is a cluster-mate (sim ~ 1)
+        assert ordered[0].dst // 10 == src // 10
+
+
+def test_knn_graph_matches_bucket_restricted_bruteforce(spark):
+    """The graph must equal exact brute-force kNN restricted to
+    bucket-mates — recomputed here with the library's own hyperplanes
+    as the independent reference."""
+    import math
+
+    from sparkcrawl.operators._caching import release_caches
+    from sparkcrawl.operators.simsearch import hyperplane_weights, knn_graph
+
+    rows = [(i, [1.0, 0.1 * i, 0.2 * (i % 3), 0.0]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = {(r.src, r.rank): (r.dst, r.sim)
+         for r in knn_graph(emb, k=2, n_planes=2, dim=4, seed=0).collect()}
+    release_caches()
+
+    planes = hyperplane_weights(4, 2, seed=0, band=0)
+    vecs = dict(rows)
+
+    def bucket(v):
+        return sum(
+            (1 << p) for p, w in enumerate(planes)
+            if sum(wi * vi for wi, vi in zip(w, v)) >= 0
+        )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b)), 6
+        )
+
+    expected = {}
+    for i in range(8):
+        mates = [j for j in range(8) if j != i and bucket(vecs[j]) == bucket(vecs[i])]
+        scored = sorted(((cos(vecs[i], vecs[j]), -j) for j in mates), reverse=True)
+        for rank, (s, nj) in enumerate(scored[:2], start=1):
+            expected[(i, rank)] = (-nj, s)
+    assert g == expected
+    assert expected, "fixture produced no bucket-mates at all"

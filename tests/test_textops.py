@@ -838,3 +838,32 @@ def test_cdc_duplicate_chunks_rollup(spark):
     dup = textops.cdc_duplicate_chunks(docs, k=8, divisor=16)
     rows = dup.collect()
     assert rows and all(r["n_copies"] >= 2 and r["n_docs"] >= 2 for r in rows)
+
+
+def test_quality_top_fraction_threshold_then_filter(spark):
+    """Per-stratum gate keeps exactly the docs at/above the stratum's
+    (1-frac) quality percentile; kept share >= frac (ties kept)."""
+    from sparkcrawl.operators.textops import quality_score, quality_top_fraction
+
+    rows = []
+    for i in range(20):
+        # vary word count so the composite quality spreads
+        rows.append((i, "the and is " * (i + 1), "en"))
+    for i in range(20, 30):
+        rows.append((i, "word " * (2 * i), "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = quality_top_fraction(docs, frac=0.3, strata_col="lang").collect()
+    q = {r.id: r.quality for r in quality_score(docs).collect()}
+    langs = {i: ("en" if i < 20 else "de") for i in range(30)}
+    import math
+
+    for lang, n in (("en", 20), ("de", 10)):
+        vals = sorted(q[i] for i in range(30) if langs[i] == lang)
+        # exact linear-interpolation percentile at 1-frac
+        pos = (1.0 - 0.3) * (n - 1)
+        lo, hi = vals[math.floor(pos)], vals[math.ceil(pos)]
+        thr = lo + (hi - lo) * (pos - math.floor(pos))
+        expect = {i for i in range(30) if langs[i] == lang and q[i] >= thr}
+        got = {r.id for r in kept if r.stratum == lang}
+        assert got == expect, lang
+        assert len(got) >= math.floor(0.3 * n)
