@@ -122,6 +122,17 @@ BENCH_QUERIES = [
     # num_merges x fixed job overhead (vocabulary-sized iterations),
     # not data-bound — the data-bound half (encode) is benched via
     # text_bpe_tokens, which trains AND encodes.
+    # new in r4, third batch
+    "temporal_sessionize",
+    "sketch_count_min",
+    "sketch_heavy_hitters",
+    "sketch_log_histogram",
+    "sketch_histogram_quantiles",
+    "dust_rule_mining",
+    "layout_zorder_key",
+    "embedding_knn_graph",
+    "corpus_quality_topfrac",
+    "layout_skew_report",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

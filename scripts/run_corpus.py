@@ -72,6 +72,11 @@ def main() -> None:
                          "and balance shards by SUBWORD counts instead of whitespace "
                          "tokens (0 = whitespace; subword counts are the unit the "
                          "training loader actually consumes)")
+    ap.add_argument("--quality-top-frac", type=float, default=0.0,
+                    metavar="FRAC",
+                    help="after the absolute --min-quality gate, keep only "
+                         "the top FRAC of docs per detected language by "
+                         "composite quality (FineWeb-style relative gate)")
     ap.add_argument("--gopher-rules", action="store_true",
                     help="require ALL seven Gopher quality-rule verdicts "
                          "(repetition.gopher_quality_rules) in addition to "
@@ -181,6 +186,14 @@ def main() -> None:
             F.col("id").alias("doc_id"), F.col("keep").alias("_ckeep")
         )
         kept = kept.join(cq, "doc_id").filter(F.col("_ckeep")).drop("_ckeep")
+    if args.quality_top_frac > 0:
+        # relative gate AFTER the absolute one: keep the top fraction
+        # per detected language by composite quality (threshold-then-
+        # filter — one |langs|-row percentile agg, no corpus sort)
+        tf = textops.quality_top_fraction(
+            kept, frac=args.quality_top_frac, strata_col="pred_lang"
+        ).select(F.col("id").alias("doc_id"))
+        kept = kept.join(tf, "doc_id")
     if args.keep_buckets:
         wanted = [b.strip() for b in args.keep_buckets.split(",") if b.strip()]
         pb = textops.perplexity_buckets(kept, lang_col="pred_lang").select(

@@ -56,6 +56,11 @@ def main() -> None:
                     help="reclaim superseded store delta dirs every N "
                          "supersteps (0 = off); checkpoint-pinned "
                          "snapshots always survive")
+    ap.add_argument("--mine-dust", metavar="OUT",
+                    help="after the crawl leg, mine DUST URL-alias rewrite "
+                         "rules (DustBuster WWW'07) from the WARC archive's "
+                         "(url, payload-digest) captures and write them as "
+                         "parquet to OUT; requires --warc-archive")
     ap.add_argument("--focus-terms",
                     help="comma list of topic terms: after the crawl (or "
                          "resume) leg, run the focused-crawl relevance "
@@ -108,6 +113,22 @@ def main() -> None:
             "denied": s.denied, "discovered": s.discovered, "new": s.new_urls,
             "pending": s.pending_after, "seen": s.seen_total,
         }))
+    if args.mine_dust:
+        if not args.warc_archive:
+            raise SystemExit("--mine-dust requires --warc-archive")
+        from pyspark.sql import functions as F
+
+        from sparkcrawl.operators.dust import mine_dust_rules
+        from sparkcrawl.sources.warc import cdx_index
+
+        idx = cdx_index(spark, args.warc_archive)
+        rules = mine_dust_rules(
+            idx.select(F.col("original").alias("url"),
+                       F.col("digest").alias("content_key"))
+        )
+        rules.write.mode("overwrite").parquet(args.mine_dust)
+        n = spark.read.parquet(args.mine_dust).count()
+        print(json.dumps({"dust_rules": n}))
     if args.focus_terms:
         from sparkcrawl.plans.relevance import refresh_relevance_priorities
 

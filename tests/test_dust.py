@@ -78,3 +78,30 @@ def test_mega_group_pair_evidence_is_capped(spark):
     pages = spark.createDataFrame(rows, "url string, content_key string")
     rules = mine_dust_rules(pages, max_group=6, min_support=1).collect()
     assert all(r.support <= 15 for r in rules)
+
+
+def test_mine_dust_from_warc_archive(spark, tmp_path):
+    """The run_crawl --mine-dust composition: WARC archive captures ->
+    cdx_index (url, payload digest) -> mined rules."""
+    from sparkcrawl.sources.warc import cdx_index, write_warc
+
+    rows = []
+    for host in ("a.example", "b.example", "c.example"):
+        body = f"<html>page of {host}</html>"
+        rows.append((f"http://{host}/p/index.html", 200, "text/html",
+                     body, "2026-01-01 00:00:00"))
+        rows.append((f"http://{host}/p/", 200, "text/html",
+                     body, "2026-01-01 00:00:01"))
+    df = spark.createDataFrame(
+        rows, ["url", "status_code", "content_type", "body", "fetched_at"]
+    ).withColumn("fetched_at", F.to_timestamp("fetched_at"))
+    out = str(tmp_path / "warc")
+    write_warc(df, out).collect()
+
+    idx = cdx_index(spark, out)
+    rules = mine_dust_rules(
+        idx.select(F.col("original").alias("url"),
+                   F.col("digest").alias("content_key"))
+    ).collect()
+    assert [(r.rule_from, r.rule_to, r.support, r.n_hosts)
+            for r in rules] == [("index.html", "", 3, 3)]
