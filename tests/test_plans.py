@@ -333,3 +333,64 @@ def test_cdc_and_cms_stay_jvm_side(spark, queries):
     assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2
     assert "BroadcastHashJoin" in p2
     assert "SortMergeJoin" not in p2
+
+
+def test_heavy_hitters_and_histogram_stay_jvm_side(spark, queries):
+    """Heavy hitters: CMS grid + totals both broadcast to the probe;
+    log-histogram: pure integer codegen, ONE hash agg, no Python. The
+    quantile readout's only window runs over the KB-scale grid."""
+    p = plan_of(queries["sketch_heavy_hitters"](spark, SF), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    p2 = plan_of(queries["sketch_log_histogram"](spark, SF), "simple")
+    assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2
+    assert "Window" not in p2  # grid build is agg-only
+    assert "HashAggregate" in p2
+
+
+def test_dust_mining_plan_capped_and_relational(spark, queries):
+    """DUST: the within-group pair join must be an equi-join on the
+    content key (never a cross product), group capping via rank limit,
+    LCP factoring in codegen (no Python)."""
+    p = plan_of(queries["dust_rule_mining"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "WindowGroupLimit" in p  # the max_group cap is a rank limit
+
+
+def test_zorder_layout_is_range_partitioned_codegen(spark, queries):
+    """Z-order: the Morton key is pure bit-surgery inside codegen and
+    the re-layout is a RANGE repartition (contiguous key ranges per
+    file — what makes min/max pruning work)."""
+    p = plan_of(queries["layout_zorder_key"](spark, SF), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "rangepartitioning" in p.lower()
+
+
+def test_knn_graph_plan_banded_join_heap_topk(spark, queries):
+    """kNN graph: candidates come from a (band,bucket) equi-join (no
+    cross product), the per-node top-k is a WindowGroupLimit heap, no
+    Python anywhere."""
+    from sparkcrawl.operators._caching import release_caches
+
+    p = plan_of(queries["embedding_knn_graph"](spark, SF))
+    release_caches()
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_quality_topfrac_threshold_is_broadcast_no_corpus_window(spark, queries):
+    """Quality gate: the |strata|-row threshold table joins back by
+    BROADCAST, and no Window touches the corpus (rank-then-cut would)."""
+    p = plan_of(queries["corpus_quality_topfrac"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_skew_report_is_bounded_topn(spark, queries):
+    """Skew report: map-side-combined agg + TakeOrderedAndProject —
+    nothing data-sized ever reaches the driver."""
+    p = plan_of(queries["layout_skew_report"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
