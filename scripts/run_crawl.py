@@ -56,6 +56,10 @@ def main() -> None:
                     help="reclaim superseded store delta dirs every N "
                          "supersteps (0 = off); checkpoint-pinned "
                          "snapshots always survive")
+    ap.add_argument("--dust-rules", metavar="PARQUET",
+                    help="mined DUST-rules parquet from a prior "
+                         "generation's --mine-dust: discovered links are "
+                         "rewritten by the top rules before dedup/fetch")
     ap.add_argument("--mine-dust", metavar="OUT",
                     help="after the crawl leg, mine DUST URL-alias rewrite "
                          "rules (DustBuster WWW'07) from the WARC archive's "
@@ -86,6 +90,7 @@ def main() -> None:
         record_link_graph=args.record_link_graph,
         warc_archive_dir=args.warc_archive,
         vacuum_every=args.vacuum_every,
+        dust_rules_file=args.dust_rules,
     )
 
     if args.generate_fixtures:

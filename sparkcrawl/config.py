@@ -84,6 +84,15 @@ class CrawlConfig:
     # syntax); None = bundled snapshot. Loaded once at plan time via
     # functions.domains.load_public_suffix_list.
     public_suffix_file: str | None = None
+    # optional mined DUST-rules parquet (operators/dust.py
+    # mine_dust_rules output, e.g. run_crawl --mine-dust from a prior
+    # generation): discovered links are rewritten by the top rules
+    # BEFORE dedup/fetch — aliases collapse without spending fetch
+    # budget. Rules compile to one codegen CASE chain (zero joins);
+    # the collect is bounded by dust_max_rules, never data-sized.
+    dust_rules_file: str | None = None
+    dust_min_support: int = 3
+    dust_max_rules: int = 200
     # --- extraction (C3/F5) ---
     max_content_length: int = 2_000_000     # limiter size gate
     allowed_content_types: str = r"^text/html"

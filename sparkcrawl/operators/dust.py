@@ -119,6 +119,51 @@ def mine_dust_rules(
     )
 
 
+def dust_rewrite_column(url, rules: list[tuple[str, str]]):
+    """Compile a (small, curated) rule list into ONE codegen CASE
+    chain: the first matching rule rewrites, checked in list order —
+    callers pass rules sorted by support descending, so this equals
+    :func:`apply_dust_rules`'s max_by-support choice with ZERO joins
+    and zero shuffle, the shape the crawl engine wants on its hottest
+    intermediate (the exploded link stream). Rule count is bounded by
+    contract (cfg.dust_max_rules) exactly like the politeness/queue
+    tables: mined DUST rules are top-support site rewrites, dozens in
+    practice, never data-sized."""
+    col = url
+    for frm, to in reversed(rules):
+        col = F.when(
+            url.contains(F.lit(frm)), F.replace(url, F.lit(frm), F.lit(to))
+        ).otherwise(col)
+    return col
+
+
+def load_dust_rules(
+    spark,
+    path: str,
+    min_support: int = 3,
+    min_hosts: int = 1,
+    max_rules: int = 200,
+) -> list[tuple[str, str]]:
+    """Read a mined-rules parquet (``mine_dust_rules`` output) and
+    return the top rules as an ordered list for
+    :func:`dust_rewrite_column`. The collect is config-bounded
+    (``max_rules``) — never data-sized. Deterministic order:
+    (support desc, rule_from, rule_to)."""
+    rows = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("support") >= min_support)
+            & (F.col("n_hosts") >= min_hosts)
+            & (F.length("rule_from") > 0)
+        )
+        .orderBy(F.desc("support"), "rule_from", "rule_to")
+        .limit(max_rules)
+        .select("rule_from", "rule_to")
+        .collect()
+    )
+    return [(r.rule_from, r.rule_to) for r in rows]
+
+
 def apply_dust_rules(
     urls: DataFrame,
     rules: DataFrame,

@@ -158,6 +158,19 @@ class CrawlRun:
             self.trap_rules = TrapRulesTable(workdir)
         else:
             self.trap_rules = None
+        # DUST alias rewrites (operators/dust.py): a prior generation's
+        # mined rules, compiled once into a codegen CASE chain applied
+        # to every discovered link. Config-bounded collect at init.
+        if cfg.dust_rules_file:
+            from sparkcrawl.operators.dust import load_dust_rules
+
+            self.dust_rules = load_dust_rules(
+                spark, cfg.dust_rules_file,
+                min_support=cfg.dust_min_support,
+                max_rules=cfg.dust_max_rules,
+            )
+        else:
+            self.dust_rules = []
         if cfg.fetch_robots:
             from sparkcrawl.sources.store import RobotsTable
 
@@ -406,6 +419,15 @@ class CrawlRun:
             .filter(F.col("url").isNotNull())
             .filter(in_scope(F.col("url"), cfg.scope_positive, cfg.scope_negative))
         )
+        if self.dust_rules:
+            # pre-fetch alias collapse: pure codegen rewrite, zero
+            # shuffle, multiplicity preserved (link-graph counts and
+            # parity goldens unaffected when the feature is off)
+            from sparkcrawl.operators.dust import dust_rewrite_column
+
+            links = links.withColumn(
+                "url", dust_rewrite_column(F.col("url"), self.dust_rules)
+            )
         if self.trap_rules is not None:
             # trap gate: codegen shape filter + broadcast anti-join
             # against templates published by plans/traps.py

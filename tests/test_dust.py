@@ -105,3 +105,54 @@ def test_mine_dust_from_warc_archive(spark, tmp_path):
     ).collect()
     assert [(r.rule_from, r.rule_to, r.support, r.n_hosts)
             for r in rules] == [("index.html", "", 3, 3)]
+
+
+def test_dust_rewrite_column_first_match_wins(spark):
+    from sparkcrawl.operators.dust import dust_rewrite_column
+
+    rules = [("index.html", ""), ("dex.html", "X")]  # support-desc order
+    urls = spark.createDataFrame(
+        [("http://z.com/index.html",), ("http://z.com/dex.html",),
+         ("http://z.com/plain",)],
+        "url string",
+    )
+    got = {
+        r.url: r.out for r in urls.withColumn(
+            "out", dust_rewrite_column(F.col("url"), rules)
+        ).collect()
+    }
+    assert got["http://z.com/index.html"] == "http://z.com/"  # rule 1, not 2
+    assert got["http://z.com/dex.html"] == "http://z.com/X"
+    assert got["http://z.com/plain"] == "http://z.com/plain"
+
+
+def test_engine_applies_dust_rules_pre_fetch(spark, mini_cfg, mini_web, tmp_path):
+    """cfg.dust_rules_file: every discovered /page/4 link is rewritten
+    to /page/0 BEFORE dedup/fetch — the alias never enters the
+    frontier and never spends fetch budget."""
+    import dataclasses
+
+    from sparkcrawl.plans.superstep import CrawlRun
+
+    rules = spark.createDataFrame(
+        [("/page/4", "/page/0", 10, 3, "e1", "e2")],
+        "rule_from string, rule_to string, support long, n_hosts long,"
+        "example_from string, example_to string",
+    )
+    rpath = str(tmp_path / "rules")
+    rules.write.parquet(rpath)
+    cfg = dataclasses.replace(mini_cfg, dust_rules_file=rpath)
+    run = CrawlRun(spark, str(tmp_path / "crawl"), cfg,
+                   mini_web["web"], mini_web["robots"])
+    run.run(mini_web["seeds"], max_supersteps=4)
+    frontier = run.frontier.read(spark)
+    # seeds are injected before rewrite; only DISCOVERED links pass the
+    # dust gate — no discovered /page/4 alias may survive
+    seeds = {r.url for r in mini_web["seeds"].collect()}
+    leaked = [
+        r.url for r in frontier.select("url").collect()
+        if "/page/4" in r.url and r.url not in seeds
+    ]
+    assert leaked == []
+    # and the rewrite actually happened (page/0 exists in the frontier)
+    assert frontier.filter(F.col("url").contains("/page/0")).count() > 0
