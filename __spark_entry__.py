@@ -2474,6 +2474,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "outcome",
         )
 
+    def bitext_parallel_pages(spark, sf):
+        """Parallel-page candidate mining (operators/bitext.py,
+        STRAND-style): URLs synthesized from documents with the
+        language marker in one of three positions (subdomain / path
+        segment / query param) keyed by a shared page base — skeleton
+        equi-join, per-skeleton cap, length-ratio prune."""
+        from sparkcrawl.operators.bitext import parallel_page_candidates
+
+        d = _read(spark, sf, "documents")
+        base = (F.col("doc_id") % 300).cast("string")
+        site = ((F.col("doc_id") % 300) % 40).cast("string")
+        p = (F.col("doc_id") % 300) % 3
+        url = (
+            F.when(p == 0, F.concat(
+                F.lit("http://"), F.col("lang"), F.lit(".site"), site,
+                F.lit(".example/page/"), base))
+            .when(p == 1, F.concat(
+                F.lit("http://site"), site, F.lit(".example/"),
+                F.col("lang"), F.lit("/page/"), base))
+            .otherwise(F.concat(
+                F.lit("http://site"), site, F.lit(".example/page/"),
+                base, F.lit("?hl="), F.col("lang"))))
+        pages = d.select("doc_id", url.alias("url"), "n_chars")
+        return parallel_page_candidates(
+            pages, codes=("de", "en", "es", "fr", "zh"),
+            max_group=6, max_len_ratio=3.0)
+
+    def crawl_mirror_hosts(spark, sf):
+        """Mirror-host detection (operators/mirrors.py, Bharat &
+        Broder WWW'99): 20 synthetic sites, every 5th mirrored on an
+        `sNm` twin host; a 20-host boilerplate (path, content) key
+        must be pruned by max_hosts_per_key before the pair square."""
+        from sparkcrawl.operators.mirrors import mirror_host_pairs
+
+        d = _read(spark, sf, "documents")
+        site = (F.col("doc_id") % 20)
+        pid = F.floor(F.col("doc_id") / 20).cast("long")
+        s = site.cast("string")
+        base = d.select(site.alias("site"), pid.alias("pid"), "text",
+                        s.alias("s"))
+        pages = (
+            base.select(
+                F.concat(F.lit("http://s"), F.col("s"),
+                         F.lit(".example/p/"),
+                         F.col("pid").cast("string")).alias("url"),
+                "text")
+            .unionAll(
+                base.filter(F.col("site") % 5 == 0).select(
+                    F.concat(F.lit("http://s"), F.col("s"),
+                             F.lit("m.example/p/"),
+                             F.col("pid").cast("string")).alias("url"),
+                    "text"))
+            .unionAll(
+                base.select(
+                    F.concat(F.lit("http://s"), F.col("s"),
+                             F.lit(".example/common")).alias("url"),
+                    F.lit("boilerplate page").alias("text")))
+        )
+        return mirror_host_pairs(pages, min_shared=2, min_score=0.2,
+                                 max_hosts_per_key=10)
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2561,6 +2622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_graph": embedding_knn_graph,
         "corpus_quality_topfrac": corpus_quality_topfrac,
         "layout_skew_report": layout_skew_report,
+        "bitext_parallel_pages": bitext_parallel_pages,
+        "crawl_mirror_hosts": crawl_mirror_hosts,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -4929,6 +4992,106 @@ def oracle_sql() -> dict[str, str]:
             FROM c, t
             ORDER BY n_rows DESC, event_type
             LIMIT 20
+        """,
+        "bitext_parallel_pages": r"""
+            WITH pages AS (
+              SELECT doc_id,
+                CASE
+                  WHEN (doc_id % 300) % 3 = 0 THEN
+                    'http://' || lang || '.site'
+                    || CAST((doc_id % 300) % 40 AS VARCHAR)
+                    || '.example/page/' || CAST(doc_id % 300 AS VARCHAR)
+                  WHEN (doc_id % 300) % 3 = 1 THEN
+                    'http://site' || CAST((doc_id % 300) % 40 AS VARCHAR)
+                    || '.example/' || lang || '/page/'
+                    || CAST(doc_id % 300 AS VARCHAR)
+                  ELSE
+                    'http://site' || CAST((doc_id % 300) % 40 AS VARCHAR)
+                    || '.example/page/' || CAST(doc_id % 300 AS VARCHAR)
+                    || '?hl=' || lang
+                END AS url,
+                greatest(n_chars, 1) AS len
+              FROM documents),
+            marked AS (
+              SELECT doc_id, len,
+                regexp_replace(regexp_replace(regexp_replace(url,
+                    '^(https?://)(de|en|es|fr|zh)\.', '\1_L_.'),
+                    '/(de|en|es|fr|zh)/', '/_L_/', 'g'),
+                    '([?&](?:lang|hl|locale)=)(de|en|es|fr|zh)', '\1_L_',
+                    'g') AS skeleton,
+                coalesce(
+                  nullif(regexp_extract(url,
+                    '^https?://(de|en|es|fr|zh)\.', 1), ''),
+                  nullif(regexp_extract(url,
+                    '/(de|en|es|fr|zh)/', 1), ''),
+                  nullif(regexp_extract(url,
+                    '[?&](?:lang|hl|locale)=(de|en|es|fr|zh)', 1), '')
+                ) AS url_lang
+              FROM pages),
+            capped AS (
+              SELECT doc_id, len, skeleton, url_lang FROM (
+                SELECT doc_id, len, skeleton, url_lang,
+                       row_number() OVER (PARTITION BY skeleton
+                                          ORDER BY url_lang, doc_id) AS rn
+                FROM marked WHERE url_lang IS NOT NULL)
+              WHERE rn <= 6)
+            SELECT a.skeleton,
+                   a.doc_id AS id_a, a.url_lang AS lang_a, a.len AS len_a,
+                   b.doc_id AS id_b, b.url_lang AS lang_b, b.len AS len_b,
+                   round(CAST(greatest(a.len, b.len) AS DOUBLE)
+                         / least(a.len, b.len), 6) AS len_ratio
+            FROM capped a JOIN capped b
+              ON a.skeleton = b.skeleton AND a.url_lang < b.url_lang
+            WHERE round(CAST(greatest(a.len, b.len) AS DOUBLE)
+                        / least(a.len, b.len), 6) <= 3.0
+        """,
+        "crawl_mirror_hosts": """
+            WITH base AS (
+              SELECT doc_id % 20 AS site,
+                     CAST(floor(doc_id / 20) AS BIGINT) AS pid, text
+              FROM documents),
+            pg AS (
+              SELECT 'http://s' || CAST(site AS VARCHAR) || '.example/p/'
+                     || CAST(pid AS VARCHAR) AS url, text FROM base
+              UNION ALL
+              SELECT 'http://s' || CAST(site AS VARCHAR) || 'm.example/p/'
+                     || CAST(pid AS VARCHAR), text FROM base
+              WHERE site % 5 = 0
+              UNION ALL
+              SELECT 'http://s' || CAST(site AS VARCHAR)
+                     || '.example/common', 'boilerplate page' FROM base),
+            hpc AS (
+              SELECT lower(regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                     CASE WHEN regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) = ''
+                       THEN '/' ELSE regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1)
+                     END AS path,
+                     min(md5(coalesce(text, ''))) AS content_md5
+              FROM pg GROUP BY 1, 2),
+            sizes AS (SELECT host, count(*) AS size FROM hpc GROUP BY host),
+            rare AS (
+              SELECT path, content_md5 FROM hpc
+              GROUP BY path, content_md5 HAVING count(*) <= 10),
+            pruned AS (
+              SELECT hpc.* FROM hpc JOIN rare USING (path, content_md5)),
+            shared AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     count(*) AS n_shared
+              FROM pruned a JOIN pruned b
+                ON a.path = b.path AND a.content_md5 = b.content_md5
+               AND a.host < b.host
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT host_a, host_b, n_shared,
+                   za.size AS size_a, zb.size AS size_b,
+                   round(CAST(n_shared AS DOUBLE)
+                         / least(za.size, zb.size), 6) AS mirror_score
+            FROM shared
+            JOIN sizes za ON za.host = host_a
+            JOIN sizes zb ON zb.host = host_b
+            WHERE round(CAST(n_shared AS DOUBLE)
+                        / least(za.size, zb.size), 6) >= 0.2
         """,
         "layout_zorder_key": """
             WITH b AS (

@@ -1,0 +1,104 @@
+"""Mirror-host detection — hosts serving the same content at the same paths.
+
+Mirrors waste crawl budget (every page fetched once per replica) and
+skew corpus statistics. Bharat & Broder's mirror study ("A comparison
+of techniques to find mirrored hosts on the WWW", WWW 1999) showed
+that the strongest cheap signal is agreement on (path, content) pairs
+between two hosts. This module is that test as one capped relational
+plan:
+
+  1. project every page to (host, path, content md5) — 32-byte keys
+     travel the shuffles, never bodies;
+  2. keep one row per (host, path) (min content hash — deterministic
+     under re-crawl races);
+  3. drop (path, content) keys shared by more than ``max_hosts_per_key``
+     hosts BEFORE the pair square — web-wide boilerplate ("/robots.txt"
+     with an empty body, default index pages) would otherwise create a
+     quadratic hub exactly like a high-df shingle in MinHash-LSH;
+  4. self-equi-join on (path, md5) with host_a < host_b and count the
+     agreements; normalize by the smaller host's page count.
+
+Scale: the join key group size is bounded by the cap, so worst-case
+work per key is max_hosts_per_key^2 — the same defense every pair
+search in this engine uses (cocitation, LSH bands, kNN buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_URL_HOST_PAT = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_URL_PATH_PAT = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
+
+
+def host_path_content(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(host, path, content_md5), one row per (host, path).
+
+    Pure regexp/md5 codegen projection, then ONE hash agg (min md5 per
+    host+path) — no window, no UDF. Missing paths normalize to "/".
+    """
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, _URL_HOST_PAT, 1))
+    path = F.regexp_extract(u, _URL_PATH_PAT, 1)
+    return (
+        pages.select(
+            host.alias("host"),
+            F.when(path == "", "/").otherwise(path).alias("path"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_md5"),
+        )
+        .groupBy("host", "path")
+        .agg(F.min("content_md5").alias("content_md5"))
+    )
+
+
+def mirror_host_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_shared: int = 2,
+    min_score: float = 0.5,
+    max_hosts_per_key: int = 20,
+) -> DataFrame:
+    """(host_a, host_b, n_shared, size_a, size_b, mirror_score) for
+    host pairs agreeing on >= ``min_shared`` (path, content) keys with
+    agreement >= ``min_score`` of the smaller host's footprint.
+
+    ``max_hosts_per_key`` prunes boilerplate keys before the self-join
+    (step 3 in the module docstring); host sizes are computed from the
+    UNPRUNED projection so the score denominator stays honest.
+    """
+    hpc = host_path_content(pages, url_col, text_col)
+    sizes = hpc.groupBy("host").agg(F.count("*").alias("size"))
+
+    key_df = hpc.groupBy("path", "content_md5").agg(
+        F.count("*").alias("_nh"))
+    rare = key_df.filter(F.col("_nh") <= max_hosts_per_key).drop("_nh")
+    pruned = hpc.join(rare, ["path", "content_md5"])
+
+    a = pruned.select("path", "content_md5", F.col("host").alias("host_a"))
+    b = pruned.select("path", "content_md5", F.col("host").alias("host_b"))
+    shared = (
+        a.join(b, ["path", "content_md5"])
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    za = sizes.select(F.col("host").alias("host_a"),
+                      F.col("size").alias("size_a"))
+    zb = sizes.select(F.col("host").alias("host_b"),
+                      F.col("size").alias("size_b"))
+    score = F.round(
+        F.col("n_shared") / F.least("size_a", "size_b").cast("double"), 6)
+    return (
+        shared.join(za, "host_a").join(zb, "host_b")
+        .withColumn("mirror_score", score)
+        .filter(F.col("mirror_score") >= F.lit(float(min_score)))
+        .select("host_a", "host_b", "n_shared", "size_a", "size_b",
+                "mirror_score")
+    )

@@ -1,0 +1,121 @@
+"""Bitext mining (URL-structure parallel pages) + mirror-host detection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcrawl.operators import bitext, mirrors
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        # one logical page in three languages, three marker positions
+        (1, "http://en.site0.example/about", 100),
+        (2, "http://fr.site0.example/about", 110),
+        (3, "http://de.site0.example/about", 95),
+        # path-segment markers
+        (4, "http://site1.example/en/docs/intro", 200),
+        (5, "http://site1.example/fr/docs/intro", 220),
+        # query-param marker
+        (6, "http://site2.example/view?id=7&hl=en", 50),
+        (7, "http://site2.example/view?id=7&hl=es", 60),
+        # same language twice -> never pairs
+        (8, "http://site3.example/en/a", 80),
+        (9, "http://en.site3.example/a", 80),
+        # no marker -> cannot pair
+        (10, "http://site4.example/plain", 70),
+        # length-ratio violation (en vs ru of wildly different size)
+        (11, "http://site5.example/en/big", 1000),
+        (12, "http://site5.example/ru/big", 10),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+
+
+def test_skeleton_positions(pages):
+    got = {
+        r["doc_id"]: (r["skeleton"], r["url_lang"])
+        for r in bitext.url_language_skeleton(pages).collect()
+    }
+    assert got[1] == ("http://_L_.site0.example/about", "en")
+    assert got[4] == ("http://site1.example/_L_/docs/intro", "en")
+    assert got[6] == ("http://site2.example/view?id=7&hl=_L_", "en")
+    assert got[10] == ("http://site4.example/plain", None)
+
+
+def test_parallel_candidates(pages):
+    out = bitext.parallel_page_candidates(pages).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    # subdomain trio pairs in all 3 cross-language combos (lang-sorted)
+    assert (3, 1) in pairs and (3, 2) in pairs and (1, 2) in pairs
+    assert pairs[(3, 1)]["lang_a"] == "de" and pairs[(3, 1)]["lang_b"] == "en"
+    # path and query pairs found
+    assert (4, 5) in pairs and (6, 7) in pairs
+    # same-language skeleton (8,9): different skeletons anyway, and even
+    # same-lang pairs are excluded by lang_a < lang_b
+    assert not any({a, b} == {8, 9} for a, b in pairs)
+    # unmarked page pairs with nothing
+    assert all(10 not in (a, b) for a, b in pairs)
+    # length-ratio prune
+    assert not any({a, b} == {11, 12} for a, b in pairs)
+    # ratio computed from the larger/smaller lengths
+    assert pairs[(4, 5)]["len_ratio"] == round(220 / 200, 6)
+
+
+def test_group_cap(spark):
+    """A spam skeleton with 40 language variants is capped before the
+    square: pairs come only from the max_group retained rows."""
+    codes = bitext.DEFAULT_LANG_CODES
+    rows = [
+        (i, f"http://spam.example/{codes[i % len(codes)]}/offer", 100)
+        for i in range(40)
+    ]
+    pages = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    out = bitext.parallel_page_candidates(pages, max_group=4).collect()
+    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert len(ids) <= 4
+    # deterministic: first 4 in (url_lang, id) order
+    marked = bitext.url_language_skeleton(pages).collect()
+    expect = {r["doc_id"] for r in sorted(
+        marked, key=lambda r: (r["url_lang"], r["doc_id"]))[:4]}
+    assert ids <= expect
+
+
+@pytest.fixture(scope="module")
+def mirror_pages(spark):
+    rows = []
+    # m1/m2: perfect mirrors (4 shared paths), m3 shares 1 page only
+    for p in ("a", "b", "c", "d"):
+        rows.append((f"http://m1.example/{p}", f"content-{p}"))
+        rows.append((f"http://m2.example/{p}", f"content-{p}"))
+    rows.append(("http://m3.example/a", "content-a"))
+    rows.append(("http://m3.example/z", "unique-z"))
+    # boilerplate: same (path, content) on 30 hosts — must be pruned
+    for h in range(30):
+        rows.append((f"http://bp{h}.example/index", "default index page"))
+    df = spark.createDataFrame(rows, ["url", "text"])
+    return df.withColumn("doc_id", F.monotonically_increasing_id())
+
+
+def test_mirror_pairs(mirror_pages):
+    out = mirrors.mirror_host_pairs(
+        mirror_pages, min_shared=2, min_score=0.5, max_hosts_per_key=5)
+    got = {(r["host_a"], r["host_b"]): r for r in out.collect()}
+    assert ("m1.example", "m2.example") in got
+    r = got[("m1.example", "m2.example")]
+    assert r["n_shared"] == 4 and r["mirror_score"] == 1.0
+    # m3 shares only one page -> below min_shared
+    assert all("m3.example" not in k for k in got)
+    # the 30-host boilerplate key was pruned -> no bp pairs at all
+    assert all(not a.startswith("bp") for a, _ in got)
+
+
+def test_host_path_projection(spark):
+    df = spark.createDataFrame(
+        [("HTTP://WWW.Ex.example", "t1"),
+         ("http://h.example/p?q=1#f", "t2")],
+        ["url", "text"])
+    # scheme matching is lowercase-anchored: uppercase scheme yields no
+    # host (defensive: canonicalization upstream lowercases schemes)
+    got = {r["host"]: r["path"]
+           for r in mirrors.host_path_content(df).collect()}
+    assert got.get("h.example") == "/p"
