@@ -2535,6 +2535,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mirror_host_pairs(pages, min_shared=2, min_score=0.2,
                                  max_hosts_per_key=10)
 
+    def index_inverted_terms(spark, sf):
+        """Inverted index build (operators/invindex.py): term -> df +
+        sorted posting list + delta-encoded gaps, stopword-grade terms
+        (df > 150) cut before any list materializes. Arrays emitted as
+        comma-joined strings so the value-hash is list-order exact."""
+        from sparkcrawl.operators.invindex import inverted_index
+
+        d = _read(spark, sf, "documents")
+        idx = inverted_index(d, min_df=2, max_df=150)
+        return idx.select(
+            "term", "df",
+            F.array_join(F.col("postings").cast("array<string>"),
+                         ",").alias("postings"),
+            F.array_join(F.col("gaps").cast("array<string>"),
+                         ",").alias("gaps"),
+        )
+
+    def index_phrase_search(spark, sf):
+        """Positional phrase search (operators/invindex.py): exact
+        token phrase 'table value' via per-term (id, pos - offset)
+        equi-joins; n_matches counts start positions (overlaps
+        included)."""
+        from sparkcrawl.operators.invindex import phrase_search
+
+        d = _read(spark, sf, "documents")
+        return phrase_search(d, ["table", "value"]).select(
+            F.col("id").alias("doc_id"), "n_matches")
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2624,6 +2652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_skew_report": layout_skew_report,
         "bitext_parallel_pages": bitext_parallel_pages,
         "crawl_mirror_hosts": crawl_mirror_hosts,
+        "index_inverted_terms": index_inverted_terms,
+        "index_phrase_search": index_phrase_search,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5092,6 +5122,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes zb ON zb.host = host_b
             WHERE round(CAST(n_shared AS DOUBLE)
                         / least(za.size, zb.size), 6) >= 0.2
+        """,
+        "index_inverted_terms": r"""
+            WITH tok AS (
+              SELECT doc_id AS id, toks[i] AS tok
+              FROM (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text),
+                        '\s+'), x -> x <> '') AS toks
+                    FROM documents),
+                   generate_series(1, 500) g(i)
+              WHERE i <= len(toks)),
+            td AS (SELECT DISTINCT id, tok FROM tok),
+            gapst AS (
+              SELECT tok, id,
+                     id - coalesce(lag(id) OVER (PARTITION BY tok
+                                                 ORDER BY id), 0) AS gap
+              FROM td),
+            agg AS (
+              SELECT tok AS term, count(*) AS df,
+                     string_agg(CAST(id AS VARCHAR), ','
+                                ORDER BY id) AS postings,
+                     string_agg(CAST(gap AS VARCHAR), ','
+                                ORDER BY id) AS gaps
+              FROM gapst GROUP BY tok)
+            SELECT term, df, postings, gaps
+            FROM agg WHERE df BETWEEN 2 AND 150
+        """,
+        "index_phrase_search": r"""
+            WITH tok AS (
+              SELECT doc_id AS id, toks[i] AS tok, i - 1 AS pos
+              FROM (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text),
+                        '\s+'), x -> x <> '') AS toks
+                    FROM documents),
+                   generate_series(1, 500) g(i)
+              WHERE i <= len(toks)),
+            t0 AS (SELECT id, pos AS start FROM tok WHERE tok = 'table'),
+            t1 AS (SELECT id, pos - 1 AS start FROM tok WHERE tok = 'value')
+            SELECT t0.id AS doc_id, count(*) AS n_matches
+            FROM t0 JOIN t1 ON t0.id = t1.id AND t0.start = t1.start
+            GROUP BY 1
         """,
         "layout_zorder_key": """
             WITH b AS (

@@ -1,0 +1,59 @@
+"""Inverted index build + positional phrase search."""
+
+import pytest
+
+from sparkcrawl.operators import invindex
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog  saw THE cat"),          # double space + case fold
+        (3, "cat cat cat"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_positions(docs):
+    got = {(r["id"], r["pos"]): r["tok"]
+           for r in invindex.token_positions(docs).collect()}
+    # empties from the double space removed BEFORE numbering
+    assert got[(2, 0)] == "the" and got[(2, 1)] == "dog"
+    assert got[(2, 2)] == "saw" and got[(2, 3)] == "the"
+    assert (4, 0) not in got
+
+
+def test_inverted_index(docs):
+    idx = {r["term"]: r for r in invindex.inverted_index(docs).collect()}
+    assert idx["cat"]["df"] == 3
+    assert idx["cat"]["postings"] == [1, 2, 3]
+    assert idx["cat"]["gaps"] == [1, 1, 1]        # delta-encoded
+    assert idx["the"]["postings"] == [1, 2]
+    assert idx["mat"]["postings"] == [1] and idx["mat"]["gaps"] == [1]
+
+
+def test_df_cuts(docs):
+    idx = {r["term"] for r in
+           invindex.inverted_index(docs, min_df=2, max_df=2).collect()}
+    assert "the" in idx          # df=2 kept
+    assert "cat" not in idx      # df=3 > max_df: stopword cut
+    assert "mat" not in idx      # df=1 < min_df
+
+
+def test_phrase_search(docs):
+    got = {r["id"]: r["n_matches"]
+           for r in invindex.phrase_search(docs, ["the", "cat"]).collect()}
+    assert got == {1: 1, 2: 1}   # case-folded match in doc 2
+    # overlapping occurrences each count
+    got2 = {r["id"]: r["n_matches"]
+            for r in invindex.phrase_search(docs, ["cat", "cat"]).collect()}
+    assert got2 == {3: 2}
+    # three-term phrase
+    got3 = {r["id"]: r["n_matches"]
+            for r in invindex.phrase_search(
+                docs, ["the", "cat", "sat"]).collect()}
+    assert got3 == {1: 1}
+    with pytest.raises(ValueError):
+        invindex.phrase_search(docs, [])
