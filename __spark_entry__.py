@@ -2563,6 +2563,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return phrase_search(d, ["table", "value"]).select(
             F.col("id").alias("doc_id"), "n_matches")
 
+    def corpus_soft_dedup_weights(spark, sf):
+        """Soft dedup (textops.soft_dedup_weights, SoftDeDup ACL'24):
+        same duplicated corpus as dedup_corpus_canonical, but every doc
+        kept with weight = cluster_size^-1 — the reweighting companion
+        to the hard-dedup policy (triplicated docs get 1/3 each)."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        dupped = (
+            docs.unionByName(
+                docs.filter(F.col("doc_id") < 50).select(
+                    (F.col("doc_id") + 10000).alias("doc_id"), "text"
+                )
+            ).unionByName(
+                docs.filter(F.col("doc_id") < 25).select(
+                    (F.col("doc_id") + 20000).alias("doc_id"), "text"
+                )
+            )
+        )
+        return textops.soft_dedup_weights(
+            dupped, alpha=1.0, num_perms=16, n=8, threshold=0.8,
+            max_bucket_size=100, rows_per_band=4,
+        )
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2654,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_mirror_hosts": crawl_mirror_hosts,
         "index_inverted_terms": index_inverted_terms,
         "index_phrase_search": index_phrase_search,
+        "corpus_soft_dedup_weights": corpus_soft_dedup_weights,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5162,6 +5185,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT t0.id AS doc_id, count(*) AS n_matches
             FROM t0 JOIN t1 ON t0.id = t1.id AND t0.start = t1.start
             GROUP BY 1
+        """,
+        "corpus_soft_dedup_weights": """
+            WITH RECURSIVE
+            dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+              UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 25),
+            sh AS (
+              SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle
+              FROM dup, generate_series(1, 2000) AS g(i)
+              WHERE i <= len(text) - 7),
+            hsh AS (
+              SELECT id, shingle,
+                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h1,
+                     CAST(concat('0x', substr(md5(shingle || '#'), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h2
+              FROM sh),
+            sigp AS (
+              SELECT id, perm,
+                     min((h1 + (perm + 1) * h2) % 2147483647) AS sig
+              FROM hsh CROSS JOIN generate_series(0, 15) AS p(perm)
+              GROUP BY id, perm),
+            sig AS (
+              SELECT id, CAST(floor(perm / 4) AS BIGINT) AS perm,
+                     string_agg(CAST(sig AS VARCHAR), '|' ORDER BY perm) AS sig
+              FROM sigp GROUP BY id, floor(perm / 4)),
+            ok AS (
+              SELECT perm, sig FROM sig GROUP BY perm, sig HAVING count(*) <= 100),
+            sig2 AS (SELECT sig.* FROM sig JOIN ok USING (perm, sig)),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM sig2 a JOIN sig2 b ON a.perm = b.perm AND a.sig = b.sig AND a.id < b.id),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cand c
+              JOIN sh sa ON sa.id = c.id_a
+              JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2),
+            ver AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sizes za ON za.id = id_a JOIN sizes zb ON zb.id = id_b
+              WHERE round(inter / (za.n_sh + zb.n_sh - inter), 6) >= 0.8),
+            sym AS (SELECT id_a AS a, id_b AS b FROM ver
+                    UNION SELECT id_b, id_a FROM ver),
+            nodes AS (SELECT DISTINCT a AS id FROM sym),
+            reach AS (
+              SELECT id, id AS comp FROM nodes
+              UNION
+              SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+            comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+            csz AS (SELECT comp, count(*) AS csize FROM comp GROUP BY comp),
+            member AS (SELECT c.id, z.csize FROM comp c JOIN csz z USING (comp))
+            SELECT d.doc_id,
+                   CAST(coalesce(m.csize, 1) AS BIGINT) AS cluster_size,
+                   round(pow(coalesce(m.csize, 1), -1.0), 6) AS weight
+            FROM dup d LEFT JOIN member m ON m.id = d.doc_id
         """,
         "layout_zorder_key": """
             WITH b AS (

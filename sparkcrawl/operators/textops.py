@@ -1138,6 +1138,58 @@ def dedup_corpus_canonical(
     return docs.join(losers, id_col, "left_anti")
 
 
+def soft_dedup_weights(
+    docs: DataFrame,
+    alpha: float = 1.0,
+    num_perms: int = 16,
+    n: int = 8,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 100,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Soft deduplication: keep every document, downweight duplicated
+    ones — (doc_id, cluster_size, weight) with
+    weight = cluster_size^(-alpha).
+
+    Hard dedup throws information away (the kept copy may be the worst
+    one) and a binary threshold cliff-drops borderline docs; SoftDeDup
+    (He et al., ACL 2024) showed reweighting by data "commonness"
+    trains faster at the same quality. Here commonness is the verified
+    near-dup cluster size from the SAME pipeline hard dedup uses
+    (LSH -> exact verify -> connected components), so the two policies
+    are directly comparable on one corpus. alpha=1 makes each cluster
+    contribute one document's worth of expected sampling mass; alpha=0.5
+    is a milder temperature.
+
+    Plan shape: the dedup pipeline's capped/banded stages + one count
+    agg on the component table + one broadcast-sized join back; the
+    final left join against ``docs`` defaults singletons to size 1,
+    weight 1 — no extra shuffle of the corpus beyond the pipeline's own.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, num_perms=num_perms, n=n, text_col=text_col, id_col=id_col,
+        max_bucket_size=max_bucket_size, rows_per_band=rows_per_band,
+    )
+    verified = verify_jaccard_pairs(
+        pairs, docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    comp = connected_components(verified)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    member = comp.join(sizes, "comp").select(
+        F.col("id").alias(id_col), "cluster_size")
+    out = (
+        docs.select(id_col)
+        .join(member, id_col, "left")
+        .withColumn("cluster_size",
+                    F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long"))
+    )
+    weight = F.round(
+        F.pow(F.col("cluster_size").cast("double"), F.lit(-float(alpha))), 6)
+    return out.select(id_col, "cluster_size", weight.alias("weight"))
+
+
 def duplicated_substring_spans(
     docs: DataFrame,
     k: int = 8,

@@ -272,6 +272,29 @@ def test_dedup_corpus_canonical(spark):
     assert kept == {1, 6, 7}
 
 
+def test_soft_dedup_weights(spark):
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog today"),
+        (2, "the cat sat on the mat and looked at the dog today"),   # dup of 1
+        (3, "the cat sat on the mat and looked at the dog tonight"), # near 1/2
+        (6, "completely different content about spark engines ok"),
+        (7, "another unrelated document with its own words here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["cluster_size"], r["weight"])
+           for r in textops.soft_dedup_weights(
+               docs, alpha=1.0, num_perms=8, n=5, threshold=0.5).collect()}
+    # every doc kept; the transitive cluster is downweighted to 1/3 each
+    assert set(got) == {1, 2, 3, 6, 7}
+    assert got[1] == (3, round(1 / 3, 6)) == got[2] == got[3]
+    assert got[6] == (1, 1.0) and got[7] == (1, 1.0)
+    # alpha=0.5 temper: weight = size^-0.5
+    got05 = {r["doc_id"]: r["weight"]
+             for r in textops.soft_dedup_weights(
+                 docs, alpha=0.5, num_perms=8, n=5, threshold=0.5).collect()}
+    assert got05[1] == round(3 ** -0.5, 6) and got05[6] == 1.0
+
+
 # --------------------------------------------------------------------------
 # TF-IDF / BM25
 # --------------------------------------------------------------------------
