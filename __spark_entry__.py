@@ -2585,6 +2585,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_bucket_size=100, rows_per_band=4,
         )
 
+    def crawl_ip_politeness(spark, sf):
+        """IP-level politeness (operators/schedule.py::
+        ip_politeness_slots, IRLbot-style): the flagship synthetic
+        frontier re-slotted by deterministic synthetic IPs (50 hosts
+        over 16 IPs, so co-hosting is actually exercised); per-IP slot
+        sequences interleave hosts in global order."""
+        from sparkcrawl.config import CrawlConfig
+        from sparkcrawl.operators.schedule import ip_politeness_slots
+
+        cfg = CrawlConfig(num_queues=NQ)
+        frontier = _synthetic_frontier(spark, sf).filter(
+            F.col("next_date") <= F.lit(CUTOFF))
+        out = ip_politeness_slots(frontier, cfg, n_synthetic_ips=16)
+        return out.select(
+            "url", "host", "ip",
+            F.col("ip_slot").cast("long").alias("ip_slot"),
+            F.round("scheduled_offset", 6).alias("scheduled_offset"))
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2677,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_inverted_terms": index_inverted_terms,
         "index_phrase_search": index_phrase_search,
         "corpus_soft_dedup_weights": corpus_soft_dedup_weights,
+        "crawl_ip_politeness": crawl_ip_politeness,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5243,6 +5262,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(m.csize, 1) AS BIGINT) AS cluster_size,
                    round(pow(coalesce(m.csize, 1), -1.0), 6) AS weight
             FROM dup d LEFT JOIN member m ON m.id = d.doc_id
+        """,
+        "crawl_ip_politeness": f"""
+            WITH frontier AS (
+              SELECT
+                'http://host' || CAST(user_id % 50 AS VARCHAR)
+                  || '.example/e/' || CAST(event_id AS VARCHAR) AS url,
+                md5('http://host' || CAST(user_id % 50 AS VARCHAR)
+                  || '.example/e/' || CAST(event_id AS VARCHAR)) AS url_hash,
+                'host' || CAST(user_id % 50 AS VARCHAR)
+                  || '.example' AS host,
+                ts AS next_date,
+                CAST(event_id % 3 + 1 AS BIGINT) AS priority
+              FROM events
+              WHERE ts <= TIMESTAMP '{CUTOFF}'
+            ),
+            withip AS (
+              SELECT *, 'synth-' || CAST(
+                CAST(concat('0x', substr(md5(host), 1, 8)) AS BIGINT) % 16
+                AS VARCHAR) AS ip
+              FROM frontier
+            ),
+            slotted AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY ip
+                ORDER BY next_date, priority, url_hash) - 1 AS ip_slot
+              FROM withip
+            )
+            SELECT url, host, ip, CAST(ip_slot AS BIGINT) AS ip_slot,
+                   round(ip_slot * 1.0, 6) AS scheduled_offset
+            FROM slotted
         """,
         "layout_zorder_key": """
             WITH b AS (

@@ -238,3 +238,52 @@ def test_allocate_budgets_largest_remainder(spark):
     # exact-sum invariant on awkward weights
     out = run([("q%d" % i, float((i * 7) % 5 + 1)) for i in range(9)], 101)
     assert sum(out.values()) == 101
+
+
+def test_ip_politeness_shared_hosting(spark, mini_cfg):
+    """Hosts mapped to one IP share a single slot sequence, interleaved
+    in global (next_date, priority, url_hash) order; unmapped hosts
+    fall back to the deterministic synthetic IP."""
+    from sparkcrawl.operators.schedule import ip_cohost_stats, ip_politeness_slots
+
+    rows = [
+        _row(0, host="a", next_offset=0),
+        _row(1, host="b", next_offset=1),
+        _row(2, host="a", next_offset=2),
+        _row(3, host="c", next_offset=0),
+    ]
+    df = _frontier(spark, rows)
+    host_ip = spark.createDataFrame(
+        [("a.example", "10.0.0.1"), ("b.example", "10.0.0.1")],
+        ["host", "ip"])
+    out = ip_politeness_slots(df, mini_cfg, host_ip).collect()
+    by_url = {r["url"]: r for r in out}
+    # a+b share 10.0.0.1: slots interleave by next_date across hosts
+    assert by_url["http://a.example/p0"]["ip_slot"] == 0
+    assert by_url["http://b.example/p1"]["ip_slot"] == 1
+    assert by_url["http://a.example/p2"]["ip_slot"] == 2
+    assert by_url["http://a.example/p2"]["scheduled_offset"] == 2.0
+    # unmapped host c gets a synthetic IP and its own sequence
+    assert by_url["http://c.example/p3"]["ip"].startswith("synth-")
+    assert by_url["http://c.example/p3"]["ip_slot"] == 0
+
+    stats = {r["ip"]: (r["n_hosts"], r["n_urls"])
+             for r in ip_cohost_stats(
+                 ip_politeness_slots(df, mini_cfg, host_ip)).collect()}
+    assert stats["10.0.0.1"] == (2, 3)
+
+
+def test_ip_politeness_synthetic_deterministic(spark, mini_cfg):
+    """No mapping at all: synthetic IPs are stable across runs and
+    identical hosts collide onto the same IP."""
+    from sparkcrawl.operators.schedule import ip_politeness_slots
+
+    rows = [_row(i, host=f"h{i % 2}") for i in range(4)]
+    df = _frontier(spark, rows)
+    a = {(r["url"], r["ip"], r["ip_slot"])
+         for r in ip_politeness_slots(df, mini_cfg, n_synthetic_ips=4).collect()}
+    b = {(r["url"], r["ip"], r["ip_slot"])
+         for r in ip_politeness_slots(df, mini_cfg, n_synthetic_ips=4).collect()}
+    assert a == b
+    ips = {u: ip for u, ip, _ in a}
+    assert ips["http://h0.example/p0"] == ips["http://h0.example/p2"]
