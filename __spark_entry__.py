@@ -2603,6 +2603,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("ip_slot").cast("long").alias("ip_slot"),
             F.round("scheduled_offset", 6).alias("scheduled_offset"))
 
+    def text_paragraph_langid(spark, sf):
+        """Paragraph-level language segmentation (textops.
+        language_segment_stats, CCNet/mC4 granularity): two-paragraph
+        docs synthesized by pairing each document's text with its
+        successor's, so majority/minority splits actually occur."""
+        from sparkcrawl.operators.textops import language_segment_stats
+
+        d = _read(spark, sf, "documents")
+        a = d.select("doc_id", "text")
+        b = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                     F.col("text").alias("text2"))
+        paired = a.join(b, "doc_id", "left").select(
+            "doc_id", F.concat_ws("\n\n", "text", "text2").alias("text"))
+        return language_segment_stats(paired).select(
+            F.col("id").alias("doc_id"), "majority_lang",
+            "n_paragraphs", "majority_cnt", "minority_share")
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2696,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_phrase_search": index_phrase_search,
         "corpus_soft_dedup_weights": corpus_soft_dedup_weights,
         "crawl_ip_politeness": crawl_ip_politeness,
+        "text_paragraph_langid": text_paragraph_langid,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -4271,6 +4289,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN z ON z.id = d.doc_id
         """,
         "text_language_id": _language_id_sql(),
+        "text_paragraph_langid": _paragraph_langid_sql(),
         "text_quality_score": _quality_sql(),
         "text_token_counts": """
             SELECT doc_id AS id,
@@ -6030,6 +6049,63 @@ def _stopword_count_sql(word: str) -> str:
         f"CAST((len(' ' || lower(text) || ' ') - "
         f"len(replace(' ' || lower(text) || ' ', '{needle}', ''))) / {len(needle)} AS BIGINT)"
     )
+
+
+def _paragraph_langid_sql() -> str:
+    """text_paragraph_langid oracle: paired two-paragraph docs, the
+    stopword scorer from _language_id_sql applied per paragraph, then
+    a majority rollup (cnt DESC, lang ASC — textops tie rule)."""
+    from sparkcrawl.operators.textops import STOPWORDS
+
+    def cnt(word: str) -> str:
+        needle = f" {word} "
+        return (
+            f"CAST((len(' ' || lower(para) || ' ') - "
+            f"len(replace(' ' || lower(para) || ' ', '{needle}', '')))"
+            f" / {len(needle)} AS BIGINT)"
+        )
+
+    score_exprs = []
+    for lang, words in STOPWORDS.items():
+        score_exprs.append(
+            "(" + " + ".join(cnt(w) for w in words) + f") AS s_{lang}")
+    langs = list(STOPWORDS)
+    best = f"greatest({', '.join('s_' + l for l in langs)})"
+    pred = "coalesce(" + ", ".join(
+        f"CASE WHEN s_{l} = {best} AND {best} > 0 THEN '{l}' END"
+        for l in langs
+    ) + ", 'unknown')"
+    return rf"""
+        WITH paired AS (
+          SELECT a.doc_id,
+                 CASE WHEN b.text IS NULL THEN a.text
+                      ELSE a.text || chr(10) || chr(10) || b.text
+                 END AS text
+          FROM documents a
+          LEFT JOIN documents b ON b.doc_id = a.doc_id + 1),
+        paras AS (
+          SELECT doc_id AS id, ps[i] AS para
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(text, '\n{{2,}}') AS ps
+                FROM paired),
+               generate_series(1, 8) g(i)
+          WHERE i <= len(ps) AND ps[i] <> ''),
+        scored AS (SELECT id, {', '.join(score_exprs)} FROM paras),
+        pl AS (SELECT id, {pred} AS para_lang FROM scored),
+        counts AS (
+          SELECT id, para_lang, count(*) AS cnt FROM pl GROUP BY 1, 2),
+        ranked AS (
+          SELECT id, para_lang, cnt,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY cnt DESC, para_lang) AS rn,
+                 sum(cnt) OVER (PARTITION BY id) AS np
+          FROM counts)
+        SELECT id AS doc_id, para_lang AS majority_lang,
+               CAST(np AS BIGINT) AS n_paragraphs,
+               CAST(cnt AS BIGINT) AS majority_cnt,
+               round((np - cnt) * 1.0 / np, 6) AS minority_share
+        FROM ranked WHERE rn = 1
+    """
 
 
 def _language_id_sql() -> str:

@@ -856,6 +856,114 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return scored.select("id", *[f"score_{l}" for l in langs], pred.alias("pred_lang"))
 
 
+def paragraph_languages(
+    docs: DataFrame,
+    sep_regex: str = r"\n{2,}",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, idx, para, para_lang): per-paragraph language ID.
+
+    Web pages are frequently multilingual — navigation boilerplate in
+    one language around content in another — so document-level language
+    ID mislabels or discards them wholesale. CCNet (Wenzek et al.,
+    LREC 2020) and mC4 operate on paragraph granularity for exactly
+    this reason. Same stopword-hit heuristic as :func:`language_id`
+    (argmax, ties -> lang asc, zero hits -> 'unknown'), applied after
+    one posexplode on the paragraph separator. Pure codegen, one pass.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep_regex)).alias("idx", "para"),
+        )
+        .filter(F.col("para") != "")
+    )
+    scored = paras.select(
+        "id", "idx", "para",
+        *[
+            sum(
+                [_count_occurrences(F.col("para"), w) for w in words],
+                F.lit(0).cast("bigint"),
+            ).alias(f"_s_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
+    pred = F.coalesce(
+        *[F.when((F.col(f"_s_{l}") == best) & (best > 0), F.lit(l)) for l in langs],
+        F.lit("unknown"),
+    )
+    return scored.select("id", "idx", "para", pred.alias("para_lang"))
+
+
+def language_segment_stats(
+    docs: DataFrame,
+    sep_regex: str = r"\n{2,}",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc rollup of :func:`paragraph_languages`: (id,
+    majority_lang, n_paragraphs, majority_cnt, minority_share).
+
+    Majority = most frequent paragraph language, ties -> lang asc
+    (one min-of-struct hash agg — no window); minority_share is the
+    fraction of paragraphs NOT in the majority language, the signal
+    a keep/segment/drop policy thresholds on. Docs with zero non-empty
+    paragraphs produce no row (nothing to classify).
+    """
+    pl = paragraph_languages(docs, sep_regex, text_col, id_col)
+    counts = pl.groupBy("id", "para_lang").agg(F.count("*").alias("cnt"))
+    best = counts.groupBy("id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"),
+                       F.col("para_lang").alias("lang"))).alias("b"),
+        F.sum("cnt").alias("n_paragraphs"),
+    )
+    maj = (-F.col("b.neg")).cast("long")
+    return best.select(
+        "id",
+        F.col("b.lang").alias("majority_lang"),
+        F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
+        maj.alias("majority_cnt"),
+        F.round((F.col("n_paragraphs") - maj) / F.col("n_paragraphs"), 6)
+        .alias("minority_share"),
+    )
+
+
+def keep_majority_language(
+    docs: DataFrame,
+    sep_regex: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per input doc: (id, text) with only majority-language
+    paragraphs kept, original order preserved (the CCNet-style segment
+    cleanup: strip the off-language boilerplate, keep the content).
+    Same reassembly shape as :func:`paragraph_dedup`; docs with no
+    paragraphs come back with text ''."""
+    pl = paragraph_languages(docs, sep_regex, text_col, id_col)
+    maj = language_segment_stats(docs, sep_regex, text_col, id_col).select(
+        "id", "majority_lang")
+    kept = pl.join(maj, "id").filter(
+        F.col("para_lang") == F.col("majority_lang"))
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            join_sep,
+        ).alias(text_col)
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select("id", F.coalesce(text_col, F.lit("")).alias(text_col))
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length/punct/stopword-ratio quality features + composite score."""
     text = F.col(text_col)

@@ -890,3 +890,36 @@ def test_quality_top_fraction_threshold_then_filter(spark):
         got = {r.id for r in kept if r.stratum == lang}
         assert got == expect, lang
         assert len(got) >= math.floor(0.3 * n)
+
+
+def test_paragraph_language_segmentation(spark):
+    en = "the cat and the dog of value"
+    de = "der hund und die katze nicht da"
+    fr = "le chat et la souris des champs"
+    rows = [
+        (1, f"{en}\n\n{de}\n\n{en} to in"),   # en majority, 1/3 minority
+        (2, f"{de}\n\n{fr}"),                  # tie 1-1 -> de (lang asc)
+        (3, "zzz qqq"),                        # no stopword hits
+        (4, ""),                               # no paragraphs
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pl = {(r["id"], r["idx"]): r["para_lang"]
+          for r in textops.paragraph_languages(docs).collect()}
+    assert pl[(1, 0)] == "en" and pl[(1, 1)] == "de" and pl[(1, 2)] == "en"
+    assert pl[(3, 0)] == "unknown"
+    assert not any(i == 4 for i, _ in pl)
+
+    st = {r["id"]: r for r in textops.language_segment_stats(docs).collect()}
+    assert st[1]["majority_lang"] == "en" and st[1]["n_paragraphs"] == 3
+    assert st[1]["majority_cnt"] == 2
+    assert st[1]["minority_share"] == round(1 / 3, 6)
+    assert st[2]["majority_lang"] == "de"      # tie -> lang asc
+    assert st[3]["majority_lang"] == "unknown"
+    assert 4 not in st
+
+    kept = {r["id"]: r["text"]
+            for r in textops.keep_majority_language(docs).collect()}
+    assert kept[1] == f"{en}\n\n{en} to in"    # German paragraph stripped
+    assert kept[2] == de                        # tie keeps only de
+    assert kept[4] == ""
