@@ -394,3 +394,44 @@ def test_skew_report_is_bounded_topn(spark, queries):
     p = plan_of(queries["layout_skew_report"](spark, SF), "simple")
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bitext_and_mirror_plans_capped_equi_joins(spark, queries):
+    """Bitext skeleton join and mirror (path, content) join: pure
+    regexp codegen into equi-joins — no cross product, no Python; the
+    bitext per-skeleton cap plans as a WindowGroupLimit heap."""
+    p = plan_of(queries["bitext_parallel_pages"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "WindowGroupLimit" in p
+    m = plan_of(queries["crawl_mirror_hosts"](spark, SF))
+    assert "CartesianProduct" not in m
+    assert "BatchEvalPython" not in m and "ArrowEvalPython" not in m
+
+
+def test_inverted_index_and_phrase_plans(spark, queries):
+    """Index build: one hash agg, no window (gaps are an array
+    transform, not a lag). Phrase search: per-term equi-joins only."""
+    p = plan_of(queries["index_inverted_terms"](spark, SF), "simple")
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    q = plan_of(queries["index_phrase_search"](spark, SF))
+    assert "CartesianProduct" not in q
+    assert "BroadcastNestedLoopJoin" not in q
+
+
+def test_ip_politeness_window_partitioned_by_ip(spark, queries):
+    """IP politeness: the slot window is partitioned on ip — never a
+    single-partition global sort."""
+    p = plan_of(queries["crawl_ip_politeness"](spark, SF), "extended")
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and all(s == "ip" for s in specs), specs
+
+
+def test_paragraph_langid_is_agg_rollup(spark, queries):
+    """Paragraph language stats: explode + codegen scoring + hash aggs;
+    the majority argmax is a min-of-struct agg, not a corpus window."""
+    p = plan_of(queries["text_paragraph_langid"](spark, SF), "simple")
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
