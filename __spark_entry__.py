@@ -2620,6 +2620,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("doc_id"), "majority_lang",
             "n_paragraphs", "majority_cnt", "minority_share")
 
+    def embedding_margin_alignment(spark, sf):
+        """Margin-based alignment re-scoring of the kNN graph
+        (simsearch.margin_alignment_scores, Artetxe & Schwenk ACL'19 /
+        CCMatrix criterion): cosine normalized by the two endpoints'
+        neighborhood averages, averaged in exact integer micro-units so
+        the margin is bit-identical cross-engine."""
+        emb = _read(spark, sf, "embeddings")
+        return simsearch.margin_alignment_scores(
+            emb, k=5, n_planes=_ND_PLANES, dim=_EMB_DIM, seed=_LSH_SEED,
+            n_bands=_LSH_BANDS, max_bucket_size=_ND_CAP,
+        )
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2714,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_soft_dedup_weights": corpus_soft_dedup_weights,
         "crawl_ip_politeness": crawl_ip_politeness,
         "text_paragraph_langid": text_paragraph_langid,
+        "embedding_margin_alignment": embedding_margin_alignment,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5055,6 +5068,43 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings ea ON ea.vec_id = cand.src
               JOIN embeddings eb ON eb.vec_id = cand.dst)
             WHERE rank <= 5
+        """.replace("{bb}", _banded_bucket_cte(_ND_PLANES)),
+        "embedding_margin_alignment": f"""
+            WITH bb AS ({{bb}}),
+            ok AS (
+              SELECT band, bucket FROM bb
+              GROUP BY band, bucket HAVING count(*) <= {_ND_CAP}),
+            bc AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst
+              FROM bc a JOIN bc b2
+                ON a.band = b2.band AND a.bucket = b2.bucket
+                   AND a.vec_id <> b2.vec_id),
+            g AS (
+              SELECT src, dst, sim FROM (
+                SELECT src, dst,
+                       round({_cos_sql('ea.embedding', 'eb.embedding')}, 6)
+                         AS sim,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY src
+                         ORDER BY round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) DESC,
+                                  dst) AS rank
+                FROM cand
+                JOIN embeddings ea ON ea.vec_id = cand.src
+                JOIN embeddings eb ON eb.vec_id = cand.dst)
+              WHERE rank <= 5),
+            pen AS (
+              SELECT src AS id,
+                     sum(CAST(round(sim * 1000000) AS BIGINT)) AS s,
+                     count(*) AS c
+              FROM g GROUP BY src)
+            SELECT g.src AS id_a, g.dst AS id_b, g.sim,
+                   round(g.sim / ((pa.s / pa.c + pb.s / pb.c)
+                                  / 2000000.0), 6) AS margin
+            FROM g
+            JOIN pen pa ON pa.id = g.src
+            JOIN pen pb ON pb.id = g.dst
+            WHERE (pa.s / pa.c + pb.s / pb.c) / 2000000.0 > 1e-9
         """.replace("{bb}", _banded_bucket_cte(_ND_PLANES)),
         "corpus_quality_topfrac": f"""
             WITH q AS (SELECT id, quality FROM ({_quality_sql()})),

@@ -467,6 +467,69 @@ def knn_graph(
     )
 
 
+def margin_alignment_scores(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 0,
+    n_bands: int = 1,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based alignment scoring over the approximate kNN graph
+    (Artetxe & Schwenk, ACL 2019 — the CCMatrix/LASER bitext-mining
+    criterion): raw cosine rewards hub vectors that are close to
+    EVERYTHING, so each candidate pair is re-scored by the ratio
+    margin
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    where avgNN_k is the mean similarity of a node's k nearest
+    neighbors. Pairs whose similarity merely matches their
+    neighborhoods' background level score ~1; true translations /
+    aligned items stand out above it.
+
+    Relational shape: ONE :func:`knn_graph` pass (banded + capped
+    self-join, rank-limit heap) provides both the candidate edges and
+    the neighborhood statistics; the per-node penalty is a hash agg
+    over it, joined back twice on the node id. Nothing all-pairs.
+
+    Cross-engine determinism: neighborhood sims are averaged in exact
+    integer micro-units (sum of round(sim*1e6) longs / count), so the
+    penalty — and therefore the margin — is bit-identical in any
+    partitioning and in the DuckDB oracle; float summation order never
+    enters. Near-zero denominators (|avg| <= 1e-9) are filtered, the
+    guard both engines apply to the same exact value.
+
+    Output: (id_a, id_b, sim, margin) — one row per directed kNN edge.
+    """
+    g = knn_graph(
+        embeddings, k=k, n_planes=n_planes, dim=dim, seed=seed,
+        n_bands=n_bands, max_bucket_size=max_bucket_size,
+        id_col=id_col, vec_col=vec_col,
+    )
+    g = tracked_persist(g.select(
+        "src", "dst", "sim",
+        F.round(F.col("sim") * 1e6).cast("long").alias("_sim_u")))
+    pen = g.groupBy(F.col("src").alias("id")).agg(
+        F.sum("_sim_u").alias("s"), F.count("*").alias("c"))
+    pa = pen.select(F.col("id").alias("src"), F.col("s").alias("_sa"),
+                    F.col("c").alias("_ca"))
+    pb = pen.select(F.col("id").alias("dst"), F.col("s").alias("_sb"),
+                    F.col("c").alias("_cb"))
+    denom = ((F.col("_sa") / F.col("_ca") + F.col("_sb") / F.col("_cb"))
+             / F.lit(2000000.0))
+    return (
+        g.join(pa, "src").join(pb, "dst")
+        .filter(denom > 1e-9)
+        .select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b"),
+            "sim", F.round(F.col("sim") / denom, 6).alias("margin"))
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

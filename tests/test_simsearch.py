@@ -658,3 +658,39 @@ def test_knn_graph_matches_bucket_restricted_bruteforce(spark):
             expected[(i, rank)] = (-nj, s)
     assert g == expected
     assert expected, "fixture produced no bucket-mates at all"
+
+
+def test_margin_alignment_scores(spark):
+    """Margins recomputed exactly from the operator's own kNN graph
+    (integer micro-unit averaging), and the aligned near-identical
+    pair scores a higher margin than background edges."""
+    from collections import defaultdict
+
+    from sparkcrawl.operators import simsearch
+
+    rows = [
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [0.99, 0.05, 0.01, 0.0]),   # aligned with 1
+        (3, [0.8, 0.4, 0.3, 0.1]),
+        (4, [0.7, 0.5, 0.2, 0.3]),
+        (5, [0.75, 0.3, 0.5, 0.2]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(k=3, n_planes=1, dim=4, seed=0, n_bands=1)
+    g = simsearch.knn_graph(emb, **kw).collect()
+    s, c = defaultdict(int), defaultdict(int)
+    for r in g:
+        s[r["src"]] += int(round(r["sim"] * 1e6))
+        c[r["src"]] += 1
+    sims = {(r["src"], r["dst"]): r["sim"] for r in g}
+
+    out = simsearch.margin_alignment_scores(emb, **kw).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == set(sims)
+    margins = {}
+    for r in out:
+        d = (s[r["id_a"]] / c[r["id_a"]] + s[r["id_b"]] / c[r["id_b"]]) / 2e6
+        assert abs(r["margin"] - r["sim"] / d) < 2e-6
+        margins[(r["id_a"], r["id_b"])] = r["margin"]
+    # the aligned pair stands out above its neighborhood background
+    assert margins[(1, 2)] > 1.0
+    assert margins[(1, 2)] == max(margins.values())
