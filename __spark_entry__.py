@@ -2632,6 +2632,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_bands=_LSH_BANDS, max_bucket_size=_ND_CAP,
         )
 
+    def text_compression_ratio(spark, sf):
+        """Deflate compression ratio (repetition.compression_ratio,
+        the Dolma/RedPajama-v2 quality-tagger feature): whole-document
+        repetition detector via ONE Arrow-batched zlib pass; ratio
+        arithmetic stays JVM-side. Rows-only — a binary kernel has no
+        SQL twin — but fully deterministic at a fixed zlib level."""
+        from sparkcrawl.operators.repetition import compression_ratio
+
+        d = _read(spark, sf, "documents")
+        return compression_ratio(d).select(
+            F.col("id").alias("doc_id"), "n_bytes", "n_compressed",
+            "ratio")
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2727,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_ip_politeness": crawl_ip_politeness,
         "text_paragraph_langid": text_paragraph_langid,
         "embedding_margin_alignment": embedding_margin_alignment,
+        "text_compression_ratio": text_compression_ratio,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,

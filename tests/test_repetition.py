@@ -190,3 +190,34 @@ def test_c4_quality_filters_verdicts(spark):
     assert not out[5]["keep"] and out[5]["has_javascript"]
     assert out[6]["terminal_punct_line_frac"] == round(2 / 3, 6)
     assert out[6]["long_line_frac"] == round(1 / 3, 6)
+
+
+def test_compression_ratio(spark):
+    """Repetitive text compresses far better than varied text; empty
+    docs are safe; the kernel is one Arrow pass (ArrowEvalPython),
+    never row-at-a-time Python."""
+    import contextlib
+    import io
+
+    from sparkcrawl.operators.repetition import compression_ratio
+
+    rows = [
+        (1, "spam spam spam spam " * 50),
+        (2, "the quick brown fox jumps over a lazy dog near riverbanks "
+            "while seventeen jazzy wizards mix bold phlegm quivers"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = compression_ratio(docs)
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["n_bytes"] == 1000
+    assert got[1]["ratio"] < 0.1 < got[2]["ratio"]
+    assert got[3]["n_bytes"] == 0 and got[3]["ratio"] > 0  # clamped denom
+    # deterministic across runs
+    again = {r["id"]: r["ratio"] for r in compression_ratio(docs).collect()}
+    assert again == {i: r["ratio"] for i, r in got.items()}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    p = buf.getvalue()
+    assert "ArrowEvalPython" in p and "BatchEvalPython" not in p
