@@ -2645,6 +2645,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("doc_id"), "n_bytes", "n_compressed",
             "ratio")
 
+    def dedup_lsh_pr_eval(spark, sf):
+        """Empirical precision/recall of the MinHash-LSH stage
+        (textops.lsh_pr_eval) at the EXACT config the canonical dedup
+        pipeline runs (16 perms, r=4 banding, cap 100), on the same
+        duplicated corpus — ground truth from the exact prefix-filter
+        join, so the analytic collision curve (dedup_lsh_curve) gets
+        its measured counterpart."""
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        dupped = (
+            docs.unionByName(
+                docs.filter(F.col("doc_id") < 50).select(
+                    (F.col("doc_id") + 10000).alias("doc_id"), "text"
+                )
+            ).unionByName(
+                docs.filter(F.col("doc_id") < 25).select(
+                    (F.col("doc_id") + 20000).alias("doc_id"), "text"
+                )
+            )
+        )
+        return textops.lsh_pr_eval(
+            dupped, thresholds=(0.5, 0.8), num_perms=16, n=8,
+            max_bucket_size=100, rows_per_band=4,
+        )
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2741,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_paragraph_langid": text_paragraph_langid,
         "embedding_margin_alignment": embedding_margin_alignment,
         "text_compression_ratio": text_compression_ratio,
+        "dedup_lsh_pr_eval": dedup_lsh_pr_eval,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5345,6 +5370,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(m.csize, 1) AS BIGINT) AS cluster_size,
                    round(pow(coalesce(m.csize, 1), -1.0), 6) AS weight
             FROM dup d LEFT JOIN member m ON m.id = d.doc_id
+        """,
+        "dedup_lsh_pr_eval": """
+            WITH dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+              UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 25),
+            sh AS (
+              SELECT DISTINCT doc_id AS id, substr(text, i, 8) AS shingle
+              FROM dup, generate_series(1, 2000) AS g(i)
+              WHERE i <= len(text) - 7),
+            hsh AS (
+              SELECT id, shingle,
+                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h1,
+                     CAST(concat('0x', substr(md5(shingle || '#'), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h2
+              FROM sh),
+            sigp AS (
+              SELECT id, perm,
+                     min((h1 + (perm + 1) * h2) % 2147483647) AS sig
+              FROM hsh CROSS JOIN generate_series(0, 15) AS p(perm)
+              GROUP BY id, perm),
+            sig AS (
+              SELECT id, CAST(floor(perm / 4) AS BIGINT) AS perm,
+                     string_agg(CAST(sig AS VARCHAR), '|' ORDER BY perm) AS sig
+              FROM sigp GROUP BY id, floor(perm / 4)),
+            ok AS (
+              SELECT perm, sig FROM sig GROUP BY perm, sig HAVING count(*) <= 100),
+            sig2 AS (SELECT sig.* FROM sig JOIN ok USING (perm, sig)),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM sig2 a JOIN sig2 b ON a.perm = b.perm AND a.sig = b.sig AND a.id < b.id),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            candj AS (
+              SELECT c.id_a, c.id_b,
+                     round(count(*) / (any_value(za.n_sh) + any_value(zb.n_sh)
+                                       - count(*)), 6) AS j
+              FROM cand c
+              JOIN sh sa ON sa.id = c.id_a
+              JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+              JOIN sizes za ON za.id = c.id_a
+              JOIN sizes zb ON zb.id = c.id_b
+              GROUP BY 1, 2),
+            truthj AS (
+              SELECT sa.id AS id_a, sb.id AS id_b,
+                     round(count(*) / (any_value(za.n_sh) + any_value(zb.n_sh)
+                                       - count(*)), 6) AS j
+              FROM sh sa
+              JOIN sh sb ON sb.shingle = sa.shingle AND sa.id < sb.id
+              JOIN sizes za ON za.id = sa.id
+              JOIN sizes zb ON zb.id = sb.id
+              GROUP BY 1, 2
+              HAVING round(count(*) / (any_value(za.n_sh) + any_value(zb.n_sh)
+                                       - count(*)), 6) >= 0.5),
+            thr AS (SELECT * FROM (VALUES (0.5), (0.8)) t(threshold))
+            SELECT threshold,
+                   (SELECT count(*) FROM cand) AS n_candidates,
+                   (SELECT count(*) FROM truthj WHERE j >= threshold) AS n_truth,
+                   (SELECT count(*) FROM candj WHERE j >= threshold) AS n_hit,
+                   round((SELECT count(*) FROM candj WHERE j >= threshold) * 1.0
+                         / greatest((SELECT count(*) FROM cand), 1), 6) AS precision,
+                   round((SELECT count(*) FROM candj WHERE j >= threshold) * 1.0
+                         / greatest((SELECT count(*) FROM truthj
+                                     WHERE j >= threshold), 1), 6) AS recall
+            FROM thr
         """,
         "crawl_ip_politeness": f"""
             WITH frontier AS (

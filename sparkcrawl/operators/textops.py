@@ -1298,6 +1298,79 @@ def soft_dedup_weights(
     return out.select(id_col, "cluster_size", weight.alias("weight"))
 
 
+def lsh_pr_eval(
+    docs: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.7, 0.9),
+    num_perms: int = 16,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 100,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Empirical precision/recall of the MinHash-LSH candidate stage
+    against EXACT ground truth, per Jaccard threshold:
+
+        (threshold, n_candidates, n_truth, n_hit, precision, recall)
+
+    :func:`lsh_collision_curve` gives the ANALYTIC 1-(1-s^r)^b curve;
+    this measures what the configured pipeline actually does on a real
+    corpus — the number a dedup rollout decision needs, because bucket
+    caps and shingle distributions move reality off the curve. Ground
+    truth comes from :func:`prefix_filter_jaccard_pairs` (exact, zero
+    false negatives, prefix-pruned — never the quadratic brute force),
+    candidate similarities from :func:`verify_jaccard_pairs` at
+    threshold 0 (exact Jaccard for candidates only). Per threshold t:
+    recall = |candidates with jaccard>=t| / |true pairs with
+    jaccard>=t|, precision = same numerator / |all candidates|. The
+    rollup is ONE conditional agg over each side — adding thresholds
+    adds columns, not passes.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    t_min = min(thresholds)
+    cand = minhash_lsh_pairs(
+        docs, num_perms=num_perms, n=n, text_col=text_col, id_col=id_col,
+        max_bucket_size=max_bucket_size, rows_per_band=rows_per_band,
+    )
+    cand = tracked_persist(cand)
+    cand_j = verify_jaccard_pairs(
+        cand, docs, n=n, threshold=0.0, text_col=text_col, id_col=id_col)
+    truth = prefix_filter_jaccard_pairs(
+        docs, n=n, threshold=t_min, text_col=text_col, id_col=id_col)
+    # n_candidates counts EVERY LSH pair (a hash-collision candidate
+    # with zero shared shingles drops out of the verify join but still
+    # cost a verification — precision must charge for it)
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    c_agg = cand_j.agg(
+        *[F.count_if(F.col("jaccard") >= F.lit(float(t))).alias(f"_h_{i}")
+          for i, t in enumerate(thresholds)],
+    )
+    t_agg = truth.agg(
+        *[F.count_if(F.col("jaccard") >= F.lit(float(t))).alias(f"_t_{i}")
+          for i, t in enumerate(thresholds)],
+    )
+    joined = n_cand.crossJoin(c_agg).crossJoin(t_agg)  # 1x1x1: scalars
+    rows = [
+        F.struct(
+            F.lit(float(t)).alias("threshold"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col(f"_t_{i}").cast("long").alias("n_truth"),
+            F.col(f"_h_{i}").cast("long").alias("n_hit"),
+        )
+        for i, t in enumerate(thresholds)
+    ]
+    exploded = joined.select(
+        F.explode(F.array(*rows)).alias("r")).select("r.*")
+    return exploded.select(
+        "threshold", "n_candidates", "n_truth", "n_hit",
+        F.round(F.col("n_hit") / F.greatest(F.col("n_candidates"), F.lit(1)),
+                6).alias("precision"),
+        F.round(F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)),
+                6).alias("recall"),
+    )
+
+
 def duplicated_substring_spans(
     docs: DataFrame,
     k: int = 8,

@@ -923,3 +923,38 @@ def test_paragraph_language_segmentation(spark):
     assert kept[1] == f"{en}\n\n{en} to in"    # German paragraph stripped
     assert kept[2] == de                        # tie keeps only de
     assert kept[4] == ""
+
+
+def test_lsh_pr_eval(spark):
+    """PR numbers recomputed from the library's own stages; recall on
+    exact duplicates is 1.0 at every threshold (identical docs always
+    collide on every band)."""
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog today"),
+        (2, "the cat sat on the mat and looked at the dog today"),
+        (3, "the cat sat on the mat and looked at the dog tonight"),
+        (6, "completely different content about spark engines ok"),
+        (7, "another unrelated document with its own words here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(num_perms=8, n=5, max_bucket_size=100, rows_per_band=1)
+    out = {r["threshold"]: r for r in textops.lsh_pr_eval(
+        docs, thresholds=(0.5, 0.99), **kw).collect()}
+
+    cand = textops.minhash_lsh_pairs(docs, **kw)
+    cand_j = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in textops.verify_jaccard_pairs(
+                  cand, docs, n=5, threshold=0.0).collect()}
+    truth = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in textops.prefix_filter_jaccard_pairs(
+                 docs, n=5, threshold=0.5).collect()}
+    for t in (0.5, 0.99):
+        n_hit = sum(1 for j in cand_j.values() if j >= t)
+        n_truth = sum(1 for j in truth.values() if j >= t)
+        r = out[t]
+        assert (r["n_candidates"], r["n_truth"], r["n_hit"]) == \
+            (len(cand_j), n_truth, n_hit)
+        assert r["recall"] == round(n_hit / max(n_truth, 1), 6)
+        assert r["precision"] == round(n_hit / max(len(cand_j), 1), 6)
+    # the exact-dup pair is found: recall at 0.99 is 1.0
+    assert out[0.99]["recall"] == 1.0
