@@ -2669,6 +2669,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_bucket_size=100, rows_per_band=4,
         )
 
+    def graph_referring_domains(spark, sf):
+        """Registered-domain-deduped inlink counts (graph.
+        referring_domains): subdomain link farms collapse to one
+        domain vote — the robust link-popularity feature. Edges
+        synthesized with 3 subdomains per referring domain so the
+        dedup actually bites."""
+        from sparkcrawl.operators.graph import referring_domains
+
+        ev = _read(spark, sf, "events")
+        edges = ev.select(
+            F.concat(F.lit("s"), (F.col("user_id") % 3).cast("string"),
+                     F.lit(".dom"), (F.col("user_id") % 40).cast("string"),
+                     F.lit(".example")).alias("src"),
+            F.concat(F.lit("host"), (F.col("event_id") % 50).cast("string"),
+                     F.lit(".example")).alias("dst"))
+        return referring_domains(edges)
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2766,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_margin_alignment": embedding_margin_alignment,
         "text_compression_ratio": text_compression_ratio,
         "dedup_lsh_pr_eval": dedup_lsh_pr_eval,
+        "graph_referring_domains": graph_referring_domains,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5435,6 +5453,20 @@ def oracle_sql() -> dict[str, str]:
                          / greatest((SELECT count(*) FROM truthj
                                      WHERE j >= threshold), 1), 6) AS recall
             FROM thr
+        """,
+        "graph_referring_domains": f"""
+            WITH e AS (
+              SELECT 's' || CAST(user_id % 3 AS VARCHAR) || '.dom'
+                       || CAST(user_id % 40 AS VARCHAR) || '.example' AS src,
+                     'host' || CAST(event_id % 50 AS VARCHAR)
+                       || '.example' AS dst
+              FROM events)
+            SELECT dst AS host,
+                   count(DISTINCT {registered_domain_sql('src')})
+                     AS n_ref_domains,
+                   count(DISTINCT src) AS n_ref_hosts,
+                   count(*) AS n_inlinks
+            FROM e GROUP BY dst
         """,
         "crawl_ip_politeness": f"""
             WITH frontier AS (

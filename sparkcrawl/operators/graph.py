@@ -580,3 +580,32 @@ def cocitation_pairs(
         .agg(F.count("*").alias("common_sources"))
         .filter(F.col("common_sources") >= min_common)
     )
+
+
+def referring_domains(edges: DataFrame, src: str = "src",
+                      dst: str = "dst") -> DataFrame:
+    """(host, n_ref_domains, n_ref_hosts, n_inlinks): inlink popularity
+    with registered-domain deduplication.
+
+    Raw inlink counts are trivially inflatable (one spam site, a
+    million subdomain links); counting distinct REFERRING REGISTERED
+    DOMAINS is the standard robust form of the signal — a thousand
+    links from blog.spam.example collapse to one domain vote, which is
+    why link-based crawl prioritizers and ranking features use the
+    domain-deduped count. eTLD+1 comes from the PSL-backed
+    :func:`sparkcrawl.functions.domains.registered_domain` (pure
+    codegen), so this is ONE hash agg with map-side combine over the
+    edge table — no window, no join, safe at any graph size.
+    """
+    from sparkcrawl.functions.domains import registered_domain
+
+    e = edges.select(
+        F.col(dst).alias("host"),
+        F.col(src).alias("_shost"),
+        registered_domain(F.col(src)).alias("_rdom"),
+    )
+    return e.groupBy("host").agg(
+        F.countDistinct("_rdom").alias("n_ref_domains"),
+        F.countDistinct("_shost").alias("n_ref_hosts"),
+        F.count("*").alias("n_inlinks"),
+    )

@@ -205,3 +205,21 @@ def test_link_spam_signals_hand_graph(spark):
         assert rows[h]["out_hosts"] == 2 and rows[h]["self_share"] == 0.0
     # targets with no out-links don't appear
     assert 21 not in rows
+
+
+def test_referring_domains(spark):
+    """Subdomain link farms collapse to one domain vote; distinct
+    hosts and raw inlinks still reported."""
+    from sparkcrawl.operators.graph import referring_domains
+
+    edges = spark.createDataFrame(
+        [("a.spam.example", "target.example"),
+         ("b.spam.example", "target.example"),
+         ("b.spam.example", "target.example"),      # repeated edge
+         ("honest.example", "target.example"),
+         ("honest.example", "other.example")],
+        ["src", "dst"])
+    got = {r["host"]: (r["n_ref_domains"], r["n_ref_hosts"], r["n_inlinks"])
+           for r in referring_domains(edges).collect()}
+    assert got["target.example"] == (2, 3, 4)   # spam.example counts once
+    assert got["other.example"] == (1, 1, 1)
