@@ -28,6 +28,16 @@ class CrawlConfig:
     per_queue_budget: int = 50          # A2 FRONTIER_QUEUE_BUDGET analog
     heap_size: int = 500                # W2 per-queue top-k cap (HEAP_SIZE analog)
     crawl_delay_default: float = 1.0    # W3 seconds between fetches on one host
+    # IP-level politeness (operators/schedule.py::ip_politeness_slots,
+    # IRLbot/Heritrix behavior): slot the fetch batch by resolved IP so
+    # co-hosted virtual hosts share one delay sequence. Off by default —
+    # the parity goldens pin host-keyed slotting (the reference slots by
+    # host). host_ip_file: optional (host, ip) parquet (e.g. exported
+    # from the DNS cache); unmapped hosts fall back to a deterministic
+    # synthetic IP in [0, n_synthetic_ips).
+    politeness_by_ip: bool = False
+    host_ip_file: str | None = None
+    n_synthetic_ips: int = 1024
     # --- prioritizer (C8, SimpleTimestampPrioritizer analog) ---
     num_priorities: int = 10            # PRIORITIZER_NUM_PRIORITIES analog
     delta_seconds: int = 500            # PRIORITIZER_CRAWL_DELTA analog

@@ -185,20 +185,37 @@ def select_fetch_batch(
     cfg: CrawlConfig,
     crawl_delays: DataFrame | None = None,
     carry: DataFrame | None = None,
+    host_ip: DataFrame | None = None,
 ) -> DataFrame:
     """§3.4 steps 1-3: ELIGIBLE -> SELECT -> POLITE.
 
     Returns the politeness-slotted fetch batch for this superstep:
     per-queue budget applied (A2, plus optional carried remainder),
     deterministic total order (slot, queue, host, url_hash).
+
+    ``cfg.politeness_by_ip`` swaps the W3 host-keyed slotting for
+    :func:`ip_politeness_slots` (ip_slot becomes ``slot``) — same
+    downstream contract (the fetch-log total order and the per-slot
+    rank offsets only need integer slots), co-hosted domains now
+    share one delay sequence. Off by default: parity goldens pin
+    host-keyed order.
     """
+
+    def _slotted(batch: DataFrame) -> DataFrame:
+        if cfg.politeness_by_ip:
+            out = ip_politeness_slots(batch, cfg, host_ip,
+                                      cfg.n_synthetic_ips)
+            return out.withColumnRenamed("ip_slot", "slot").withColumn(
+                "effective_delay", F.lit(cfg.crawl_delay_default))
+        return politeness_slots(batch, cfg, crawl_delays)
+
     elig = eligible(frontier, virtual_time)
     act = active_queues(elig, cfg)
     if not act:
-        return politeness_slots(elig.limit(0), cfg, crawl_delays)
+        return _slotted(elig.limit(0))
     k = min(cfg.heap_size, cfg.per_queue_budget)
     picked = per_queue_topk(elig.filter(F.col("queue").isin(act)), cfg, k, carry)
-    return politeness_slots(picked, cfg, crawl_delays)
+    return _slotted(picked)
 
 
 def ranked_in_total_order(spark, batch: DataFrame) -> DataFrame:

@@ -194,6 +194,13 @@ class CrawlRun:
             fpp=cfg.bloom_fpp,
         )
         self._delays = crawl_delays(robots, cfg.user_agent) if robots is not None else None
+        # optional (host, ip) mapping for IP-keyed politeness; unmapped
+        # hosts fall back to the deterministic synthetic IP inside
+        # ip_politeness_slots, so the file is a refinement, not a gate
+        self._host_ip = (
+            spark.read.parquet(cfg.host_ip_file)
+            if cfg.politeness_by_ip and cfg.host_ip_file else None
+        )
 
     # -- S1: seed injection ------------------------------------------------
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -286,7 +293,8 @@ class CrawlRun:
             else:
                 gate_rules = None
                 delays = None
-        batch = select_fetch_batch(frontier, virtual_time, cfg, delays, carry_in)
+        batch = select_fetch_batch(frontier, virtual_time, cfg, delays,
+                                   carry_in, self._host_ip)
         if self.robots_table is not None:
             if gate_rules is not None:
                 known_hosts = gate_rules.select("host").distinct()
