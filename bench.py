@@ -133,6 +133,22 @@ BENCH_QUERIES = [
     "embedding_knn_graph",
     "corpus_quality_topfrac",
     "layout_skew_report",
+    # new in r4, fourth batch
+    # dedup_lsh_pr_eval is EXCLUDED for the same reason as
+    # dedup_prefix_filter: its exact ground truth IS the prefix-filter
+    # join, quadratic in co-shingled pairs on the word-salad fixture.
+    # Oracle-verified at sf0.01; the benched LSH stage it evaluates is
+    # dedup_minhash_lsh.
+    "bitext_parallel_pages",
+    "crawl_mirror_hosts",
+    "index_inverted_terms",
+    "index_phrase_search",
+    "corpus_soft_dedup_weights",
+    "crawl_ip_politeness",
+    "text_paragraph_langid",
+    "embedding_margin_alignment",
+    "text_compression_ratio",
+    "graph_referring_domains",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION
@@ -142,6 +158,7 @@ EAGER_QUERIES = {
     "dedup_corpus_canonical", "j5_redirect_chains", "dedup_semantic_canonical",
     "embedding_dbscan_clusters", "corpus_dsir_sample",
     "text_bpe_tokens",  # trains (argmax collects) at construction
+    "corpus_soft_dedup_weights",  # connected components iterate at construction
 }
 
 FRONTIER_REPLICAS = int(os.environ.get("SPARK_GRAFT_FRONTIER_REPLICAS", "20"))

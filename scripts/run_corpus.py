@@ -18,11 +18,14 @@ optional and the stages compose in this order):
   language-ID -> quality gate -> repetition gate
   [-> URL quality gate (RefinedWeb-style, needs URL doc ids)]
   [-> Gopher rule verdicts] [-> C4 cleaning heuristics]
+  [-> compression-ratio floor (deflate repetition detector)]
   [-> CCNet perplexity-bucket gate]
+  [-> majority-language paragraph cleanup (CCNet granularity)]
   -> exact dedup [-> paragraph-level first-wins dedup]
   [-> SemDeDup semantic dedup]
   [-> embedding canonical dedup (LSH pairs -> components -> keep-min)]
-  [-> near-dup canonical dedup] [-> eval decontamination]
+  [-> near-dup canonical dedup | soft-dedup weight column (keep all)]
+  [-> eval decontamination]
   [-> temperature-weighted mixture draw] -> salted-hash split
   -> partitioned export with manifests [-> token-balanced shard ids]
 
@@ -50,6 +53,16 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--max-repetition", type=float, default=0.3,
                     help="drop docs whose dup_word_frac exceeds this (Gopher rule)")
+    ap.add_argument("--min-compression-ratio", type=float, default=0.0,
+                    help="drop docs whose deflate ratio falls below this "
+                         "(repetitive/templated spam); 0 = off")
+    ap.add_argument("--keep-majority-lang", action="store_true",
+                    help="strip off-language paragraphs per doc (CCNet "
+                         "granularity) before dedup")
+    ap.add_argument("--soft-dedup", type=float, default=0.0, metavar="ALPHA",
+                    help="keep every doc, attach weight=cluster_size^-ALPHA "
+                         "from the near-dup pipeline (SoftDeDup) instead of "
+                         "dropping; composes with --near-dup being off")
     ap.add_argument("--near-dup", action="store_true",
                     help="LSH -> exact-verify -> connected-components canonical dedup")
     ap.add_argument("--cut-substrings", type=int, default=0, metavar="K",
@@ -186,6 +199,17 @@ def main() -> None:
             F.col("id").alias("doc_id"), F.col("keep").alias("_ckeep")
         )
         kept = kept.join(cq, "doc_id").filter(F.col("_ckeep")).drop("_ckeep")
+    if args.min_compression_ratio > 0:
+        from sparkcrawl.operators.repetition import compression_ratio
+
+        cr = compression_ratio(kept).select(
+            F.col("id").alias("doc_id"), F.col("ratio").alias("_cratio")
+        )
+        kept = (
+            kept.join(cr, "doc_id")
+            .filter(F.col("_cratio") >= args.min_compression_ratio)
+            .drop("_cratio")
+        )
     if args.quality_top_frac > 0:
         # relative gate AFTER the absolute one: keep the top fraction
         # per detected language by composite quality (threshold-then-
@@ -203,6 +227,13 @@ def main() -> None:
             kept.join(pb, "doc_id")
             .filter(F.col("bucket").isin(wanted))
             .drop("bucket")
+        )
+    if args.keep_majority_lang:
+        cleaned = textops.keep_majority_language(kept).withColumnRenamed(
+            "id", "doc_id")
+        kept = (
+            kept.drop("text")
+            .join(cleaned.filter(F.col("text") != ""), "doc_id")
         )
     kept = textops.exact_dedup(kept)
     if args.dedup_paragraphs:
@@ -237,6 +268,10 @@ def main() -> None:
         kept = kept.join(survivors, "doc_id")
     if args.near_dup:
         kept = textops.dedup_corpus_canonical(kept)
+    if args.soft_dedup > 0:
+        weights = textops.soft_dedup_weights(kept, alpha=args.soft_dedup)
+        kept = kept.join(
+            weights.select("doc_id", "cluster_size", "weight"), "doc_id")
     if args.cut_substrings:
         spans = textops.duplicated_substring_spans(kept, k=args.cut_substrings)
         cut = textops.cut_token_spans(kept, spans)
