@@ -2686,6 +2686,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.lit(".example")).alias("dst"))
         return referring_domains(edges)
 
+    def crawl_saturation_curve(spark, sf):
+        """Crawl-progress analytics (plans/analytics.py::
+        crawl_saturation) over a synthesized 25-superstep checkpoint
+        log whose novelty decays 1/(s+1) — the is-the-crawl-saturating
+        decision table (new_seen / yield / novelty / saturation)."""
+        from pyspark.sql import Window as W
+
+        from sparkcrawl.plans.analytics import crawl_saturation
+
+        ev = _read(spark, sf, "events")
+        per = ev.groupBy((F.col("event_id") % 25 + 1).alias("superstep")).agg(
+            F.count("*").alias("fetched_count"),
+            F.sum(F.col("user_id") % 9).alias("discovered_count"))
+        new = F.ceil(F.col("discovered_count")
+                     / (F.col("superstep") + 1)).cast("long")
+        cp = per.withColumn(
+            "urls_seen_count", F.sum(new).over(W.orderBy("superstep")))
+        return crawl_saturation(cp.select(
+            "superstep", "urls_seen_count", "fetched_count",
+            "discovered_count"))
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2784,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_compression_ratio": text_compression_ratio,
         "dedup_lsh_pr_eval": dedup_lsh_pr_eval,
         "graph_referring_domains": graph_referring_domains,
+        "crawl_saturation_curve": crawl_saturation_curve,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5467,6 +5489,39 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT src) AS n_ref_hosts,
                    count(*) AS n_inlinks
             FROM e GROUP BY dst
+        """,
+        "crawl_saturation_curve": """
+            WITH per AS (
+              SELECT event_id % 25 + 1 AS superstep,
+                     count(*) AS fetched,
+                     CAST(sum(user_id % 9) AS BIGINT) AS discovered
+              FROM events GROUP BY 1),
+            cp AS (
+              SELECT superstep, fetched, discovered,
+                     sum(CAST(ceil(discovered * 1.0 / (superstep + 1))
+                              AS BIGINT))
+                       OVER (ORDER BY superstep) AS seen
+              FROM per),
+            lagged AS (
+              SELECT *, lag(seen) OVER (ORDER BY superstep) AS prev FROM cp)
+            SELECT superstep, CAST(seen AS BIGINT) AS seen_total,
+                   fetched, discovered,
+                   CAST(seen - coalesce(prev, 0) AS BIGINT) AS new_seen,
+                   CASE WHEN fetched > 0
+                        THEN round(discovered * 1.0 / fetched, 6)
+                   END AS yield_per_fetch,
+                   CASE WHEN discovered > 0
+                        THEN round((seen - coalesce(prev, 0)) * 1.0
+                                   / discovered, 6)
+                   END AS novelty_rate,
+                   CASE WHEN discovered > 0
+                        THEN round(1 - round((seen - coalesce(prev, 0)) * 1.0
+                                             / discovered, 6), 6)
+                   END AS saturation,
+                   CASE WHEN coalesce(prev, 0) > 0
+                        THEN round((seen - coalesce(prev, 0)) * 1.0 / prev, 6)
+                   END AS seen_growth_rate
+            FROM lagged
         """,
         "crawl_ip_politeness": f"""
             WITH frontier AS (

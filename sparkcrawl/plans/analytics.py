@@ -1,0 +1,68 @@
+"""Crawl-progress analytics over the checkpoint log.
+
+"Is the crawl saturating?" is the operations question every long
+crawl answers weekly: as a frontier exhausts its reachable set, the
+fraction of discovered links that are NEW falls toward zero and fetch
+budget stops buying coverage (the diminishing-returns curve measured
+on real crawls by Baeza-Yates et al., "Crawling a country", and
+visible in every Common Crawl release report). The engine already
+commits one checkpoint row per superstep (T5:
+sources/store.py::CheckpointLog) with seen/fetched/discovered
+counters — this module turns that log into the decision table.
+
+Scale note: the checkpoint table has ONE ROW PER SUPERSTEP — it is
+config-bounded (thousands of rows after months of crawling), never
+data-sized, so the single ordered window here is deliberately fine;
+it sorts supersteps, not URLs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def crawl_saturation(checkpoints: DataFrame) -> DataFrame:
+    """Per-superstep crawl-progress metrics from the checkpoint log:
+
+      - ``new_seen``: URL-seen growth this superstep (first row counts
+        its full seen set — the seeds plus its own discoveries);
+      - ``yield_per_fetch``: discovered links per fetched page (the
+        branching factor actually realized);
+      - ``novelty_rate``: fraction of discovered links that were new
+        (the number that decays as the crawl saturates);
+      - ``saturation``: 1 - novelty_rate, the headline curve;
+      - ``seen_growth_rate``: new_seen / prior seen total (relative
+        frontier expansion).
+
+    All ratios are round(...,6) with zero-denominator guards; rates are
+    NULL where undefined (a superstep that fetched nothing has no
+    yield). One lag window over the superstep-count-sized table.
+    """
+    base = checkpoints.select(
+        F.col("superstep").cast("long").alias("superstep"),
+        F.col("urls_seen_count").alias("seen_total"),
+        F.col("fetched_count").alias("fetched"),
+        F.col("discovered_count").alias("discovered"),
+    )
+    w = W.orderBy("superstep")
+    prev_seen = F.lag("seen_total").over(w)
+    new_seen = (F.col("seen_total")
+                - F.coalesce(prev_seen, F.lit(0))).cast("long")
+    ypf = F.when(
+        F.col("fetched") > 0,
+        F.round(F.col("discovered") / F.col("fetched"), 6))
+    novelty = F.when(
+        F.col("discovered") > 0,
+        F.round(new_seen / F.col("discovered"), 6))
+    growth = F.when(
+        F.coalesce(prev_seen, F.lit(0)) > 0,
+        F.round(new_seen / prev_seen, 6))
+    return (
+        base.withColumn("new_seen", new_seen)
+        .withColumn("yield_per_fetch", ypf)
+        .withColumn("novelty_rate", novelty)
+        .withColumn("saturation",
+                    F.when(novelty.isNotNull(), F.round(1 - novelty, 6)))
+        .withColumn("seen_growth_rate", growth)
+    )

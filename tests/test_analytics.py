@@ -1,0 +1,48 @@
+"""Crawl-saturation analytics over the checkpoint log."""
+
+from pyspark.sql import functions as F
+
+
+def test_crawl_saturation_hand_case(spark):
+    from sparkcrawl.plans.analytics import crawl_saturation
+
+    rows = [
+        # superstep, seen, fetched, discovered
+        (1, 100, 10, 200),   # seeds + first wave: all novel-ish
+        (2, 250, 50, 300),   # 150 new of 300 discovered
+        (3, 280, 60, 300),   # saturating: 30 new of 300
+        (4, 280, 0, 0),      # idle superstep: rates undefined
+    ]
+    cp = spark.createDataFrame(
+        rows, "superstep int, urls_seen_count long, fetched_count long,"
+              " discovered_count long")
+    got = {r["superstep"]: r for r in crawl_saturation(cp).collect()}
+    assert got[1]["new_seen"] == 100 and got[2]["new_seen"] == 150
+    assert got[2]["yield_per_fetch"] == 6.0
+    assert got[2]["novelty_rate"] == 0.5 and got[2]["saturation"] == 0.5
+    assert got[3]["novelty_rate"] == 0.1 and got[3]["saturation"] == 0.9
+    assert got[2]["seen_growth_rate"] == 1.5
+    # undefined guards
+    assert got[1]["seen_growth_rate"] is None          # no prior seen
+    assert got[4]["yield_per_fetch"] is None
+    assert got[4]["novelty_rate"] is None and got[4]["saturation"] is None
+
+
+def test_crawl_saturation_from_real_run(spark, mini_cfg, mini_web, tmp_path):
+    """Over an actual engine run's checkpoint log: monotone seen totals,
+    new_seen sums to the final seen count, saturation rises as the
+    fixture web exhausts."""
+    from sparkcrawl.plans.analytics import crawl_saturation
+    from sparkcrawl.plans.superstep import CrawlRun
+
+    run = CrawlRun(spark, str(tmp_path / "c"), mini_cfg,
+                   mini_web["web"], mini_web["robots"])
+    run.run(mini_web["seeds"], max_supersteps=4)
+    cp = run.checkpoints.read(spark)
+    out = crawl_saturation(cp.select(
+        "superstep", "urls_seen_count", "fetched_count",
+        "discovered_count")).orderBy("superstep").collect()
+    assert [r["superstep"] for r in out] == [1, 2, 3, 4]
+    assert sum(r["new_seen"] for r in out) == out[-1]["seen_total"]
+    rates = [r["saturation"] for r in out if r["saturation"] is not None]
+    assert rates and rates[-1] >= rates[0]  # fixture web exhausts
