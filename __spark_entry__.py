@@ -2707,6 +2707,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "superstep", "urls_seen_count", "fetched_count",
             "discovered_count"))
 
+    def bitext_scored_pairs(spark, sf):
+        """The bitext pipeline composed: URL-structure candidates
+        (operators/bitext.py) scored by embedding cosine
+        (simsearch.cosine, vec_id = doc_id) — STRAND's structural
+        stage feeding LASER/CCMatrix-style semantic scoring. The join
+        to embeddings is on the pair ids, never a vector self-join:
+        candidate volume, already capped per skeleton, bounds the
+        scoring work."""
+        from sparkcrawl.operators.bitext import parallel_page_candidates
+        from sparkcrawl.operators.simsearch import cosine
+
+        d = _read(spark, sf, "documents")
+        base = (F.col("doc_id") % 300).cast("string")
+        site = ((F.col("doc_id") % 300) % 40).cast("string")
+        p = (F.col("doc_id") % 300) % 3
+        url = (
+            F.when(p == 0, F.concat(
+                F.lit("http://"), F.col("lang"), F.lit(".site"), site,
+                F.lit(".example/page/"), base))
+            .when(p == 1, F.concat(
+                F.lit("http://site"), site, F.lit(".example/"),
+                F.col("lang"), F.lit("/page/"), base))
+            .otherwise(F.concat(
+                F.lit("http://site"), site, F.lit(".example/page/"),
+                base, F.lit("?hl="), F.col("lang"))))
+        pages = d.select("doc_id", url.alias("url"), "n_chars")
+        cand = parallel_page_candidates(
+            pages, codes=("de", "en", "es", "fr", "zh"),
+            max_group=6, max_len_ratio=3.0)
+        emb = _read(spark, sf, "embeddings")
+        ea = emb.select(F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("_ea"))
+        eb = emb.select(F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("_eb"))
+        return (
+            cand.join(ea, "id_a").join(eb, "id_b")
+            .select("skeleton", "id_a", "lang_a", "id_b", "lang_b",
+                    F.round(cosine(F.col("_ea"), F.col("_eb")),
+                            6).alias("sim"))
+        )
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2806,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pr_eval": dedup_lsh_pr_eval,
         "graph_referring_domains": graph_referring_domains,
         "crawl_saturation_curve": crawl_saturation_curve,
+        "bitext_scored_pairs": bitext_scored_pairs,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5522,6 +5564,63 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((seen - coalesce(prev, 0)) * 1.0 / prev, 6)
                    END AS seen_growth_rate
             FROM lagged
+        """,
+        "bitext_scored_pairs": rf"""
+            WITH pages AS (
+              SELECT doc_id,
+                CASE
+                  WHEN (doc_id % 300) % 3 = 0 THEN
+                    'http://' || lang || '.site'
+                    || CAST((doc_id % 300) % 40 AS VARCHAR)
+                    || '.example/page/' || CAST(doc_id % 300 AS VARCHAR)
+                  WHEN (doc_id % 300) % 3 = 1 THEN
+                    'http://site' || CAST((doc_id % 300) % 40 AS VARCHAR)
+                    || '.example/' || lang || '/page/'
+                    || CAST(doc_id % 300 AS VARCHAR)
+                  ELSE
+                    'http://site' || CAST((doc_id % 300) % 40 AS VARCHAR)
+                    || '.example/page/' || CAST(doc_id % 300 AS VARCHAR)
+                    || '?hl=' || lang
+                END AS url,
+                greatest(n_chars, 1) AS len
+              FROM documents),
+            marked AS (
+              SELECT doc_id, len,
+                regexp_replace(regexp_replace(regexp_replace(url,
+                    '^(https?://)(de|en|es|fr|zh)\.', '\1_L_.'),
+                    '/(de|en|es|fr|zh)/', '/_L_/', 'g'),
+                    '([?&](?:lang|hl|locale)=)(de|en|es|fr|zh)', '\1_L_',
+                    'g') AS skeleton,
+                coalesce(
+                  nullif(regexp_extract(url,
+                    '^https?://(de|en|es|fr|zh)\.', 1), ''),
+                  nullif(regexp_extract(url,
+                    '/(de|en|es|fr|zh)/', 1), ''),
+                  nullif(regexp_extract(url,
+                    '[?&](?:lang|hl|locale)=(de|en|es|fr|zh)', 1), '')
+                ) AS url_lang
+              FROM pages),
+            capped AS (
+              SELECT doc_id, len, skeleton, url_lang FROM (
+                SELECT doc_id, len, skeleton, url_lang,
+                       row_number() OVER (PARTITION BY skeleton
+                                          ORDER BY url_lang, doc_id) AS rn
+                FROM marked WHERE url_lang IS NOT NULL)
+              WHERE rn <= 6),
+            cand AS (
+              SELECT a.skeleton,
+                     a.doc_id AS id_a, a.url_lang AS lang_a,
+                     b.doc_id AS id_b, b.url_lang AS lang_b
+              FROM capped a JOIN capped b
+                ON a.skeleton = b.skeleton AND a.url_lang < b.url_lang
+              WHERE round(CAST(greatest(a.len, b.len) AS DOUBLE)
+                          / least(a.len, b.len), 6) <= 3.0)
+            SELECT c.skeleton, c.id_a, c.lang_a, c.id_b, c.lang_b,
+                   round({_cos_sql('ea.embedding', 'eb.embedding')}, 6)
+                     AS sim
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
         """,
         "crawl_ip_politeness": f"""
             WITH frontier AS (
