@@ -2861,7 +2861,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sketch_count_min, text_bpe_merges/tokens (rows-only),
         # --- multimodal_image_near_dup/audio_near_dup (rows-only),
         # --- sketch_heavy_hitters/log_histogram/histogram_quantiles,
-        # --- dust_rule_mining, layout_zorder_key.
+        # --- dust_rule_mining, layout_zorder_key, and the r4 fifth
+        # --- batch: bitext_parallel_pages/bitext_scored_pairs,
+        # --- crawl_mirror_hosts, index_inverted_terms/phrase_search,
+        # --- corpus_soft_dedup_weights, crawl_ip_politeness,
+        # --- text_paragraph_langid, embedding_margin_alignment,
+        # --- dedup_lsh_pr_eval, graph_referring_domains,
+        # --- crawl_saturation_curve, text_compression_ratio (rows-only).
         # --- driver-green in r3 (CORRECTNESS_r03.json); rotated behind the
         # --- 46 keys above so the driver's 50-query sample covers them in r4
         "crawl_schedule_flagship": crawl_schedule,
