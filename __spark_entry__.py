@@ -2748,6 +2748,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             6).alias("sim"))
         )
 
+    def crawl_drain_estimate(spark, sf):
+        """Politeness drain planning (schedule.
+        politeness_drain_estimate): per-host backlog drain time at the
+        host's politeness rate, flagged when it exceeds the window —
+        the readout that tells budget allocation which hosts are
+        politeness-bound, not compute-bound. Every 4th host carries a
+        2.5 s robots override; priority-1 rows are already done."""
+        from sparkcrawl.config import CrawlConfig
+        from sparkcrawl.operators.schedule import politeness_drain_estimate
+
+        frontier = _synthetic_frontier(spark, sf).withColumn(
+            "state",
+            F.when(F.col("priority") == 1, F.lit("done"))
+            .otherwise(F.lit("pending")))
+        hosts = frontier.select("host").distinct()
+        delays = hosts.filter(
+            F.regexp_extract(F.col("host"), r"host(\d+)", 1)
+            .cast("int") % 4 == 0
+        ).select("host", F.lit(2.5).alias("crawl_delay"))
+        return politeness_drain_estimate(
+            frontier, CrawlConfig(num_queues=NQ), delays,
+            window_seconds=3600.0)
+
+    def freshness_cache_control(spark, sf):
+        """Cache-Control revisit hints (freshness.cache_control_hints,
+        RFC 9111): max-age / no-cache / no-store parsed by case-folded
+        regexp codegen over five header classes (incl. the s-maxage
+        near-miss that must NOT match); next_ok_us = fetch time +
+        max-age in epoch micros."""
+        from sparkcrawl.operators.freshness import cache_control_hints
+
+        ev = _read(spark, sf, "events")
+        m = F.col("event_id") % 5
+        header = (
+            F.when(m == 0, F.concat(
+                F.lit("max-age="), (F.col("user_id") % 1000).cast("string"),
+                F.lit(", public")))
+            .when(m == 1, F.lit("No-Cache, MAX-AGE=60"))
+            .when(m == 2, F.lit("no-store"))
+            .when(m == 3, F.lit("private, s-maxage=30"))
+            .otherwise(F.lit(None).cast("string")))
+        df = ev.select(
+            F.concat(F.lit("http://h.example/e/"),
+                     F.col("event_id").cast("string")).alias("url"),
+            header.alias("cache_control"),
+            F.col("ts").alias("fetched_at"))
+        return cache_control_hints(df)
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2848,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_referring_domains": graph_referring_domains,
         "crawl_saturation_curve": crawl_saturation_curve,
         "bitext_scored_pairs": bitext_scored_pairs,
+        "crawl_drain_estimate": crawl_drain_estimate,
+        "freshness_cache_control": freshness_cache_control,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5627,6 +5677,61 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN embeddings ea ON ea.vec_id = c.id_a
             JOIN embeddings eb ON eb.vec_id = c.id_b
+        """,
+        "crawl_drain_estimate": r"""
+            WITH frontier AS (
+              SELECT 'host' || CAST(user_id % 50 AS VARCHAR)
+                       || '.example' AS host,
+                     CAST(event_id % 3 + 1 AS BIGINT) AS priority
+              FROM events),
+            pend AS (
+              SELECT host, count(*) AS pending
+              FROM frontier WHERE priority <> 1 GROUP BY host),
+            d AS (
+              SELECT host, 2.5 AS crawl_delay
+              FROM (SELECT DISTINCT host FROM frontier)
+              WHERE CAST(regexp_extract(host, 'host(\d+)', 1) AS INT)
+                    % 4 = 0)
+            SELECT p.host, p.pending,
+                   round(coalesce(d.crawl_delay, 1.0), 6) AS crawl_delay,
+                   round(greatest(p.pending - 1, 0)
+                         * coalesce(d.crawl_delay, 1.0), 6)
+                     AS drain_seconds,
+                   round(greatest(p.pending - 1, 0)
+                         * coalesce(d.crawl_delay, 1.0), 6) > 3600.0
+                     AS politeness_bound
+            FROM pend p LEFT JOIN d ON d.host = p.host
+        """,
+        "freshness_cache_control": r"""
+            WITH resp AS (
+              SELECT 'http://h.example/e/' || CAST(event_id AS VARCHAR)
+                       AS url,
+                     CASE
+                       WHEN event_id % 5 = 0 THEN
+                         'max-age=' || CAST(user_id % 1000 AS VARCHAR)
+                         || ', public'
+                       WHEN event_id % 5 = 1 THEN 'No-Cache, MAX-AGE=60'
+                       WHEN event_id % 5 = 2 THEN 'no-store'
+                       WHEN event_id % 5 = 3 THEN 'private, s-maxage=30'
+                     END AS h,
+                     ts AS fetched_at
+              FROM events),
+            parsed AS (
+              SELECT url,
+                     CAST(nullif(regexp_extract(coalesce(h, ''),
+                       '(?i)(?:^|[,\s])max-age=(\d+)', 1), '') AS BIGINT)
+                       AS max_age,
+                     regexp_matches(coalesce(h, ''),
+                       '(?i)(?:^|[,\s])no-cache($|[,\s])') AS no_cache,
+                     regexp_matches(coalesce(h, ''),
+                       '(?i)(?:^|[,\s])no-store($|[,\s])') AS no_store,
+                     fetched_at
+              FROM resp)
+            SELECT url, max_age, no_cache, no_store,
+                   CASE WHEN max_age IS NOT NULL
+                        THEN epoch_us(fetched_at) + max_age * 1000000
+                   END AS next_ok_us
+            FROM parsed
         """,
         "crawl_ip_politeness": f"""
             WITH frontier AS (

@@ -132,3 +132,39 @@ def revisit_intervals(
                 F.lit(float(max_sec))),
     ).otherwise(F.lit(float(max_sec)))  # no change ever observed
     return rates.withColumn("revisit_sec", raw.cast("long"))
+
+
+def cache_control_hints(responses: DataFrame, url_col: str = "url",
+                        header_col: str = "cache_control",
+                        fetched_col: str = "fetched_at") -> DataFrame:
+    """(url, max_age, no_cache, no_store, next_ok_us): server-declared
+    revisit hints from the Cache-Control response header (RFC 9111).
+
+    The change-rate model (:func:`revisit_intervals`) learns revisit
+    periods from observed history; Cache-Control is the server TELLING
+    the crawler — max-age bounds how soon a refetch can possibly show
+    anything new, so an adaptive scheduler takes
+    max(model_interval, max_age). Pure regexp codegen over the header
+    string ((?i) case-fold works identically in Java regex and RE2);
+    next_ok_us is epoch-microseconds of fetched_at + max_age, NULL when
+    the header carries no max-age. no_store marks responses the WARC
+    sink should skip archiving per policy.
+    """
+    h = F.coalesce(F.col(header_col), F.lit(""))
+    max_age = F.nullif(
+        F.regexp_extract(h, r"(?i)(?:^|[,\s])max-age=(\d+)", 1), F.lit("")
+    ).cast("long")
+    no_cache = h.rlike(r"(?i)(?:^|[,\s])no-cache(?:$|[,\s])")
+    no_store = h.rlike(r"(?i)(?:^|[,\s])no-store(?:$|[,\s])")
+    next_ok = F.when(
+        max_age.isNotNull(),
+        F.unix_micros(F.col(fetched_col).cast("timestamp"))
+        + max_age * F.lit(1_000_000),
+    )
+    return responses.select(
+        F.col(url_col).alias("url"),
+        max_age.alias("max_age"),
+        no_cache.alias("no_cache"),
+        no_store.alias("no_store"),
+        next_ok.alias("next_ok_us"),
+    )

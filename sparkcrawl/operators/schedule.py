@@ -169,6 +169,52 @@ def ip_politeness_slots(batch: DataFrame, cfg: CrawlConfig,
     )
 
 
+def politeness_drain_estimate(
+    frontier: DataFrame,
+    cfg: CrawlConfig,
+    crawl_delays: DataFrame | None = None,
+    window_seconds: float | None = None,
+) -> DataFrame:
+    """(host, pending, crawl_delay, drain_seconds, politeness_bound):
+    how long each host's pending backlog takes to drain at its
+    politeness rate — the planning readout behind budget allocation.
+
+    A host with 10,000 pending URLs and a 10 s robots Crawl-delay needs
+    ~28 h of wall clock no matter how many executors exist; politeness,
+    not compute, is its bottleneck (the "long tail of slow hosts" every
+    crawl paper rediscovers — e.g. IRLbot's budget discussion). Hosts
+    flagged ``politeness_bound`` (drain > window, default one
+    superstep's worth: tick_seconds * per_queue_budget) are the ones
+    where extra per-superstep budget is wasted and rank-weighted
+    budgets (graph_rank_budget) should divert elsewhere.
+
+    One map-side-combined count agg on host + a broadcast delay join.
+    drain = max(pending - 1, 0) * delay (the first fetch is free).
+    """
+    if window_seconds is None:
+        window_seconds = cfg.tick_seconds * cfg.per_queue_budget
+    pend = (
+        frontier.filter(F.col("state") == "pending")
+        .groupBy("host")
+        .agg(F.count("*").alias("pending"))
+    )
+    if crawl_delays is not None:
+        pend = pend.join(
+            F.broadcast(crawl_delays.select("host", "crawl_delay")),
+            "host", "left")
+    else:
+        pend = pend.withColumn("crawl_delay",
+                               F.lit(None).cast("double"))
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(cfg.crawl_delay_default))
+    drain = F.round(F.greatest(F.col("pending") - 1, F.lit(0)) * delay, 6)
+    return pend.select(
+        "host", "pending",
+        F.round(delay, 6).alias("crawl_delay"),
+        drain.alias("drain_seconds"),
+        (drain > F.lit(float(window_seconds))).alias("politeness_bound"),
+    )
+
+
 def ip_cohost_stats(slotted: DataFrame) -> DataFrame:
     """(ip, n_hosts, n_urls) readout over an ``ip_politeness_slots``
     batch — the shared-hosting skew report that motivates IP keying.

@@ -170,3 +170,30 @@ def test_plan_single_shuffle(spark):
         df.explain("simple")
     plan = buf.getvalue()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_cache_control_hints(spark):
+    from datetime import datetime, timezone
+
+    from sparkcrawl.operators.freshness import cache_control_hints
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (1, "max-age=3600, public", t0),
+        (2, "No-Cache, MAX-AGE=60", t0),          # case fold
+        (3, "no-store", t0),
+        (4, "private, s-maxage=30", t0),           # s-maxage is NOT max-age
+        (5, None, t0),
+        (6, "stale-while-revalidate=5,max-age=0", t0),
+    ]
+    df = spark.createDataFrame(rows, "url long, cache_control string,"
+                                     " fetched_at timestamp")
+    got = {r["url"]: r for r in cache_control_hints(df).collect()}
+    base_us = int(t0.timestamp() * 1_000_000)
+    assert got[1]["max_age"] == 3600
+    assert got[1]["next_ok_us"] == base_us + 3600 * 1_000_000
+    assert got[2]["max_age"] == 60 and got[2]["no_cache"]
+    assert got[3]["no_store"] and got[3]["max_age"] is None
+    assert got[4]["max_age"] is None        # s-maxage must not match
+    assert got[5]["max_age"] is None and not got[5]["no_cache"]
+    assert got[6]["max_age"] == 0 and got[6]["next_ok_us"] == base_us

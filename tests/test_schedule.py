@@ -287,3 +287,26 @@ def test_ip_politeness_synthetic_deterministic(spark, mini_cfg):
     assert a == b
     ips = {u: ip for u, ip, _ in a}
     assert ips["http://h0.example/p0"] == ips["http://h0.example/p2"]
+
+
+def test_politeness_drain_estimate(spark, mini_cfg):
+    from sparkcrawl.operators.schedule import politeness_drain_estimate
+
+    rows = ([_row(i, host="big") for i in range(30)]
+            + [_row(100 + i, host="slow") for i in range(5)]
+            + [_row(200, host="tiny")])
+    df = _frontier(spark, rows)
+    delays = spark.createDataFrame([("slow.example", 10.0)],
+                                   ["host", "crawl_delay"])
+    got = {r["host"]: r for r in politeness_drain_estimate(
+        df, mini_cfg, delays, window_seconds=20.0).collect()}
+    # default delay 1.0: 29 * 1.0 = 29s > 20 -> bound
+    assert got["big.example"]["drain_seconds"] == 29.0
+    assert got["big.example"]["politeness_bound"]
+    # robots override: 4 * 10 = 40s -> bound despite tiny backlog
+    assert got["slow.example"]["crawl_delay"] == 10.0
+    assert got["slow.example"]["drain_seconds"] == 40.0
+    assert got["slow.example"]["politeness_bound"]
+    # single pending URL drains instantly
+    assert got["tiny.example"]["drain_seconds"] == 0.0
+    assert not got["tiny.example"]["politeness_bound"]
