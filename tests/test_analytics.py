@@ -42,7 +42,8 @@ def test_crawl_saturation_from_real_run(spark, mini_cfg, mini_web, tmp_path):
     out = crawl_saturation(cp.select(
         "superstep", "urls_seen_count", "fetched_count",
         "discovered_count")).orderBy("superstep").collect()
-    assert [r["superstep"] for r in out] == [1, 2, 3, 4]
+    # superstep 0 is the bootstrap checkpoint (seed injection)
+    assert [r["superstep"] for r in out] == [0, 1, 2, 3, 4]
     assert sum(r["new_seen"] for r in out) == out[-1]["seen_total"]
     rates = [r["saturation"] for r in out if r["saturation"] is not None]
     assert rates and rates[-1] >= rates[0]  # fixture web exhausts
