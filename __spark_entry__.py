@@ -2796,6 +2796,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("ts").alias("fetched_at"))
         return cache_control_hints(df)
 
+    def corpus_curation_audit(spark, sf):
+        """Per-doc curation audit trail (plans/analytics.py::
+        curation_audit): FIRST failing stage in pipeline order
+        (quality -> gopher -> c4 -> exact dedup among gate-passers)
+        over the duplicated corpus, so the dedup stage actually has
+        losers to attribute."""
+        from sparkcrawl.plans.analytics import curation_audit
+
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        dupped = docs.unionByName(
+            docs.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"))
+        return curation_audit(dupped, min_quality=0.3)
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2898,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_scored_pairs": bitext_scored_pairs,
         "crawl_drain_estimate": crawl_drain_estimate,
         "freshness_cache_control": freshness_cache_control,
+        "corpus_curation_audit": corpus_curation_audit,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5733,6 +5748,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS next_ok_us
             FROM parsed
         """,
+        "corpus_curation_audit": _curation_audit_sql(),
         "crawl_ip_politeness": f"""
             WITH frontier AS (
               SELECT
@@ -6574,6 +6590,95 @@ def _language_id_sql() -> str:
     return f"""
         SELECT id, {', '.join('score_' + l for l in langs)}, {pred} AS pred_lang
         FROM (SELECT doc_id AS id, {', '.join(score_exprs)} FROM documents)
+    """
+
+
+def _curation_audit_sql(min_quality: float = 0.3) -> str:
+    """corpus_curation_audit oracle: the quality / gopher / c4 keep
+    expressions from their proven oracle twins, applied to the RAW
+    duplicated corpus, then the first-failing-stage CASE with dedup
+    keepers chosen among gate-passers only."""
+    from sparkcrawl.operators.textops import STOPWORDS
+
+    stop_hits = " + ".join(_stopword_count_sql(w) for w in STOPWORDS["en"])
+    gop_words = "', '".join(
+        ("the", "be", "to", "of", "and", "that", "have", "with"))
+    gop_hits = " + ".join(
+        f"CAST(list_contains(words, '{w}') AS INTEGER)"
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with"))
+    return rf"""
+        WITH dup AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100),
+        q AS (
+          SELECT doc_id AS id,
+                 round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                       + least(({stop_hits})
+                               / greatest(len(string_split(text, ' ')), 1)
+                               * 5, 1.0) * 0.5, 6) >= {min_quality!r} AS qok
+          FROM dup),
+        gw AS (
+          SELECT doc_id AS id, text AS t,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words,
+                 string_split(text, chr(10)) AS lines
+          FROM dup),
+        g AS (
+          SELECT id,
+            (CAST(len(words) AS BIGINT) BETWEEN 50 AND 100000
+             AND round(list_sum(list_transform(words, x -> len(x)))
+                       / greatest(len(words), 1), 6) BETWEEN 3.0 AND 10.0
+             AND round(((len(t) - len(replace(t, '#', '')))
+                        + (len(t) - len(replace(t, '...', ''))) / 3)
+                       / greatest(len(words), 1), 6) <= 0.1
+             AND round(len(list_filter(lines,
+                     l -> regexp_matches(l, '^\s*[-*•]')))
+                       / greatest(len(lines), 1), 6) <= 0.9
+             AND round(len(list_filter(lines, l -> l LIKE '%...'))
+                       / greatest(len(lines), 1), 6) <= 0.3
+             AND round(len(list_filter(words,
+                     x -> regexp_matches(x, '[A-Za-z]')))
+                       / greatest(len(words), 1), 6) >= 0.8
+             AND ({gop_hits}) >= 2) AS gok
+          FROM gw),
+        cst AS (
+          SELECT doc_id AS id, lower(text) AS low,
+                 string_split(text, chr(10)) AS lines,
+                 CAST((len(text) - len(replace(text, '.', '')))
+                      + (len(text) - len(replace(text, '!', '')))
+                      + (len(text) - len(replace(text, '?', '')))
+                      AS INTEGER) AS n_sentences
+          FROM dup),
+        c AS (
+          SELECT id,
+            (n_sentences >= 3 AND NOT contains(low, '{{')
+             AND NOT (contains(low, 'lorem ipsum')
+                      OR contains(low, 'terms of use')
+                      OR contains(low, 'privacy policy')
+                      OR contains(low, 'cookie policy')
+                      OR contains(low, 'uses cookies'))
+             AND NOT regexp_matches(low, '\bjavascript\b')) AS cok
+          FROM cst),
+        v AS (
+          SELECT d.doc_id AS id, md5(coalesce(d.text, '')) AS h,
+                 q.qok, g.gok, c.cok
+          FROM dup d
+          JOIN q ON q.id = d.doc_id
+          JOIN g ON g.id = d.doc_id
+          JOIN c ON c.id = d.doc_id),
+        keepers AS (
+          SELECT h, min(id) AS kid FROM v
+          WHERE qok AND gok AND cok GROUP BY h)
+        SELECT v.id AS doc_id,
+               CASE WHEN NOT qok THEN 'quality'
+                    WHEN NOT gok THEN 'gopher'
+                    WHEN NOT cok THEN 'c4'
+                    WHEN k.kid <> v.id THEN 'exact_dup' END AS drop_reason,
+               (CASE WHEN NOT qok THEN 'quality'
+                     WHEN NOT gok THEN 'gopher'
+                     WHEN NOT cok THEN 'c4'
+                     WHEN k.kid <> v.id THEN 'exact_dup' END) IS NULL AS kept
+        FROM v LEFT JOIN keepers k ON k.h = v.h
     """
 
 

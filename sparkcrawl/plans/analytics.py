@@ -22,6 +22,62 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def curation_audit(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document curation audit trail: (doc_id, drop_reason, kept).
+
+    "Why did my document disappear?" is the first question every
+    corpus-pipeline user asks; the answer must name the FIRST stage
+    that rejected it, in pipeline order, because downstream stages
+    never saw it (a quality-dropped doc is not also an "exact dup" —
+    dedup keepers are chosen among the docs that passed the gates, so
+    the audit matches what the sequential pipeline actually does).
+
+    Stages audited, in run_corpus order: composite quality floor ->
+    Gopher rule verdicts -> C4 cleaning heuristics -> exact dedup
+    (min-id keeper among gate-passers). All stage verdicts come from
+    the real operators; the composition is three id-keyed joins + one
+    hash agg on the content digest — no window, no extra text scans
+    beyond the operators' own single passes.
+    """
+    from sparkcrawl.operators.repetition import (
+        c4_quality_filters,
+        gopher_quality_rules,
+    )
+    from sparkcrawl.operators.textops import quality_score
+
+    q = quality_score(docs, text_col, id_col).select(
+        "id", (F.col("quality") >= min_quality).alias("_q"))
+    g = gopher_quality_rules(docs, text_col=text_col, id_col=id_col).select(
+        "id", F.col("keep").alias("_g"))
+    c = c4_quality_filters(docs, text_col=text_col, id_col=id_col).select(
+        "id", F.col("keep").alias("_c"))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h"))
+    v = base.join(q, "id").join(g, "id").join(c, "id")
+    keepers = (
+        v.filter(F.col("_q") & F.col("_g") & F.col("_c"))
+        .groupBy("_h").agg(F.min("id").alias("_kid"))
+    )
+    out = v.join(keepers, "_h", "left")
+    reason = (
+        F.when(~F.col("_q"), "quality")
+        .when(~F.col("_g"), "gopher")
+        .when(~F.col("_c"), "c4")
+        .when(F.col("_kid") != F.col("id"), "exact_dup")
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        reason.alias("drop_reason"),
+        reason.isNull().alias("kept"),
+    )
+
+
 def crawl_saturation(checkpoints: DataFrame) -> DataFrame:
     """Per-superstep crawl-progress metrics from the checkpoint log:
 

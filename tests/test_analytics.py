@@ -47,3 +47,37 @@ def test_crawl_saturation_from_real_run(spark, mini_cfg, mini_web, tmp_path):
     assert sum(r["new_seen"] for r in out) == out[-1]["seen_total"]
     rates = [r["saturation"] for r in out if r["saturation"] is not None]
     assert rates and rates[-1] >= rates[0]  # fixture web exhausts
+
+
+def test_curation_audit_first_failing_stage(spark):
+    """Each doc's drop_reason is the FIRST pipeline stage that rejects
+    it; dedup keepers are chosen among gate-passers only."""
+    from sparkcrawl.plans.analytics import curation_audit
+
+    good = ("the cat and the dog sat near the house of value and worth "
+            "today while the table was set with plates and cups for all "
+            "the family members who came to visit from the town nearby "
+            "and stayed for dinner that evening with wine. "
+            "It was a fine meal. Everyone went home happy afterwards.")
+    rows = [
+        (1, good),                                   # kept
+        (2, good),                                   # exact dup of 1
+        (3, "short"),                                # fails quality AND gopher -> quality first
+        (4, good + " { code block }"),               # passes gates until c4 curly brace
+        (5, good * 1 + " ### " * 40),                # symbol stuffing -> gopher
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["drop_reason"], r["kept"])
+           for r in curation_audit(docs, min_quality=0.3).collect()}
+    assert got[1] == (None, True)
+    assert got[2] == ("exact_dup", False)
+    assert got[3][0] == "quality"          # quality precedes gopher
+    assert got[4][0] == "c4"
+    assert got[5][0] == "gopher"
+    # a dup of a GATE-FAILING doc is not an exact_dup: its twin never
+    # reached dedup, so the first passer keeps its own copy
+    rows2 = rows + [(6, "short")]
+    docs2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    got2 = {r["doc_id"]: r["drop_reason"]
+            for r in curation_audit(docs2).collect()}
+    assert got2[6] == "quality"
