@@ -2810,6 +2810,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("doc_id") + 10000).alias("doc_id"), "text"))
         return curation_audit(dupped, min_quality=0.3)
 
+    def multimodal_main_content(spark, sf):
+        """Boilerplate-vs-content span classification (multimodal.
+        main_content_spans, boilerpipe/jusText signals): three-span
+        docs — prose, a rotating boilerplate class (short nav /
+        stopword-free salad / more prose), and a media span that is
+        always kept."""
+        from sparkcrawl.operators.multimodal import main_content_spans
+
+        ev = _read(spark, sf, "events")
+        did = F.col("event_id")
+        p = F.col("user_id") % 3
+        prose = F.concat(
+            F.lit("the quick value of the table is in the sort and the "
+                  "merge for row "), did.cast("string"))
+        second = (
+            F.when(p == 0, F.lit("home | about | contact"))
+            .when(p == 1, F.lit("zzz qqq xxx www vvv uuu ttt sss"))
+            .otherwise(F.concat(
+                F.lit("a fine story about the data and the engine of "),
+                did.cast("string"))))
+
+        def t(txt, off):
+            return F.struct(F.lit("text").alias("kind"),
+                            txt.alias("text"),
+                            F.lit("").alias("media_ref"),
+                            F.lit(off).cast("int").alias("offset"))
+
+        media = F.struct(F.lit("media").alias("kind"),
+                         F.lit("").alias("text"),
+                         F.concat(F.lit("img://"),
+                                  did.cast("string")).alias("media_ref"),
+                         F.lit(2).cast("int").alias("offset"))
+        docs = ev.select(
+            did.alias("doc_id"),
+            F.array(t(prose, 0), t(second, 1), media).alias("spans"))
+        return main_content_spans(docs)
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2913,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_drain_estimate": crawl_drain_estimate,
         "freshness_cache_control": freshness_cache_control,
         "corpus_curation_audit": corpus_curation_audit,
+        "multimodal_main_content": multimodal_main_content,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5749,6 +5787,42 @@ def oracle_sql() -> dict[str, str]:
             FROM parsed
         """,
         "corpus_curation_audit": _curation_audit_sql(),
+        "multimodal_main_content": """
+            WITH sp AS (
+              SELECT event_id AS doc_id, 0 AS span_offset, 'text' AS kind,
+                     'the quick value of the table is in the sort and the '
+                     || 'merge for row ' || CAST(event_id AS VARCHAR) AS txt
+              FROM events
+              UNION ALL
+              SELECT event_id, 1, 'text',
+                     CASE WHEN user_id % 3 = 0 THEN 'home | about | contact'
+                          WHEN user_id % 3 = 1
+                            THEN 'zzz qqq xxx www vvv uuu ttt sss'
+                          ELSE 'a fine story about the data and the '
+                               || 'engine of ' || CAST(event_id AS VARCHAR)
+                     END
+              FROM events
+              UNION ALL
+              SELECT event_id, 2, 'media', '' FROM events),
+            st AS (
+              SELECT doc_id, span_offset, kind,
+                     list_filter(regexp_split_to_array(lower(txt), '\\s+'),
+                                 x -> x <> '') AS words
+              FROM sp),
+            sc AS (
+              SELECT doc_id, span_offset, kind,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     round(len(list_filter(words, x -> list_contains(
+                             ['the','a','an','and','of','to','in','is',
+                              'on','for'], x)))
+                           * 1.0 / greatest(len(words), 1), 6) AS stop_ratio
+              FROM st)
+            SELECT doc_id, CAST(span_offset AS BIGINT) AS span_offset, kind,
+                   n_words, stop_ratio,
+                   (kind = 'media'
+                    OR (n_words >= 5 AND stop_ratio >= 0.05)) AS keep
+            FROM sc
+        """,
         "crawl_ip_politeness": f"""
             WITH frontier AS (
               SELECT

@@ -451,3 +451,61 @@ def pack_multimodal_sequences(
         .alias("piece_len"),
         "dropped",
     )
+
+
+MAIN_CONTENT_STOPWORDS = (
+    "the", "a", "an", "and", "of", "to", "in", "is", "on", "for",
+)
+
+
+def main_content_spans(
+    docs_spans: DataFrame,
+    min_words: int = 5,
+    min_stop_ratio: float = 0.05,
+    stopwords: tuple[str, ...] = MAIN_CONTENT_STOPWORDS,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Boilerplate-vs-content classification of interleaved spans —
+    (doc_id, span_offset, kind, n_words, stop_ratio, keep).
+
+    The two strongest cheap signals from the boilerplate-removal
+    literature, applied per span: text-block LENGTH (Kohlschütter et
+    al., WSDM 2010 — boilerpipe's densitometry: navigation chrome is
+    short) and STOPWORD DENSITY (Pomikálek 2011 — jusText: real prose
+    is full of function words; menus, breadcrumbs, and keyword-stuffed
+    blocks are not). A text span is content iff it has >= ``min_words``
+    tokens AND a stopword ratio >= ``min_stop_ratio``; media spans are
+    always kept (their keep/drop is the caption/near-dup pipelines'
+    decision, not a prose-density one).
+
+    Plan shape: one posexplode-free explode of the span array + pure
+    higher-order/array codegen per span (the tokenization is a
+    split+filter on the span's own text) — no UDF, no shuffle, no join;
+    downstream reassembly composes exactly like pack_multimodal_
+    sequences' span stream.
+    """
+    s = docs_spans.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.col(spans_col)).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("span_offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("_t"),
+    )
+    words = F.filter(F.split(F.lower(F.col("_t")), r"\s+"),
+                     lambda x: x != "")
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    n_words = F.size(words).cast("long")
+    stop_hits = F.size(F.filter(words, lambda x: F.array_contains(
+        stop_arr, x)))
+    ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6)
+    keep = (F.col("kind") == "media") | (
+        (n_words >= min_words) & (ratio >= float(min_stop_ratio)))
+    return s.select(
+        "doc_id", "span_offset", "kind",
+        n_words.alias("n_words"),
+        ratio.alias("stop_ratio"),
+        keep.alias("keep"),
+    )

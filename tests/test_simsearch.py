@@ -694,3 +694,32 @@ def test_margin_alignment_scores(spark):
     # the aligned pair stands out above its neighborhood background
     assert margins[(1, 2)] > 1.0
     assert margins[(1, 2)] == max(margins.values())
+
+
+def test_main_content_spans(spark):
+    """jusText/boilerpipe-lite: short nav and stopword-free word salad
+    are boilerplate; prose and media survive."""
+    from sparkcrawl.operators.multimodal import main_content_spans
+
+    def t(text, off):
+        return ("text", text, "", off)
+
+    rows = [
+        (1, [t("the quick value of the table is in the sort order", 0),
+             t("home | about | contact", 1),           # short nav
+             t("zzz qqq xxx www vvv uuu ttt sss", 2),   # no stopwords
+             ("media", "", "img://1", 3)]),
+        (2, [t("", 0)]),                                 # empty text span
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    got = {(r["doc_id"], r["span_offset"]): r
+           for r in main_content_spans(docs).collect()}
+    assert got[(1, 0)]["keep"] and got[(1, 0)]["n_words"] == 11
+    assert not got[(1, 1)]["keep"]          # 4 words < 5
+    assert not got[(1, 2)]["keep"]          # ratio 0 < 0.05
+    assert got[(1, 3)]["keep"]              # media always kept
+    assert not got[(2, 0)]["keep"] and got[(2, 0)]["n_words"] == 0
+    # "the"x3 + "of" + "is" + "in" = 6 stopword hits of 11 words
+    assert got[(1, 0)]["stop_ratio"] == round(6 / 11, 6)
