@@ -65,6 +65,14 @@ def main() -> None:
                          "rules (DustBuster WWW'07) from the WARC archive's "
                          "(url, payload-digest) captures and write them as "
                          "parquet to OUT; requires --warc-archive")
+    ap.add_argument("--politeness-by-ip", action="store_true",
+                    help="slot fetch batches by resolved IP so co-hosted "
+                         "virtual hosts share one delay sequence "
+                         "(IRLbot/Heritrix behavior)")
+    ap.add_argument("--host-ip", metavar="PARQUET",
+                    help="(host, ip) mapping for --politeness-by-ip, e.g. "
+                         "exported from the DNS cache; unmapped hosts fall "
+                         "back to a deterministic synthetic IP")
     ap.add_argument("--focus-terms",
                     help="comma list of topic terms: after the crawl (or "
                          "resume) leg, run the focused-crawl relevance "
@@ -91,6 +99,8 @@ def main() -> None:
         warc_archive_dir=args.warc_archive,
         vacuum_every=args.vacuum_every,
         dust_rules_file=args.dust_rules,
+        politeness_by_ip=args.politeness_by_ip,
+        host_ip_file=args.host_ip,
     )
 
     if args.generate_fixtures:
