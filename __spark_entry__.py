@@ -2847,6 +2847,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array(t(prose, 0), t(second, 1), media).alias("spans"))
         return main_content_spans(docs)
 
+    def crawl_queue_starvation(spark, sf):
+        """Per-queue backlog aging (schedule.queue_starvation_report):
+        pending / overdue-beyond-a-day / oldest next_date / max wait at
+        the flagship cutoff clock — the frontier-aging readout behind
+        the A2 budget-carry feature. Priority-2 rows are done and must
+        be excluded."""
+        from sparkcrawl.operators.schedule import queue_starvation_report
+
+        frontier = _synthetic_frontier(spark, sf).withColumn(
+            "state",
+            F.when(F.col("priority") == 2, F.lit("done"))
+            .otherwise(F.lit("pending")))
+        from datetime import datetime
+
+        vt = datetime.fromisoformat(CUTOFF)
+        return queue_starvation_report(frontier, vt,
+                                       overdue_seconds=86400.0)
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2951,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_cache_control": freshness_cache_control,
         "corpus_curation_audit": corpus_curation_audit,
         "multimodal_main_content": multimodal_main_content,
+        "crawl_queue_starvation": crawl_queue_starvation,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5823,6 +5842,28 @@ def oracle_sql() -> dict[str, str]:
                     OR (n_words >= 5 AND stop_ratio >= 0.05)) AS keep
             FROM sc
         """,
+        "crawl_queue_starvation": """
+            WITH frontier AS (
+              SELECT
+                CAST(concat('0x', substr(md5('host'
+                  || CAST(user_id % 50 AS VARCHAR) || '.example'), 1, 8))
+                  AS BIGINT) % 8 AS queue,
+                ts AS next_date,
+                CAST(event_id % 3 + 1 AS BIGINT) AS priority
+              FROM events),
+            p AS (SELECT * FROM frontier WHERE priority <> 2)
+            SELECT queue, count(*) AS pending,
+                   count(*) FILTER (next_date <= TIMESTAMP '{CUTOFF}'
+                                    - INTERVAL 86400 SECONDS) AS overdue,
+                   round(count(*) FILTER (next_date <=
+                           TIMESTAMP '{CUTOFF}' - INTERVAL 86400 SECONDS)
+                         * 1.0 / count(*), 6) AS overdue_frac,
+                   min(epoch_us(next_date)) AS oldest_next_us,
+                   round(greatest(max(epoch_us(TIMESTAMP '{CUTOFF}')
+                                      - epoch_us(next_date)), 0)
+                         / 1e6, 6) AS max_wait_seconds
+            FROM p GROUP BY queue
+        """.replace("{CUTOFF}", CUTOFF),
         "crawl_ip_politeness": f"""
             WITH frontier AS (
               SELECT

@@ -424,3 +424,34 @@ def allocate_budgets(
     return out.select(
         F.col("key").alias(key_col), F.col("weight"), F.col("alloc")
     )
+
+
+def queue_starvation_report(frontier: DataFrame, virtual_time,
+                            overdue_seconds: float = 0.0) -> DataFrame:
+    """(queue, pending, overdue, overdue_frac, oldest_next_us,
+    max_wait_seconds): per-queue backlog aging at ``virtual_time``.
+
+    Budget carry (A2) exists because biased queue selection can starve
+    a queue; this is the readout that shows it happening — a queue
+    whose max_wait keeps growing while others drain is under-budgeted
+    (the frontier-aging metric crawl operators chart; Mercator's
+    queue-depth dashboards are the classic form). ``overdue`` counts
+    pending URLs whose next_date is more than ``overdue_seconds``
+    behind the clock. ONE map-side-combined hash agg on the queue id —
+    no window, no join; safe at any frontier size.
+    """
+    vt = F.lit(virtual_time)
+    pending = frontier.filter(F.col("state") == "pending")
+    late = F.col("next_date") <= vt - F.expr(
+        f"INTERVAL {float(overdue_seconds)} SECONDS")
+    wait = F.unix_micros(vt.cast("timestamp")) - F.unix_micros(
+        F.col("next_date").cast("timestamp"))
+    return pending.groupBy("queue").agg(
+        F.count("*").alias("pending"),
+        F.count_if(late).alias("overdue"),
+        F.round(F.count_if(late) / F.count("*"), 6).alias("overdue_frac"),
+        F.min(F.unix_micros(F.col("next_date").cast("timestamp")))
+        .alias("oldest_next_us"),
+        F.round(F.greatest(F.max(wait), F.lit(0)) / 1e6, 6)
+        .alias("max_wait_seconds"),
+    )

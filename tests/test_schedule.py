@@ -310,3 +310,28 @@ def test_politeness_drain_estimate(spark, mini_cfg):
     # single pending URL drains instantly
     assert got["tiny.example"]["drain_seconds"] == 0.0
     assert not got["tiny.example"]["politeness_bound"]
+
+
+def test_queue_starvation_report(spark):
+    from datetime import timedelta
+
+    from sparkcrawl.operators.schedule import queue_starvation_report
+
+    rows = (
+        [_row(i, queue=0, next_offset=-100) for i in range(3)]   # overdue
+        + [_row(10, queue=0, next_offset=50)]                    # future
+        + [_row(20, queue=1, next_offset=-10)]
+        + [_row(30, queue=2, next_offset=-5, state="done")]      # excluded
+    )
+    df = _frontier(spark, rows)
+    now = T0
+    got = {r["queue"]: r for r in queue_starvation_report(df, now).collect()}
+    assert got[0]["pending"] == 4 and got[0]["overdue"] == 3
+    assert got[0]["overdue_frac"] == 0.75
+    assert got[0]["max_wait_seconds"] == 100.0
+    assert got[1]["overdue"] == 1 and got[1]["max_wait_seconds"] == 10.0
+    assert 2 not in got
+    # overdue threshold: only the 100s-late rows count at 60s
+    got60 = {r["queue"]: r for r in queue_starvation_report(
+        df, now, overdue_seconds=60.0).collect()}
+    assert got60[0]["overdue"] == 3 and got60[1]["overdue"] == 0
