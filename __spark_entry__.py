@@ -2865,6 +2865,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return queue_starvation_report(frontier, vt,
                                        overdue_seconds=86400.0)
 
+    def index_anchor_terms(spark, sf):
+        """Anchor-text inverted index (extract_anchor_texts ->
+        invindex.inverted_index): term -> posting list of TARGET page
+        ids — how early web search ranked pages it had not crawled
+        (anchor text describes the target, not the source). Same HTML
+        synthesis as anchor_text_agg; the extractor's (link, anchor)
+        stream feeds the index build with target ids parsed from the
+        hub URLs."""
+        from sparkcrawl.config import CrawlConfig
+        from sparkcrawl.operators.extract import extract_anchor_texts
+        from sparkcrawl.operators.invindex import inverted_index
+
+        docs = _read(spark, sf, "documents")
+        id_str = F.col("doc_id").cast("string")
+        ws = F.split(F.col("text"), " ")
+        anchor = F.concat_ws(
+            " ", ws.getItem(0), ws.getItem(1), ws.getItem(2))
+        fetchlike = docs.select(
+            F.concat(F.lit("http://doc"), id_str,
+                     F.lit(".example/")).alias("url"),
+            F.lit(200).alias("status_code"),
+            F.lit("text/html; charset=utf-8").alias("content_type"),
+            F.concat(
+                F.lit("<html><body><p>"), F.col("text"),
+                F.lit('</p><a href="http://hub.example/t'),
+                (F.col("doc_id") % 7).cast("string"), F.lit('">'),
+                anchor, F.lit("</a></body></html>")).alias("body"))
+        rows = extract_anchor_texts(fetchlike, CrawlConfig())
+        targets = rows.select(
+            F.regexp_extract("link", r"/t(\d+)$", 1).cast("long")
+            .alias("doc"),
+            F.col("anchor"))
+        idx = inverted_index(targets, text_col="anchor", id_col="doc")
+        return idx.select(
+            "term", "df",
+            F.array_join(F.col("postings").cast("array<string>"),
+                         ",").alias("postings"),
+            F.array_join(F.col("gaps").cast("array<string>"),
+                         ",").alias("gaps"))
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -2970,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_audit": corpus_curation_audit,
         "multimodal_main_content": multimodal_main_content,
         "crawl_queue_starvation": crawl_queue_starvation,
+        "index_anchor_terms": index_anchor_terms,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5864,6 +5905,30 @@ def oracle_sql() -> dict[str, str]:
                          / 1e6, 6) AS max_wait_seconds
             FROM p GROUP BY queue
         """.replace("{CUTOFF}", CUTOFF),
+        "index_anchor_terms": """
+            WITH src AS (
+              SELECT doc_id % 7 AS tgt,
+                     string_split(lower(text), ' ') AS ws
+              FROM documents),
+            terms AS (
+              SELECT tgt, ws[1] AS tok FROM src
+              UNION ALL SELECT tgt, ws[2] FROM src
+              UNION ALL SELECT tgt, ws[3] FROM src),
+            td AS (
+              SELECT DISTINCT tgt AS id, tok FROM terms
+              WHERE tok IS NOT NULL AND tok <> ''),
+            gapst AS (
+              SELECT tok, id,
+                     id - coalesce(lag(id) OVER (PARTITION BY tok
+                                                 ORDER BY id), 0) AS gap
+              FROM td)
+            SELECT tok AS term, count(*) AS df,
+                   string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)
+                     AS postings,
+                   string_agg(CAST(gap AS VARCHAR), ',' ORDER BY id)
+                     AS gaps
+            FROM gapst GROUP BY tok
+        """,
         "crawl_ip_politeness": f"""
             WITH frontier AS (
               SELECT
