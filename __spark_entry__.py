@@ -2905,6 +2905,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_join(F.col("gaps").cast("array<string>"),
                          ",").alias("gaps"))
 
+    def crawl_confusable_domains(spark, sf):
+        """Typo-squat detection (urlfilter.confusable_domain_pairs,
+        FastSS deletion-neighborhood + levenshtein verify): 30 brand
+        domains plus insertion ('...x.example') and substitution
+        ('br4nd...') clones; every emitted pair is exactly distance 1,
+        candidates capped per variant key."""
+        from sparkcrawl.operators.urlfilter import confusable_domain_pairs
+
+        ev = _read(spark, sf, "events")
+        u = (F.col("user_id") % 30).cast("string")
+        base = ev.select(F.concat(F.lit("brand"), u,
+                                  F.lit(".example")).alias("host"))
+        ins = ev.filter(F.col("event_id") % 5 == 0).select(
+            F.concat(F.lit("brand"), u, F.lit("x.example")).alias("host"))
+        sub = ev.filter(F.col("event_id") % 5 == 1).select(
+            F.concat(F.lit("br4nd"), u, F.lit(".example")).alias("host"))
+        hosts = base.unionAll(ins).unionAll(sub)
+        return confusable_domain_pairs(hosts, min_len=8, max_group=50)
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -3011,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_main_content": multimodal_main_content,
         "crawl_queue_starvation": crawl_queue_starvation,
         "index_anchor_terms": index_anchor_terms,
+        "crawl_confusable_domains": crawl_confusable_domains,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5928,6 +5948,36 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(gap AS VARCHAR), ',' ORDER BY id)
                      AS gaps
             FROM gapst GROUP BY tok
+        """,
+        "crawl_confusable_domains": """
+            WITH hosts AS (
+              SELECT 'brand' || CAST(user_id % 30 AS VARCHAR)
+                     || '.example' AS host FROM events
+              UNION ALL
+              SELECT 'brand' || CAST(user_id % 30 AS VARCHAR)
+                     || 'x.example' FROM events WHERE event_id % 5 = 0
+              UNION ALL
+              SELECT 'br4nd' || CAST(user_id % 30 AS VARCHAR)
+                     || '.example' FROM events WHERE event_id % 5 = 1),
+            doms AS (
+              SELECT DISTINCT lower(host) AS d FROM hosts
+              WHERE len(host) >= 8),
+            v AS (
+              SELECT DISTINCT d, v FROM (
+                SELECT d, d AS v FROM doms
+                UNION ALL
+                SELECT d, substr(d, 1, i - 1) || substr(d, i + 1) AS v
+                FROM doms, generate_series(1, 64) g(i)
+                WHERE i <= len(d))),
+            kc AS (SELECT v FROM v GROUP BY v HAVING count(*) <= 50),
+            vp AS (SELECT v.* FROM v JOIN kc USING (v)),
+            cand AS (
+              SELECT DISTINCT a.d AS domain_a, b.d AS domain_b
+              FROM vp a JOIN vp b ON a.v = b.v AND a.d < b.d)
+            SELECT domain_a, domain_b,
+                   CAST(levenshtein(domain_a, domain_b) AS BIGINT)
+                     AS distance
+            FROM cand WHERE levenshtein(domain_a, domain_b) <= 1
         """,
         "crawl_ip_politeness": f"""
             WITH frontier AS (

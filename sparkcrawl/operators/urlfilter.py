@@ -99,3 +99,67 @@ def url_quality_filter(
         & (F.col("n_params") <= max_params)
     )
     return out.withColumn("keep", keep)
+
+
+def confusable_domain_pairs(
+    hosts: DataFrame,
+    host_col: str = "host",
+    min_len: int = 5,
+    max_group: int = 50,
+) -> DataFrame:
+    """Edit-distance-1 domain pairs — (domain_a, domain_b, distance) —
+    the typo-squatting / confusable-domain detector.
+
+    A crawl that discovers ``paypa1.example`` next to
+    ``paypal.example`` is usually looking at a phishing or
+    typo-squatting clone; flagging near-identical registered domains is
+    standard crawl hygiene. The naive form is an all-pairs edit
+    distance (impossible at 10^8 domains); this uses the FastSS /
+    SymSpell deletion-neighborhood trick (Bocek et al., 2007, public
+    method): every string x with |edit(x, y)| <= 1 shares at least one
+    member of {x} ∪ deletions(x) with {y} ∪ deletions(y), so an
+    equi-join on the deletion variant finds every candidate, and a
+    built-in ``levenshtein`` verify (identical in Spark and DuckDB)
+    keeps the join exact — candidates at distance 2 (two different
+    single deletions colliding) are discarded.
+
+    Scale shape: variants come from one higher-order transform (|s|+1
+    rows per domain after explode), the join key is the variant string
+    with a ``max_group`` cap pruning degenerate hubs (very short or
+    templated labels) BEFORE the pair square — the same high-frequency-
+    key defense as every other pair search here. ``min_len`` skips
+    short domains where distance 1 is meaningless.
+    """
+    doms = (
+        hosts.select(F.lower(F.col(host_col)).alias("d"))
+        .filter(F.length("d") >= min_len)
+        .distinct()
+    )
+    # variants = the domain itself + every single-character deletion
+    variants = F.concat(
+        F.array(F.col("d")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("d")),
+            lambda i: F.concat(
+                F.col("d").substr(F.lit(1), i - 1),
+                F.col("d").substr(i + 1, F.length("d")),
+            ),
+        ),
+    )
+    v = doms.select("d", F.explode(variants).alias("v")).distinct()
+    key_counts = v.groupBy("v").agg(F.count("*").alias("_n"))
+    rare = key_counts.filter(F.col("_n") <= max_group).drop("_n")
+    vp = v.join(rare, "v")
+    a = vp.select("v", F.col("d").alias("domain_a"))
+    b = vp.select("v", F.col("d").alias("domain_b"))
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("domain_a") < F.col("domain_b"))
+        .select("domain_a", "domain_b")
+        .distinct()
+    )
+    dist = F.levenshtein("domain_a", "domain_b")
+    return (
+        cand.withColumn("distance", dist.cast("long"))
+        .filter(F.col("distance") <= 1)
+    )

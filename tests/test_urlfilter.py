@@ -58,3 +58,41 @@ def test_url_quality_filter_blocklist_is_broadcast(spark):
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_confusable_domain_pairs(spark):
+    """FastSS deletion-neighborhood join + levenshtein verify: finds
+    exactly the distance<=1 pairs (substitution, deletion, insertion),
+    never distance-2 collisions; output matches brute force."""
+    from sparkcrawl.operators.urlfilter import confusable_domain_pairs
+
+    rows = [
+        ("paypal.example",),
+        ("paypa1.example",),     # substitution
+        ("paypall.example",),    # insertion
+        ("papal.example",),      # deletion (y removed)
+        ("amazon.example",),     # unrelated
+        ("amazom.example",),     # substitution of amazon
+        ("short",),              # below min_len=6
+    ]
+    hosts = spark.createDataFrame(rows, ["host"])
+    got = {(r["domain_a"], r["domain_b"]): r["distance"]
+           for r in confusable_domain_pairs(hosts, min_len=6).collect()}
+    # brute-force ground truth over the eligible set
+    import itertools
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+    elig = sorted(r[0] for r in rows if len(r[0]) >= 6)
+    want = {(x, y): lev(x, y) for x, y in itertools.combinations(elig, 2)
+            if lev(x, y) <= 1}
+    assert got == want
+    assert ("amazom.example", "amazon.example") in got
+    assert ("papal.example", "paypal.example") in got
+    assert ("paypa1.example", "paypal.example") in got
+    assert all("short" not in p for pair in got for p in pair)
