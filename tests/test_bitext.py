@@ -119,3 +119,42 @@ def test_host_path_projection(spark):
     got = {r["host"]: r["path"]
            for r in mirrors.host_path_content(df).collect()}
     assert got.get("h.example") == "/p"
+
+
+def test_skeleton_idempotent_and_lang_closed(spark):
+    """Property check in ONE Spark job over 300 adversarial synthesized
+    URLs: applying the skeleton projection to an already-skeletonized
+    URL is a no-op (the _L_ placeholder is outside the code
+    alternation), and url_lang is always a known code or NULL."""
+    from pyspark.sql import functions as F
+
+    codes = bitext.DEFAULT_LANG_CODES
+    base = spark.range(300).select(
+        F.col("id"),
+        F.concat(
+            F.lit("http://"),
+            F.when(F.col("id") % 4 == 0,
+                   F.element_at(F.array(*[F.lit(c) for c in codes]),
+                                (F.col("id") % len(codes) + 1).cast("int")))
+            .otherwise(F.lit("www")),
+            F.lit(".s"), (F.col("id") % 9).cast("string"),
+            F.lit(".example/"),
+            F.when(F.col("id") % 3 == 0, F.lit("en/"))
+            .when(F.col("id") % 3 == 1, F.lit("enx/"))   # NOT a marker
+            .otherwise(F.lit("")),
+            F.lit("p/"), F.col("id").cast("string"),
+            F.when(F.col("id") % 5 == 0, F.lit("?hl=fr&x=1"))
+            .otherwise(F.lit("")),
+        ).alias("url"))
+    once = bitext.url_language_skeleton(base).select(
+        "id", F.col("skeleton").alias("url"), F.col("url_lang").alias("l1"))
+    twice = bitext.url_language_skeleton(once).select(
+        "id", F.col("skeleton").alias("s2"), F.col("url_lang").alias("l2"),
+        F.col("url").alias("s1"), "l1")
+    bad = twice.filter(
+        (F.col("s2") != F.col("s1"))
+        | (F.col("l1").isNotNull()
+           & ~F.col("l1").isin(*codes))
+        | F.col("l2").isNotNull()   # a skeleton carries no marker
+    ).count()
+    assert bad == 0
