@@ -2924,6 +2924,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hosts = base.unionAll(ins).unionAll(sub)
         return confusable_domain_pairs(hosts, min_len=8, max_group=50)
 
+    def simsearch_recall_eval(spark, sf):
+        """Measured recall@5 of the LSH-bucketed ANN path against the
+        exact brute-force result (simsearch.ann_recall_eval) at the
+        registry's own LSH config — the ANN counterpart of
+        dedup_lsh_pr_eval. Per-query recalls averaged in integer
+        micro-units for cross-engine determinism."""
+        emb = _read(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        exact = simsearch.brute_force_topk(emb, q, k=5)
+        approx = simsearch.lsh_bucketed_topk(
+            emb, q, k=5, n_planes=_LSH_PLANES, dim=_EMB_DIM,
+            seed=_LSH_SEED, n_bands=_LSH_BANDS,
+            max_bucket_size=_LSH_CAP)
+        return simsearch.ann_recall_eval(exact, approx, k=5)
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -3031,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_queue_starvation": crawl_queue_starvation,
         "index_anchor_terms": index_anchor_terms,
         "crawl_confusable_domains": crawl_confusable_domains,
+        "simsearch_recall_eval": simsearch_recall_eval,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -5979,6 +5995,61 @@ def oracle_sql() -> dict[str, str]:
                      AS distance
             FROM cand WHERE levenshtein(domain_a, domain_b) <= 1
         """,
+        "simsearch_recall_eval": f"""
+            WITH bb AS ({{bb}}),
+            ok AS (
+              SELECT band, bucket FROM bb
+              GROUP BY band, bucket HAVING count(*) <= {_LSH_CAP}),
+            bc AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+            acand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+              FROM bb q JOIN bc c ON q.band = c.band AND q.bucket = c.bucket
+              WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+            approx AS (
+              SELECT query_id, cand_id FROM (
+                SELECT query_id, cand_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY query_id
+                         ORDER BY round({_cos_sql('q.embedding', 'c.embedding')}, 6) DESC,
+                                  cand_id) AS rank
+                FROM acand
+                JOIN embeddings q ON q.vec_id = acand.query_id
+                JOIN embeddings c ON c.vec_id = acand.cand_id)
+              WHERE rank <= 5),
+            exact AS (
+              SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY round({_cos_sql('q.embedding', 'c.embedding')}, 6) DESC,
+                                  c.vec_id) AS rank
+                FROM embeddings q CROSS JOIN embeddings c
+                WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
+              WHERE rank <= 5),
+            per AS (
+              SELECT query_id, count(*) AS n_exact
+              FROM exact GROUP BY query_id),
+            hits AS (
+              SELECT e.query_id, count(*) AS n_hits
+              FROM exact e JOIN approx a2
+                ON a2.query_id = e.query_id AND a2.cand_id = e.cand_id
+              GROUP BY e.query_id),
+            j AS (
+              SELECT per.query_id, per.n_exact,
+                     coalesce(hits.n_hits, 0) AS n_hits,
+                     CAST(round(coalesce(hits.n_hits, 0) * 1000000.0
+                                / per.n_exact) AS BIGINT) AS ru
+              FROM per LEFT JOIN hits ON hits.query_id = per.query_id)
+            SELECT count(*) AS n_queries,
+                   CAST(sum(n_exact) AS BIGINT) AS sum_exact,
+                   CAST(sum(n_hits) AS BIGINT) AS sum_hits,
+                   round(sum(n_hits) * 1.0 / sum(n_exact), 6)
+                     AS micro_recall,
+                   round(sum(ru) * 1.0 / count(*) / 1000000.0, 6)
+                     AS mean_recall,
+                   round(min(ru) / 1000000.0, 6) AS min_recall
+            FROM j
+        """.replace("{bb}", _banded_bucket_cte(_LSH_PLANES)),
         "crawl_ip_politeness": f"""
             WITH frontier AS (
               SELECT

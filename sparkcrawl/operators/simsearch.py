@@ -467,6 +467,64 @@ def knn_graph(
     )
 
 
+def ann_recall_eval(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int | None = None,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact one —
+    ONE summary row: (n_queries, sum_exact, sum_hits, micro_recall,
+    mean_recall, min_recall).
+
+    The ANN counterpart of :func:`~sparkcrawl.operators.textops.
+    lsh_pr_eval`: the analytic knobs (planes, bands, caps, nprobe) say
+    what recall SHOULD be; this measures what the configured index
+    actually returns on the real corpus — the number that decides
+    whether an approximate path can replace the exact verifier for a
+    given workload. ``exact`` and ``approx`` are any two result tables
+    in the (query_id, cand_id, rank) shape the ANN family emits
+    (brute_force_topk / lsh_bucketed_topk / ivf_topk / pq_topk ...).
+
+    Determinism: per-query recall is computed in integer micro-units
+    (round(hits*1e6/n_exact) as a long) before averaging, so the mean
+    is bit-identical under any partitioning and in the oracle — the
+    same device margin_alignment_scores uses. micro_recall is the
+    pooled sum_hits/sum_exact (exact long division).
+    """
+    e = exact if k is None else exact.filter(F.col(rank_col) <= k)
+    a = approx if k is None else approx.filter(F.col(rank_col) <= k)
+    e2 = e.select(F.col(query_col).alias("q"), F.col(cand_col).alias("c"))
+    a2 = a.select(F.col(query_col).alias("q"), F.col(cand_col).alias("c"))
+    per = e2.groupBy("q").agg(F.count("*").alias("n_exact"))
+    hits = e2.join(a2, ["q", "c"]).groupBy("q").agg(
+        F.count("*").alias("n_hits"))
+    j = (
+        per.join(hits, "q", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn(
+            "_ru",
+            F.round(F.col("n_hits") * F.lit(1_000_000.0)
+                    / F.col("n_exact")).cast("long"))
+    )
+    return j.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_exact").cast("long").alias("sum_exact"),
+        F.sum("n_hits").cast("long").alias("sum_hits"),
+    ).crossJoin(
+        j.agg(F.sum("_ru").alias("_sru"), F.min("_ru").alias("_mru"))
+    ).select(
+        "n_queries", "sum_exact", "sum_hits",
+        F.round(F.col("sum_hits") / F.col("sum_exact"), 6)
+        .alias("micro_recall"),
+        F.round(F.col("_sru") / F.col("n_queries") / F.lit(1e6), 6)
+        .alias("mean_recall"),
+        F.round(F.col("_mru") / F.lit(1e6), 6).alias("min_recall"),
+    )
+
+
 def margin_alignment_scores(
     embeddings: DataFrame,
     k: int = 5,

@@ -723,3 +723,28 @@ def test_main_content_spans(spark):
     assert not got[(2, 0)]["keep"] and got[(2, 0)]["n_words"] == 0
     # "the"x3 + "of" + "is" + "in" = 6 stopword hits of 11 words
     assert got[(1, 0)]["stop_ratio"] == round(6 / 11, 6)
+
+
+def test_ann_recall_eval(spark):
+    """Recall math recomputed by hand from two small result tables;
+    perfect-recall and missing-query cases covered."""
+    from sparkcrawl.operators import simsearch
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2), (3, 30, 1)],
+        ["query_id", "cand_id", "rank"])
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2),          # 1/2 for query 1
+         (2, 20, 1), (2, 21, 2)],          # 2/2 for query 2; query 3: 0/1
+        ["query_id", "cand_id", "rank"])
+    r = simsearch.ann_recall_eval(exact, approx).collect()[0]
+    assert (r["n_queries"], r["sum_exact"], r["sum_hits"]) == (3, 5, 3)
+    assert r["micro_recall"] == 0.6
+    assert r["mean_recall"] == 0.5            # (0.5 + 1.0 + 0.0)/3
+    assert r["min_recall"] == 0.0
+    # identical tables -> everything 1.0
+    p = simsearch.ann_recall_eval(exact, exact).collect()[0]
+    assert p["micro_recall"] == p["mean_recall"] == p["min_recall"] == 1.0
+    # k filter applies to both sides
+    r1 = simsearch.ann_recall_eval(exact, approx, k=1).collect()[0]
+    assert (r1["sum_exact"], r1["sum_hits"]) == (3, 2)
