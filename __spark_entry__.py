@@ -2939,6 +2939,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_bucket_size=_LSH_CAP)
         return simsearch.ann_recall_eval(exact, approx, k=5)
 
+    def crawl_sitemap_coverage(spark, sf):
+        """Declared-vs-seen coverage per host (plans/analytics.py::
+        sitemap_coverage): sitemap <loc> sets synthesized over 20
+        hosts, seen set = two thirds of them plus undeclared extras
+        (which must not count) — the budget-targeting readout
+        complementing the saturation curve."""
+        from sparkcrawl.plans.analytics import sitemap_coverage
+
+        ev = _read(spark, sf, "events")
+        url = F.concat(F.lit("http://s"),
+                       (F.col("user_id") % 20).cast("string"),
+                       F.lit(".example/p/"),
+                       F.col("event_id").cast("string"))
+        locs = ev.select(url.alias("loc"))
+        seen = ev.filter(F.col("event_id") % 3 != 0).select(
+            url.alias("url")).unionAll(
+            ev.select(F.concat(F.lit("http://other.example/x/"),
+                               F.col("event_id").cast("string"))
+                      .alias("url")))
+        return sitemap_coverage(locs, seen)
+
     return {
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -3047,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_anchor_terms": index_anchor_terms,
         "crawl_confusable_domains": crawl_confusable_domains,
         "simsearch_recall_eval": simsearch_recall_eval,
+        "crawl_sitemap_coverage": crawl_sitemap_coverage,
         # --- ROTATION NOTE (r5): the driver samples the FIRST 50 dict
         # --- entries. r4's sample = the 46 keys above + the first 4 of
         # --- the "new in r4" block; positions 51+ (text_hashed_features,
@@ -6050,6 +6072,30 @@ def oracle_sql() -> dict[str, str]:
                    round(min(ru) / 1000000.0, 6) AS min_recall
             FROM j
         """.replace("{bb}", _banded_bucket_cte(_LSH_PLANES)),
+        "crawl_sitemap_coverage": r"""
+            WITH locs AS (
+              SELECT DISTINCT 'http://s' || CAST(user_id % 20 AS VARCHAR)
+                     || '.example/p/' || CAST(event_id AS VARCHAR) AS loc
+              FROM events),
+            seen AS (
+              SELECT DISTINCT url FROM (
+                SELECT 'http://s' || CAST(user_id % 20 AS VARCHAR)
+                       || '.example/p/' || CAST(event_id AS VARCHAR) AS url
+                FROM events WHERE event_id % 3 <> 0
+                UNION ALL
+                SELECT 'http://other.example/x/'
+                       || CAST(event_id AS VARCHAR) FROM events)),
+            j AS (
+              SELECT lower(regexp_extract(locs.loc,
+                       '^[a-z][a-z0-9+.\-]*://([^/?#]*)', 1)) AS host,
+                     seen.url IS NOT NULL AS ok
+              FROM locs LEFT JOIN seen ON seen.url = locs.loc)
+            SELECT host, count(*) AS n_declared,
+                   count(*) FILTER (ok) AS n_seen,
+                   round(count(*) FILTER (ok) * 1.0 / count(*), 6)
+                     AS coverage
+            FROM j GROUP BY host
+        """,
         "crawl_ip_politeness": f"""
             WITH frontier AS (
               SELECT

@@ -122,3 +122,37 @@ def crawl_saturation(checkpoints: DataFrame) -> DataFrame:
                     F.when(novelty.isNotNull(), F.round(1 - novelty, 6)))
         .withColumn("seen_growth_rate", growth)
     )
+
+
+def sitemap_coverage(sitemap_locs: DataFrame, seen: DataFrame,
+                     loc_col: str = "loc",
+                     url_col: str = "url") -> DataFrame:
+    """(host, n_declared, n_seen, coverage): how much of what each site
+    DECLARES (its sitemap <loc> entries) the crawl has actually seen.
+
+    The complement of the saturation curve: saturation says discovery
+    is drying up; coverage says whether that is because the site is
+    exhausted or because the scheduler never got there. Sites with low
+    coverage and high declared counts are where the next budget
+    increment buys the most pages (sitemaps are the publisher's own
+    completeness claim — Schonfeld & Shivakumar, "Sitemaps: above and
+    beyond the crawl of duty", WWW 2009, measured exactly this gap at
+    Google scale).
+
+    One distinct per side, one left semi-ish join on the URL string,
+    one host-keyed hash agg — no window; both inputs are engine tables
+    (operators/extract.py::sitemap_entries locs; the frontier/seen set).
+    """
+    from sparkcrawl.functions.urlnorm import host_of_canonical_col
+
+    d = (sitemap_locs.select(F.col(loc_col).alias("_loc")).distinct()
+         .withColumn("_host", host_of_canonical_col(F.col("_loc"))))
+    s = seen.select(F.col(url_col).alias("_loc")).distinct() \
+        .withColumn("_seen", F.lit(True))
+    j = d.join(s, "_loc", "left")
+    return j.groupBy(F.col("_host").alias("host")).agg(
+        F.count("*").alias("n_declared"),
+        F.count_if(F.col("_seen")).alias("n_seen"),
+        F.round(F.count_if(F.col("_seen")) / F.count("*"), 6)
+        .alias("coverage"),
+    )

@@ -81,3 +81,23 @@ def test_curation_audit_first_failing_stage(spark):
     got2 = {r["doc_id"]: r["drop_reason"]
             for r in curation_audit(docs2).collect()}
     assert got2[6] == "quality"
+
+
+def test_sitemap_coverage(spark):
+    from sparkcrawl.plans.analytics import sitemap_coverage
+
+    locs = spark.createDataFrame(
+        [("http://a.example/p1",), ("http://a.example/p2",),
+         ("http://a.example/p2",),                 # duplicate declaration
+         ("http://a.example/p3",), ("http://b.example/q1",)],
+        ["loc"])
+    seen = spark.createDataFrame(
+        [("http://a.example/p1",), ("http://a.example/p2",),
+         ("http://c.example/zz",)],                # seen but undeclared
+        ["url"])
+    got = {r["host"]: r for r in sitemap_coverage(locs, seen).collect()}
+    assert got["a.example"]["n_declared"] == 3
+    assert got["a.example"]["n_seen"] == 2
+    assert got["a.example"]["coverage"] == round(2 / 3, 6)
+    assert got["b.example"]["coverage"] == 0.0
+    assert "c.example" not in got     # coverage is declared-side only
