@@ -435,3 +435,34 @@ def test_paragraph_langid_is_agg_rollup(spark, queries):
     assert "Window" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_confusable_pairs_plan_capped_equijoin(spark, queries):
+    """FastSS candidates: variant equi-join only — no cross product,
+    no Python; the levenshtein verify is a codegen expression."""
+    p = plan_of(queries["crawl_confusable_domains"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_recall_and_pr_eval_plans_scalar_outputs(spark, queries):
+    """Both evaluation harnesses end in scalar-sized aggregates —
+    nothing data-sized crosses stages unguarded, no Python."""
+    p = plan_of(queries["simsearch_recall_eval"](spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p or "broadcast" in p.lower()
+
+
+def test_saturation_and_coverage_plans(spark, queries):
+    """Saturation: one window over the superstep-sized table (allowed
+    by design). Coverage: join + agg, NO window at all."""
+    c = plan_of(queries["crawl_sitemap_coverage"](spark, SF), "simple")
+    assert "Window" not in c
+    assert "BatchEvalPython" not in c
+    # host projection is the hybrid canonicalizer: exactly ONE
+    # NULL-gated Arrow lane, same invariant as frontier_rows
+    assert c.count("ArrowEvalPython") == 1
+    a = plan_of(queries["corpus_curation_audit"](spark, SF), "simple")
+    assert "Window" not in a   # audit argmax is a min-of-struct agg
+    assert "BatchEvalPython" not in a and "ArrowEvalPython" not in a
