@@ -5441,7 +5441,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             JOIN pen pa ON pa.id = g.src
             JOIN pen pb ON pb.id = g.dst
-            WHERE (pa.s / pa.c + pb.s / pb.c) / 2000000.0 > 1e-9
+            WHERE abs((pa.s / pa.c + pb.s / pb.c) / 2000000.0) > 1e-9
         """.replace("{bb}", _banded_bucket_cte(_ND_PLANES)),
         "corpus_quality_topfrac": f"""
             WITH q AS (SELECT id, quality FROM ({_quality_sql()})),
@@ -5495,7 +5495,7 @@ def oracle_sql() -> dict[str, str]:
                 regexp_replace(regexp_replace(regexp_replace(url,
                     '^(https?://)(de|en|es|fr|zh)\.', '\1_L_.'),
                     '/(de|en|es|fr|zh)/', '/_L_/', 'g'),
-                    '([?&](?:lang|hl|locale)=)(de|en|es|fr|zh)', '\1_L_',
+                    '([?&](?:lang|hl|locale)=)(de|en|es|fr|zh)(&|$)', '\1_L_\3',
                     'g') AS skeleton,
                 coalesce(
                   nullif(regexp_extract(url,
@@ -5503,7 +5503,7 @@ def oracle_sql() -> dict[str, str]:
                   nullif(regexp_extract(url,
                     '/(de|en|es|fr|zh)/', 1), ''),
                   nullif(regexp_extract(url,
-                    '[?&](?:lang|hl|locale)=(de|en|es|fr|zh)', 1), '')
+                    '[?&](?:lang|hl|locale)=(de|en|es|fr|zh)(&|$)', 1), '')
                 ) AS url_lang
               FROM pages),
             capped AS (
@@ -5805,7 +5805,7 @@ def oracle_sql() -> dict[str, str]:
                 regexp_replace(regexp_replace(regexp_replace(url,
                     '^(https?://)(de|en|es|fr|zh)\.', '\1_L_.'),
                     '/(de|en|es|fr|zh)/', '/_L_/', 'g'),
-                    '([?&](?:lang|hl|locale)=)(de|en|es|fr|zh)', '\1_L_',
+                    '([?&](?:lang|hl|locale)=)(de|en|es|fr|zh)(&|$)', '\1_L_\3',
                     'g') AS skeleton,
                 coalesce(
                   nullif(regexp_extract(url,
@@ -5813,7 +5813,7 @@ def oracle_sql() -> dict[str, str]:
                   nullif(regexp_extract(url,
                     '/(de|en|es|fr|zh)/', 1), ''),
                   nullif(regexp_extract(url,
-                    '[?&](?:lang|hl|locale)=(de|en|es|fr|zh)', 1), '')
+                    '[?&](?:lang|hl|locale)=(de|en|es|fr|zh)(&|$)', 1), '')
                 ) AS url_lang
               FROM pages),
             capped AS (

@@ -59,22 +59,29 @@ def url_language_skeleton(
 
     Pure regexp codegen — the patterns avoid lookaround so both Java
     regex (Spark) and RE2 (DuckDB oracle) execute them identically.
+    The query-param pattern therefore anchors the code's END by
+    matching-and-re-emitting the terminator (``(&|$)`` via ``$3``)
+    instead of a lookahead: without it ``?lang=eng`` matches ``en``
+    and leaves ``?lang=_L_g`` residue, mislabeling url_lang. (Known
+    limit: back-to-back markers ``?lang=en&hl=fr`` consume the ``&``,
+    so only the first is normalized — same as the pre-fix behavior.)
     """
     alt = _alt(codes)
     sub_pat = rf"^(https?://)({alt})\."
     path_pat = rf"/({alt})/"
-    query_pat = rf"([?&](?:lang|hl|locale)=)({alt})"
+    query_pat = rf"([?&](?:lang|hl|locale)=)({alt})(&|$)"
     u = F.col(url_col)
     skeleton = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(u, sub_pat, "$1_L_."),
             path_pat, "/_L_/"),
-        query_pat, "$1_L_")
+        query_pat, "$1_L_$3")
     lang = F.coalesce(
         F.nullif(F.regexp_extract(u, rf"^https?://({alt})\.", 1), F.lit("")),
         F.nullif(F.regexp_extract(u, path_pat, 1), F.lit("")),
-        F.nullif(F.regexp_extract(u, rf"[?&](?:lang|hl|locale)=({alt})", 1),
-                 F.lit("")),
+        F.nullif(
+            F.regexp_extract(u, rf"[?&](?:lang|hl|locale)=({alt})(&|$)", 1),
+            F.lit("")),
     )
     return pages.withColumn("skeleton", skeleton).withColumn("url_lang", lang)
 

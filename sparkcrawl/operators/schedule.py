@@ -125,7 +125,8 @@ def politeness_slots(batch: DataFrame, cfg: CrawlConfig,
 
 def ip_politeness_slots(batch: DataFrame, cfg: CrawlConfig,
                         host_ip: DataFrame | None = None,
-                        n_synthetic_ips: int = 1024) -> DataFrame:
+                        n_synthetic_ips: int = 1024,
+                        crawl_delays: DataFrame | None = None) -> DataFrame:
     """IP-level politeness: co-hosted domains share ONE slot sequence.
 
     Hostname-keyed politeness (W3) lets a crawler inadvertently hammer
@@ -137,10 +138,20 @@ def ip_politeness_slots(batch: DataFrame, cfg: CrawlConfig,
         cache, broadcast; unmapped hosts (and the no-table case) fall
         back to a deterministic synthetic IP — md5_bucket(host,
         n_synthetic_ips) — which models shared hosting reproducibly in
-        tests and gives the oracle a closed form.
+        tests and gives the oracle a closed form. A DNS-cache export
+        naturally carries multiple A records per host; the table is
+        reduced to ONE row per host (min(ip), deterministic) before
+        the join — duplicate (host, ip) rows would otherwise multiply
+        fetch-batch rows and break the slot order.
+      - ``crawl_delays``: optional small (host, crawl_delay) table
+        from robots.txt (R3), broadcast. The per-IP
+        ``effective_delay`` is the MAX of coalesce(crawl_delay,
+        default) over the batch's hosts sharing that IP — IP keying
+        must tighten politeness, never loosen it: one vhost declaring
+        Crawl-delay 99 slows the whole shared server's sequence.
       - one partitioned window keyed on ip (same rank-limit-friendly
         shape as W3); ``scheduled_offset`` = ip_slot *
-        cfg.crawl_delay_default.
+        effective_delay.
 
     The per-IP sequence deliberately interleaves hosts in global
     (next_date, priority, url_hash) order — fairness across co-hosted
@@ -150,9 +161,8 @@ def ip_politeness_slots(batch: DataFrame, cfg: CrawlConfig,
 
     synthetic = md5_bucket(F.col("host"), n_synthetic_ips).cast("long")
     if host_ip is not None:
-        batch = batch.join(
-            F.broadcast(host_ip.select("host", F.col("ip").alias("_ip"))),
-            "host", "left")
+        one_ip = host_ip.groupBy("host").agg(F.min("ip").alias("_ip"))
+        batch = batch.join(F.broadcast(one_ip), "host", "left")
         batch = batch.withColumn(
             "ip", F.coalesce(F.col("_ip").cast("string"),
                              F.concat(F.lit("synth-"),
@@ -160,12 +170,23 @@ def ip_politeness_slots(batch: DataFrame, cfg: CrawlConfig,
     else:
         batch = batch.withColumn(
             "ip", F.concat(F.lit("synth-"), synthetic.cast("string")))
+    if crawl_delays is not None:
+        batch = batch.join(
+            F.broadcast(crawl_delays.select("host", "crawl_delay")),
+            "host", "left")
+    else:
+        batch = batch.withColumn("crawl_delay", F.lit(None).cast("double"))
+    host_delay = F.coalesce(F.col("crawl_delay"),
+                            F.lit(cfg.crawl_delay_default))
     w_ip = W.partitionBy("ip").orderBy(
         F.asc("next_date"), F.asc("priority"), F.asc("url_hash"))
     return (
         batch.withColumn("ip_slot", F.row_number().over(w_ip) - F.lit(1))
+        .withColumn("effective_delay",
+                    F.max(host_delay).over(W.partitionBy("ip")))
         .withColumn("scheduled_offset",
-                    F.col("ip_slot") * F.lit(cfg.crawl_delay_default))
+                    F.col("ip_slot") * F.col("effective_delay"))
+        .drop("crawl_delay")
     )
 
 
@@ -250,9 +271,8 @@ def select_fetch_batch(
     def _slotted(batch: DataFrame) -> DataFrame:
         if cfg.politeness_by_ip:
             out = ip_politeness_slots(batch, cfg, host_ip,
-                                      cfg.n_synthetic_ips)
-            return out.withColumnRenamed("ip_slot", "slot").withColumn(
-                "effective_delay", F.lit(cfg.crawl_delay_default))
+                                      cfg.n_synthetic_ips, crawl_delays)
+            return out.withColumnRenamed("ip_slot", "slot")
         return politeness_slots(batch, cfg, crawl_delays)
 
     elig = eligible(frontier, virtual_time)

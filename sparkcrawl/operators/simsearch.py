@@ -581,7 +581,11 @@ def margin_alignment_scores(
              / F.lit(2000000.0))
     return (
         g.join(pa, "src").join(pb, "dst")
-        .filter(denom > 1e-9)
+        # |denom|, not denom: a negative-neighborhood node (possible
+        # with cosine) is a legitimate denominator, only NEAR-ZERO
+        # averages are numerically unsafe — matching the docstring and
+        # the oracle (r4 ADVICE)
+        .filter(F.abs(denom) > 1e-9)
         .select(
             F.col("src").alias("id_a"), F.col("dst").alias("id_b"),
             "sim", F.round(F.col("sim") / denom, 6).alias("margin"))

@@ -139,20 +139,41 @@ def sitemap_coverage(sitemap_locs: DataFrame, seen: DataFrame,
     beyond the crawl of duty", WWW 2009, measured exactly this gap at
     Google scale).
 
-    One distinct per side, one left semi-ish join on the URL string,
-    one host-keyed hash agg — no window; both inputs are engine tables
-    (operators/extract.py::sitemap_entries locs; the frontier/seen set).
+    Both sides are canonicalized (C1 hybrid path) before matching:
+    sitemap_entries returns ``<loc>`` strings RAW, while the frontier
+    stores canonical URLs — equi-joining raw against canonical would
+    silently miss every loc whose raw form differs (uppercase host,
+    default port, fragment, session params) and understate coverage.
+    Rather than canonicalizing each side separately and joining (two
+    Arrow lanes, one shuffle join, one agg), both sides union into ONE
+    tagged pass through the canonicalizer, then a per-loc max-agg
+    replaces the join entirely: declared = any declared-side row,
+    seen = any seen-side row, per canonical loc. One Arrow lane, two
+    map-side-combined hash aggs, no join, no window. ``n_declared``
+    counts DISTINCT canonical locs (raw variants of one URL are one
+    declaration). Unparseable locs (canonical NULL) count as
+    declared-but-never-seen under host NULL.
     """
-    from sparkcrawl.functions.urlnorm import host_of_canonical_col
+    from sparkcrawl.functions.urlnorm import with_canonical_host
 
-    d = (sitemap_locs.select(F.col(loc_col).alias("_loc")).distinct()
-         .withColumn("_host", host_of_canonical_col(F.col("_loc"))))
-    s = seen.select(F.col(url_col).alias("_loc")).distinct() \
-        .withColumn("_seen", F.lit(True))
-    j = d.join(s, "_loc", "left")
-    return j.groupBy(F.col("_host").alias("host")).agg(
+    tagged = sitemap_locs.select(
+        F.col(loc_col).alias("_raw"),
+        F.lit(1).alias("_d"), F.lit(0).alias("_s"),
+    ).unionByName(seen.select(
+        F.col(url_col).alias("_raw"),
+        F.lit(0).alias("_d"), F.lit(1).alias("_s"),
+    ))
+    canon = with_canonical_host(
+        tagged, url_col="_raw", out_url="_loc", out_host="_host")
+    per_loc = canon.groupBy("_loc").agg(
+        F.max("_d").alias("_declared"),
+        F.max("_s").alias("_seen"),
+        F.max("_host").alias("_host"),  # host is a function of the loc
+    )
+    decl = per_loc.filter(F.col("_declared") == 1)
+    seen_cnt = F.count_if(F.col("_seen") == 1)
+    return decl.groupBy(F.col("_host").alias("host")).agg(
         F.count("*").alias("n_declared"),
-        F.count_if(F.col("_seen")).alias("n_seen"),
-        F.round(F.count_if(F.col("_seen")) / F.count("*"), 6)
-        .alias("coverage"),
+        seen_cnt.alias("n_seen"),
+        F.round(seen_cnt / F.count("*"), 6).alias("coverage"),
     )

@@ -87,7 +87,8 @@ def test_sitemap_coverage(spark):
     from sparkcrawl.plans.analytics import sitemap_coverage
 
     locs = spark.createDataFrame(
-        [("http://a.example/p1",), ("http://a.example/p2",),
+        [("http://A.EXAMPLE:80/p1",),              # raw: case + default port
+         ("http://a.example/p2#frag",),            # raw: fragment
          ("http://a.example/p2",),                 # duplicate declaration
          ("http://a.example/p3",), ("http://b.example/q1",)],
         ["loc"])
@@ -96,6 +97,9 @@ def test_sitemap_coverage(spark):
          ("http://c.example/zz",)],                # seen but undeclared
         ["url"])
     got = {r["host"]: r for r in sitemap_coverage(locs, seen).collect()}
+    # raw <loc> forms canonicalize before matching: p1 and p2 count as
+    # seen even though their declared spellings differ from the
+    # frontier's canonical URLs (the r4-advice understatement bug)
     assert got["a.example"]["n_declared"] == 3
     assert got["a.example"]["n_seen"] == 2
     assert got["a.example"]["coverage"] == round(2 / 3, 6)

@@ -42,6 +42,26 @@ def test_skeleton_positions(pages):
     assert got[10] == ("http://site4.example/plain", None)
 
 
+def test_skeleton_query_param_boundary(spark):
+    """?lang=eng / ?locale=ens must NOT match the 'en' prefix (the code
+    needs a value boundary); ?lang=en& and ?lang=en$ must."""
+    rows = [
+        (1, "http://h.example/p?lang=eng", 10),     # prefix, no match
+        (2, "http://h.example/p?locale=ens", 10),   # prefix, no match
+        (3, "http://h.example/p?lang=en&x=1", 10),  # &-terminated
+        (4, "http://h.example/p?lang=en", 10),      # end-terminated
+    ]
+    pages = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    got = {
+        r["doc_id"]: (r["skeleton"], r["url_lang"])
+        for r in bitext.url_language_skeleton(pages).collect()
+    }
+    assert got[1] == ("http://h.example/p?lang=eng", None)
+    assert got[2] == ("http://h.example/p?locale=ens", None)
+    assert got[3] == ("http://h.example/p?lang=_L_&x=1", "en")
+    assert got[4] == ("http://h.example/p?lang=_L_", "en")
+
+
 def test_parallel_candidates(pages):
     out = bitext.parallel_page_candidates(pages).collect()
     pairs = {(r["id_a"], r["id_b"]): r for r in out}

@@ -289,6 +289,53 @@ def test_ip_politeness_synthetic_deterministic(spark, mini_cfg):
     assert ips["http://h0.example/p0"] == ips["http://h0.example/p2"]
 
 
+def test_ip_politeness_honors_crawl_delay(spark, mini_cfg):
+    """robots Crawl-delay flows into IP-keyed slotting: the per-IP
+    effective_delay is the MAX over co-hosted hosts' delays (IP keying
+    tightens politeness, never loosens it) — one vhost declaring a 9s
+    delay slows the shared server's whole sequence."""
+    from sparkcrawl.operators.schedule import ip_politeness_slots
+
+    rows = [
+        _row(0, host="a", next_offset=0),
+        _row(1, host="b", next_offset=1),
+        _row(2, host="a", next_offset=2),
+        _row(3, host="c", next_offset=0),
+    ]
+    df = _frontier(spark, rows)
+    host_ip = spark.createDataFrame(
+        [("a.example", "10.0.0.1"), ("b.example", "10.0.0.1")],
+        ["host", "ip"])
+    delays = spark.createDataFrame([("b.example", 9.0)],
+                                   ["host", "crawl_delay"])
+    out = {r["url"]: r for r in ip_politeness_slots(
+        df, mini_cfg, host_ip, crawl_delays=delays).collect()}
+    # a has no declared delay but shares b's IP -> inherits max(9, 1)
+    assert out["http://a.example/p0"]["effective_delay"] == 9.0
+    assert out["http://a.example/p2"]["scheduled_offset"] == 18.0
+    # c is alone on its synthetic IP -> default delay
+    assert out["http://c.example/p3"]["effective_delay"] == float(
+        mini_cfg.crawl_delay_default)
+
+
+def test_ip_politeness_dedups_multi_a_records(spark, mini_cfg):
+    """A DNS-cache export with multiple A records per host must not
+    multiply fetch-batch rows: host_ip is reduced to one row per host
+    (min(ip), deterministic) before the join."""
+    from sparkcrawl.operators.schedule import ip_politeness_slots
+
+    rows = [_row(0, host="a"), _row(1, host="a", next_offset=1)]
+    df = _frontier(spark, rows)
+    host_ip = spark.createDataFrame(
+        [("a.example", "10.0.0.2"), ("a.example", "10.0.0.1"),
+         ("a.example", "10.0.0.3")],
+        ["host", "ip"])
+    out = ip_politeness_slots(df, mini_cfg, host_ip).collect()
+    assert len(out) == 2  # no row multiplication
+    assert {r["ip"] for r in out} == {"10.0.0.1"}  # min(ip) wins
+    assert sorted(r["ip_slot"] for r in out) == [0, 1]
+
+
 def test_politeness_drain_estimate(spark, mini_cfg):
     from sparkcrawl.operators.schedule import politeness_drain_estimate
 
