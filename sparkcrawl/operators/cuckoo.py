@@ -373,9 +373,18 @@ class CuckooStore:
         Only keys previously inserted may be deleted (standard cuckoo
         caveat — deleting a non-member can evict a colliding member's
         copy); the engine only passes frontier rows, which were all
-        inserted at discovery. The per-superstep batch is config-bounded
-        (denied rows <= batch size), so the driver-side collect here is
-        cardinality-bounded like the engine's other control collects.
+        inserted at discovery.
+
+        Shard-local DISTRIBUTED delete (same hash-prefix layout as
+        ``ShardedCuckoo.build``): the affected prefixes' CURRENT tables
+        ship to executors via broadcast, gone hashes hash-repartition
+        on their prefix so each prefix's deletions happen in exactly
+        one task (two tasks mutating copies of one table could not be
+        merged), and only the UPDATED per-prefix tables come back —
+        the url hashes themselves never cross to the driver. What the
+        driver collects is one (prefix, table) row per touched shard,
+        the same bounded volume as build()'s collect.
+
         Returns deletions applied (0 on an already-applied replay)."""
         raw = self._load_raw()
         if raw is None:
@@ -383,13 +392,60 @@ class CuckooStore:
         shards, meta = raw
         if self._applied(meta, "delete", superstep):
             return 0
-        rows = [r[0] for r in gone_hashes.select(column).collect() if r[0] is not None]
-        filt = ShardedCuckoo(
-            {p: CuckooShard(self.m, a.reshape(-1, SLOTS).copy()) for p, a in shards.items()},
-            self.m, self.depth,
-        )
-        n = filt.delete_series(pd.Series(rows)) if rows else 0
+        spark = gone_hashes.sparkSession
+        depth_, m_ = self.depth, self.m
+        clean = gone_hashes.select(F.col(column).alias("h")).filter(
+            F.col("h").isNotNull())
+        # prefix-only collect (<= 16^depth tiny strings): broadcast just
+        # the shards this batch actually touches
+        touched = {
+            r[0] for r in clean.select(
+                F.substring("h", 1, depth_).alias("p")).distinct().collect()
+        } & set(shards)
+        n = 0
+        if touched:
+            bc = spark.sparkContext.broadcast(
+                {p: shards[p].tobytes() for p in touched})
+
+            schema = T.StructType([
+                T.StructField("prefix", T.StringType()),
+                T.StructField("table", T.BinaryType()),
+                T.StructField("deleted", T.LongType()),
+            ])
+
+            def _delete(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                pending: dict[str, list[pd.Series]] = {}
+                for pdf in batches:
+                    col = pdf["h"]
+                    for prefix, grp in col.groupby(col.str[:depth_]):
+                        if prefix in bc.value:
+                            pending.setdefault(prefix, []).append(grp)
+                out = {"prefix": [], "table": [], "deleted": []}
+                for prefix, groups in pending.items():
+                    shard = CuckooShard(
+                        m_,
+                        np.frombuffer(bc.value[prefix], dtype=np.uint16)
+                        .reshape(-1, SLOTS).copy(),
+                    )
+                    deleted = 0
+                    hs = pd.concat(groups).sort_values(kind="stable")
+                    for i1, fp in zip(_i1(hs, m_), _fingerprints(hs)):
+                        deleted += bool(shard.delete(int(i1), int(fp)))
+                    out["prefix"].append(prefix)
+                    out["table"].append(shard.table.tobytes())
+                    out["deleted"].append(deleted)
+                yield pd.DataFrame(out)
+
+            rows = (
+                clean.repartition(F.substring("h", 1, depth_))
+                .mapInPandas(_delete, schema=schema)
+                .collect()
+            )
+            for r in rows:
+                n += int(r["deleted"])
+                shards[r["prefix"]] = np.frombuffer(
+                    r["table"], dtype=np.uint16).copy()
         if superstep is not None:
             meta["delete"] = superstep
-        self._save({p: s.table for p, s in filt.shards.items()}, meta)
+        self._save(shards, meta)
         return n

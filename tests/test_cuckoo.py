@@ -92,6 +92,35 @@ def test_store_roundtrip_update_delete(spark, tmp_path):
     assert ck2.might_contain_series(pd.Series(keys[:50])).mean() < 0.05
 
 
+def test_store_delete_shard_local(spark, tmp_path):
+    """Distributed GONE retirement: only the touched prefixes' tables
+    change; untouched shards come back byte-identical, and deletions
+    targeting prefixes the filter never built are no-ops."""
+    import numpy as np
+
+    from sparkcrawl.operators.cuckoo import CuckooStore
+
+    keys = _hashes(400)
+    df = spark.createDataFrame([(h,) for h in keys], ["url_hash"])
+    store = CuckooStore(str(tmp_path), depth=1, capacity_per_shard=1 << 12)
+    store.update(df, channel="superstep", superstep=1)
+    before = {p: s.table.copy() for p, s in store.load().shards.items()}
+
+    victims = [h for h in keys if h[0] == "a"][:20]
+    unknown_prefix = "zz" + "0" * 38  # depth-1 prefix 'z' may not exist
+    gone = spark.createDataFrame(
+        [(h,) for h in victims + ([unknown_prefix] if "z" not in before else [])],
+        ["url_hash"])
+    assert store.delete(gone, superstep=2) == len(victims)
+    after = store.load().shards
+    assert set(after) == set(before)   # no shards created or dropped
+    for p in before:
+        same = np.array_equal(before[p], after[p].table)
+        assert same == (p != "a"), f"shard {p} mutated={not same}"
+    import pandas as pd
+    assert store.load().might_contain_series(pd.Series(victims)).mean() < 0.05
+
+
 def test_store_update_replay_skipped(spark, tmp_path):
     """Replaying a superstep's update is a no-op (tag match): no
     duplicate fingerprint copies are stacked into the shards."""
