@@ -151,3 +151,62 @@ def test_load_real_psl_file_syntax(spark, tmp_path):
     assert df2.select(
         registered_domain(F.col("host")).alias("rd")
     ).collect()[0]["rd"] == "dyndns.org"
+
+
+def test_bundled_psl_file_full_scale(spark):
+    """The bundled sparkcrawl/data/public_suffix_list.dat (real PSL
+    format, 800+ rules incl. wildcards + exceptions in both the c9
+    families and the wider ICANN/private sections) loads, activates,
+    and is RESULT-COMPATIBLE with the inline snapshot on every c9
+    fixture host class — the compatibility gate that lets a deployment
+    swap in the full publicsuffix.org list without moving the oracle."""
+    from sparkcrawl.functions.domains import (
+        bundled_psl_path,
+        load_public_suffix_list,
+        registered_domain,
+        registered_domain_py,
+        set_public_suffix_rules,
+    )
+
+    rules = load_public_suffix_list(bundled_psl_path())
+    assert len(rules) > 800
+    assert "*.ck" in rules and "!www.ck" in rules
+    assert "*.kawasaki.jp" in rules and "!city.kawasaki.jp" in rules
+    assert "example" not in rules  # fixture hosts must keep last-two fallback
+
+    hosts = [
+        "a0.shop.example.co.uk", "b1.example.com.au", "c2.github.io",
+        "e3.island.ck", "f4.www.ck", "g0.pref.kawasaki.jp",
+        "city.kawasaki.jp", "d1.host7.example", "10.1.2.3",
+        "x.co.il", "y.com.tw", "deep.a.netlify.app", "n.city.nagoya.jp",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+
+    def run():
+        return {
+            r["host"]: r["rd"]
+            for r in df.select(
+                "host", registered_domain(F.col("host")).alias("rd")
+            ).collect()
+        }
+
+    before = run()
+    set_public_suffix_rules(rules)
+    try:
+        after = run()
+        # python twin agrees under the file rules (full PSL semantics)
+        for h in hosts:
+            assert registered_domain_py(h) == after[h], h
+        # file-only rules actually bite...
+        assert after["x.co.il"] == "x.co.il"           # co.il is a suffix now
+        assert after["deep.a.netlify.app"] == "a.netlify.app"
+        # exception !city.nagoya.jp beats wildcard *.nagoya.jp
+        assert after["n.city.nagoya.jp"] == "city.nagoya.jp"
+        # ...while every inline-covered class is unchanged (c9 parity)
+        for h in ("a0.shop.example.co.uk", "b1.example.com.au",
+                  "c2.github.io", "e3.island.ck", "f4.www.ck",
+                  "g0.pref.kawasaki.jp", "city.kawasaki.jp",
+                  "d1.host7.example", "10.1.2.3"):
+            assert after[h] == before[h], h
+    finally:
+        set_public_suffix_rules(None)
