@@ -275,16 +275,62 @@ def parse_bmp_header(payload: bytes) -> tuple[int, int] | None:
     return abs(width), abs(height)
 
 
+def parse_jpeg_sof(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG Start-of-Frame marker, or None.
+
+    Marker scan per ITU-T T.81: after the FFD8 SOI, each segment is
+    FF <marker> <len:uint16 big-endian, includes itself>. Dimensions
+    live in the SOF segments (baseline SOF0 0xC0 through SOF15 0xCF,
+    EXCLUDING DHT 0xC4, JPG-extension 0xC8 and DAC 0xCC): height then
+    width as big-endian uint16 at payload offsets 3..7. Standalone
+    markers (RST 0xD0-0xD7, TEM 0x01) carry no length; fill bytes
+    (repeated 0xFF) are skipped; the scan stops at SOS (0xDA — after
+    it comes entropy-coded data) or EOI. Pure byte parsing, like the
+    PNG/GIF/BMP kernels — no image library."""
+    import struct
+
+    if not payload or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(payload)
+    while i + 3 < n:
+        if payload[i] != 0xFF:
+            return None  # lost sync: not a well-formed segment stream
+        while i < n and payload[i] == 0xFF:  # fill bytes
+            i += 1
+        if i >= n:
+            return None
+        marker = payload[i]
+        i += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers: no length field
+        if marker == 0xD9 or marker == 0xDA:
+            return None  # EOI / SOS before any SOF: no dims found
+        if i + 2 > n:
+            return None
+        (seg_len,) = struct.unpack(">H", payload[i:i + 2])
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 7 > n:
+                return None
+            height, width = struct.unpack(">HH", payload[i + 3:i + 7])
+            return width, height
+        i += seg_len
+    return None
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real header kernels (PNG IHDR, GIF screen descriptor, BMP info
-    header) + an 8-bin normalized byte histogram as the feature (a
-    genuine payload statistic, no external libs). Formats that need a
-    full decoder (JPEG/webp/video) still raise — guarded seam until
-    PIL/libav exist in the runtime."""
-    dims = parse_png_ihdr(payload) or parse_gif_header(payload) or parse_bmp_header(payload)
+    """Real header kernels (PNG IHDR, JPEG SOF scan, GIF screen
+    descriptor, BMP info header) + an 8-bin normalized byte histogram
+    as the feature (a genuine payload statistic, no external libs).
+    Formats that need a full decoder (webp/video) still raise —
+    guarded seam until PIL/libav exist in the runtime."""
+    dims = (parse_png_ihdr(payload) or parse_jpeg_sof(payload)
+            or parse_gif_header(payload) or parse_bmp_header(payload))
     if dims is None:
         raise NotImplementedError(
-            "real decode implemented for PNG/GIF/BMP headers only; other "
+            "real decode implemented for PNG/JPEG/GIF/BMP headers only; other "
             "formats need PIL/libav, absent in this container"
         )
     n = len(payload)

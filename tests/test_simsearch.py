@@ -748,3 +748,49 @@ def test_ann_recall_eval(spark):
     # k filter applies to both sides
     r1 = simsearch.ann_recall_eval(exact, approx, k=1).collect()[0]
     assert (r1["sum_exact"], r1["sum_hits"]) == (3, 2)
+
+
+def test_real_jpeg_sof_decode(spark):
+    """JPEG SOF marker-scan kernel over hand-built byte streams:
+    baseline SOF0 behind APP0+DQT, progressive SOF2, fill bytes before
+    a marker, DHT (0xC4) correctly NOT treated as a SOF, and the
+    failure modes (SOS before SOF, truncation, wrong magic)."""
+    import struct
+
+    from sparkcrawl.operators import multimodal
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sof(marker, width, height):
+        # precision(1) height(2) width(2) ncomp(1) + 1 comp spec (3)
+        return seg(marker, b"\x08" + struct.pack(">HH", height, width)
+                   + b"\x01" + b"\x01\x11\x00")
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    dht = seg(0xC4, b"\x00" + bytes(16) + bytes(4))
+    soi = b"\xff\xd8"
+
+    baseline = soi + app0 + dqt + sof(0xC0, 640, 480)
+    progressive = soi + app0 + dht + sof(0xC2, 1920, 1080)
+    fill = soi + b"\xff" + app0 + sof(0xC1, 12, 34)  # fill byte before APP0
+    no_sof = soi + app0 + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    truncated = baseline[:20]
+
+    assert multimodal.parse_jpeg_sof(baseline) == (640, 480)
+    assert multimodal.parse_jpeg_sof(progressive) == (1920, 1080)
+    assert multimodal.parse_jpeg_sof(fill) == (12, 34)
+    assert multimodal.parse_jpeg_sof(no_sof) is None
+    assert multimodal.parse_jpeg_sof(truncated) is None
+    assert multimodal.parse_jpeg_sof(b"\x89PNGnope") is None
+    assert multimodal.parse_jpeg_sof(b"") is None
+
+    rows = [("c.jpg", baseline, "image", len(baseline)),
+            ("d.jpg", progressive, "image", len(progressive))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r["media_ref"]: (r["width"], r["height"], len(r["feature"]))
+        for r in multimodal.decode_and_featurize(media, fake=False).collect()
+    }
+    assert got == {"c.jpg": (640, 480, 8), "d.jpg": (1920, 1080, 8)}
