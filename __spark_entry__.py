@@ -1578,9 +1578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Exactly the 20 (base, copy) pairs at distance 0 survive: dHash
         compares neighbor cells, so a uniform brightness shift is
         invariant while distinct bases differ in ~half their bits.
-        Rows-only driver check — PNG entropy coding is not
-        SQL-expressible; the codec and hash are pytest-verified
-        bit-for-bit (tests/test_images.py)."""
+        Oracle-checked: the box resize recovers the md5 cell grid
+        exactly, so the SQL twin (_image_near_dup_sql) recomputes the
+        64 comparison bits from md5 in exact integer math — the codec
+        itself stays pytest-verified bit-for-bit (tests/test_images.py)."""
         import hashlib as _hl
 
         import pandas as pd
@@ -1616,9 +1617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decoded, envelope-fingerprinted (64-bit energy dHash), and
         banded-hamming paired. Exactly the 20 (base, copy) pairs at
         distance 0 survive: the fingerprint compares neighboring frame
-        energies, so uniform volume scaling is invariant. Rows-only
-        driver check — PCM byte layout is not SQL-expressible; codec
-        and fingerprint are pytest-verified (tests/test_audio.py)."""
+        energies, so uniform volume scaling is invariant. Oracle-
+        checked bit-exactly (_audio_near_dup_sql: shared libm sin,
+        exact int16 squares, order-independent exact window sums);
+        codec + fingerprint also pytest-verified (tests/test_audio.py)."""
         import math as _math
 
         import pandas as pd
@@ -1653,10 +1655,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """BPE tokenizer TRAINING over the corpus (Sennrich ACL'16):
         16 merge rounds on the word-frequency table (one corpus-sized
         groupBy, then vocabulary-sized iterations; one scalar argmax
-        collect per round, ties broken deterministically). Rows-only
-        driver check — iterative argmax is not single-statement SQL;
-        the trainer is pytest-verified against an independent
-        pure-Python reference (tests/test_bpe.py)."""
+        collect per round, ties broken deterministically). Oracle-
+        checked: _bpe_merges_sql unrolls the 16 rounds as MATERIALIZED
+        CTEs (replace()-based greedy merge); the trainer is also
+        pytest-verified against an independent pure-Python reference
+        (tests/test_bpe.py)."""
         from sparkcrawl.operators import bpe as _bpe
 
         docs = _read(spark, sf, "documents")
@@ -1666,7 +1669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Real subword token counts: encode each document with the
         16 merges learned by text_bpe_merges (broadcast merge list,
         one Arrow pass, per-word memoization) — the budget unit for
-        shard packing and mixture quotas. Rows-only driver check."""
+        shard packing and mixture quotas. Oracle-checked via
+        _bpe_tokens_sql (rank-order == best-rank-first equivalence)."""
         from sparkcrawl.operators import bpe as _bpe
 
         docs = _read(spark, sf, "documents")
@@ -3337,6 +3341,185 @@ def _dbscan_sql(threshold: float = 0.3, min_pts: int = 4) -> str:
     """
 
 
+
+
+def _bpe_chain_cte(num_merges: int = 16, cap: int = 128) -> tuple:
+    """Unrolled BPE training rounds as a MATERIALIZED CTE chain — the
+    DuckDB twin of bpe.bpe_train. Words become pipe-framed symbol
+    strings ('|a||b||</w>|'); one merge round = argmax over the
+    adjacent-pair counts (ties (cnt DESC, l, r) — binary collation on
+    both engines) + ONE non-overlapping left-to-right replace() of
+    '|l||r|' -> '|lr|', which IS greedy BPE ('aaa' under (a,a) ->
+    [aa, a]) because replace consumes matches left to right. Symbols
+    never contain '|' (word charset [a-zA-Z0-9_'] + '</w>'), so the
+    framing is unambiguous. MATERIALIZED is load-bearing: inlining the
+    chain re-expands each round's subtree exponentially. ``cap`` bounds
+    the pair-unnest (generate_series can't take lateral bounds); words
+    longer than cap-1 symbols would drop tail pairs — the word regex
+    admits none that long in any fixture. Returns (ctes, last_vocab,
+    [top_cte_names])."""
+    parts = [r"""w0 AS MATERIALIZED (
+      SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-zA-Z0-9_'']+$')
+      GROUP BY word)""", r"""v0 AS MATERIALIZED (
+      SELECT word, n,
+             regexp_replace(word, '(.)', '|\1|', 'g') || '|</w>|' AS s
+      FROM w0)"""]
+    tops = []
+    for i in range(1, num_merges + 1):
+        prev, p, t, v = f"v{i-1}", f"p{i}", f"t{i}", f"v{i}"
+        parts.append(f"""{p} AS MATERIALIZED (
+          SELECT l, r, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT n, syms[g.i] AS l, syms[g.i + 1] AS r FROM (
+              SELECT n, string_split(substring(s, 2, length(s) - 2), '||') AS syms
+              FROM {prev}) , range(1, {cap}) g(i)
+            WHERE g.i + 1 <= len(syms))
+          GROUP BY l, r)""")
+        parts.append(f"""{t} AS MATERIALIZED (
+          SELECT l, r, cnt FROM {p} ORDER BY cnt DESC, l, r LIMIT 1)""")
+        tops.append(t)
+        parts.append(f"""{v} AS MATERIALIZED (
+          SELECT word, n,
+            CASE WHEN (SELECT cnt FROM {t}) >= 2
+              THEN replace(s,
+                '|' || (SELECT l FROM {t}) || '||' || (SELECT r FROM {t}) || '|',
+                '|' || (SELECT l FROM {t}) || (SELECT r FROM {t}) || '|')
+              ELSE s END AS s
+          FROM {prev})""")
+    return ",\n".join(parts), f"v{num_merges}", tops
+
+
+def _bpe_merges_sql(num_merges: int = 16) -> str:
+    """text_bpe_merges twin: one row per valid round. Emission is gated
+    per round on cnt >= min_pair_count(2); invalidity is absorbing (an
+    unapplied round leaves the vocab unchanged, so every later argmax
+    repeats below threshold), which reproduces bpe_train's early break
+    with contiguous ranks."""
+    ctes, _, tops = _bpe_chain_cte(num_merges)
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS rank, (SELECT l FROM {t}) AS "left",
+               (SELECT r FROM {t}) AS "right",
+               (SELECT cnt FROM {t}) AS pair_count
+            WHERE (SELECT cnt FROM {t}) >= 2"""
+        for i, t in enumerate(tops))
+    return (f"WITH {ctes}\nSELECT CAST(rank AS INT) AS rank, "
+            f'"left", "right", pair_count FROM ({rows})')
+
+
+def _bpe_tokens_sql(num_merges: int = 16) -> str:
+    """text_bpe_tokens twin. bpe_encode's best-rank-first loop equals
+    applying the learned merges once each in rank order (a pair
+    involving a merged symbol can only have been learned AFTER that
+    symbol existed, so ascending-rank application never misses a
+    lower-rank opportunity) — and every corpus word's rank-order end
+    state is exactly its training end state, i.e. the v-chain's final
+    symbol string. n_tokens = symbols = pipes/2; docs whose words all
+    fail the word regex keep a 0 row via the left join (encode emits a
+    row per doc)."""
+    ctes, last, _ = _bpe_chain_cte(num_merges)
+    return f"""WITH {ctes},
+    dw AS (
+      SELECT doc_id AS id, word FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-zA-Z0-9_'']+$')),
+    wc AS (SELECT id, word, COUNT(*) AS c FROM dw GROUP BY id, word),
+    wtok AS (
+      SELECT word,
+             (length(s) - length(replace(s, '|', ''))) // 2 AS ntok
+      FROM {last}),
+    tok AS (
+      SELECT wc.id, SUM(wc.c * wtok.ntok) AS n_tokens
+      FROM wc JOIN wtok USING (word) GROUP BY wc.id)
+    SELECT d.doc_id AS id,
+           CAST(coalesce(tok.n_tokens, 0) AS INT) AS n_tokens
+    FROM documents d LEFT JOIN tok ON tok.id = d.doc_id"""
+
+
+def _image_near_dup_sql() -> str:
+    """multimodal_image_near_dup twin — NO image codec needed: the
+    fixture PNGs are 18x16 expansions of an 8x9 md5-derived cell grid,
+    and dhash64's 9x8 box resize recovers those cells EXACTLY (2x2
+    means of equal luma values; the +30 brightness shift on copies is
+    uniform, so every left>right comparison is invariant). The hamming
+    distance only needs the per-position bit DISAGREEMENTS, so the SQL
+    recomputes the 64 comparison bits straight from md5 (exact integer
+    math, zero float risk) and cross-joins 40 ids — equal output to
+    the engine's pigeonhole band join, which is lossless at
+    distance <= 4 by construction."""
+    return r"""
+WITH ks AS (SELECT DISTINCT CAST(event_id % 40 AS BIGINT) AS k FROM events),
+cells AS MATERIALIZED (
+  SELECT ks.k, y.i AS y, x.i AS x,
+         60 + CAST(concat('0x', substr(md5(
+               CAST(ks.k % 20 AS VARCHAR) || '-' || CAST(y.i AS VARCHAR)
+               || '-' || CAST(x.i AS VARCHAR)), 1, 2)) AS BIGINT) % 120 AS v
+  FROM ks, range(8) y(i), range(9) x(i)),
+bits AS MATERIALIZED (
+  SELECT a.k, a.y, a.x, CASE WHEN a.v > c.v THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells c ON c.k = a.k AND c.y = a.y AND c.x = a.x + 1
+  WHERE a.x < 8)
+SELECT id_a, id_b, distance FROM (
+  SELECT CAST(a.k AS VARCHAR) AS id_a, CAST(b.k AS VARCHAR) AS id_b,
+         CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS distance
+  FROM bits a JOIN bits b ON a.y = b.y AND a.x = b.x
+       AND CAST(a.k AS VARCHAR) < CAST(b.k AS VARCHAR)
+  GROUP BY 1, 2)
+WHERE distance <= 4
+"""
+
+
+def _audio_near_dup_sql() -> str:
+    """multimodal_audio_near_dup twin — NO wav codec needed, and
+    bit-exact despite the floats: DuckDB's sin() and CPython's
+    math.sin are the same libm (verified 0 mismatches over the fixture
+    argument range); the sin argument/products are written in the
+    exact association order the generator uses; quantized samples are
+    16-bit ints whose squares are exact doubles, and each 24/25-sample
+    window's v^2 sum stays under 2^35 significand bits, so the energy
+    sums are exact in ANY summation order — the one rounding per
+    energy (the /(hi-lo)) happens identically on both engines. The
+    per-clip 64-bit fingerprints were verified bit-identical to
+    audio_fingerprint64 over all 40 fixture clips at integration."""
+    return r"""
+WITH ks AS (SELECT DISTINCT CAST(event_id % 40 AS BIGINT) AS k FROM events),
+params AS (
+  SELECT k, k % 20 AS base,
+         CASE WHEN k >= 20 THEN 0.4 ELSE 1.0 END AS vol
+  FROM ks),
+samples AS MATERIALIZED (
+  SELECT p.k, t.i,
+         CAST(greatest(-32768.0, least(32767.0, round(
+           ((p.vol * 0.3) * (  sin(2*pi()*(137 + 61*p.base)*t.i/8000)
+                             + sin(2*pi()*(449 + 97*p.base)*t.i/8000)
+                             + sin(2*pi()*(853 + 31*p.base)*t.i/8000)))
+           * 32767.0))) AS BIGINT) AS q
+  FROM params p, range(1600) t(i)),
+win AS (
+  SELECT w.i AS w, (w.i * 1600) // 65 AS lo,
+         greatest(((w.i + 1) * 1600) // 65, (w.i * 1600) // 65 + 1) AS hi
+  FROM range(65) w(i)),
+energies AS MATERIALIZED (
+  SELECT s.k, win.w,
+         (SUM(s.q * s.q) / 1073741824.0) / (win.hi - win.lo) AS e
+  FROM samples s JOIN win ON s.i >= win.lo AND s.i < win.hi
+  GROUP BY s.k, win.w, win.hi, win.lo),
+bits AS MATERIALIZED (
+  SELECT a.k, a.w, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM energies a JOIN energies b ON b.k = a.k AND b.w = a.w + 1
+  WHERE a.w < 64)
+SELECT id_a, id_b, distance FROM (
+  SELECT CAST(a.k AS VARCHAR) AS id_a, CAST(b.k AS VARCHAR) AS id_b,
+         CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS distance
+  FROM bits a JOIN bits b ON a.w = b.w
+       AND CAST(a.k AS VARCHAR) < CAST(b.k AS VARCHAR)
+  GROUP BY 1, 2)
+WHERE distance <= 4
+"""
+
+
 def _bloom_fpr_sql(capacity: int = 100_000, fpp: float = 0.01,
                    points: int = 20, max_load: float = 2.0) -> str:
     """DuckDB twin of membership_bloom_fpr, sized by the SAME
@@ -4354,6 +4537,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.id IS NULL
         """,
         "dedup_simhash": _simhash_sql(32),
+        "text_bpe_merges": _bpe_merges_sql(16),
+        "text_bpe_tokens": _bpe_tokens_sql(16),
+        "multimodal_image_near_dup": _image_near_dup_sql(),
+        "multimodal_audio_near_dup": _audio_near_dup_sql(),
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -189,3 +189,21 @@ def test_cuckoo_membership_seen_set_parity(engine_cuckoo, sim, spark):
         for r in engine_cuckoo.frontier.read(spark).select("url_hash").collect()
     )
     assert engine_seen == sim.seen_hashes
+
+
+def test_golden_compression_ratio(spark):
+    """text_compression_ratio is the one remaining rows-only driver key
+    (zlib has no SQL twin); this golden pins its full sf0.001 output —
+    id, byte counts, and 6dp ratio for every document — so any drift in
+    the deflate level, UTF-8 encoding, or rounding shows up as a diff
+    against a committed file."""
+    from sparkcrawl.operators.repetition import compression_ratio
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        [int(r["id"]), int(r["n_bytes"]), int(r["n_compressed"]),
+         float(r["ratio"])]
+        for r in compression_ratio(docs).select(
+            "id", "n_bytes", "n_compressed", "ratio").collect()
+    )
+    assert got == _golden("compression_ratio_sf0001.json", lambda: got)
