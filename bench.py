@@ -434,6 +434,26 @@ def _synthetic_corpus(spark, n_docs: int, uniq_words: int = 12,
     return base.select(F.col("id").alias("doc_id"), text.alias("text"))
 
 
+def bpe_train_probe(spark, sf_dir: str, num_merges: int = 100) -> dict:
+    """100-merge BPE training cost (bpe.py CONTRACT bench entry): the
+    loop is Θ(num_merges) vocab-sized jobs after ONE corpus-sized
+    groupBy, so the per-merge cost — not the corpus — is the number
+    that matters at scale."""
+    import time as _t
+
+    from sparkcrawl.operators import bpe
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = _t.perf_counter()
+    merges = bpe.bpe_train(docs, num_merges=num_merges)
+    sec = _t.perf_counter() - t0
+    return {
+        "num_merges": len(merges),
+        "sec": round(sec, 3),
+        "sec_per_merge": round(sec / max(len(merges), 1), 4),
+    }
+
+
 def dedup_scale_probes(spark, sf_dir: str, reps: int = 2) -> dict:
     """Scaling curves for the two newest scale-critical dedup paths —
     sf0.1's 5k-doc floor hides them (VERDICT r3 #6), so each is probed
@@ -527,6 +547,8 @@ def main() -> None:
     north_mixed = north_metric(spark, sf_dir, slow_noise=True)
     spark.catalog.clearCache()
     scale_probes = dedup_scale_probes(spark, sf_dir)
+    scale_probes["bpe_train_100"] = bpe_train_probe(spark, sf_dir)
+    spark.catalog.clearCache()
 
     from sparkcrawl.operators import release_caches
 
