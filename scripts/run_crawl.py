@@ -78,6 +78,23 @@ def main() -> None:
                          "resume) leg, run the focused-crawl relevance "
                          "refresh (plans/relevance.py) so the NEXT --resume "
                          "leg schedules on-topic hosts first")
+    ap.add_argument("--report", default="",
+                    help="comma list of post-run reports, each printed as "
+                         "JSON lines: 'saturation' (per-superstep novelty/"
+                         "yield curve from the checkpoint log), 'drain' "
+                         "(per-host politeness drain estimate over the "
+                         "pending frontier), 'starvation' (per-queue "
+                         "backlog aging at the last checkpoint clock), "
+                         "'sitemap-coverage' (declared-vs-seen per host; "
+                         "requires --sitemap-locs)")
+    ap.add_argument("--sitemap-locs", metavar="PARQUET",
+                    help="(loc) table of sitemap <loc> entries for "
+                         "--report sitemap-coverage (e.g. exported from "
+                         "operators/extract.py::sitemap_entries)")
+    ap.add_argument("--report-limit", type=int, default=100,
+                    help="row cap for the per-host reports (drain, "
+                         "sitemap-coverage), worst-first — keeps the "
+                         "driver collect bounded on a big frontier")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("sparkcrawl-run").getOrCreate()
@@ -144,6 +161,50 @@ def main() -> None:
         rules.write.mode("overwrite").parquet(args.mine_dust)
         n = spark.read.parquet(args.mine_dust).count()
         print(json.dumps({"dust_rules": n}))
+    if args.report:
+        from pyspark.sql import functions as F
+
+        from sparkcrawl.operators.schedule import (
+            politeness_drain_estimate,
+            queue_starvation_report,
+        )
+        from sparkcrawl.plans.analytics import crawl_saturation, sitemap_coverage
+
+        wanted = [w.strip() for w in args.report.split(",") if w.strip()]
+        known = {"saturation", "drain", "starvation", "sitemap-coverage"}
+        unknown = set(wanted) - known
+        if unknown:
+            raise SystemExit(f"unknown --report kinds: {sorted(unknown)} "
+                             f"(known: {sorted(known)})")
+
+        def emit(name, df):
+            for r in df.collect():
+                print(json.dumps({"report": name, **r.asDict()}, default=str))
+
+        last = run.checkpoints.last()
+        frontier = run.frontier.read(spark)
+        if "saturation" in wanted:
+            ckpt = run.checkpoints.read(spark)
+            if ckpt is not None:
+                emit("saturation",
+                     crawl_saturation(ckpt).orderBy("superstep"))
+        if "drain" in wanted and frontier is not None:
+            emit("drain", politeness_drain_estimate(frontier, cfg, run._delays)
+                 .orderBy(F.desc("drain_seconds"), "host")
+                 .limit(args.report_limit))
+        if "starvation" in wanted and frontier is not None and last:
+            emit("starvation",
+                 queue_starvation_report(frontier, last["virtual_time"])
+                 .orderBy("queue"))
+        if "sitemap-coverage" in wanted:
+            if not args.sitemap_locs:
+                raise SystemExit(
+                    "--report sitemap-coverage requires --sitemap-locs")
+            if frontier is not None:
+                locs = spark.read.parquet(args.sitemap_locs)
+                emit("sitemap_coverage",
+                     sitemap_coverage(locs, frontier.select("url"))
+                     .orderBy("coverage", "host").limit(args.report_limit))
     if args.focus_terms:
         from sparkcrawl.plans.relevance import refresh_relevance_priorities
 

@@ -1,0 +1,101 @@
+"""run_crawl.py --report surface: the round-4 analytics operators
+(saturation curve, drain estimate, starvation report, sitemap coverage)
+exposed as ops-facing CLI reports — one smoke test per flag, driving the
+REAL CLI main() against a fixture crawl workdir."""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_SPEC = importlib.util.spec_from_file_location(
+    "run_crawl",
+    os.path.join(os.path.dirname(__file__), os.pardir, "scripts", "run_crawl.py"),
+)
+run_crawl = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(run_crawl)
+
+
+@pytest.fixture(scope="module")
+def crawl_workdir(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("cli_reports") / "work")
+    _cli(wd, "--generate-fixtures", "8", "--max-supersteps", "3",
+         "--num-queues", "4")
+    return wd
+
+
+def _cli(workdir, *extra):
+    argv = ["run_crawl.py", "--workdir", workdir, *extra]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        run_crawl.main()
+    finally:
+        sys.argv = old
+
+
+def _report_rows(capsys, workdir, kind, *extra):
+    capsys.readouterr()  # drain fixture output
+    _cli(workdir, "--resume", "--max-supersteps", "0",
+         "--report", kind, *extra)
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")]
+    return [r for r in rows if r.get("report")]
+
+
+def test_report_saturation(spark, crawl_workdir, capsys):
+    rows = _report_rows(capsys, crawl_workdir, "saturation")
+    assert rows and all(r["report"] == "saturation" for r in rows)
+    # bootstrap row (superstep 0) + one per superstep, in order
+    assert [r["superstep"] for r in rows] == sorted(r["superstep"] for r in rows)
+    assert {"new_seen", "yield_per_fetch", "saturation"} <= set(rows[0])
+
+
+def test_report_drain(spark, crawl_workdir, capsys):
+    rows = _report_rows(capsys, crawl_workdir, "drain")
+    assert rows and all(r["report"] == "drain" for r in rows)
+    assert {"host", "pending", "crawl_delay", "drain_seconds",
+            "politeness_bound"} <= set(rows[0])
+    drains = [r["drain_seconds"] for r in rows]
+    assert drains == sorted(drains, reverse=True)  # worst-first
+
+
+def test_report_starvation(spark, crawl_workdir, capsys):
+    rows = _report_rows(capsys, crawl_workdir, "starvation")
+    assert rows and all(r["report"] == "starvation" for r in rows)
+    assert {"queue", "pending", "overdue", "overdue_frac",
+            "max_wait_seconds"} <= set(rows[0])
+    assert all(r["pending"] >= r["overdue"] for r in rows)
+
+
+def test_report_sitemap_coverage(spark, crawl_workdir, capsys, tmp_path):
+    # declared set: a few URLs ALREADY in the frontier (raw spellings,
+    # exercising the canonicalize-before-match fix) + one never-crawled
+    from sparkcrawl.sources.store import FrontierTable
+
+    seen = [r["url"] for r in FrontierTable(crawl_workdir).read(spark)
+            .select("url").limit(3).collect()]
+    locs = [(u.replace("http://", "HTTP://", 1) + "#frag",) for u in seen]
+    locs.append(("http://never-crawled.example/only-declared",))
+    spark.createDataFrame(locs, ["loc"]).write.parquet(str(tmp_path / "locs"))
+
+    rows = _report_rows(capsys, crawl_workdir, "sitemap-coverage",
+                        "--sitemap-locs", str(tmp_path / "locs"))
+    assert rows and all(r["report"] == "sitemap_coverage" for r in rows)
+    by_host = {r["host"]: r for r in rows}
+    assert by_host["never-crawled.example"]["coverage"] == 0.0
+    covered = [r for h, r in by_host.items() if h != "never-crawled.example"]
+    assert covered and all(r["n_seen"] >= 1 for r in covered)
+
+    # missing --sitemap-locs is a hard error, not a silent no-op
+    with pytest.raises(SystemExit):
+        _cli(crawl_workdir, "--resume", "--max-supersteps", "0",
+             "--report", "sitemap-coverage")
+
+
+def test_report_unknown_kind_rejected(spark, crawl_workdir):
+    with pytest.raises(SystemExit):
+        _cli(crawl_workdir, "--resume", "--max-supersteps", "0",
+             "--report", "nope")
