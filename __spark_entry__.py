@@ -2636,6 +2636,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_bands=_LSH_BANDS, max_bucket_size=_ND_CAP,
         )
 
+    def crawl_politeness_audit(spark, sf):
+        """Slot-sequence politeness audit (schedule.politeness_audit):
+        per (superstep, host), committed fetch slots must be exactly
+        0..n-1. Fixture log synthesized over 25 host classes with
+        INJECTED violations — class %5==1 duplicates slot 0 (double-hit
+        in one delay window), %5==2 skips slot 1 (gap) — so both
+        outcomes of the audit occur and the flags are load-bearing."""
+        from pyspark.sql import Window as W
+
+        from sparkcrawl.operators.schedule import politeness_audit
+
+        ev = _read(spark, sf, "events")
+        hc = (F.col("user_id") % 25)
+        base = ev.select(
+            (F.col("event_id") % 3).cast("int").alias("superstep"),
+            hc.alias("hc"),
+            F.concat(F.lit("http://a"), hc.cast("string"),
+                     F.lit(".example/e/"),
+                     F.col("event_id").cast("string")).alias("url"),
+            F.col("event_id").alias("eid"),
+        )
+        w = W.partitionBy("superstep", "hc").orderBy("eid")
+        slot = F.row_number().over(w) - 1
+        hcc = F.col("hc")
+        slot = (
+            F.when(hcc % 5 == 1, F.greatest(slot - 1, F.lit(0)))
+            .when(hcc % 5 == 2,
+                  slot + F.when(slot >= 1, F.lit(1)).otherwise(F.lit(0)))
+            .otherwise(slot)
+        )
+        log = base.select("superstep", slot.alias("slot"), "url")
+        a = politeness_audit(log)
+        return a.select(
+            "superstep", "host",
+            F.col("n_fetches").cast("long").alias("n_fetches"),
+            F.col("n_slots").cast("long").alias("n_slots"),
+            F.col("min_slot").cast("int").alias("min_slot"),
+            F.col("max_slot").cast("int").alias("max_slot"),
+            "slots_ok",
+        )
+
+    def corpus_ares_sample(spark, sf):
+        """Per-item weighted sampling without replacement
+        (sampling.weighted_reservoir_sample, Efraimidis-Spirakis A-ES):
+        top-50 by ln(u)/w over salted-hash uniforms; weights vary per
+        doc with repeats (n_chars %% 97 + 1) so the weighted order is
+        non-trivial and ties exercise the id tie-break."""
+        from sparkcrawl.operators.sampling import weighted_reservoir_sample
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id",
+            (F.col("n_chars") % 97 + 1).cast("double").alias("weight"),
+        )
+        return weighted_reservoir_sample(
+            d, 50, weight_col="weight", id_col="doc_id", salt="ares-v1"
+        ).select("doc_id", "weight", "ares_key",
+                 F.col("sample_rank").cast("int").alias("sample_rank"))
+
     def text_compression_ratio(spark, sf):
         """Deflate compression ratio (repetition.compression_ratio,
         the Dolma/RedPajama-v2 quality-tagger feature): whole-document
@@ -3022,10 +3080,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- graph_trustrank, graph_hits (held out; independently
         # --- oracle-verified by the r4 judge), and the rows-only keys
         # --- multimodal_image_near_dup / multimodal_audio_near_dup /
-        # --- text_bpe_merges / text_bpe_tokens / text_compression_ratio
-        # --- (see COVERAGE.md for their check strategy). Rotate those 7
-        # --- plus any new-in-r5 keys into the first 50 next round; keys
-        # --- below them are driver-green in r1-r4 CORRECTNESS files.
+        # --- text_bpe_merges / text_bpe_tokens / text_compression_ratio.
+        # --- Mid-r5, bpe_merges/tokens and image/audio near-dup GAINED
+        # --- DuckDB oracles (only compression_ratio stays rows-only,
+        # --- golden-pinned). Rotate those 7 plus the new-in-r5 keys
+        # --- below them (crawl_politeness_audit, corpus_ares_sample)
+        # --- into the first 50 next round; everything after them is
+        # --- driver-green in r1-r4 CORRECTNESS files.
         "graph_trustrank": graph_trustrank,
         "graph_hits": graph_hits,
         "multimodal_image_near_dup": multimodal_image_near_dup,
@@ -3033,6 +3094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": text_bpe_merges,
         "text_bpe_tokens": text_bpe_tokens,
         "text_compression_ratio": text_compression_ratio,
+        # --- new in r5 (never driver-checked; rotate into r6 head) ---
+        "crawl_politeness_audit": crawl_politeness_audit,
+        "corpus_ares_sample": corpus_ares_sample,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -4541,6 +4605,53 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _bpe_tokens_sql(16),
         "multimodal_image_near_dup": _image_near_dup_sql(),
         "multimodal_audio_near_dup": _audio_near_dup_sql(),
+        "crawl_politeness_audit": """
+            WITH base AS (
+              SELECT CAST(event_id % 3 AS INT) AS superstep,
+                     user_id % 25 AS hc,
+                     'a' || CAST(user_id % 25 AS VARCHAR) || '.example' AS host,
+                     event_id AS eid
+              FROM events),
+            slotted AS (
+              SELECT superstep, hc, host,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY superstep, hc ORDER BY eid) - 1 AS slot0
+              FROM base),
+            log AS (
+              SELECT superstep, host,
+                     CASE WHEN hc % 5 = 1 THEN greatest(slot0 - 1, 0)
+                          WHEN hc % 5 = 2 THEN
+                            slot0 + (CASE WHEN slot0 >= 1 THEN 1 ELSE 0 END)
+                          ELSE slot0 END AS slot
+              FROM slotted)
+            SELECT superstep, host,
+                   CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                   CAST(COUNT(DISTINCT slot) AS BIGINT) AS n_slots,
+                   CAST(MIN(slot) AS INT) AS min_slot,
+                   CAST(MAX(slot) AS INT) AS max_slot,
+                   (COUNT(DISTINCT slot) = COUNT(*) AND MIN(slot) = 0
+                    AND MAX(slot) = COUNT(*) - 1) AS slots_ok
+            FROM log GROUP BY superstep, host
+        """,
+        "corpus_ares_sample": """
+            WITH w AS (
+              SELECT doc_id,
+                     CAST(n_chars % 97 + 1 AS DOUBLE) AS weight
+              FROM documents),
+            keyed AS (
+              SELECT doc_id, weight,
+                     ln((CAST(concat('0x', substr(md5(
+                           'ares-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 1000000 + 0.5) / 1000000.0) / weight
+                       AS k
+              FROM w WHERE weight > 0)
+            SELECT doc_id, weight, round(k, 9) AS ares_key,
+                   CAST(rn AS INT) AS sample_rank
+            FROM (SELECT doc_id, weight, k,
+                         ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rn
+                  FROM keyed)
+            WHERE rn <= 50
+        """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -358,3 +358,57 @@ def domain_mixing_weights(
         "tokens",
         F.round(F.col("w_raw") / total, 6).alias("weight"),
     )
+
+
+def weighted_reservoir_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    salt: str = "ares-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, per-ITEM weights —
+    Efraimidis & Spirakis (IPL 2006) A-ES keys:
+    draw u_i ~ U(0,1), rank by u_i^(1/w_i) descending, keep the top k;
+    the result is distributed exactly as sequential weighted draws
+    without replacement. Complements :func:`weighted_mixture_sample`
+    (per-DOMAIN quotas, uniform within): here every row carries its own
+    weight (quality score, token count, DSIR ratio, ...).
+
+    Determinism/cross-engine: u_i is the salted md5 unit bucket
+    shifted off zero ((h % 1e6 + 0.5) / 1e6 — exact arithmetic on both
+    engines), and ranking uses ln(u)/w (monotone in u^(1/w) for w>0;
+    avoids pow's extra rounding), a bit-identical double under shared
+    libm. Rows with NULL or non-positive weight cannot be drawn
+    (filtered, matching "weight 0 never sampled"). Ties break by id.
+
+    Scale shape: the key is a codegen'd projection; global top-k is
+    orderBy+limit, which Spark executes as per-partition TakeOrdered(k)
+    + a k-row driver merge — no global sort, no single-partition
+    window, safe at any corpus size for bounded k.
+
+    Returns the sampled rows + ``ares_key`` (round 9dp, display only;
+    ranking uses the raw double) + ``sample_rank`` (1-based).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    u = (h % _BUCKETS + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    w = F.col(weight_col).cast("double")
+    keyed = (
+        docs.filter(w.isNotNull() & (w > 0))
+        .withColumn("_key", F.log(u) / w)
+    )
+    top = keyed.orderBy(F.desc("_key"), F.asc(id_col)).limit(k)
+    # rank the k survivors (k rows — the window is bounded, not
+    # data-sized); recomputing the same deterministic order
+    from pyspark.sql import Window as W
+
+    win = W.orderBy(F.desc("_key"), F.asc(id_col))
+    return (
+        top.withColumn("sample_rank", F.row_number().over(win))
+        .withColumn("ares_key", F.round(F.col("_key"), 9))
+        .drop("_key")
+    )

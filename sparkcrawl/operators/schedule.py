@@ -475,3 +475,39 @@ def queue_starvation_report(frontier: DataFrame, virtual_time,
         F.round(F.greatest(F.max(wait), F.lit(0)) / 1e6, 6)
         .alias("max_wait_seconds"),
     )
+
+
+def politeness_audit(fetch_log: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """Self-audit of the W3 politeness contract over the fetch log:
+    per (superstep, host), the slot sequence the engine actually
+    COMMITTED must be exactly 0..n-1 — one fetch per politeness
+    interval, no slot fetched twice (a double-hit inside one delay
+    window), no gap (a skipped interval that desynchronizes the
+    scheduled offsets downstream replay relies on).
+
+    Output: (superstep, host, n_fetches, n_slots, min_slot, max_slot,
+    slots_ok) — ``slots_ok`` iff distinct==count AND min==0 AND
+    max==n-1. The engine's own runs must be all-true (asserted in
+    pytest over a real CrawlRun); the operator exists so an operator
+    can run the same audit over any historical fetch log (the kind of
+    invariant check a 1000-executor crawl runs nightly, cheap: ONE
+    map-side-combined hash agg on (superstep, host), no window, no
+    join).
+    """
+    from sparkcrawl.functions.urlnorm import host_of_canonical_col
+
+    rows = fetch_log.select(
+        "superstep", "slot",
+        host_of_canonical_col(F.col(url_col)).alias("host"),
+    )
+    n = F.count("*")
+    d = F.countDistinct("slot")
+    return rows.groupBy("superstep", "host").agg(
+        n.alias("n_fetches"),
+        d.alias("n_slots"),
+        F.min("slot").alias("min_slot"),
+        F.max("slot").alias("max_slot"),
+        ((d == n) & (F.min("slot") == 0) & (F.max("slot") == n - 1))
+        .alias("slots_ok"),
+    )

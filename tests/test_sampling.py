@@ -227,3 +227,34 @@ def test_token_balanced_shards_with_bpe_counts(spark):
     for s in shards[:-1]:
         assert 60 - maxdoc < sum(by_shard[s]) < 60 + maxdoc
     assert sum(sum(v) for v in by_shard.values()) == sum(tok.values())
+
+
+def test_weighted_reservoir_sample(spark):
+    """A-ES invariants: exactly k rows; zero/NULL weights never drawn;
+    deterministic across runs; heavier items win far more often than
+    light ones (statistical sanity over many salts); nested-by-rank
+    (top-j of the k-sample is the j-sample)."""
+    from sparkcrawl.operators.sampling import weighted_reservoir_sample
+
+    rows = ([(i, 100.0) for i in range(20)]           # heavy
+            + [(100 + i, 1.0) for i in range(80)]     # light
+            + [(900, 0.0), (901, None)])              # undrawable
+    docs = spark.createDataFrame(rows, ["doc_id", "weight"])
+
+    s1 = weighted_reservoir_sample(docs, 10, salt="s0").collect()
+    s2 = weighted_reservoir_sample(docs, 10, salt="s0").collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    assert len(s1) == 10
+    assert all(r["doc_id"] not in (900, 901) for r in s1)
+    assert [r["sample_rank"] for r in s1] == list(range(1, 11))
+
+    s5 = weighted_reservoir_sample(docs, 5, salt="s0").collect()
+    assert [r["doc_id"] for r in s5] == [r["doc_id"] for r in s1][:5]
+
+    heavy = 0
+    for t in range(12):
+        got = weighted_reservoir_sample(docs, 10, salt=f"t{t}").collect()
+        heavy += sum(1 for r in got if r["doc_id"] < 100)
+    # heavy items are 20% of rows but 96% of total weight: expected
+    # draw share >> light's. Loose bound: >45% of 120 draws.
+    assert heavy > 54, heavy

@@ -382,3 +382,54 @@ def test_queue_starvation_report(spark):
     got60 = {r["queue"]: r for r in queue_starvation_report(
         df, now, overdue_seconds=60.0).collect()}
     assert got60[0]["overdue"] == 3 and got60[1]["overdue"] == 0
+
+
+def test_politeness_audit_detects_violations(spark):
+    """Slot-sequence integrity audit: a clean host passes; a duplicated
+    slot (double-hit in one delay window) and a gap (skipped interval)
+    both flag slots_ok=false."""
+    from sparkcrawl.operators.schedule import politeness_audit
+
+    rows = [
+        # clean: slots 0,1,2
+        (1, 0, "http://good.example/a"),
+        (1, 1, "http://good.example/b"),
+        (1, 2, "http://good.example/c"),
+        # duplicate slot 1
+        (1, 0, "http://dupe.example/a"),
+        (1, 1, "http://dupe.example/b"),
+        (1, 1, "http://dupe.example/c"),
+        # gap: 0,2
+        (1, 0, "http://gap.example/a"),
+        (1, 2, "http://gap.example/b"),
+        # different superstep audited independently
+        (2, 0, "http://good.example/d"),
+    ]
+    log = spark.createDataFrame(rows, ["superstep", "slot", "url"])
+    got = {(r["superstep"], r["host"]): r
+           for r in politeness_audit(log).collect()}
+    assert got[(1, "good.example")]["slots_ok"] is True
+    assert got[(1, "dupe.example")]["slots_ok"] is False
+    assert got[(1, "dupe.example")]["n_slots"] == 2
+    assert got[(1, "gap.example")]["slots_ok"] is False
+    assert got[(1, "gap.example")]["max_slot"] == 2
+    assert got[(2, "good.example")]["slots_ok"] is True
+
+
+def test_politeness_audit_real_crawl_clean(spark, mini_cfg, tmp_path):
+    """The engine's OWN fetch log must pass its politeness audit —
+    every (superstep, host) slot sequence contiguous from 0."""
+    from sparkcrawl.operators.schedule import politeness_audit
+    from sparkcrawl.plans.superstep import CrawlRun
+    from sparkcrawl.sources.fixtures import write_fixture_tables
+
+    paths = write_fixture_tables(spark, str(tmp_path / "fix"), seed=7,
+                                 num_hosts=10, pages_per_host=5)
+    run = CrawlRun(spark, str(tmp_path / "work"), mini_cfg,
+                   spark.read.parquet(paths["web"]),
+                   spark.read.parquet(paths["robots"]))
+    run.run(spark.read.parquet(paths["seeds"]), max_supersteps=4)
+    log = run.fetch_log.read(spark)
+    audit = politeness_audit(log)
+    assert audit.count() > 0
+    assert audit.filter(~F.col("slots_ok")).count() == 0
