@@ -2694,6 +2694,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "weight", "ares_key",
                  F.col("sample_rank").cast("int").alias("sample_rank"))
 
+    def corpus_leakage_split(spark, sf):
+        """Leakage-safe train/val/test split grouped by source site
+        (sampling.group_split + split_leakage_audit): the split label
+        is a pure function of the GROUP hash, so no source ever
+        straddles splits — the guard against eval contamination from
+        near-duplicate pages of one site. The audit proves
+        leaked_groups == 0 and reports the realized doc/char shares
+        the group granularity allows."""
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", "source", "n_chars")
+        split = sampling.group_split(
+            docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+        return sampling.split_leakage_audit(
+            split, "source", size_col="n_chars"
+        ).select(
+            "split", "n_docs", "n_groups", "doc_share",
+            F.col("size_total").cast("long").alias("chars_total"),
+            "leaked_groups",
+        )
+
+    def crawl_hop_depth(spark, sf):
+        """Seed-distance BFS (graph.hop_depth): minimal hop count from
+        seed node 0 over a deterministic out-degree-2 graph on
+        user_id %% 128 (n -> 3n+1 mod 128, n -> n+17 mod 128) — the
+        crawl depth-limit / discovery-horizon signal (shallow-first
+        prioritizing, trap-depth capping). One equi-join superstep per
+        level with early stop; DuckDB mirrors with a depth-bounded
+        recursive CTE + min(depth)."""
+        ev = _read(spark, sf, "events")
+        nodes = ev.select((F.col("user_id") % 128).alias("n")).distinct()
+        edges = nodes.select(
+            F.col("n").alias("src"), ((F.col("n") * 3 + 1) % 128).alias("dst")
+        ).unionByName(
+            nodes.select(
+                F.col("n").alias("src"), ((F.col("n") + 17) % 128).alias("dst")
+            )
+        )
+        seeds = spark.createDataFrame([(0,)], "id: bigint")
+        return graph.hop_depth(edges, seeds, max_depth=12)
+
     def text_compression_ratio(spark, sf):
         """Deflate compression ratio (repetition.compression_ratio,
         the Dolma/RedPajama-v2 quality-tagger feature): whole-document
@@ -3097,6 +3137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 (never driver-checked; rotate into r6 head) ---
         "crawl_politeness_audit": crawl_politeness_audit,
         "corpus_ares_sample": corpus_ares_sample,
+        "corpus_leakage_split": corpus_leakage_split,
+        "crawl_hop_depth": crawl_hop_depth,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -4651,6 +4693,53 @@ def oracle_sql() -> dict[str, str]:
                          ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rn
                   FROM keyed)
             WHERE rn <= 50
+        """,
+        "corpus_leakage_split": """
+            WITH lab AS (
+              SELECT doc_id, source, n_chars,
+                     CASE WHEN u < 0.8 THEN 'train'
+                          WHEN u < 0.9 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT doc_id, source, n_chars,
+                       (CAST(concat('0x',
+                          substr(md5('gsplit-v1' || source), 1, 8))
+                          AS BIGINT) % 1000000) / 1000000.0 AS u
+                FROM documents)),
+            per AS (
+              SELECT source, split, count(*) AS n_docs,
+                     sum(n_chars) AS sz
+              FROM lab GROUP BY source, split),
+            leaks AS (
+              SELECT count(*) AS leaked_groups FROM (
+                SELECT source FROM per GROUP BY source
+                HAVING count(*) > 1)),
+            tot AS (SELECT sum(n_docs) AS t FROM per)
+            SELECT split,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                   count(DISTINCT source) AS n_groups,
+                   round(CAST(sum(n_docs) AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                     AS doc_share,
+                   CAST(sum(sz) AS BIGINT) AS chars_total,
+                   CAST(leaked_groups AS BIGINT) AS leaked_groups
+            FROM per, tot, leaks
+            GROUP BY split, t, leaked_groups
+        """,
+        "crawl_hop_depth": """
+            WITH RECURSIVE nodes AS (
+              SELECT DISTINCT user_id % 128 AS n FROM events),
+            edges AS (
+              SELECT n AS src, (n * 3 + 1) % 128 AS dst FROM nodes
+              UNION
+              SELECT n AS src, (n + 17) % 128 AS dst FROM nodes),
+            bfs(id, depth) AS (
+              SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+              UNION
+              SELECT e.dst AS id, b.depth + 1 AS depth
+              FROM bfs b JOIN edges e ON e.src = b.id
+              WHERE b.depth < 12)
+            SELECT id, CAST(min(depth) AS INT) AS depth
+            FROM bfs GROUP BY id
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

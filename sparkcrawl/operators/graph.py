@@ -609,3 +609,66 @@ def referring_domains(edges: DataFrame, src: str = "src",
         F.countDistinct("_shost").alias("n_ref_hosts"),
         F.count("*").alias("n_inlinks"),
     )
+
+
+def hop_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, depth) — minimal hop count from the seed set over the
+    directed edge list, bounded by ``max_depth``. The crawl-frontier
+    depth signal: crawlers cap discovery depth (SURVEY §2 scoping /
+    trap policy) and report how far from the seeds the corpus reaches;
+    depth is also the standard prioritizer tie-breaker (shallow pages
+    first).
+
+    Distributed BFS, one superstep per level: frontier ⨝ edges →
+    candidate dsts → anti-join against visited → next frontier at
+    depth d+1. ``max_depth`` is single-digit by crawl contract, so D
+    sequential equi-joins are the right shape — pointer doubling (the
+    redirects/CC trick) materializes a k-hop PAIR map, which is |V|²
+    for anything dense, while each BFS round here is bounded by |V|
+    rows and |E| join width. Every round localCheckpoints (iterative
+    lineage would otherwise double per level) and the loop early-stops
+    the superstep after the frontier empties — a graph that saturates
+    at depth 3 costs 3 joins, not max_depth.
+
+    Seeds not present in the edge list still report depth 0; nodes
+    unreachable within max_depth are absent (the caller's histogram
+    reads absence as "beyond horizon / not discovered").
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .persist()
+    )
+    e.count()
+    visited = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["_s"])
+            .select(F.col("_d").alias("id"))
+            .distinct()
+        )
+        new = (
+            nxt.join(visited, "id", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if not new.take(1):
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    e.unpersist()
+    return visited

@@ -412,3 +412,88 @@ def weighted_reservoir_sample(
         .withColumn("ares_key", F.round(F.col("_key"), 9))
         .drop("_key")
     )
+
+
+def group_split(
+    docs: DataFrame,
+    group_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "gsplit-v1",
+) -> DataFrame:
+    """Leakage-safe split: assign every row a split label by hashing
+    its GROUP key (registered domain, source site, url host) instead
+    of its document id, so all documents of one group land in the SAME
+    split — the standard guard against train/eval contamination from
+    near-duplicate pages of a single site straddling the boundary
+    (mirrors, templated pages, session-id variants all share a group).
+
+    Because the label is a pure function of the group VALUE, zero
+    cross-split leakage holds by construction — no join, no shuffle,
+    no group registry to maintain; a new group appearing mid-corpus
+    gets a stable split on first contact. The realized split sizes
+    converge to the weights only as fast as group sizes allow (one
+    giant domain is an indivisible unit — that is the price of the
+    leakage guarantee, and :func:`split_leakage_audit` reports it).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    u = _unit_bucket(F.col(group_col), salt)
+    expr = None
+    acc = 0.0
+    labels = list(weights)
+    for name in labels[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (
+        F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    )
+    return docs.withColumn("split", expr)
+
+
+def split_leakage_audit(
+    split_docs: DataFrame,
+    group_col: str,
+    split_col: str = "split",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-split audit of a (group-aware or not) split assignment:
+    document count, distinct-group count, realized share, and the
+    corpus-wide count of LEAKED groups (groups appearing in more than
+    one split — must be 0 for a :func:`group_split` output; for a
+    doc-id split it quantifies the contamination surface).
+
+    Shape: two hash aggs over (group, split) — the first collapses the
+    corpus to one row per observed (group, split) pair with its doc
+    count, everything after is dimension-sized. ``size_col`` (e.g.
+    token counts) adds a weighted share alongside the doc share.
+    """
+    per = split_docs.groupBy(group_col, split_col).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(size_col) if size_col else F.lit(None).cast("double")).alias("_sz"),
+    )
+    leaks = per.groupBy(group_col).agg(
+        F.count("*").alias("_n_splits")
+    ).filter(F.col("_n_splits") > 1).agg(
+        F.count("*").alias("leaked_groups")
+    )
+    tot = per.agg(F.sum("n_docs").alias("_tot"))
+    out = (
+        per.groupBy(split_col)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.countDistinct(group_col).alias("n_groups"),
+            F.sum("_sz").alias("size_total"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            split_col,
+            "n_docs",
+            "n_groups",
+            F.round(F.col("n_docs") / F.col("_tot"), 6).alias("doc_share"),
+            "size_total",
+            "leaked_groups",
+        )
+    )
+    return out

@@ -223,3 +223,45 @@ def test_referring_domains(spark):
            for r in referring_domains(edges).collect()}
     assert got["target.example"] == (2, 3, 4)   # spam.example counts once
     assert got["other.example"] == (1, 1, 1)
+
+
+# ---------------------------------------------------------------- hop_depth
+
+
+def _depths(spark, edges, seeds, **kw):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([(x,) for x in seeds], ["id"])
+    return {r["id"]: r["depth"] for r in graph.hop_depth(e, s, **kw).collect()}
+
+
+def test_hop_depth_chain(spark):
+    d = _depths(spark, [(1, 2), (2, 3), (3, 4)], [1])
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_hop_depth_min_over_paths(spark):
+    # 1->4 directly and via 2->3: BFS keeps the minimum
+    d = _depths(spark, [(1, 2), (2, 3), (3, 4), (1, 4)], [1])
+    assert d[4] == 1
+
+
+def test_hop_depth_multi_seed_and_cycle(spark):
+    d = _depths(spark, [(1, 2), (2, 1), (2, 3), (9, 3)], [1, 9])
+    assert d[1] == 0 and d[9] == 0
+    assert d[2] == 1
+    assert d[3] == 1  # via seed 9, not depth 2 via 1->2->3
+
+
+def test_hop_depth_bound_and_unreachable(spark):
+    d = _depths(spark, [(1, 2), (2, 3), (3, 4), (7, 8)], [1], max_depth=2)
+    assert d == {1: 0, 2: 1, 3: 2}  # 4 beyond bound; 7/8 unreachable
+
+
+def test_hop_depth_isolated_seed_reports_zero(spark):
+    d = _depths(spark, [(5, 6)], [1])
+    assert d == {1: 0}
+
+
+def test_hop_depth_early_stop_self_loop_ignored(spark):
+    d = _depths(spark, [(1, 1), (1, 2), (2, 2)], [1], max_depth=8)
+    assert d == {1: 0, 2: 1}

@@ -258,3 +258,57 @@ def test_weighted_reservoir_sample(spark):
     # heavy items are 20% of rows but 96% of total weight: expected
     # draw share >> light's. Loose bound: >45% of 120 draws.
     assert heavy > 54, heavy
+
+
+# ------------------------------------------------------------- group_split
+
+
+def test_group_split_no_leakage_and_matches_group_hash(spark):
+    from sparkcrawl.operators import sampling
+
+    rows = [(i, f"site-{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.group_split(df, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_group = (
+        out.groupBy("source").agg(F.countDistinct("split").alias("k")).collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)
+    # same salt+value -> same split as hash_split on a one-row-per-group frame
+    lone = spark.createDataFrame(
+        [(f"site-{g}",) for g in range(7)], ["source"]
+    )
+    expect = {
+        r["source"]: r["split"]
+        for r in sampling.group_split(lone, "source").collect()
+    }
+    got = {r["source"]: r["split"] for r in sampling.group_split(df, "source").collect()}
+    # default weights path consistent across frames (pure function of value)
+    assert got == {f"site-{i % 7}": expect[f"site-{i % 7}"] for i in range(200)}
+
+
+def test_split_leakage_audit_counts(spark):
+    from sparkcrawl.operators import sampling
+
+    rows = [
+        (1, "a", "train", 10), (2, "a", "train", 20),
+        (3, "b", "val", 5), (4, "b", "train", 5),  # b leaks
+        (5, "c", "test", 7),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "g", "split", "n_tok"])
+    out = {r["split"]: r.asDict() for r in
+           sampling.split_leakage_audit(df, "g", size_col="n_tok").collect()}
+    assert out["train"]["n_docs"] == 3 and out["train"]["n_groups"] == 2
+    assert out["train"]["size_total"] == 35
+    assert all(r["leaked_groups"] == 1 for r in out.values())
+    assert out["test"]["doc_share"] == 0.2
+
+
+def test_split_leakage_audit_group_split_is_leak_free(spark):
+    from sparkcrawl.operators import sampling
+
+    rows = [(i, f"d{i % 13}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.split_leakage_audit(
+        sampling.group_split(df, "source"), "source"
+    ).collect()
+    assert out and all(r["leaked_groups"] == 0 for r in out)
