@@ -2734,6 +2734,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = spark.createDataFrame([(0,)], "id: bigint")
         return graph.hop_depth(edges, seeds, max_depth=12)
 
+    def crawl_seed_attribution(spark, sf):
+        """Crawl lineage (graph.seed_attribution): every reachable node
+        labeled with the seed that discovers it — minimal hop count,
+        then minimal seed id among equally-near seeds. Same synthetic
+        out-degree-2 graph as crawl_hop_depth, three competing seeds;
+        the DuckDB twin computes the global argmin over the raw
+        depth-bounded path set, pinning the level-wise min-propagation
+        to the declarative definition."""
+        ev = _read(spark, sf, "events")
+        nodes = ev.select((F.col("user_id") % 128).alias("n")).distinct()
+        edges = nodes.select(
+            F.col("n").alias("src"), ((F.col("n") * 3 + 1) % 128).alias("dst")
+        ).unionByName(
+            nodes.select(
+                F.col("n").alias("src"), ((F.col("n") + 17) % 128).alias("dst")
+            )
+        )
+        seeds = spark.createDataFrame([(0,), (5,), (11,)], "id: bigint")
+        return graph.seed_attribution(edges, seeds, max_depth=12)
+
     def text_compression_ratio(spark, sf):
         """Deflate compression ratio (repetition.compression_ratio,
         the Dolma/RedPajama-v2 quality-tagger feature): whole-document
@@ -3139,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ares_sample": corpus_ares_sample,
         "corpus_leakage_split": corpus_leakage_split,
         "crawl_hop_depth": crawl_hop_depth,
+        "crawl_seed_attribution": crawl_seed_attribution,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -4740,6 +4761,28 @@ def oracle_sql() -> dict[str, str]:
               WHERE b.depth < 12)
             SELECT id, CAST(min(depth) AS INT) AS depth
             FROM bfs GROUP BY id
+        """,
+        "crawl_seed_attribution": """
+            WITH RECURSIVE nodes AS (
+              SELECT DISTINCT user_id % 128 AS n FROM events),
+            edges AS (
+              SELECT n AS src, (n * 3 + 1) % 128 AS dst FROM nodes
+              UNION
+              SELECT n AS src, (n + 17) % 128 AS dst FROM nodes),
+            bfs(id, depth, seed) AS (
+              SELECT CAST(s AS BIGINT) AS id, 0 AS depth,
+                     CAST(s AS BIGINT) AS seed
+              FROM (VALUES (0), (5), (11)) AS v(s)
+              UNION
+              SELECT e.dst AS id, b.depth + 1 AS depth, b.seed AS seed
+              FROM bfs b JOIN edges e ON e.src = b.id
+              WHERE b.depth < 12)
+            SELECT id, depth, seed FROM (
+              SELECT id, depth, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY depth, seed) AS rn
+              FROM bfs)
+            WHERE rn = 1
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

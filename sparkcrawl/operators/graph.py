@@ -672,3 +672,58 @@ def hop_depth(
         frontier = new
     e.unpersist()
     return visited
+
+
+def seed_attribution(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, depth, seed) — every node reachable within ``max_depth``
+    labeled with the seed that DISCOVERS it: minimal hop count first,
+    minimal seed id among the equally-near seeds second. The crawl
+    lineage readout behind per-seed budget attribution ("which seeds
+    actually earn the corpus") and seed-list pruning.
+
+    Same superstep shape as :func:`hop_depth` (level-at-a-time BFS,
+    anti-join vs visited, localCheckpoint per round, early stop), with
+    the frontier carrying its attributed seed and each new node taking
+    ``min(seed)`` over its level-d-1 in-neighbors. Because min is
+    associative and propagation adds exactly one hop per level, this
+    equals the global argmin over all (path length, origin seed) pairs
+    — which is what the DuckDB oracle computes from the raw path set.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .persist()
+    )
+    e.count()
+    visited = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .select("id", F.lit(0).alias("depth"), F.col("id").alias("seed"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        cand = (
+            frontier.join(e, frontier["id"] == e["_s"])
+            .groupBy(F.col("_d").alias("id"))
+            .agg(F.min("seed").alias("seed"))
+        )
+        new = (
+            cand.join(visited, "id", "left_anti")
+            .select("id", F.lit(d).alias("depth"), "seed")
+            .localCheckpoint(eager=True)
+        )
+        if not new.take(1):
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    e.unpersist()
+    return visited

@@ -265,3 +265,37 @@ def test_hop_depth_isolated_seed_reports_zero(spark):
 def test_hop_depth_early_stop_self_loop_ignored(spark):
     d = _depths(spark, [(1, 1), (1, 2), (2, 2)], [1], max_depth=8)
     assert d == {1: 0, 2: 1}
+
+
+# ---------------------------------------------------------- seed_attribution
+
+
+def _attr(spark, edges, seeds, **kw):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([(x,) for x in seeds], ["id"])
+    return {r["id"]: (r["depth"], r["seed"])
+            for r in graph.seed_attribution(e, s, **kw).collect()}
+
+
+def test_seed_attribution_nearest_seed_wins(spark):
+    # 9 is 1 hop from seed 7 but 2 hops from seed 1 -> attributed to 7
+    a = _attr(spark, [(1, 2), (2, 9), (7, 9)], [1, 7])
+    assert a[9] == (1, 7)
+    assert a[2] == (1, 1)
+
+
+def test_seed_attribution_tie_breaks_min_seed(spark):
+    a = _attr(spark, [(5, 9), (3, 9)], [5, 3])
+    assert a[9] == (1, 3)
+
+
+def test_seed_attribution_propagates_along_tree(spark):
+    a = _attr(spark, [(1, 2), (2, 3), (3, 4)], [1, 8])
+    assert a == {1: (0, 1), 8: (0, 8), 2: (1, 1), 3: (2, 1), 4: (3, 1)}
+
+
+def test_seed_attribution_seed_label_beats_later_arrival(spark):
+    # seed 9 is itself reachable from seed 1 but keeps (0, 9)
+    a = _attr(spark, [(1, 9), (9, 5)], [1, 9])
+    assert a[9] == (0, 9)
+    assert a[5] == (1, 9)
