@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "embedding_margin_alignment",
     "text_compression_ratio",
     "graph_referring_domains",
+    "corpus_leakage_split",
+    "crawl_hop_depth",
+    "crawl_seed_attribution",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION
@@ -159,6 +162,8 @@ EAGER_QUERIES = {
     "embedding_dbscan_clusters", "corpus_dsir_sample",
     "text_bpe_tokens",  # trains (argmax collects) at construction
     "corpus_soft_dedup_weights",  # connected components iterate at construction
+    "crawl_hop_depth",  # BFS supersteps run at construction
+    "crawl_seed_attribution",
 }
 
 FRONTIER_REPLICAS = int(os.environ.get("SPARK_GRAFT_FRONTIER_REPLICAS", "20"))
