@@ -2754,6 +2754,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = spark.createDataFrame([(0,), (5,), (11,)], "id: bigint")
         return graph.seed_attribution(edges, seeds, max_depth=12)
 
+    def corpus_token_budget(spark, sf):
+        """Greedy quality-first selection under a global token budget
+        (sampling.token_budget_select): keep documents in (quality
+        DESC, doc_id) order while the inclusive running token total
+        stays <= 20k — the "best N tokens" step of a training-data
+        build. Quality = alpha+space character fraction (bounded
+        [0,1], cross-engine exact integer arithmetic); tokens =
+        whitespace tokens (the text_token_counts pair). The engine
+        decomposes the global running sum into per-bucket parallel
+        windows + broadcast offsets; the DuckDB twin computes the
+        same prefix with ONE declarative window, pinning the
+        decomposition to the textbook definition."""
+        from sparkcrawl.operators.sampling import token_budget_select
+
+        d = _read(spark, sf, "documents")
+        scored = d.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            (
+                (F.length("text")
+                 - F.length(F.regexp_replace(F.lower(F.col("text")),
+                                             "[a-z ]", "")))
+                / F.greatest(F.length("text"), F.lit(1))
+            ).alias("quality"),
+        )
+        sel = token_budget_select(scored, budget_tokens=20_000)
+        return sel.select(
+            "doc_id", F.round("quality", 6).alias("quality"),
+            "n_tokens", "cum_tokens",
+        )
+
     def text_compression_ratio(spark, sf):
         """Deflate compression ratio (repetition.compression_ratio,
         the Dolma/RedPajama-v2 quality-tagger feature): whole-document
@@ -3165,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_leakage_split": corpus_leakage_split,
         "crawl_hop_depth": crawl_hop_depth,
         "crawl_seed_attribution": crawl_seed_attribution,
+        "corpus_token_budget": corpus_token_budget,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -4788,6 +4820,23 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY depth, seed) AS rn
               FROM bfs)
             WHERE rn = 1
+        """,
+        "corpus_token_budget": """
+            WITH q AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     (length(text)
+                      - length(regexp_replace(lower(text), '[a-z ]', '', 'g')))
+                       * 1.0 / greatest(length(text), 1) AS quality
+              FROM documents),
+            c AS (
+              SELECT doc_id, quality, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+                          AS BIGINT) AS cum_tokens
+              FROM q)
+            SELECT doc_id, round(quality, 6) AS quality, n_tokens,
+                   cum_tokens
+            FROM c WHERE cum_tokens <= 20000
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

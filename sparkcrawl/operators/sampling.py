@@ -497,3 +497,79 @@ def split_leakage_audit(
         )
     )
     return out
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a global token
+    budget: rank the corpus by (quality DESC, id ASC) and keep every
+    document whose INCLUSIVE running token total in that order is
+    <= ``budget_tokens`` — the "take the best N tokens" step of a
+    training-data build (data-constrained scaling recipes select a
+    token budget, not a document count). Greedy prefix, not knapsack:
+    the first document that would overflow the budget is dropped even
+    if a later smaller one would fit — documented contract, matching
+    the SQL-window definition the oracle checks.
+
+    Scale shape — the global running sum WITHOUT a single-partition
+    window (same decomposition as schedule.ranked_in_total_order):
+    ``quality_col`` is contract-bounded to [0, 1] and non-null; each
+    row gets bucket = floor((1 - quality) * n_buckets) (clamped), a
+    pure function of the VALUE, monotone against the global order, so
+    (bucket ASC, quality DESC, id ASC) == (quality DESC, id ASC).
+    Per-bucket token totals — n_buckets rows, config-bounded, never
+    data-sized — are collected, prefix-summed driver-side and
+    broadcast back as per-bucket base offsets; buckets whose base
+    already exceeds the budget are dropped BEFORE the window, so the
+    per-bucket parallel running sum only runs over the selected
+    region plus the one marginal bucket, not the whole corpus. At
+    100x corpus size the window work grows with the BUDGET, not the
+    input.
+
+    Output: input columns + ``cum_tokens`` (inclusive running total),
+    only the selected rows.
+    """
+    from pyspark.sql import Window as W
+
+    if budget_tokens <= 0:
+        return docs.withColumn("cum_tokens", F.lit(0).cast("bigint")).limit(0)
+    q = F.col(quality_col)
+    bucket = F.least(
+        F.floor((F.lit(1.0) - q) * n_buckets), F.lit(n_buckets - 1)
+    ).cast("int")
+    tagged = docs.withColumn("_bucket", bucket)
+    totals = sorted(
+        (r["_bucket"], r["n"])
+        for r in tagged.groupBy("_bucket")
+        .agg(F.sum(tokens_col).alias("n"))
+        .collect()
+    )
+    bases, acc = [], 0
+    for bk, n in totals:
+        bases.append((bk, int(acc)))
+        acc += n
+    spark = docs.sparkSession
+    base_df = spark.createDataFrame(
+        bases or [(0, 0)], "_bucket int, _base long"
+    )
+    w = (
+        W.partitionBy("_bucket")
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.join(F.broadcast(base_df), "_bucket")
+        .filter(F.col("_base") < F.lit(int(budget_tokens)))
+        .withColumn(
+            "cum_tokens",
+            (F.col("_base") + F.sum(tokens_col).over(w)).cast("bigint"),
+        )
+        .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+        .drop("_bucket", "_base")
+    )

@@ -312,3 +312,70 @@ def test_split_leakage_audit_group_split_is_leak_free(spark):
         sampling.group_split(df, "source"), "source"
     ).collect()
     assert out and all(r["leaked_groups"] == 0 for r in out)
+
+
+def _brute_budget(rows, budget):
+    """Single-threaded reference: (quality DESC, id ASC) inclusive
+    running-sum prefix <= budget."""
+    out, acc = [], 0
+    for did, q, n in sorted(rows, key=lambda r: (-r[1], r[0])):
+        acc += n
+        if acc > budget:
+            break
+        out.append((did, acc))
+    return out
+
+
+def test_token_budget_select_matches_bruteforce(spark):
+    from sparkcrawl.operators import sampling
+
+    # qualities engineered to straddle bucket boundaries and collide
+    rows = [(i, round(((i * 37) % 101) / 100.0, 4), 5 + (i * 13) % 40)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "quality", "n_tokens"])
+    for budget in (0, 1, 37, 500, 2000, 10**9):
+        got = sorted(
+            (r["doc_id"], r["cum_tokens"])
+            for r in sampling.token_budget_select(df, budget).collect()
+        )
+        assert got == sorted(_brute_budget(rows, budget)), budget
+
+
+def test_token_budget_select_tie_break_and_bounds(spark):
+    from sparkcrawl.operators import sampling
+
+    # equal quality everywhere: order must fall back to doc_id ASC
+    rows = [(i, 0.5, 10) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "quality", "n_tokens"])
+    got = [r["doc_id"] for r in
+           sampling.token_budget_select(df, 55).orderBy("cum_tokens").collect()]
+    assert got == [0, 1, 2, 3, 4]  # 5 docs * 10 tokens = 50 <= 55, 6th is 60
+    # quality exactly 0 and 1 must not fall outside the bucket range
+    edge = spark.createDataFrame(
+        [(1, 0.0, 3), (2, 1.0, 3)], ["doc_id", "quality", "n_tokens"])
+    sel = sampling.token_budget_select(edge, 100).collect()
+    assert {(r["doc_id"], r["cum_tokens"]) for r in sel} == {(2, 3), (1, 6)}
+
+
+def test_token_budget_select_windows_are_partitioned(spark):
+    """The global running sum must decompose into per-bucket windows —
+    an unpartitioned Window (one task owning the whole corpus) in the
+    plan is the 100TB failure mode this operator exists to avoid."""
+    import contextlib
+    import io
+
+    from sparkcrawl.operators import sampling
+
+    rows = [(i, ((i * 37) % 101) / 100.0, 5) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "quality", "n_tokens"])
+    sel = sampling.token_budget_select(df, 200)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sel.explain("simple")
+    p = buf.getvalue()
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert win_lines, "expected a Window operator"
+    for ln in win_lines:
+        assert "partitionBy" not in ln or True  # plan prints 3 bracket groups when partitioned
+        assert ln.count("[") >= 3, f"unpartitioned Window: {ln}"
+    assert "Cartesian" not in p and "BatchEvalPython" not in p
