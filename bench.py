@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "corpus_leakage_split",
     "crawl_hop_depth",
     "crawl_seed_attribution",
+    "corpus_token_budget",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

@@ -77,6 +77,11 @@ def main() -> None:
                          "dropped")
     ap.add_argument("--mixture-budget", type=int, default=0,
                     help="total docs to draw via tokens^alpha domain weights (0 = keep all)")
+    ap.add_argument("--token-budget", type=int, default=0,
+                    help="after all gates and sampling, keep the best "
+                         "documents by composite quality up to this total "
+                         "whitespace-token budget (greedy prefix, "
+                         "sampling.token_budget_select; 0 = off)")
     ap.add_argument("--mixture-alpha", type=float, default=0.7)
     ap.add_argument("--shard-tokens", type=int, default=0,
                     help="assign token-balanced shard ids with this target (0 = off)")
@@ -301,6 +306,16 @@ def main() -> None:
         kept = sampling.weighted_mixture_sample(
             kept, weights, budget=args.mixture_budget, salt=args.salt
         ).drop("mix_rank")
+    if args.token_budget:
+        # quality column is the composite from textops.quality_score
+        # (bounded [0,1], the operator's contract); tokens are
+        # whitespace tokens — the same unit --shard-tokens defaults to
+        kept = sampling.token_budget_select(
+            kept.withColumn(
+                "n_tokens", F.size(F.split(F.col("text"), " "))
+            ),
+            budget_tokens=args.token_budget,
+        ).drop("n_tokens", "cum_tokens")
     splits = {
         k: float(v)
         for k, v in (kv.split("=") for kv in args.splits.split(","))

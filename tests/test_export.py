@@ -49,3 +49,58 @@ def test_export_prunes_partitions_in_plan(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert "split" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_run_corpus_cli_token_budget(spark, tmp_path, capsys):
+    """run_corpus --token-budget composes the greedy quality-first
+    prefix into the curation pipeline: output token mass respects the
+    budget and the kept set is exactly the top-quality prefix of the
+    no-budget run's survivors."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "run_corpus",
+        os.path.join(os.path.dirname(__file__), os.pardir,
+                     "scripts", "run_corpus.py"),
+    )
+    run_corpus = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_corpus)
+
+    inp = f"{SF}/documents.parquet"
+
+    def _run(out, *extra):
+        old = sys.argv
+        sys.argv = ["run_corpus.py", "--input", inp, "--output", out, *extra]
+        try:
+            run_corpus.main()
+        finally:
+            sys.argv = old
+        capsys.readouterr()
+        return spark.read.parquet(out)
+
+    full = _run(str(tmp_path / "full"))
+    budget = 60
+    capped = _run(str(tmp_path / "capped"), "--token-budget", str(budget))
+
+    tok = F.size(F.split(F.col("text"), " "))
+    assert capped.agg(F.sum(tok)).first()[0] <= budget
+    n_full = full.count()
+    n_capped = capped.count()
+    assert 0 < n_capped < n_full
+    # the capped set is the quality-first prefix of the full survivors
+    ranked = (
+        full.select("doc_id", "quality", tok.alias("_n"))
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .collect()
+    )
+    expect, acc = set(), 0
+    for r in ranked:
+        acc += r["_n"]
+        if acc > budget:
+            break
+        expect.add(r["doc_id"])
+    got = {r["doc_id"] for r in capped.collect()}
+    assert got == expect
