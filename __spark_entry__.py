@@ -2785,6 +2785,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_tokens", "cum_tokens",
         )
 
+    def multimodal_caption_coverage(spark, sf):
+        """Per-doc media-caption alignment coverage (multimodal.
+        caption_coverage): the share of a doc's media spans with a
+        non-empty text neighbor in range — the pair-miner's predicate
+        as a document quality signal, computed as a PURE projection
+        (nested higher-order functions; no explode, join or shuffle).
+        Four span layouts exercise full / partial (2 media, 1 in
+        range) / zero / media-free coverage."""
+        from sparkcrawl.operators.multimodal import caption_coverage
+
+        ev = _read(spark, sf, "events")
+        p = F.col("user_id") % 4
+        did = F.concat(F.lit("d"), F.col("event_id").cast("string"))
+        mref = F.concat(F.lit("http://m.example/"),
+                        F.col("event_id").cast("string"), F.lit(".png"))
+        cap = F.concat(F.lit("cap-"), F.col("event_id").cast("string"))
+
+        def t(text, off):
+            return F.struct(F.lit("text").alias("kind"),
+                            text.alias("text"),
+                            F.lit("").alias("media_ref"),
+                            F.lit(off).cast("int").alias("offset"))
+
+        def m(ref, off):
+            return F.struct(F.lit("media").alias("kind"),
+                            F.lit("").alias("text"),
+                            ref.alias("media_ref"),
+                            F.lit(off).cast("int").alias("offset"))
+
+        spans = (
+            F.when(p == 0, F.array(t(F.lit("intro"), 0), m(mref, 1),
+                                   t(cap, 2)))
+            .when(p == 1, F.array(m(mref, 0),
+                                  m(F.concat(mref, F.lit("?b")), 1),
+                                  t(cap, 2)))
+            .when(p == 2, F.array(m(mref, 0),
+                                  m(F.concat(mref, F.lit("?b")), 1)))
+            .otherwise(F.array(t(cap, 0), t(F.lit("tail"), 1)))
+        )
+        docs = ev.select(did.alias("doc_id"), spans.alias("spans"))
+        return caption_coverage(docs)
+
     def text_compression_ratio(spark, sf):
         """Deflate compression ratio (repetition.compression_ratio,
         the Dolma/RedPajama-v2 quality-tagger feature): whole-document
@@ -3197,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_hop_depth": crawl_hop_depth,
         "crawl_seed_attribution": crawl_seed_attribution,
         "corpus_token_budget": corpus_token_budget,
+        "multimodal_caption_coverage": multimodal_caption_coverage,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -4837,6 +4880,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(quality, 6) AS quality, n_tokens,
                    cum_tokens
             FROM c WHERE cum_tokens <= 20000
+        """,
+        "multimodal_caption_coverage": """
+            WITH base AS (
+              SELECT user_id % 4 AS p,
+                     'd' || CAST(event_id AS VARCHAR) AS doc_id
+              FROM events)
+            SELECT doc_id,
+                   CAST(CASE WHEN p = 0 THEN 1
+                             WHEN p IN (1, 2) THEN 2
+                             ELSE 0 END AS BIGINT) AS n_media,
+                   CAST(CASE WHEN p = 0 THEN 1
+                             WHEN p = 1 THEN 1
+                             ELSE 0 END AS BIGINT) AS n_captioned,
+                   CASE WHEN p = 0 THEN round(1.0, 6)
+                        WHEN p = 1 THEN round(0.5, 6)
+                        WHEN p = 2 THEN round(0.0, 6)
+                   END AS coverage
+            FROM base
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

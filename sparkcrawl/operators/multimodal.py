@@ -555,3 +555,55 @@ def main_content_spans(
         ratio.alias("stop_ratio"),
         keep.alias("keep"),
     )
+
+
+def caption_coverage(
+    docs_spans: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    max_distance: int = 1,
+) -> DataFrame:
+    """Per-document media-caption alignment coverage: how many of the
+    document's media spans have a non-empty text neighbor within
+    ``max_distance`` positions — the share of the doc's media that
+    :func:`media_caption_pairs` (same neighbor predicate) would pair.
+    Multimodal training builds filter or weight documents on this
+    (poorly captioned pages make bad CLIP-style pairs).
+
+    Output: (doc_id, n_media, n_captioned, coverage); docs with no
+    media spans report n_media = 0 and NULL coverage.
+
+    Plan shape: strictly cheaper than the pair miner — nothing
+    explodes at all. Both counts are nested higher-order functions
+    over the row's OWN span array (``size(filter(...))`` with an
+    inner ``exists`` for the neighbor test), so the whole operator is
+    a single codegen projection: no join, no shuffle, no Generate,
+    safe at any corpus size and any media density.
+    """
+    spans = F.col(spans_col)
+    text_lit = F.lit("text")
+
+    def _captioned(s):
+        return F.exists(
+            spans,
+            lambda t: (t["kind"] == text_lit)
+            & (t["text"] != F.lit(""))
+            & (t["offset"] >= s["offset"] - max_distance)
+            & (t["offset"] <= s["offset"] + max_distance),
+        )
+
+    n_media = F.size(F.filter(spans, lambda s: s["kind"] == F.lit("media")))
+    n_cap = F.size(
+        F.filter(
+            spans,
+            lambda s: (s["kind"] == F.lit("media")) & _captioned(s),
+        )
+    )
+    return docs_spans.select(
+        F.col(id_col).alias("doc_id"),
+        n_media.cast("bigint").alias("n_media"),
+        n_cap.cast("bigint").alias("n_captioned"),
+        F.when(
+            n_media > 0, F.round(n_cap / n_media, 6)
+        ).alias("coverage"),
+    )

@@ -794,3 +794,48 @@ def test_real_jpeg_sof_decode(spark):
         for r in multimodal.decode_and_featurize(media, fake=False).collect()
     }
     assert got == {"c.jpg": (640, 480, 8), "d.jpg": (1920, 1080, 8)}
+
+
+def test_caption_coverage(spark):
+    """Coverage counts match the pair-miner's neighbor predicate:
+    full / partial / zero coverage, empty-text exclusion, media-free
+    docs NULL out — and the plan is a pure projection (no Generate /
+    Join / Exchange)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.multimodal import caption_coverage
+
+    def t(text, off):
+        return ("text", text, "", off)
+
+    def m(off):
+        return ("media", "", f"ref{off}", off)
+
+    span_t = ("array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    rows = [
+        ("full", [t("intro", 0), m(1), t("cap", 2)]),
+        ("half", [m(0), m(1), t("cap", 2)]),       # only media@1 in range
+        ("none", [m(0), m(1)]),                     # no text at all
+        ("emptytext", [m(0), t("", 1)]),            # empty text ignored
+        ("textonly", [t("a", 0), t("b", 1)]),       # no media -> NULL
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "spans"]).withColumn(
+        "spans", F.col("spans").cast(span_t))
+    got = {r["doc_id"]: (r["n_media"], r["n_captioned"], r["coverage"])
+           for r in caption_coverage(df).collect()}
+    assert got["full"] == (1, 1, 1.0)
+    assert got["half"] == (2, 1, 0.5)
+    assert got["none"] == (2, 0, 0.0)
+    assert got["emptytext"] == (1, 0, 0.0)
+    assert got["textonly"] == (0, 0, None)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        caption_coverage(df).explain("simple")
+    p = buf.getvalue()
+    for op in ("Generate", "Join", "Exchange", "BatchEvalPython"):
+        assert op not in p, op
