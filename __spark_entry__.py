@@ -2966,6 +2966,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             frontier, CrawlConfig(num_queues=NQ), delays,
             window_seconds=3600.0)
 
+    def bitext_hreflang_pairs(spark, sf):
+        """Publisher-declared translation pairs (extract.
+        extract_hreflang_declarations -> bitext.
+        reciprocal_hreflang_pairs): <link rel=alternate hreflang>
+        annotations parsed from synthesized HTML, then pair-mined with
+        the return-link confirmation Google's hreflang guidelines
+        require. Four per-cluster layouts: full en/de/fr trio (3
+        pairs), a confirmed en<->de pair with a silent fr (1 pair), a
+        broken return link (0), and an x-default/self-only page (0).
+        The oracle reconstructs the confirmed pairs per class."""
+        from sparkcrawl.config import CrawlConfig
+        from sparkcrawl.operators.bitext import reciprocal_hreflang_pairs
+        from sparkcrawl.operators.extract import extract_hreflang_declarations
+
+        ev = _read(spark, sf, "events")
+        p = F.col("user_id") % 4
+        host = F.concat(F.lit("http://h"),
+                        F.col("event_id").cast("string"),
+                        F.lit(".example/"))
+        en, de, fr = (F.concat(host, F.lit(lg)) for lg in ("en", "de", "fr"))
+
+        def link(lg, target):
+            return F.concat(
+                F.lit('<link rel="alternate" hreflang="' + lg + '" href="'),
+                target, F.lit('">'))
+
+        trio = F.concat(link("en", en), link("de", de), link("fr", fr))
+        head_en = (
+            F.when(p == 0, trio)
+            .when(p == 1, link("de", de))
+            .when(p == 2, link("de", de))
+            .otherwise(F.concat(link("x-default", host), link("en", en)))
+        )
+        head_de = (
+            F.when(p == 0, trio)
+            .when(p == 1, link("en", en))
+            .when(p == 2, link("fr", fr))  # broken: never returns to en
+            .otherwise(F.lit(""))
+        )
+        head_fr = F.when(p == 0, trio).otherwise(F.lit(""))
+        pages = ev.select(F.explode(F.array(
+            F.struct(en.alias("url"), head_en.alias("head")),
+            F.struct(de.alias("url"), head_de.alias("head")),
+            F.struct(fr.alias("url"), head_fr.alias("head")),
+        )).alias("pg"))
+        fetchlike = pages.select(
+            F.col("pg.url").alias("url"),
+            F.lit(200).alias("status_code"),
+            F.lit("text/html; charset=utf-8").alias("content_type"),
+            F.concat(F.lit("<html><head>"), F.col("pg.head"),
+                     F.lit("</head><body>t</body></html>")).alias("body"),
+        )
+        decls = extract_hreflang_declarations(fetchlike, CrawlConfig())
+        return reciprocal_hreflang_pairs(decls)
+
     def freshness_cache_control(spark, sf):
         """Cache-Control revisit hints (freshness.cache_control_hints,
         RFC 9111): max-age / no-cache / no-store parsed by case-folded
@@ -3240,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seed_attribution": crawl_seed_attribution,
         "corpus_token_budget": corpus_token_budget,
         "multimodal_caption_coverage": multimodal_caption_coverage,
+        "bitext_hreflang_pairs": bitext_hreflang_pairs,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -4898,6 +4954,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN p = 2 THEN round(0.0, 6)
                    END AS coverage
             FROM base
+        """,
+        "bitext_hreflang_pairs": """
+            WITH base AS (
+              SELECT user_id % 4 AS p,
+                     'http://h' || CAST(event_id AS VARCHAR) || '.example/'
+                       AS h
+              FROM events)
+            SELECT h || 'de' AS url_a, 'de' AS lang_a,
+                   h || 'en' AS url_b, 'en' AS lang_b
+            FROM base WHERE p IN (0, 1)
+            UNION ALL
+            SELECT h || 'de', 'de', h || 'fr', 'fr' FROM base WHERE p = 0
+            UNION ALL
+            SELECT h || 'en', 'en', h || 'fr', 'fr' FROM base WHERE p = 0
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

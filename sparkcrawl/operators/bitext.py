@@ -140,3 +140,53 @@ def parallel_page_candidates(
         .select("skeleton", "id_a", "lang_a", "len_a",
                 "id_b", "lang_b", "len_b", "len_ratio")
     )
+
+
+def reciprocal_hreflang_pairs(decls: DataFrame) -> DataFrame:
+    """Confirmed translation pairs from publisher hreflang annotations.
+
+    Input: (url, lang, alt_url) declaration rows as produced by
+    :func:`sparkcrawl.operators.extract.extract_hreflang_declarations`.
+    Output: (url_a, lang_a, url_b, lang_b) with ``url_a < url_b``,
+    where page A declares B as a language variant AND B declares A
+    back — the "return link" confirmation Google's hreflang
+    guidelines require before trusting the annotation (an unconfirmed
+    one-way declaration is routinely wrong or stale, so it is
+    dropped). Each page's language label is what its PARTNER declares
+    for it: lang_a is B's declaration of A, lang_b is A's declaration
+    of B. Self-declarations (``alt_url == url``) and ``x-default``
+    selector entries carry no pairing information and are filtered
+    first.
+
+    Plan shape: distinct declaration triples, then ONE self-equi-join
+    on the (alt_url = url, url = alt_url) key pair with the ``url_a <
+    url_b`` orientation predicate folded into the join condition (so
+    each unordered pair is emitted once, never double-joined then
+    halved), then a distinct. Both joins keys are single URLs — an
+    even hash shuffle with no skew pole (a site's hreflang fan-out is
+    its language count, dozens at most) and no window anywhere.
+    """
+    d = (
+        decls.filter(
+            (F.col("alt_url") != F.col("url"))
+            & (F.col("lang") != "x-default")
+        )
+        .select("url", "lang", "alt_url")
+        .distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.alt_url") == F.col("b.url"))
+            & (F.col("b.alt_url") == F.col("a.url"))
+            & (F.col("a.url") < F.col("a.alt_url")),
+        )
+        .select(
+            F.col("a.url").alias("url_a"),
+            F.col("b.lang").alias("lang_a"),
+            F.col("a.alt_url").alias("url_b"),
+            F.col("a.lang").alias("lang_b"),
+        )
+        .distinct()
+    )

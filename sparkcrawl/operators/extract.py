@@ -67,6 +67,7 @@ class SpanLinkParser(HTMLParser):
         self.robots_meta: set[str] = set()  # <meta name=robots> directives
         self.nofollow_links: set[int] = set()  # raw_links indexes w/ nofollow
         self.canonical: str | None = None  # <link rel=canonical href> (1st wins)
+        self.hreflang: list[tuple[str, str]] = []  # <link rel=alternate hreflang>
         self._skip_depth = 0  # inside <script>/<style>
         self._open_a: int | None = None  # raw_links index of the open <a>
         self._a_buf: list[str] = []
@@ -102,6 +103,10 @@ class SpanLinkParser(HTMLParser):
             if tag == "link" and "canonical" in rel_tokens \
                     and self.canonical is None:
                 self.canonical = amap[attr].strip()
+            if tag == "link" and "alternate" in rel_tokens \
+                    and amap.get("hreflang", "").strip():
+                self.hreflang.append(
+                    (amap["hreflang"].strip().lower(), amap[attr].strip()))
             if tag == "a":
                 self._close_anchor()  # HTML5 implied end: <a> closes an open <a>
                 self._open_a = len(self.raw_links) - 1
@@ -314,6 +319,74 @@ def extract_canonical_pairs(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
             if c in fetched.columns]
     return fetched.select(*cols).mapInPandas(
         _canon, schema="url string, canonical_url string")
+
+
+def parse_document_hreflang(
+    url: str,
+    body: str | bytes | None,
+    content_type: str | None = "text/html",
+) -> list[dict]:
+    """The page's ``<link rel=alternate hreflang=...>`` declarations —
+    publisher-declared language variants (the hreflang annotation from
+    Google's multilingual-site guidelines and RFC 8288 ``alternate``
+    links). Each entry is ``{lang, href}``: the BCP-47 code lowercased
+    and the target base-resolved + canonicalized (C1), http(s) only,
+    deduped keep-first on (lang, href). These are the highest-precision
+    bitext candidates a crawl can mine: the site itself asserts which
+    URL is which language's version of the same content."""
+    if body is None:
+        return []
+    if isinstance(body, (bytes, bytearray)):
+        body = body.decode(sniff_charset(content_type), errors="replace")
+    parser = SpanLinkParser()
+    try:
+        parser.feed(body)
+        parser.close()
+    except Exception:
+        pass
+    base = parser.base or url
+    out: list[dict] = []
+    seen: set[tuple[str, str]] = set()
+    for lang, raw in parser.hreflang:
+        canon = canonicalize_one(raw, base)
+        if not canon or not canon.startswith(("http://", "https://")):
+            continue
+        key = (lang, canon)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append({"lang": lang, "href": canon})
+    return out
+
+
+def extract_hreflang_declarations(
+    fetched: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """(url, lang, alt_url) rows for every hreflang declaration on
+    every parseable fetched page (F5 limiter applied). Same
+    Arrow-batched single-parse mapInPandas shape as
+    :func:`extract_canonical_pairs`; pair mining over the output is
+    :func:`sparkcrawl.operators.bitext.reciprocal_hreflang_pairs`."""
+
+    def _hl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, langs, alts = [], [], []
+            for url, status, ctype, body in zip(
+                pdf["url"], pdf["status_code"], pdf["content_type"], pdf["body"]
+            ):
+                status = None if pd.isna(status) else int(status)
+                if _extraction_finished(status, ctype, body, cfg):
+                    continue
+                for decl in parse_document_hreflang(url, body, ctype):
+                    urls.append(url)
+                    langs.append(decl["lang"])
+                    alts.append(decl["href"])
+            yield pd.DataFrame({"url": urls, "lang": langs, "alt_url": alts})
+
+    cols = [c for c in ("url", "status_code", "content_type", "body")
+            if c in fetched.columns]
+    return fetched.select(*cols).mapInPandas(
+        _hl, schema="url string, lang string, alt_url string")
 
 
 def canonical_dedup(docs: DataFrame, pairs: DataFrame,

@@ -178,3 +178,75 @@ def test_skeleton_idempotent_and_lang_closed(spark):
         | F.col("l2").isNotNull()   # a skeleton carries no marker
     ).count()
     assert bad == 0
+
+
+def _hl_page(url, decls, extra_head=""):
+    links = "".join(
+        f'<link rel="alternate" hreflang="{lg}" href="{href}">'
+        for lg, href in decls
+    )
+    return (url, 200, "text/html; charset=utf-8",
+            f"<html><head>{links}{extra_head}</head><body>t</body></html>")
+
+
+def test_parse_document_hreflang_unit():
+    from sparkcrawl.operators.extract import parse_document_hreflang
+
+    body = (
+        '<html><head><base href="http://s.example/en/">'
+        '<link rel="alternate" hreflang="DE" href="/de/p">'
+        '<link rel="alternate" hreflang="fr" href="fr/p">'   # base-relative
+        '<link rel="alternate" hreflang="de" href="/de/p">'  # dup -> dropped
+        '<link rel="alternate" hreflang="x-default" href="/">'
+        '<link rel="alternate" hreflang="es" href="mailto:x@y">'  # non-http
+        '<link rel="alternate" href="/no-lang">'             # no hreflang
+        '<link rel="stylesheet" hreflang="it" href="/css">'  # wrong rel
+        '<a hreflang="pt" href="/pt/p">a-tag carries no declaration</a>'
+        "</head></html>"
+    )
+    got = parse_document_hreflang("http://s.example/en/p", body)
+    assert got == [
+        {"lang": "de", "href": "http://s.example/de/p"},
+        {"lang": "fr", "href": "http://s.example/en/fr/p"},
+        {"lang": "x-default", "href": "http://s.example/"},
+    ]
+
+
+def test_reciprocal_hreflang_pairs(spark):
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.operators.extract import extract_hreflang_declarations
+
+    en, de, fr = ("http://a.example/en", "http://a.example/de",
+                  "http://a.example/fr")
+    one_en, one_de = "http://b.example/en", "http://b.example/de"
+    rows = [
+        # full reciprocal trio (each page declares itself too)
+        _hl_page(en, [("en", en), ("de", de), ("fr", fr)]),
+        _hl_page(de, [("en", en), ("de", de), ("fr", fr)]),
+        _hl_page(fr, [("en", en), ("de", de), ("fr", fr)]),
+        # one-way: en declares de, de never returns -> no pair
+        _hl_page(one_en, [("de", one_de)]),
+        _hl_page(one_de, []),
+        # x-default-only page -> nothing
+        _hl_page("http://c.example/", [("x-default", "http://c.example/")]),
+        # non-200 page: declarations gated by the F5 limiter
+        ("http://d.example/en", 404, "text/html",
+         '<link rel="alternate" hreflang="de" href="http://d.example/de">'),
+    ]
+    fetched = spark.createDataFrame(
+        rows, ["url", "status_code", "content_type", "body"])
+    decls = extract_hreflang_declarations(fetched, CrawlConfig())
+    pairs = bitext.reciprocal_hreflang_pairs(decls)
+    got = {tuple(r) for r in pairs.collect()}
+    assert got == {
+        (de, "de", en, "en"),
+        (de, "de", fr, "fr"),
+        (en, "en", fr, "fr"),
+    }
+    plan_df = pairs
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("simple")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "Window" not in p
