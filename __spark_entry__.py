@@ -3021,6 +3021,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decls = extract_hreflang_declarations(fetchlike, CrawlConfig())
         return reciprocal_hreflang_pairs(decls)
 
+    def _span_struct_type():
+        return "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+    def interleaved_span_audit(spark, sf):
+        """Span-contract integrity audit (multimodal.
+        span_sequence_audit) over a NOISY interleaved fixture: the
+        input_hint invariant (offset order, valid kinds, exactly the
+        matching payload set) is deliberately broken three determin-
+        istic ways — %11 docs get all-zero offsets (order ambiguity),
+        else %13 docs get an unknown 'widget' kind on span 0, else
+        %17 docs get a caption payload on every media span. One
+        codegen projection, no explode/join/shuffle."""
+        from sparkcrawl.operators.multimodal import span_sequence_audit
+
+        base = _interleaved_spans(spark, sf)
+        d = F.col("doc_id")
+        spans = F.col("spans")
+
+        def _rebuild(kind, text, ref, off):
+            return F.struct(
+                kind.alias("kind"), text.alias("text"),
+                ref.alias("media_ref"), off.cast("int").alias("offset"))
+
+        zero_offsets = F.transform(
+            spans, lambda s: _rebuild(
+                s["kind"], s["text"], s["media_ref"], F.lit(0)))
+        widget_first = F.transform(
+            spans, lambda s, i: F.when(i == 0, _rebuild(
+                F.lit("widget"), s["text"], s["media_ref"], s["offset"])
+            ).otherwise(s))
+        captioned_media = F.transform(
+            spans, lambda s: F.when(s["kind"] == F.lit("media"), _rebuild(
+                s["kind"], F.lit("cap"), s["media_ref"], s["offset"])
+            ).otherwise(s))
+        noisy = base.select(
+            "doc_id",
+            F.when(d % 11 == 0, zero_offsets)
+            .when(d % 13 == 0, widget_first)
+            .when(d % 17 == 0, captioned_media)
+            .otherwise(spans).alias("spans"))
+        return span_sequence_audit(noisy)
+
+    def interleaved_span_parity(spark, sf):
+        """Row-for-row span-sequence parity (multimodal.span_parity):
+        the north-rule per-row invariant — (kind, text, media_ref,
+        order) tuple equality in offset order — checked between the
+        engine's span table and a deterministically divergent
+        'incumbent' twin: %19 docs lose their last span (length
+        mismatch), else %23 docs get a perturbed image media_ref
+        (value mismatch at the image position), else %29 docs are
+        absent from the twin (missing_ref), and %31 docs contribute
+        shifted-id rows only the twin has (missing_mine). One
+        full-outer equi-join; the compare is zip_with in the
+        projection, never an explode."""
+        from sparkcrawl.operators.multimodal import span_parity
+
+        mine = _interleaved_spans(spark, sf)
+        d = F.col("doc_id")
+        spans = F.col("spans")
+        drop_last = F.slice(spans, 1, F.size(spans) - 1)
+        tweak_png = F.transform(
+            spans, lambda s: F.when(
+                (s["kind"] == F.lit("media"))
+                & s["media_ref"].endswith(".png"),
+                F.struct(
+                    s["kind"].alias("kind"), s["text"].alias("text"),
+                    F.concat(s["media_ref"], F.lit("x")).alias("media_ref"),
+                    s["offset"].alias("offset")),
+            ).otherwise(s))
+        ref = mine.select(
+            "doc_id",
+            F.when(d % 19 == 0, drop_last)
+            .when(d % 23 == 0, tweak_png)
+            .otherwise(spans).alias("spans"),
+        ).where(~((d % 29 == 0) & ~(d % 19 == 0) & ~(d % 23 == 0)))
+        extra = (
+            _read(spark, sf, "documents")
+            .where(F.col("doc_id") % 31 == 0)
+            .select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.array(F.struct(
+                    F.lit("text").alias("kind"),
+                    F.col("text").alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).cast("int").alias("offset"))).alias("spans"))
+        )
+        return span_parity(mine, ref.unionByName(extra))
+
+    def crawl_token_yield(spark, sf):
+        """Per-domain crawl-value accounting (plans/analytics.
+        domain_token_yield): usable training tokens per fetched KB
+        and the smoothed next-superstep budget weight (A2 steering).
+        Fetch log synthesized from documents: 37 registered domains,
+        byte size = text length + 512B header overhead, tokens =
+        whitespace count. One map-combinable groupBy + broadcast of
+        the 1-row global total."""
+        from sparkcrawl.plans.analytics import domain_token_yield
+
+        docs = _read(spark, sf, "documents")
+        fetched = docs.select(
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 37).cast("string"),
+                F.lit(".example.com")).alias("domain"),
+            (F.length("text") + 512).cast("bigint").alias("n_bytes"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+        return domain_token_yield(fetched, alpha=1.0)
+
     def freshness_cache_control(spark, sf):
         """Cache-Control revisit hints (freshness.cache_control_hints,
         RFC 9111): max-age / no-cache / no-store parsed by case-folded
@@ -3296,6 +3403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_budget": corpus_token_budget,
         "multimodal_caption_coverage": multimodal_caption_coverage,
         "bitext_hreflang_pairs": bitext_hreflang_pairs,
+        "interleaved_span_audit": interleaved_span_audit,
+        "interleaved_span_parity": interleaved_span_parity,
+        "crawl_token_yield": crawl_token_yield,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -4968,6 +5078,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT h || 'de', 'de', h || 'fr', 'fr' FROM base WHERE p = 0
             UNION ALL
             SELECT h || 'en', 'en', h || 'fr', 'fr' FROM base WHERE p = 0
+        """,
+        "interleaved_span_audit": """
+            WITH base AS (
+              SELECT doc_id,
+                     2 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_spans,
+                     1 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_media,
+                     doc_id % 11 = 0 AS m11,
+                     doc_id % 11 <> 0 AND doc_id % 13 = 0 AS m13,
+                     doc_id % 11 <> 0 AND doc_id % 13 <> 0
+                       AND doc_id % 17 = 0 AS m17
+              FROM documents)
+            SELECT doc_id,
+                   CAST(n_spans AS BIGINT) AS n_spans,
+                   NOT m11 AS offsets_strictly_increasing,
+                   NOT m13 AS kinds_valid,
+                   NOT (m13 OR m17) AS payloads_consistent,
+                   CAST(CASE WHEN m13 THEN 1
+                             WHEN m17 THEN n_media
+                             ELSE 0 END AS BIGINT) AS n_bad_spans,
+                   NOT (m11 OR m13 OR m17) AS ok
+            FROM base
+        """,
+        "interleaved_span_parity": """
+            WITH base AS (
+              SELECT doc_id,
+                     2 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n,
+                     doc_id % 19 = 0 AS m19,
+                     doc_id % 19 <> 0 AND doc_id % 23 = 0 AS m23,
+                     doc_id % 19 <> 0 AND doc_id % 23 <> 0
+                       AND doc_id % 29 = 0 AS m29
+              FROM documents)
+            SELECT doc_id,
+                   CAST(n AS INTEGER) AS n_mine,
+                   CAST(CASE WHEN m29 THEN NULL
+                             WHEN m19 THEN n - 1
+                             ELSE n END AS INTEGER) AS n_ref,
+                   CAST(CASE WHEN m29 THEN NULL
+                             WHEN m19 THEN n
+                             WHEN m23 THEN
+                               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END
+                             ELSE 0 END AS BIGINT) AS first_mismatch_idx,
+                   CASE WHEN m29 THEN 'missing_ref'
+                        WHEN m19 OR m23 THEN 'mismatch'
+                        ELSE 'match' END AS status,
+                   NOT (m19 OR m23 OR m29) AS equal
+            FROM base
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   CAST(NULL AS INTEGER) AS n_mine,
+                   1 AS n_ref,
+                   CAST(NULL AS BIGINT) AS first_mismatch_idx,
+                   'missing_mine' AS status,
+                   FALSE AS equal
+            FROM documents WHERE doc_id % 31 = 0
+        """,
+        "crawl_token_yield": """
+            WITH f AS (
+              SELECT 'd' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+                       AS domain,
+                     len(text) + 512 AS n_bytes,
+                     len(string_split(text, ' ')) AS n_tokens
+              FROM documents),
+            a AS (
+              SELECT domain, COUNT(*) AS n_docs,
+                     SUM(n_bytes) AS total_bytes,
+                     SUM(n_tokens) AS total_tokens
+              FROM f GROUP BY domain),
+            t AS (SELECT SUM(total_tokens) AS grand_tokens,
+                         COUNT(*) AS n_domains FROM a)
+            SELECT a.domain,
+                   CAST(a.n_docs AS BIGINT) AS n_docs,
+                   CAST(a.total_bytes AS BIGINT) AS total_bytes,
+                   CAST(a.total_tokens AS BIGINT) AS total_tokens,
+                   ROUND(a.total_tokens * 1024.0 / a.total_bytes, 6)
+                     AS tokens_per_kb,
+                   ROUND((a.total_tokens + 1.0)
+                         / (t.grand_tokens + 1.0 * t.n_domains), 6)
+                     AS budget_weight
+            FROM a, t
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

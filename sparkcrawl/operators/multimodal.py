@@ -607,3 +607,164 @@ def caption_coverage(
             n_media > 0, F.round(n_cap / n_media, 6)
         ).alias("coverage"),
     )
+
+def span_sequence_audit(
+    docs_spans: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    kinds: tuple[str, ...] = ("text", "media"),
+) -> DataFrame:
+    """Per-document integrity audit of the interleaved-span invariant
+    (the input contract: ``spans: array<struct<kind,text,media_ref,
+    offset>>`` where ``offset`` defines a total order, ``kind`` names
+    the payload, and exactly the matching payload column is set).
+
+    Checks, per document:
+
+    - ``offsets_strictly_increasing`` — duplicate or out-of-order
+      offsets make the span ORDER ambiguous, which breaks the
+      row-for-row (kind, text, media_ref, order) parity contract.
+    - ``kinds_valid``        — every span's kind is in ``kinds``.
+    - ``payloads_consistent``— text spans carry ``text`` and a NULL
+      ``media_ref``; media spans carry ``media_ref`` and NULL
+      ``text``; unknown kinds are never payload-consistent.
+    - ``n_bad_spans``        — spans failing kind OR payload checks.
+    - ``ok``                 — the document satisfies the contract.
+
+    An ingest gate runs this before appending parsed documents to the
+    corpus table; violations route to a quarantine sink instead of
+    poisoning downstream span consumers (packing, caption mining,
+    parity checks all assume the invariant).
+
+    Plan shape: every check is a nested higher-order function over the
+    row's own span array — one codegen projection, no explode, no
+    join, no shuffle; safe at any corpus size.
+    """
+    spans = F.col(spans_col)
+    offsets = F.transform(spans, lambda s: s["offset"])
+    increasing = F.aggregate(
+        offsets,
+        F.struct(
+            F.lit(None).cast("int").alias("prev"), F.lit(True).alias("ok")
+        ),
+        lambda acc, o: F.struct(
+            o.alias("prev"),
+            (acc["ok"] & (acc["prev"].isNull() | (o > acc["prev"]))).alias(
+                "ok"
+            ),
+        ),
+        lambda acc: acc["ok"],
+    )
+
+    def _kind_ok(s):
+        return s["kind"].isin(*kinds)
+
+    def _payload_ok(s):
+        return (
+            F.when(
+                s["kind"] == F.lit("text"),
+                s["text"].isNotNull() & s["media_ref"].isNull(),
+            )
+            .when(
+                s["kind"] == F.lit("media"),
+                s["media_ref"].isNotNull() & s["text"].isNull(),
+            )
+            .otherwise(F.lit(False))
+        )
+
+    n_bad = F.size(
+        F.filter(spans, lambda s: ~(_kind_ok(s) & _payload_ok(s)))
+    )
+    return docs_spans.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(spans).cast("bigint").alias("n_spans"),
+        increasing.alias("offsets_strictly_increasing"),
+        (~F.exists(spans, lambda s: ~_kind_ok(s))).alias("kinds_valid"),
+        (~F.exists(spans, lambda s: ~_payload_ok(s))).alias(
+            "payloads_consistent"
+        ),
+        n_bad.cast("bigint").alias("n_bad_spans"),
+        (increasing & (n_bad == 0)).alias("ok"),
+    )
+
+
+def span_parity(
+    mine: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Row-for-row span-sequence parity between two extractions: the
+    per-row invariant is (kind, text, media_ref, order) tuple equality
+    in offset order — the acceptance check a reimplemented extractor
+    runs against the incumbent's output table before cutover, and the
+    regression diff run between two engine versions over the same
+    fetch batch.
+
+    Output, per document present on either side:
+
+    - ``n_mine`` / ``n_ref``     — span counts (NULL for the absent
+      side).
+    - ``first_mismatch_idx``     — 1-based index of the first span
+      whose (kind, text, media_ref) differs after sorting both sides
+      by offset; 0 when the sequences agree end-to-end; NULL when a
+      side is missing entirely. A length mismatch surfaces at the
+      first unmatched position.
+    - ``status``                 — match | mismatch | missing_mine |
+      missing_ref.
+    - ``equal``                  — status == 'match'.
+
+    Plan shape: ONE full-outer equi-join on the document id (the only
+    shuffle, co-partitioned on the natural key both tables share);
+    the span comparison itself never explodes — both arrays are
+    sorted and zipped with higher-order functions inside the
+    projection, so per-doc work is bounded by that doc's own span
+    count and a hot document cannot skew the comparison.
+    """
+    by_offset = lambda x, y: (
+        F.when(x["offset"] < y["offset"], -1)
+        .when(x["offset"] > y["offset"], 1)
+        .otherwise(0)
+    )
+    a = mine.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(F.col(spans_col), by_offset).alias("_a"),
+    )
+    b = ref.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(F.col(spans_col), by_offset).alias("_b"),
+    )
+    joined = a.join(b, "doc_id", "full_outer")
+    # zip_with pads the shorter array with NULL structs; NULL.kind
+    # never null-safe-equals a real kind, so length mismatches fail
+    # at the first unmatched index with no special-casing.
+    eq = F.zip_with(
+        F.col("_a"),
+        F.col("_b"),
+        lambda x, y: x["kind"].eqNullSafe(y["kind"])
+        & x["text"].eqNullSafe(y["text"])
+        & x["media_ref"].eqNullSafe(y["media_ref"]),
+    )
+    first_bad = F.array_position(eq, False)
+    status = (
+        F.when(F.col("_a").isNull(), F.lit("missing_mine"))
+        .when(F.col("_b").isNull(), F.lit("missing_ref"))
+        .when(first_bad == 0, F.lit("match"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("_a").isNotNull(), F.size("_a"))
+        .cast("int")
+        .alias("n_mine"),
+        F.when(F.col("_b").isNotNull(), F.size("_b"))
+        .cast("int")
+        .alias("n_ref"),
+        F.when(
+            F.col("_a").isNotNull() & F.col("_b").isNotNull(), first_bad
+        )
+        .cast("bigint")
+        .alias("first_mismatch_idx"),
+        status.alias("status"),
+        (status == F.lit("match")).alias("equal"),
+    )

@@ -177,3 +177,60 @@ def sitemap_coverage(sitemap_locs: DataFrame, seen: DataFrame,
         seen_cnt.alias("n_seen"),
         F.round(seen_cnt / F.count("*"), 6).alias("coverage"),
     )
+
+def domain_token_yield(
+    fetched: DataFrame,
+    alpha: float = 1.0,
+    domain_col: str = "domain",
+    bytes_col: str = "n_bytes",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Crawl-value accounting per registered domain: how many usable
+    training tokens each domain yields per fetched kilobyte, and the
+    smoothed budget weight the next superstep's apportionment (A2)
+    should give it. Crawls optimizing for LLM-corpus value steer
+    budget toward token-dense domains and away from byte-heavy,
+    text-poor ones (media CDNs, tag farms); the additive ``alpha``
+    smoothing keeps newly discovered domains explorable instead of
+    starving them on one bad sample.
+
+    Input: one row per fetched document with its registered domain,
+    fetched byte size, and extracted token count. Output per domain:
+    ``n_docs``, ``total_bytes``, ``total_tokens``, ``tokens_per_kb``,
+    and ``budget_weight`` (sums to ~1 over domains).
+
+    Plan shape: one map-side-combinable groupBy on the domain key,
+    then a broadcast join of the single-row global total back onto
+    the per-domain table — no window, no second shuffle, no driver
+    collect; cardinality after the agg is the registered-domain
+    count, never the document count.
+    """
+    agg = fetched.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(bytes_col)).cast("bigint").alias("total_bytes"),
+        F.sum(F.col(tokens_col)).cast("bigint").alias("total_tokens"),
+    )
+    totals = agg.agg(
+        F.sum("total_tokens").alias("_grand_tokens"),
+        F.count(F.lit(1)).alias("_n_domains"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(totals))
+        .select(
+            "domain",
+            "n_docs",
+            "total_bytes",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens") * 1024.0 / F.col("total_bytes"), 6
+            ).alias("tokens_per_kb"),
+            F.round(
+                (F.col("total_tokens") + F.lit(float(alpha)))
+                / (
+                    F.col("_grand_tokens")
+                    + F.lit(float(alpha)) * F.col("_n_domains")
+                ),
+                6,
+            ).alias("budget_weight"),
+        )
+    )

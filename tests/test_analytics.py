@@ -105,3 +105,40 @@ def test_sitemap_coverage(spark):
     assert got["a.example"]["coverage"] == round(2 / 3, 6)
     assert got["b.example"]["coverage"] == 0.0
     assert "c.example" not in got     # coverage is declared-side only
+
+
+def test_domain_token_yield(spark):
+    """Per-domain yield + smoothed budget weight: hand-checked values,
+    weights sum to 1, and the global-total join is a broadcast (no
+    CartesianProduct, no window, no extra shuffle)."""
+    import contextlib
+    import io
+
+    from sparkcrawl.plans.analytics import domain_token_yield
+
+    rows = [
+        ("a.com", 1000, 100),
+        ("a.com", 1000, 300),
+        ("b.com", 2048, 10),
+    ]
+    fetched = spark.createDataFrame(
+        rows, "domain string, n_bytes long, n_tokens long")
+    out = domain_token_yield(fetched, alpha=1.0)
+    got = {r["domain"]: r for r in out.collect()}
+    assert got["a.com"]["n_docs"] == 2
+    assert got["a.com"]["total_bytes"] == 2000
+    assert got["a.com"]["total_tokens"] == 400
+    assert got["a.com"]["tokens_per_kb"] == 204.8
+    assert got["b.com"]["tokens_per_kb"] == 5.0
+    # smoothed weights: (400+1)/(410+2) and (10+1)/(410+2)
+    assert got["a.com"]["budget_weight"] == round(401 / 412, 6)
+    assert got["b.com"]["budget_weight"] == round(11 / 412, 6)
+    assert abs(sum(r["budget_weight"] for r in got.values()) - 1.0) < 1e-5
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "Broadcast" in p

@@ -839,3 +839,126 @@ def test_caption_coverage(spark):
     p = buf.getvalue()
     for op in ("Generate", "Join", "Exchange", "BatchEvalPython"):
         assert op not in p, op
+
+
+def test_span_sequence_audit(spark):
+    """Contract audit: offset order, kind validity, payload
+    consistency, per-span bad counts — and the plan is a pure
+    projection (no Generate / Join / Exchange / Python)."""
+    import contextlib
+    import io
+
+    from sparkcrawl.operators.multimodal import span_sequence_audit
+
+    def t(text, off):
+        return ("text", text, None, off)
+
+    def m(ref, off):
+        return ("media", None, ref, off)
+
+    span_t = ("array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    rows = [
+        ("clean", [t("a", 0), m("r.png", 1)]),
+        ("dup_off", [t("a", 0), m("r.png", 0)]),
+        ("desc_off", [t("a", 2), m("r.png", 1)]),
+        ("bad_kind", [("widget", None, None, 0), t("a", 1)]),
+        ("text_with_ref", [("text", "a", "x.png", 0)]),
+        ("media_with_text", [("media", "cap", "x.png", 0)]),
+        ("ref_missing", [("media", None, None, 0)]),
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "spans"]).withColumn(
+        "spans", F.col("spans").cast(span_t))
+    got = {r["doc_id"]: r for r in span_sequence_audit(df).collect()}
+
+    c = got["clean"]
+    assert (c["offsets_strictly_increasing"], c["kinds_valid"],
+            c["payloads_consistent"], c["n_bad_spans"], c["ok"]) == (
+        True, True, True, 0, True)
+    assert not got["dup_off"]["offsets_strictly_increasing"]
+    assert not got["dup_off"]["ok"]
+    assert got["dup_off"]["n_bad_spans"] == 0
+    assert not got["desc_off"]["offsets_strictly_increasing"]
+    bk = got["bad_kind"]
+    assert (bk["kinds_valid"], bk["payloads_consistent"],
+            bk["n_bad_spans"], bk["ok"]) == (False, False, 1, False)
+    assert got["text_with_ref"]["n_bad_spans"] == 1
+    assert not got["text_with_ref"]["payloads_consistent"]
+    assert got["text_with_ref"]["kinds_valid"]
+    assert got["media_with_text"]["n_bad_spans"] == 1
+    assert got["ref_missing"]["n_bad_spans"] == 1
+    e = got["empty"]
+    assert (e["n_spans"], e["offsets_strictly_increasing"], e["ok"]) == (
+        0, True, True)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        span_sequence_audit(df).explain("simple")
+    p = buf.getvalue()
+    for op in ("Generate", "Join", "Exchange", "BatchEvalPython"):
+        assert op not in p, op
+
+
+def test_span_parity(spark):
+    """Row-for-row (kind, text, media_ref, order) parity: match,
+    value mismatch, length mismatch, missing sides, and offset-order
+    insensitivity; the plan is ONE full-outer join with no Generate."""
+    import contextlib
+    import io
+
+    from sparkcrawl.operators.multimodal import span_parity
+
+    def t(text, off):
+        return ("text", text, None, off)
+
+    def m(ref, off):
+        return ("media", None, ref, off)
+
+    span_t = ("array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+
+    def df(rows):
+        return spark.createDataFrame(rows, ["doc_id", "spans"]).withColumn(
+            "spans", F.col("spans").cast(span_t))
+
+    mine = df([
+        ("same", [t("a", 0), m("r.png", 1)]),
+        ("reordered", [t("a", 0), m("r.png", 1)]),
+        ("valdiff", [t("a", 0), m("r.png", 1)]),
+        ("longer_mine", [t("a", 0), m("r.png", 1), t("b", 2)]),
+        ("only_mine", [t("a", 0)]),
+    ])
+    ref = df([
+        ("same", [t("a", 0), m("r.png", 1)]),
+        ("reordered", [m("r.png", 1), t("a", 0)]),   # same order key
+        ("valdiff", [t("a", 0), m("r.pngx", 1)]),
+        ("longer_mine", [t("a", 0), m("r.png", 1)]),
+        ("only_ref", [m("q.png", 0)]),
+    ])
+    out = span_parity(mine, ref)
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    assert got["same"]["status"] == "match" and got["same"]["equal"]
+    assert got["same"]["first_mismatch_idx"] == 0
+    assert got["reordered"]["status"] == "match"
+    v = got["valdiff"]
+    assert (v["status"], v["first_mismatch_idx"], v["equal"]) == (
+        "mismatch", 2, False)
+    lm = got["longer_mine"]
+    assert (lm["n_mine"], lm["n_ref"], lm["first_mismatch_idx"],
+            lm["status"]) == (3, 2, 3, "mismatch")
+    om = got["only_mine"]
+    assert (om["status"], om["n_ref"], om["first_mismatch_idx"]) == (
+        "missing_ref", None, None)
+    orf = got["only_ref"]
+    assert (orf["status"], orf["n_mine"], orf["n_ref"]) == (
+        "missing_mine", None, 1)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    p = buf.getvalue()
+    assert "Generate" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("Join") >= 1 and "FullOuter" in p
