@@ -3128,6 +3128,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
         return domain_token_yield(fetched, alpha=1.0)
 
+    def crawl_yield_budgets(spark, sf):
+        """Yield-steered budget apportionment, composed end-to-end:
+        per-domain token totals (plans/analytics.domain_token_yield)
+        feed schedule.allocate_budgets' largest-remainder (Hamilton)
+        rule — 10,000 fetch units split integer-exactly across the 37
+        domains by training-token yield. Integer-valued double weights
+        keep the quota arithmetic bit-identical across engines."""
+        from sparkcrawl.operators.schedule import allocate_budgets
+        from sparkcrawl.plans.analytics import domain_token_yield
+
+        docs = _read(spark, sf, "documents")
+        fetched = docs.select(
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 37).cast("string"),
+                F.lit(".example.com")).alias("domain"),
+            (F.length("text") + 512).cast("bigint").alias("n_bytes"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+        yields = domain_token_yield(fetched, alpha=1.0)
+        return allocate_budgets(
+            yields, 10000, key_col="domain", weight_col="total_tokens")
+
+    def corpus_vocab_growth(spark, sf):
+        """Heaps-law vocabulary growth diagnostic (textops.
+        vocabulary_growth): cumulative distinct-term count vs
+        cumulative tokens over 10 ingest shards (doc_id % 10). The
+        running sums window over the 10-row shard table only."""
+        from sparkcrawl.operators import textops
+
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        return textops.vocabulary_growth(docs, n_shards=10)
+
     def freshness_cache_control(spark, sf):
         """Cache-Control revisit hints (freshness.cache_control_hints,
         RFC 9111): max-age / no-cache / no-store parsed by case-folded
@@ -3406,6 +3437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_span_audit": interleaved_span_audit,
         "interleaved_span_parity": interleaved_span_parity,
         "crawl_token_yield": crawl_token_yield,
+        "crawl_yield_budgets": crawl_yield_budgets,
+        "corpus_vocab_growth": corpus_vocab_growth,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -5157,6 +5190,57 @@ def oracle_sql() -> dict[str, str]:
                          / (t.grand_tokens + 1.0 * t.n_domains), 6)
                      AS budget_weight
             FROM a, t
+        """,
+        "crawl_yield_budgets": """
+            WITH f AS (
+              SELECT 'd' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+                       AS domain,
+                     len(string_split(text, ' ')) AS n_tokens
+              FROM documents),
+            a AS (
+              SELECT domain, CAST(SUM(n_tokens) AS DOUBLE) AS weight
+              FROM f GROUP BY domain),
+            q AS (
+              SELECT domain, weight,
+                     weight * 10000 / (SELECT SUM(weight) FROM a) AS quota
+              FROM a),
+            b AS (
+              SELECT domain, weight,
+                     CAST(FLOOR(quota) AS BIGINT) AS base,
+                     quota - FLOOR(quota) AS rem
+              FROM q),
+            r AS (
+              SELECT domain, weight, base, rem,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, domain ASC)
+                       AS rk
+              FROM b),
+            l AS (SELECT 10000 - SUM(base) AS leftv FROM b)
+            SELECT domain, weight,
+                   CAST(base + CASE WHEN rk <= (SELECT leftv FROM l)
+                                     AND rem > 0
+                                    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM r
+        """,
+        "corpus_vocab_growth": """
+            WITH toks AS (
+              SELECT doc_id % 10 AS shard, t.tok
+              FROM documents,
+                   UNNEST(string_split_regex(lower(text), '\\s+'))
+                     AS t(tok)
+              WHERE t.tok <> ''),
+            per AS (
+              SELECT shard, COUNT(*) AS shard_tokens
+              FROM toks GROUP BY shard),
+            fst AS (SELECT tok, MIN(shard) AS shard FROM toks GROUP BY tok),
+            nw AS (SELECT shard, COUNT(*) AS new_terms FROM fst GROUP BY shard)
+            SELECT CAST(p.shard AS INTEGER) AS shard,
+                   CAST(p.shard_tokens AS BIGINT) AS shard_tokens,
+                   CAST(COALESCE(n.new_terms, 0) AS BIGINT) AS new_terms,
+                   CAST(SUM(p.shard_tokens) OVER (ORDER BY p.shard)
+                        AS BIGINT) AS cum_tokens,
+                   CAST(SUM(COALESCE(n.new_terms, 0)) OVER (ORDER BY p.shard)
+                        AS BIGINT) AS cum_vocab
+            FROM per p LEFT JOIN nw n USING (shard)
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

@@ -2010,3 +2010,55 @@ def contaminated_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+def vocabulary_growth(
+    docs: DataFrame,
+    n_shards: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve over ingest shards: after
+    processing shards ``0..i``, how many tokens have been scanned and
+    how many DISTINCT terms have been seen. The curve is the standard
+    corpus-health diagnostic — sub-linear vocabulary growth (Heaps'
+    law, V ~ k*N^b with b≈0.4-0.6 for natural text) is what healthy
+    prose looks like; a near-linear curve means id-heavy or generated
+    junk (every doc minting fresh "words"), and a flat one means the
+    crawl is re-reading boilerplate.
+
+    Documents land in shard ``id % n_shards`` (ingest-order ids make
+    the shards a time sequence); a term's first shard attributes its
+    vocabulary contribution. Output per shard: ``shard_tokens``,
+    ``new_terms``, and running ``cum_tokens`` / ``cum_vocab``.
+
+    Plan shape: one explode over tokens, two map-combinable groupBys
+    (per-shard counts; min-shard per term — the only term-cardinality
+    shuffle), then running sums over the SHARD table, whose
+    cardinality is ``n_shards`` (config-bounded, same contract as the
+    checkpoint-log windows — the window never sees token rows).
+    """
+    toks = _tokens(docs, text_col, id_col).withColumn(
+        "shard", (F.col("id") % n_shards).cast("int")
+    )
+    per_shard = toks.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("shard_tokens")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("shard").alias("shard"))
+    new_terms = first_seen.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    cur = per_shard.join(new_terms, "shard", "left").select(
+        "shard",
+        F.col("shard_tokens").cast("bigint").alias("shard_tokens"),
+        F.coalesce(F.col("new_terms"), F.lit(0))
+        .cast("bigint")
+        .alias("new_terms"),
+    )
+    w = W.orderBy("shard").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return cur.select(
+        "shard",
+        "shard_tokens",
+        "new_terms",
+        F.sum("shard_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("new_terms").over(w).cast("bigint").alias("cum_vocab"),
+    )

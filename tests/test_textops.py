@@ -958,3 +958,28 @@ def test_lsh_pr_eval(spark):
         assert r["precision"] == round(n_hit / max(len(cand_j), 1), 6)
     # the exact-dup pair is found: recall at 0.99 is 1.0
     assert out[0.99]["recall"] == 1.0
+
+
+def test_vocabulary_growth(spark):
+    """Heaps-curve hand case: first-shard attribution of new terms,
+    running sums, empty-shard-safe; token explode stays JVM-side."""
+    import contextlib
+    import io
+
+    from sparkcrawl.operators.textops import vocabulary_growth
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"), (2, "c d  d")],
+        "doc_id long, text string")
+    out = vocabulary_growth(docs, n_shards=2)
+    got = {r["shard"]: r for r in out.collect()}
+    # shard 0 = docs 0,2 (6 tokens; a,b,c,d all first seen there);
+    # shard 1 = doc 1 (2 tokens; b,c already seen in shard 0)
+    assert (got[0]["shard_tokens"], got[0]["new_terms"]) == (6, 4)
+    assert (got[1]["shard_tokens"], got[1]["new_terms"]) == (2, 0)
+    assert (got[1]["cum_tokens"], got[1]["cum_vocab"]) == (8, 4)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    assert "BatchEvalPython" not in buf.getvalue()
