@@ -3159,6 +3159,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents").select("doc_id", "text")
         return textops.vocabulary_growth(docs, n_shards=10)
 
+    def crawl_mirror_canonicalize(spark, sf):
+        """Mined mirror pairs APPLIED pre-fetch (mirrors.
+        mirror_canonicalize): the crawl_mirror_hosts fixture's twin
+        hosts (every 5th site mirrored on sNm.example) are detected,
+        clustered (min-host canonical), and a frontier where odd page
+        ids hit the twin is rewritten onto the canonical host — one
+        broadcast join on the frontier, CC only on the tiny host-pair
+        graph."""
+        from sparkcrawl.operators.mirrors import (
+            mirror_canonicalize,
+            mirror_host_pairs,
+        )
+
+        d = _read(spark, sf, "documents")
+        site = (F.col("doc_id") % 20)
+        pid = F.floor(F.col("doc_id") / 20).cast("long")
+        s = site.cast("string")
+        base = d.select(site.alias("site"), pid.alias("pid"), "text",
+                        s.alias("s"))
+        pages = (
+            base.select(
+                F.concat(F.lit("http://s"), F.col("s"),
+                         F.lit(".example/p/"),
+                         F.col("pid").cast("string")).alias("url"),
+                "text")
+            .unionAll(
+                base.filter(F.col("site") % 5 == 0).select(
+                    F.concat(F.lit("http://s"), F.col("s"),
+                             F.lit("m.example/p/"),
+                             F.col("pid").cast("string")).alias("url"),
+                    "text"))
+            .unionAll(
+                base.select(
+                    F.concat(F.lit("http://s"), F.col("s"),
+                             F.lit(".example/common")).alias("url"),
+                    F.lit("boilerplate page").alias("text")))
+        )
+        pairs = mirror_host_pairs(pages, min_shared=2, min_score=0.2,
+                                  max_hosts_per_key=10)
+        on_twin = (F.col("site") % 5 == 0) & (F.col("pid") % 2 == 1)
+        frontier = base.select(
+            F.concat(
+                F.lit("http://s"), F.col("s"),
+                F.when(on_twin, F.lit("m")).otherwise(F.lit("")),
+                F.lit(".example/p/"), F.col("pid").cast("string"),
+            ).alias("url"))
+        return mirror_canonicalize(frontier, pairs)
+
     def freshness_cache_control(spark, sf):
         """Cache-Control revisit hints (freshness.cache_control_hints,
         RFC 9111): max-age / no-cache / no-store parsed by case-folded
@@ -3439,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_token_yield": crawl_token_yield,
         "crawl_yield_budgets": crawl_yield_budgets,
         "corpus_vocab_growth": corpus_vocab_growth,
+        "crawl_mirror_canonicalize": crawl_mirror_canonicalize,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -5241,6 +5290,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(COALESCE(n.new_terms, 0)) OVER (ORDER BY p.shard)
                         AS BIGINT) AS cum_vocab
             FROM per p LEFT JOIN nw n USING (shard)
+        """,
+        "crawl_mirror_canonicalize": """
+            WITH base AS (
+              SELECT doc_id % 20 AS site,
+                     doc_id // 20 AS pid,
+                     (doc_id % 20) % 5 = 0 AND (doc_id // 20) % 2 = 1
+                       AS on_twin
+              FROM documents)
+            SELECT 'http://s' || CAST(site AS VARCHAR)
+                     || CASE WHEN on_twin THEN 'm' ELSE '' END
+                     || '.example/p/' || CAST(pid AS VARCHAR) AS url,
+                   's' || CAST(site AS VARCHAR)
+                     || CASE WHEN on_twin THEN 'm' ELSE '' END
+                     || '.example' AS host,
+                   CASE WHEN on_twin
+                        THEN 's' || CAST(site AS VARCHAR) || '.example'
+                        END AS canonical_host,
+                   -- twin rows rewrite to the base host; non-twin rows
+                   -- were already there, so one expression covers both
+                   'http://s' || CAST(site AS VARCHAR)
+                     || '.example/p/' || CAST(pid AS VARCHAR)
+                     AS canonical_url,
+                   on_twin AS rewritten
+            FROM base
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

@@ -102,3 +102,62 @@ def mirror_host_pairs(
         .select("host_a", "host_b", "n_shared", "size_a", "size_b",
                 "mirror_score")
     )
+
+def mirror_canonicalize(
+    urls: DataFrame,
+    mirror_pairs: DataFrame,
+    url_col: str = "url",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Apply mined mirror pairs PRE-FETCH: elect one canonical host per
+    mirror cluster and rewrite frontier URLs onto it, so every replica
+    family is crawled once (the budget fix the detector exists for —
+    same apply-the-mined-rules placement as the DUST CASE rewrite).
+
+    Canonical election: connected components over the (host_a, host_b)
+    pair graph — mirror families can chain through partial overlaps,
+    so a plain pair lookup would elect two different canonicals for
+    one family — with the MINIMUM host name as the cluster label
+    (deterministic, no tie-break state).
+
+    Output: (url, host, canonical_host, canonical_url, rewritten);
+    non-mirrored URLs pass through with canonical_host NULL and
+    canonical_url = url, so the result is a drop-in frontier
+    projection.
+
+    Plan shape: the CC iterations run on the HOST-PAIR graph (mirror
+    clusters are tiny next to the frontier — label propagation costs
+    one equi-join + min-agg per round with scalar-only convergence
+    reads); the frontier itself sees ONE broadcast hash join on the
+    extracted host plus pure regexp/concat codegen for the rewrite —
+    no shuffle of frontier rows at any scale.
+    """
+    from sparkcrawl.operators.textops import connected_components
+
+    mapping = (
+        connected_components(
+            mirror_pairs, "host_a", "host_b", max_iters=max_iters
+        )
+        .select(
+            F.col("id").alias("host"),
+            F.col("comp").alias("canonical_host"),
+        )
+        .filter(F.col("host") != F.col("canonical_host"))
+    )
+    u = F.col(url_col)
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*://)", 1)
+    host = F.lower(F.regexp_extract(u, _URL_HOST_PAT, 1))
+    rest = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    joined = urls.withColumn("host", host).join(
+        F.broadcast(mapping), "host", "left"
+    )
+    rewritten = F.col("canonical_host").isNotNull()
+    return joined.select(
+        u.alias("url"),
+        "host",
+        "canonical_host",
+        F.when(
+            rewritten, F.concat(scheme, F.col("canonical_host"), rest)
+        ).otherwise(u).alias("canonical_url"),
+        rewritten.alias("rewritten"),
+    )

@@ -1165,12 +1165,14 @@ def connected_components(
     is deliberately NOT used here because dedup graphs do not need it
     and min-propagation's per-round plan is one shuffle cheaper.
 
-    Scale notes: labels only ever DECREASE, so ``sum(comp)`` is
-    strictly monotone while anything changes — convergence costs one
-    scalar aggregate per round (config-bounded driver data, the repo's
-    collect rule). ``localCheckpoint`` truncates the per-round lineage
-    (without it the plan doubles each iteration and round k replays
-    rounds 1..k-1).
+    Scale notes: labels only ever DECREASE, so "no label changed this
+    round" is a sound fixed-point test — convergence costs one scalar
+    ``limit(1).count()`` per round (config-bounded driver data, the
+    repo's collect rule), and unlike a sum-based check it works for
+    STRING node ids (mirror hosts) as well as numeric ones.
+    ``localCheckpoint`` truncates the per-round lineage (without it
+    the plan doubles each iteration and round k replays rounds
+    1..k-1).
     """
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -1184,26 +1186,27 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = lbl.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iters):
         nbr = sym.join(lbl, sym["dst"] == lbl["id"]).groupBy("src").agg(
             F.min("comp").alias("_nbr_min")
         )
-        new_lbl = (
+        staged = (
             lbl.join(nbr, lbl["id"] == nbr["src"], "left")
             .select(
                 lbl["id"],
+                F.col("comp").alias("_old"),
                 F.least(
                     F.col("comp"), F.coalesce("_nbr_min", F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = new_lbl.agg(F.sum("comp")).collect()[0][0]
-        lbl = new_lbl
-        if cur_sum == prev_sum:
+        changed = (
+            staged.filter(F.col("comp") != F.col("_old")).limit(1).count()
+        )
+        lbl = staged.drop("_old")
+        if changed == 0:
             break
-        prev_sum = cur_sum
     sym.unpersist()
     return lbl
 

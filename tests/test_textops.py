@@ -983,3 +983,45 @@ def test_vocabulary_growth(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("simple")
     assert "BatchEvalPython" not in buf.getvalue()
+
+
+def test_mirror_canonicalize(spark):
+    """Chained mirror pairs elect ONE canonical per family (min host);
+    frontier rows rewrite host-only (path/query preserved), unmapped
+    rows pass through NULL-canonical; the frontier-side join is a
+    broadcast."""
+    import contextlib
+    import io
+
+    from sparkcrawl.operators.mirrors import mirror_canonicalize
+
+    pairs = spark.createDataFrame(
+        [("b.example", "c.example"), ("a.example", "b.example")],
+        "host_a string, host_b string")
+    urls = spark.createDataFrame(
+        [("http://c.example/x?q=1",),
+         ("http://b.example/y",),
+         ("http://a.example/z",),
+         ("http://other.example/w",)],
+        "url string")
+    out = mirror_canonicalize(urls, pairs)
+    got = {r["url"]: r for r in out.collect()}
+    c = got["http://c.example/x?q=1"]
+    assert (c["canonical_host"], c["canonical_url"], c["rewritten"]) == (
+        "a.example", "http://a.example/x?q=1", True)
+    b = got["http://b.example/y"]
+    assert (b["canonical_host"], b["canonical_url"]) == (
+        "a.example", "http://a.example/y")
+    # the elected canonical itself and unmapped hosts pass through
+    a = got["http://a.example/z"]
+    assert (a["canonical_host"], a["canonical_url"], a["rewritten"]) == (
+        None, "http://a.example/z", False)
+    o = got["http://other.example/w"]
+    assert (o["canonical_host"], o["rewritten"]) == (None, False)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
