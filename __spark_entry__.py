@@ -3207,6 +3207,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("url"))
         return mirror_canonicalize(frontier, pairs)
 
+    def crawl_robots_delta(spark, sf):
+        """Robots policy change-over diff (robots.robots_policy_delta):
+        10 hosts all disallowing /3 in the old snapshot; the new one
+        tightens even hosts (also /1) and loosens odd hosts (empty
+        file) — per-URL flip classification through the real R2 gate
+        run on both generations."""
+        from sparkcrawl.operators.robots import robots_policy_delta
+
+        d = _read(spark, sf, "documents")
+        hk = (F.col("doc_id") % 10).cast("string")
+        pk = (F.col("doc_id") % 5).cast("string")
+        host = F.concat(F.lit("h"), hk, F.lit(".example"))
+        batch = d.select(
+            F.col("doc_id").cast("bigint").alias("url_hash"),
+            F.concat(F.lit("http://"), host, F.lit("/"), pk,
+                     F.lit("/page")).alias("url"),
+            host.alias("host"))
+        hosts = d.select(
+            (F.col("doc_id") % 10).alias("hk")).distinct().select(
+            F.concat(F.lit("h"), F.col("hk").cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.col("hk"))
+        rule = lambda prefix: F.struct(
+            F.lit("*").alias("agent"), F.lit(False).alias("allow"),
+            F.lit(prefix).alias("path_prefix"))
+        robots_old = hosts.select(
+            "host", F.lit("*").alias("agent"), F.lit(False).alias("allow"),
+            F.lit("/3").alias("path_prefix"))
+        robots_new = (
+            hosts.filter(F.col("hk") % 2 == 0)
+            .select("host", F.explode(F.array(rule("/3"), rule("/1")))
+                    .alias("r"))
+            .select("host", "r.agent", "r.allow", "r.path_prefix"))
+        return robots_policy_delta(batch, robots_old, robots_new)
+
     def freshness_cache_control(spark, sf):
         """Cache-Control revisit hints (freshness.cache_control_hints,
         RFC 9111): max-age / no-cache / no-store parsed by case-folded
@@ -3488,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_yield_budgets": crawl_yield_budgets,
         "corpus_vocab_growth": corpus_vocab_growth,
         "crawl_mirror_canonicalize": crawl_mirror_canonicalize,
+        "crawl_robots_delta": crawl_robots_delta,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -5314,6 +5350,22 @@ def oracle_sql() -> dict[str, str]:
                      AS canonical_url,
                    on_twin AS rewritten
             FROM base
+        """,
+        "crawl_robots_delta": """
+            WITH b AS (
+              SELECT doc_id, doc_id % 10 AS hk, doc_id % 5 AS pk
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS url_hash,
+                   'http://h' || CAST(hk AS VARCHAR) || '.example/'
+                     || CAST(pk AS VARCHAR) || '/page' AS url,
+                   'h' || CAST(hk AS VARCHAR) || '.example' AS host,
+                   pk <> 3 AS allowed_old,
+                   CASE WHEN hk % 2 = 0 THEN pk <> 3 AND pk <> 1
+                        ELSE TRUE END AS allowed_new,
+                   CASE WHEN pk = 3 AND hk % 2 = 1 THEN 'now_allowed'
+                        WHEN pk = 1 AND hk % 2 = 0 THEN 'now_denied'
+                        ELSE 'unchanged' END AS change
+            FROM b
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

@@ -197,3 +197,49 @@ def crawl_delays(robots: DataFrame, user_agent: str = "*") -> DataFrame:
         .groupBy("host")
         .agg(F.max("crawl_delay").alias("crawl_delay"))
     )
+
+def robots_policy_delta(
+    batch: DataFrame,
+    robots_old: DataFrame,
+    robots_new: DataFrame,
+    user_agent: str = "*",
+) -> DataFrame:
+    """Allow-decision diff between two robots.txt snapshots: which
+    frontier URLs FLIP when a site publishes a new policy. Long
+    crawls re-fetch robots on TTL (R1); a policy change can orphan
+    queued URLs (now denied — drop before wasting fetch slots) or
+    open sections the frontier wrote off (now allowed — re-seed).
+    Ops also watch the flip volume itself: a host suddenly denying
+    everything is usually a block, not a policy choice.
+
+    Output: the batch plus ``allowed_old`` / ``allowed_new`` /
+    ``change`` (now_denied | now_allowed | unchanged).
+
+    Plan shape: the R2 gate runs once per generation — each is one
+    broadcast join (rules are host-cardinality) + one max_by hash agg
+    on ``url_hash`` — and the two results combine with an equi-join
+    on that SAME key, so the combine reuses the aggregation's
+    partitioning rather than introducing a new shuffle shape. No
+    window, no cartesian, frontier rows never broadcast.
+    """
+    old = robots_gate(batch, robots_old, user_agent).select(
+        "url_hash", F.col("robots_allowed").alias("allowed_old")
+    )
+    new = robots_gate(batch, robots_new, user_agent).withColumnRenamed(
+        "robots_allowed", "allowed_new"
+    )
+    joined = new.join(old, "url_hash")
+    change = (
+        F.when(
+            F.col("allowed_old") & ~F.col("allowed_new"),
+            F.lit("now_denied"),
+        )
+        .when(
+            ~F.col("allowed_old") & F.col("allowed_new"),
+            F.lit("now_allowed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *batch.columns, "allowed_old", "allowed_new", change.alias("change")
+    )

@@ -266,3 +266,48 @@ def test_robots_gate_wildcards(spark):
         "http://meta.example/a+b(c).d": False,
         "http://meta.example/aab(c)xd": True,
     }
+
+
+def test_robots_policy_delta(spark):
+    """Generation diff through the real gate: tighten, loosen, and
+    no-change hosts classify per URL; precedence still applies within
+    each generation (allow-beats-disallow on ties); both rule joins
+    broadcast."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+    from sparkcrawl.operators.robots import robots_policy_delta
+
+    batch = spark.createDataFrame(
+        [(1, "http://a.example/keep", "a.example"),
+         (2, "http://a.example/sec/page", "a.example"),
+         (3, "http://b.example/old-denied", "b.example"),
+         (4, "http://c.example/x", "c.example")],
+        "url_hash long, url string, host string")
+    # old: a denies nothing; b denies /old-denied; c denies /x
+    old = spark.createDataFrame(
+        [("b.example", "*", False, "/old-denied"),
+         ("c.example", "*", False, "/x")],
+        "host string, agent string, allow boolean, path_prefix string")
+    # new: a denies /sec but re-allows /sec/page (longest match wins);
+    # b empty (loosened); c unchanged
+    new = spark.createDataFrame(
+        [("a.example", "*", False, "/sec"),
+         ("a.example", "*", True, "/sec/page"),
+         ("c.example", "*", False, "/x")],
+        "host string, agent string, allow boolean, path_prefix string")
+    out = robots_policy_delta(batch, old, new)
+    got = {r["url_hash"]: r for r in out.collect()}
+    assert got[1]["change"] == "unchanged" and got[1]["allowed_new"]
+    # /sec/page: the longer allow rule overrides the /sec disallow
+    assert got[2]["change"] == "unchanged" and got[2]["allowed_new"]
+    assert got[3]["change"] == "now_allowed"
+    assert got[4]["change"] == "unchanged" and not got[4]["allowed_new"]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    p = buf.getvalue()
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
