@@ -153,6 +153,16 @@ BENCH_QUERIES = [
     "crawl_hop_depth",
     "crawl_seed_attribution",
     "corpus_token_budget",
+    # new in r5, second batch: interleaved-contract + budget-steering ops
+    "interleaved_span_audit",
+    "interleaved_span_parity",
+    "crawl_token_yield",
+    "crawl_yield_budgets",
+    "corpus_vocab_growth",
+    "crawl_mirror_canonicalize",
+    "crawl_robots_delta",
+    "multimodal_caption_coverage",
+    "bitext_hreflang_pairs",
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION

@@ -171,7 +171,8 @@ def main() -> None:
         from sparkcrawl.plans.analytics import crawl_saturation, sitemap_coverage
 
         wanted = [w.strip() for w in args.report.split(",") if w.strip()]
-        known = {"saturation", "drain", "starvation", "sitemap-coverage"}
+        known = {"saturation", "drain", "starvation", "sitemap-coverage",
+                 "token-yield"}
         unknown = set(wanted) - known
         if unknown:
             raise SystemExit(f"unknown --report kinds: {sorted(unknown)} "
@@ -196,6 +197,38 @@ def main() -> None:
             emit("starvation",
                  queue_starvation_report(frontier, last["virtual_time"])
                  .orderBy("queue"))
+        if "token-yield" in wanted:
+            # crawl-value accounting from the documents table alone:
+            # doc_id IS the fetched url; span volume proxies fetched
+            # bytes, whitespace tokens over text spans are the usable
+            # training-token count (A2 budget-steering signal)
+            from sparkcrawl.functions.domains import registered_domain
+            from sparkcrawl.plans.analytics import domain_token_yield
+
+            docs = run.documents.read(spark)
+            if docs is not None:
+                spans = F.col("spans")
+                host = F.lower(F.regexp_extract(
+                    F.col("doc_id"), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+                text = F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter(spans, lambda s: s["kind"] == F.lit("text")),
+                        lambda s: s["text"]))
+                n_bytes = F.aggregate(
+                    spans, F.lit(0).cast("bigint"),
+                    lambda acc, s: acc + F.length(s["text"])
+                    + F.length(s["media_ref"]))
+                fetched = docs.select(
+                    registered_domain(host).alias("domain"),
+                    n_bytes.alias("n_bytes"),
+                    F.size(F.filter(
+                        F.split(text, r"\s+"), lambda t: t != F.lit(""))
+                    ).cast("bigint").alias("n_tokens"))
+                emit("token_yield",
+                     domain_token_yield(fetched)
+                     .orderBy(F.desc("budget_weight"), "domain")
+                     .limit(args.report_limit))
         if "sitemap-coverage" in wanted:
             if not args.sitemap_locs:
                 raise SystemExit(

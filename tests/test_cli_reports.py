@@ -99,3 +99,13 @@ def test_report_unknown_kind_rejected(spark, crawl_workdir):
     with pytest.raises(SystemExit):
         _cli(crawl_workdir, "--resume", "--max-supersteps", "0",
              "--report", "nope")
+
+
+def test_report_token_yield(spark, crawl_workdir, capsys):
+    rows = _report_rows(capsys, crawl_workdir, "token-yield")
+    assert rows and all(r["report"] == "token_yield" for r in rows)
+    for r in rows:
+        assert r["total_tokens"] > 0 and r["n_docs"] > 0
+        assert 0.0 <= r["budget_weight"] <= 1.0
+    # weights over the full (uncapped at this size) table sum to ~1
+    assert abs(sum(r["budget_weight"] for r in rows) - 1.0) < 1e-3
