@@ -3242,6 +3242,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("host", "r.agent", "r.allow", "r.path_prefix"))
         return robots_policy_delta(batch, robots_old, robots_new)
 
+    def crawl_queue_rebalance(spark, sf):
+        """Q2 resize planning (schedule.queue_rebalance_report): per
+        (strategy, old_queue, new_queue) URL migration counts for an
+        8 -> 12 queue-pool grow, md5-mod vs rendezvous/HRW. HRW rows
+        with moved=true must all target queues 8..11 — the
+        minimal-disruption property the oracle re-derives from the
+        same md5 arithmetic."""
+        from sparkcrawl.operators.schedule import queue_rebalance_report
+
+        d = _read(spark, sf, "documents")
+        urls = d.select(
+            F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+            .alias("url_hash"))
+        return _widen(queue_rebalance_report(urls, NQ, 12))
+
     def freshness_cache_control(spark, sf):
         """Cache-Control revisit hints (freshness.cache_control_hints,
         RFC 9111): max-age / no-cache / no-store parsed by case-folded
@@ -3524,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_growth": corpus_vocab_growth,
         "crawl_mirror_canonicalize": crawl_mirror_canonicalize,
         "crawl_robots_delta": crawl_robots_delta,
+        "crawl_queue_rebalance": crawl_queue_rebalance,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -5366,6 +5382,37 @@ def oracle_sql() -> dict[str, str]:
                         WHEN pk = 1 AND hk % 2 = 0 THEN 'now_denied'
                         ELSE 'unchanged' END AS change
             FROM b
+        """,
+        "crawl_queue_rebalance": """
+            WITH k AS (
+              SELECT md5(CAST(doc_id AS VARCHAR)) AS kh FROM documents),
+            wts AS (
+              SELECT kh, q,
+                     CAST(concat('0x', substr(md5(kh || ':'
+                       || CAST(q AS VARCHAR)), 1, 15)) AS BIGINT) AS wt
+              FROM k CROSS JOIN range(12) t(q)),
+            hrw AS (
+              SELECT kh,
+                     (max(CASE WHEN q < 8
+                               THEN {'w': wt, 'q': q} END)).q AS o,
+                     (max({'w': wt, 'q': q})).q AS n
+              FROM wts GROUP BY kh),
+            assigned AS (
+              SELECT 'mod' AS strategy,
+                     CAST(concat('0x', substr(md5(kh), 1, 8)) AS BIGINT)
+                       % 8 AS old_queue,
+                     CAST(concat('0x', substr(md5(kh), 1, 8)) AS BIGINT)
+                       % 12 AS new_queue
+              FROM k
+              UNION ALL
+              SELECT 'rendezvous', o, n FROM hrw)
+            SELECT strategy,
+                   CAST(old_queue AS BIGINT) AS old_queue,
+                   CAST(new_queue AS BIGINT) AS new_queue,
+                   old_queue <> new_queue AS moved,
+                   CAST(COUNT(*) AS BIGINT) AS urls
+            FROM assigned
+            GROUP BY strategy, old_queue, new_queue
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "corpus_vocab_growth",
     "crawl_mirror_canonicalize",
     "crawl_robots_delta",
+    "crawl_queue_rebalance",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

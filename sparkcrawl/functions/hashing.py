@@ -39,6 +39,43 @@ def queue_for_domain(domain: Column, num_queues: int) -> Column:
     return md5_bucket(domain, num_queues)
 
 
+def rendezvous_weight(key: Column, queue_id: int) -> Column:
+    """HRW weight of ``key`` for one queue: the first 15 hex chars of
+    md5(key ':' queue_id) as a 60-bit bigint. Engine-stable (DuckDB:
+    ``CAST(concat('0x', substr(md5(k || ':' || q), 1, 15)) AS BIGINT)``),
+    like md5_bucket — never F.hash/Murmur3."""
+    payload = F.concat(key, F.lit(f":{queue_id}"))
+    return (
+        F.conv(F.substring(F.md5(F.encode(payload, "UTF-8")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+
+
+def rendezvous_queue(key: Column, num_queues: int) -> Column:
+    """Rendezvous / highest-random-weight (HRW, Thaler & Ravishankar
+    1998) queue pick: argmax over queue ids of rendezvous_weight.
+
+    The scale property mod-N assignment lacks: growing the queue pool
+    from Q to Q' relocates only the keys whose argmax lands on a NEW
+    queue (expected fraction 1 - Q/Q'), and every relocated key moves
+    TO a new queue — survivors never shuffle among themselves. On a
+    10^10-URL frontier, resizing the worker pool under md5-mod rewrites
+    ~all per-queue state; under HRW only the moved slice. Implemented
+    as array_max over (weight, queue) structs — lexicographic struct
+    max, so a (astronomically unlikely) weight tie breaks to the higher
+    queue id identically in both engines. Pure codegen: no UDF, no
+    shuffle, O(num_queues) column expressions per row.
+    """
+    pairs = F.array(*[
+        F.struct(
+            rendezvous_weight(key, q).alias("w"),
+            F.lit(q).alias("q"),
+        )
+        for q in range(num_queues)
+    ])
+    return F.array_max(pairs)["q"].cast("int")
+
+
 def salted_queue(domain: Column, url: Column, num_queues: int, salt_buckets: int) -> Column:
     """Q2-salted: sub-split hot domains for skewed window compute
     (north_rule: 'salted keys to defuse hot-host skew'). Politeness is

@@ -511,3 +511,61 @@ def politeness_audit(fetch_log: DataFrame,
         ((d == n) & (F.min("slot") == 0) & (F.max("slot") == n - 1))
         .alias("slots_ok"),
     )
+
+
+def queue_rebalance_report(urls: DataFrame, old_num_queues: int,
+                           new_num_queues: int,
+                           key_col: str = "url_hash") -> DataFrame:
+    """Q2 resize planning: what does growing (or shrinking) the queue
+    pool from ``old_num_queues`` to ``new_num_queues`` cost, under the
+    engine's md5-mod assignment vs rendezvous/HRW hashing?
+
+    The reference pins a host to a queue for the life of the crawl
+    (SURVEY Q2 — HostBasedQueueAssignment); resizing its worker pool
+    means re-keying the whole frontier. This operator quantifies that
+    migration BEFORE committing to it: per (strategy, old_queue,
+    new_queue) URL counts, ``moved = old_queue <> new_queue``.
+
+    mod-N keeps a key only when its residues agree mod lcm(Q, Q') —
+    Q of lcm(Q, Q') residues, so an 8 -> 12 resize moves 2/3 of keys,
+    scattering queue i's survivors across many targets; HRW moves an
+    expected (1 - Q/Q') = 1/3 on the same grow, every moved key landing
+    on a NEW queue — per-queue frontier state (politeness clocks,
+    budget carry) stays put for survivors. At 10^10 URLs that is
+    rewriting ~6.7B vs ~3.3B rows, and only HRW leaves old queues'
+    internal order untouched.
+
+    Plan shape: both assignments are pure codegen column expressions
+    (hashing.md5_bucket / hashing.rendezvous_queue) folded in ONE
+    projection; the only exchange is the final hash agg on the tiny
+    (strategy, old, new) key space — map-side combined, output
+    <= 2 * Q * Q' rows regardless of input size. No UDF, no window,
+    no join.
+    """
+    from sparkcrawl.functions.hashing import rendezvous_queue
+
+    k = F.col(key_col)
+    legs = []
+    for strategy, old_q, new_q in (
+        ("mod",
+         md5_bucket(k, old_num_queues),
+         md5_bucket(k, new_num_queues)),
+        ("rendezvous",
+         rendezvous_queue(k, old_num_queues),
+         rendezvous_queue(k, new_num_queues)),
+    ):
+        legs.append(urls.select(
+            F.lit(strategy).alias("strategy"),
+            old_q.alias("old_queue"),
+            new_q.alias("new_queue"),
+        ))
+    assigned = legs[0].unionByName(legs[1])
+    return (
+        assigned.groupBy("strategy", "old_queue", "new_queue")
+        .agg(F.count("*").alias("urls"))
+        .select(
+            "strategy", "old_queue", "new_queue",
+            (F.col("old_queue") != F.col("new_queue")).alias("moved"),
+            "urls",
+        )
+    )

@@ -433,3 +433,27 @@ def test_politeness_audit_real_crawl_clean(spark, mini_cfg, tmp_path):
     audit = politeness_audit(log)
     assert audit.count() > 0
     assert audit.filter(~F.col("slots_ok")).count() == 0
+
+
+def test_queue_rebalance_report(spark):
+    """Q2 resize planning: counts conserve the input per strategy, the
+    moved flag is old!=new, and every HRW-moved URL targets a queue id
+    >= old_nq (the minimal-disruption property the report exists to
+    surface)."""
+    from sparkcrawl.operators.schedule import queue_rebalance_report
+
+    n, old_nq, new_nq = 400, 8, 12
+    df = spark.createDataFrame(
+        [(f"{i:040d}",) for i in range(n)], ["url_hash"])
+    rows = queue_rebalance_report(df, old_nq, new_nq).collect()
+    for strat in ("mod", "rendezvous"):
+        leg = [r for r in rows if r["strategy"] == strat]
+        assert sum(r["urls"] for r in leg) == n
+        for r in leg:
+            assert r["moved"] == (r["old_queue"] != r["new_queue"])
+    hrw_moved = [r for r in rows
+                 if r["strategy"] == "rendezvous" and r["moved"]]
+    assert hrw_moved and all(r["new_queue"] >= old_nq for r in hrw_moved)
+    mod_m = sum(r["urls"] for r in rows if r["strategy"] == "mod" and r["moved"])
+    hrw_m = sum(r["urls"] for r in hrw_moved)
+    assert hrw_m < mod_m  # HRW strictly cheaper on the same resize
