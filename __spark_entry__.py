@@ -3257,6 +3257,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("url_hash"))
         return _widen(queue_rebalance_report(urls, NQ, 12))
 
+    def index_percolate(spark, sf):
+        """Standing-query percolation (invindex.percolate): five
+        registered term rules (all/any modes; q4 carries duplicate +
+        mixed-case terms the operator must normalize to 2, q5 can never
+        hit) matched against every document's distinct token set via
+        ONE broadcast equi-join — the oracle joins the same rules as a
+        VALUES list in their normalized form."""
+        from sparkcrawl.operators.invindex import percolate
+
+        d = _read(spark, sf, "documents")
+        standing = spark.createDataFrame(
+            [
+                ("q1", ["spark", "window"], "all"),
+                ("q2", ["vector", "stream"], "any"),
+                ("q3", ["hash", "join", "merge"], "all"),
+                ("q4", ["ZEBRA", "zebra", "Filter"], "any"),
+                ("q5", ["nosuchterm"], "any"),
+            ],
+            ["query_id", "terms", "mode"],
+        )
+        return _widen(percolate(d, standing))
+
     def freshness_cache_control(spark, sf):
         """Cache-Control revisit hints (freshness.cache_control_hints,
         RFC 9111): max-age / no-cache / no-store parsed by case-folded
@@ -3540,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_mirror_canonicalize": crawl_mirror_canonicalize,
         "crawl_robots_delta": crawl_robots_delta,
         "crawl_queue_rebalance": crawl_queue_rebalance,
+        "index_percolate": index_percolate,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -5413,6 +5436,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS urls
             FROM assigned
             GROUP BY strategy, old_queue, new_queue
+        """,
+        "index_percolate": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id AS id, t.tok
+              FROM documents,
+                   UNNEST(string_split_regex(lower(text), '\\s+')) AS t(tok)
+              WHERE t.tok <> ''),
+            q(query_id, tok, n_terms, mode) AS (
+              VALUES ('q1','spark',2,'all'), ('q1','window',2,'all'),
+                     ('q2','vector',2,'any'), ('q2','stream',2,'any'),
+                     ('q3','hash',3,'all'), ('q3','join',3,'all'),
+                     ('q3','merge',3,'all'),
+                     ('q4','zebra',2,'any'), ('q4','filter',2,'any'),
+                     ('q5','nosuchterm',1,'any')),
+            m AS (
+              SELECT toks.id, q.query_id, q.mode, q.n_terms,
+                     COUNT(*) AS matched_terms
+              FROM toks JOIN q ON toks.tok = q.tok
+              GROUP BY 1, 2, 3, 4)
+            SELECT CAST(id AS BIGINT) AS id, query_id,
+                   CAST(matched_terms AS BIGINT) AS matched_terms,
+                   CAST(n_terms AS BIGINT) AS n_terms, mode
+            FROM m WHERE mode = 'any' OR matched_terms = n_terms
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

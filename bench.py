@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "crawl_mirror_canonicalize",
     "crawl_robots_delta",
     "crawl_queue_rebalance",
+    "index_percolate",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

@@ -96,3 +96,49 @@ def phrase_search(docs: DataFrame, phrase: list[str],
     ]
     starts = reduce(lambda a, b: a.join(b, ["id", "start"]), legs)
     return starts.groupBy("id").agg(F.count("*").alias("n_matches"))
+
+
+def percolate(docs: DataFrame, standing: DataFrame,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Standing-query percolation: match every incoming document against
+    a table of registered term queries (the inverse of search — the
+    queries are the index, the documents are the probes; Elasticsearch
+    calls this a percolator, crawl pipelines use it for topical alerts
+    and crawl steering: "flag every fetched page mentioning X AND Y").
+
+    ``standing``: (query_id, terms array<string>, mode 'all'|'any').
+    Output: (id, query_id, matched_terms, n_terms, mode) — one row per
+    (document, query) the query accepts: every term present for 'all',
+    at least one for 'any'. Term matching is over the document's
+    DISTINCT lowercase whitespace tokens (token_positions' tokenizer),
+    so matched_terms counts query terms present, not occurrences.
+
+    Plan shape: the standing side is exploded to (query_id, term) and
+    BROADCAST (alerting rule sets are thousands of rows, never
+    frontier-scale); the probe side is the distinct token table. One
+    broadcast hash EQUI-join on the term — never a nested-loop over
+    (docs x queries) — then one hash agg on (id, query_id) whose
+    cardinality is bounded by actual hits. Documents sharing no term
+    with any query exit at the join; at 10^10 docs the cost tracks
+    hit volume, not corpus volume. No UDF, no window.
+    """
+    norm = F.array_distinct(F.transform("terms", F.lower))
+    qterms = standing.select(
+        "query_id", "mode",
+        # n_terms over the SAME normalized set matched_terms counts
+        # against — duplicate or mixed-case entries in a rule must not
+        # make 'all' unsatisfiable.
+        F.size(norm).alias("n_terms"),
+        F.explode(norm).alias("tok"),
+    )
+    doc_toks = (token_positions(docs, text_col, id_col)
+                .select("id", "tok").distinct())
+    hits = doc_toks.join(F.broadcast(qterms), "tok")
+    matched = hits.groupBy("id", "query_id", "mode", "n_terms").agg(
+        F.count("*").alias("matched_terms"))
+    return (
+        matched.filter(
+            (F.col("mode") == "any")
+            | (F.col("matched_terms") == F.col("n_terms")))
+        .select("id", "query_id", "matched_terms", "n_terms", "mode")
+    )

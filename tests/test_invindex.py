@@ -57,3 +57,31 @@ def test_phrase_search(docs):
     assert got3 == {1: 1}
     with pytest.raises(ValueError):
         invindex.phrase_search(docs, [])
+
+
+def test_percolate(spark, docs):
+    """Standing-query matching: 'all' needs every term, 'any' needs one;
+    rule-side duplicates/case must not break 'all'; no-hit docs absent."""
+    standing = spark.createDataFrame(
+        [
+            ("q_all", ["cat", "mat"], "all"),
+            ("q_any", ["dog", "mat"], "any"),
+            ("q_dup", ["CAT", "cat", "Sat"], "all"),  # normalizes to 2 terms
+            ("q_none", ["zebra"], "any"),
+        ],
+        ["query_id", "terms", "mode"],
+    )
+    out = invindex.percolate(docs, standing)
+    got = {(r["id"], r["query_id"]): (r["matched_terms"], r["n_terms"])
+           for r in out.collect()}
+    assert got[(1, "q_all")] == (2, 2)          # cat+mat both in doc 1
+    assert (2, "q_all") not in got              # doc 2 lacks mat
+    assert got[(1, "q_any")] == (1, 2)          # mat only
+    assert got[(2, "q_any")] == (1, 2)          # dog only
+    assert (3, "q_any") not in got              # doc 3: no dog, no mat
+    assert got[(1, "q_dup")] == (2, 2)          # dup/case folded away
+    assert all(q != "q_none" for (_, q) in got) # zebra hits nothing
+    assert all(i != 4 for (i, _) in got)        # empty doc never matches
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "Cartesian" not in p
+    assert "BatchEvalPython" not in p
