@@ -3279,6 +3279,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _widen(percolate(d, standing))
 
+    def corpus_zipf_fit(spark, sf):
+        """Zipf-law head fit (textops.zipf_fit): OLS slope/intercept/r2
+        of ln(freq) ~ ln(rank) over the top-200 terms plus the head's
+        token share — natural text trends to slope -1. The oracle
+        recomputes the same guarded covar/var moments; the synthetic
+        vocabulary (~30 terms) fits entirely in the head, so both
+        engines fit identical point sets."""
+        from sparkcrawl.operators.textops import zipf_fit
+
+        d = _read(spark, sf, "documents")
+        return zipf_fit(d, top_n=200)
+
     def freshness_cache_control(spark, sf):
         """Cache-Control revisit hints (freshness.cache_control_hints,
         RFC 9111): max-age / no-cache / no-store parsed by case-folded
@@ -3563,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_delta": crawl_robots_delta,
         "crawl_queue_rebalance": crawl_queue_rebalance,
         "index_percolate": index_percolate,
+        "corpus_zipf_fit": corpus_zipf_fit,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -5459,6 +5472,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(matched_terms AS BIGINT) AS matched_terms,
                    CAST(n_terms AS BIGINT) AS n_terms, mode
             FROM m WHERE mode = 'any' OR matched_terms = n_terms
+        """,
+        "corpus_zipf_fit": """
+            WITH toks AS (
+              SELECT t.tok
+              FROM documents,
+                   UNNEST(string_split_regex(lower(text), '\\s+')) AS t(tok)
+              WHERE t.tok <> ''),
+            freqs AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+            head AS (
+              SELECT freq,
+                     ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+              FROM freqs ORDER BY freq DESC, tok LIMIT 200),
+            pts AS (
+              SELECT ln(CAST(rank AS DOUBLE)) AS lnr,
+                     ln(CAST(freq AS DOUBLE)) AS lnf, freq
+              FROM head),
+            tot AS (
+              SELECT CAST(SUM(freq) AS DOUBLE) AS all_tokens FROM freqs),
+            fit AS (
+              SELECT COUNT(*) AS n_terms, covar_pop(lnr, lnf) AS cv,
+                     var_pop(lnr) AS vr, var_pop(lnf) AS vf,
+                     avg(lnf) AS mlnf, avg(lnr) AS mlnr,
+                     CAST(SUM(freq) AS DOUBLE) AS head_tokens
+              FROM pts)
+            SELECT CAST(n_terms AS BIGINT) AS n_terms,
+                   round(CASE WHEN vr > 0 THEN cv / vr END, 6) AS slope,
+                   round(mlnf - (CASE WHEN vr > 0 THEN cv / vr END) * mlnr,
+                         6) AS intercept,
+                   round(CASE WHEN vr > 0 AND vf > 0
+                              THEN cv * cv / (vr * vf) END, 6) AS r2,
+                   round(head_tokens / all_tokens, 6) AS top_share
+            FROM fit, tot
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

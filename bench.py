@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "crawl_robots_delta",
     "crawl_queue_rebalance",
     "index_percolate",
+    "corpus_zipf_fit",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

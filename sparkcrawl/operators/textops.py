@@ -2065,3 +2065,73 @@ def vocabulary_growth(
         F.sum("shard_tokens").over(w).cast("bigint").alias("cum_tokens"),
         F.sum("new_terms").over(w).cast("bigint").alias("cum_vocab"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf-law fit over the corpus frequency head: OLS of
+    ln(frequency) on ln(rank) for the ``top_n`` most frequent terms.
+    Natural text gives slope ≈ -1 (Zipf 1949); a much flatter slope is
+    the signature of templated/generated junk (frequencies too even),
+    a much steeper one means a boilerplate-dominated crawl (a few
+    phrases own the corpus). The companion diagnostic to
+    ``vocabulary_growth`` — that one watches the vocabulary TAIL grow,
+    this one checks the frequency HEAD's shape.
+
+    Output: ONE row (n_terms, slope, intercept, r2, top_share) —
+    ``top_share`` = head tokens / all tokens, ``r2`` the fit quality
+    (squared Pearson r; natural text > 0.9 on the head). Doubles
+    rounded 6dp after the fit.
+
+    Plan shape: one token explode + map-combined count agg (the only
+    corpus-scale shuffle), then ``orderBy(freq desc, term).limit(n)``
+    — Spark plans TakeOrderedAndProject, a per-partition heap + merge,
+    NEVER a global sort or single-partition window over term
+    cardinality. Ranks come from a row_number window over the ≤ top_n
+    surviving rows (config-bounded, same contract as the shard-table
+    windows); the regression is one covar/var aggregate over that
+    bounded set. Total-token count rides the same freq table as a
+    1-row agg, cross-joined (1 x 1) into the result.
+    """
+    freqs = (
+        _tokens(docs, text_col, id_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    head = freqs.orderBy(F.desc("freq"), F.asc("tok")).limit(top_n)
+    rw = W.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = head.select(
+        F.row_number().over(rw).cast("double").alias("rank"),
+        F.col("freq").cast("double").alias("f"),
+    ).select(F.log("rank").alias("lnr"), F.log("f").alias("lnf"),
+             F.col("f"))
+    total = freqs.agg(F.sum("freq").cast("double").alias("all_tokens"))
+    # slope/r2 derived from raw covar/var moments with explicit
+    # zero-variance guards: ANSI mode makes corr() THROW on a flat head
+    # (var(lnf)=0) — slope is 0 there, r2 undefined (NULL); a 1-term
+    # head (var(lnr)=0) leaves both undefined.
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.covar_pop("lnr", "lnf").alias("cv"),
+        F.var_pop("lnr").alias("vr"),
+        F.var_pop("lnf").alias("vf"),
+        F.avg("lnf").alias("mlnf"),
+        F.avg("lnr").alias("mlnr"),
+        F.sum("f").alias("head_tokens"),
+    )
+    slope = F.when(F.col("vr") > 0, F.col("cv") / F.col("vr"))
+    r2 = F.when((F.col("vr") > 0) & (F.col("vf") > 0),
+                F.col("cv") * F.col("cv") / (F.col("vr") * F.col("vf")))
+    return fit.crossJoin(total).select(
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("mlnf") - slope * F.col("mlnr"), 6)
+        .alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+        F.round(F.col("head_tokens") / F.col("all_tokens"), 6)
+        .alias("top_share"),
+    )

@@ -1025,3 +1025,35 @@ def test_mirror_canonicalize(spark):
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """f(r) = 12/r is exactly Zipfian: slope -1, r2 = 1, intercept
+    ln 12 — hand-checkable because ln f is exactly linear in ln r."""
+    import math
+
+    toks = ["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    row = textops.zipf_fit(df, top_n=4).collect()[0]
+    assert row["n_terms"] == 4
+    assert row["slope"] == -1.0
+    assert row["r2"] == 1.0
+    assert row["intercept"] == round(math.log(12.0), 6)
+    assert row["top_share"] == 1.0
+
+
+def test_zipf_fit_head_cap_and_ties(spark):
+    """top_n caps the head (top_share < 1); equal-frequency terms rank
+    by term asc so the fit is deterministic; flat frequencies give
+    slope 0."""
+    # 4 terms all freq 2 -> perfectly flat head
+    df = spark.createDataFrame(
+        [(1, "x x y y z z w w")], ["doc_id", "text"])
+    row = textops.zipf_fit(df, top_n=2).collect()[0]
+    assert row["n_terms"] == 2
+    assert row["slope"] == 0.0
+    assert row["top_share"] == 0.5          # 4 of 8 tokens in the head
+    plan = textops.zipf_fit(df, top_n=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # heap top-k, no global sort
+    assert "BatchEvalPython" not in plan
