@@ -3291,6 +3291,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _read(spark, sf, "documents")
         return zipf_fit(d, top_n=200)
 
+    def crawl_fetch_fairness(spark, sf):
+        """Jain fairness index per superstep (schedule.fetch_fairness):
+        events as a fetch log (superstep = event_id % 4, host =
+        user_id % 7) — J = (sum x)^2 / (n sum x^2) over per-host fetch
+        counts plus the worst-case top_share."""
+        from sparkcrawl.operators.schedule import fetch_fairness
+
+        ev = _read(spark, sf, "events")
+        log = ev.select(
+            (F.col("event_id") % 4).alias("superstep"),
+            F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string"))
+            .alias("host"))
+        return fetch_fairness(log)
+
     def freshness_cache_control(spark, sf):
         """Cache-Control revisit hints (freshness.cache_control_hints,
         RFC 9111): max-age / no-cache / no-store parsed by case-folded
@@ -3576,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_queue_rebalance": crawl_queue_rebalance,
         "index_percolate": index_percolate,
         "corpus_zipf_fit": corpus_zipf_fit,
+        "crawl_fetch_fairness": crawl_fetch_fairness,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -5504,6 +5519,20 @@ def oracle_sql() -> dict[str, str]:
                               THEN cv * cv / (vr * vf) END, 6) AS r2,
                    round(head_tokens / all_tokens, 6) AS top_share
             FROM fit, tot
+        """,
+        "crawl_fetch_fairness": """
+            WITH per_host AS (
+              SELECT event_id % 4 AS superstep,
+                     'h' || CAST(user_id % 7 AS VARCHAR) AS host,
+                     CAST(COUNT(*) AS DOUBLE) AS x
+              FROM events GROUP BY 1, 2)
+            SELECT superstep,
+                   CAST(COUNT(*) AS BIGINT) AS n_hosts,
+                   CAST(SUM(x) AS BIGINT) AS fetches,
+                   round(SUM(x) * SUM(x) / (COUNT(*) * SUM(x * x)), 6)
+                     AS jain_index,
+                   round(MAX(x) / SUM(x), 6) AS top_share
+            FROM per_host GROUP BY superstep
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "crawl_queue_rebalance",
     "index_percolate",
     "corpus_zipf_fit",
+    "crawl_fetch_fairness",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

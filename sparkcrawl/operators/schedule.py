@@ -569,3 +569,35 @@ def queue_rebalance_report(urls: DataFrame, old_num_queues: int,
             "urls",
         )
     )
+
+
+def fetch_fairness(fetch_log: DataFrame, group_col: str = "superstep",
+                   host_col: str = "host") -> DataFrame:
+    """Scheduling-fairness diagnostic: Jain's fairness index (Jain,
+    Chiu & Hawe 1984) over per-host fetch allocations within each
+    group (superstep, queue, ...): J = (sum x)^2 / (n * sum x^2) for
+    x = fetches per host. J = 1 means every host got an equal share of
+    the batch; J -> 1/n means one host owned it — exactly the skew the
+    W2/W3 caps exist to prevent, so a healthy crawl's J stays near the
+    host-count-weighted ideal and a sagging J flags a politeness or
+    budget-apportionment regression before throughput does.
+
+    Output per group: (group, n_hosts, fetches, jain_index, top_share)
+    — ``top_share`` = the largest single host's fraction, the
+    companion worst-case number (J is an average-case index).
+
+    Plan shape: two map-side-combinable hash aggs ((group, host)
+    counts, then group moments) — no window, no join; output
+    cardinality = number of groups. Safe to run over every superstep
+    of a 10^10-URL crawl's fetch log.
+    """
+    per_host = fetch_log.groupBy(
+        F.col(group_col).alias("grp"), F.col(host_col).alias("h")
+    ).agg(F.count("*").cast("double").alias("x"))
+    s, n, sq = F.sum("x"), F.count("*"), F.sum(F.col("x") * F.col("x"))
+    return per_host.groupBy(F.col("grp").alias(group_col)).agg(
+        n.cast("bigint").alias("n_hosts"),
+        s.cast("bigint").alias("fetches"),
+        F.round((s * s) / (n * sq), 6).alias("jain_index"),
+        F.round(F.max("x") / s, 6).alias("top_share"),
+    )

@@ -457,3 +457,24 @@ def test_queue_rebalance_report(spark):
     mod_m = sum(r["urls"] for r in rows if r["strategy"] == "mod" and r["moved"])
     hrw_m = sum(r["urls"] for r in hrw_moved)
     assert hrw_m < mod_m  # HRW strictly cheaper on the same resize
+
+
+def test_fetch_fairness(spark):
+    """Jain index: equal shares -> 1.0; one host hogging -> 1/n; the
+    top_share companion pins the worst case."""
+    rows = (
+        # superstep 1: 3 hosts x 2 fetches each -> J = 1
+        [(1, "a")] * 2 + [(1, "b")] * 2 + [(1, "c")] * 2
+        # superstep 2: host a gets 8, b and c get 1 -> skewed
+        + [(2, "a")] * 8 + [(2, "b")] + [(2, "c")]
+    )
+    df = spark.createDataFrame(rows, ["superstep", "host"])
+    from sparkcrawl.operators.schedule import fetch_fairness
+
+    got = {r["superstep"]: r for r in fetch_fairness(df).collect()}
+    assert got[1]["jain_index"] == 1.0
+    assert got[1]["top_share"] == round(2 / 6, 6)
+    # J = (10)^2 / (3 * (64+1+1)) = 100/198
+    assert got[2]["jain_index"] == round(100 / 198, 6)
+    assert got[2]["top_share"] == 0.8
+    assert got[2]["n_hosts"] == 3 and got[2]["fetches"] == 10
