@@ -3305,6 +3305,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("host"))
         return fetch_fairness(log)
 
+    def crawl_robots_failure(spark, sf):
+        """RFC 9309 §2.3.1 failure markers (robots.failure_markers,
+        policy='rfc9309'): five host classes — 200-with-rules (excluded
+        via the parsed anti-join), 200-without-rules and 404 (allow-all
+        markers), 500 and transport-error/NULL (DENY-all markers)."""
+        from sparkcrawl.operators.robots import failure_markers
+
+        ev = _read(spark, sf, "events")
+        hosts = ev.select((F.col("user_id") % 40).alias("hn")).distinct()
+        cls = F.col("hn") % 5
+        status = (
+            F.when(cls == 0, F.lit(200)).when(cls == 1, F.lit(200))
+            .when(cls == 2, F.lit(404)).when(cls == 3, F.lit(500))
+            .otherwise(F.lit(None).cast("int")))
+        rfetched = hosts.select(
+            F.concat(F.lit("h"), F.col("hn").cast("string")).alias("host"),
+            status.alias("status_code"), cls.alias("_c"))
+        parsed = rfetched.filter(F.col("_c") == 0).select("host")
+        return failure_markers(rfetched.drop("_c"), parsed, "rfc9309")
+
     def freshness_cache_control(spark, sf):
         """Cache-Control revisit hints (freshness.cache_control_hints,
         RFC 9111): max-age / no-cache / no-store parsed by case-folded
@@ -3591,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_percolate": index_percolate,
         "corpus_zipf_fit": corpus_zipf_fit,
         "crawl_fetch_fairness": crawl_fetch_fairness,
+        "crawl_robots_failure": crawl_robots_failure,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -5533,6 +5554,16 @@ def oracle_sql() -> dict[str, str]:
                      AS jain_index,
                    round(MAX(x) / SUM(x), 6) AS top_share
             FROM per_host GROUP BY superstep
+        """,
+        "crawl_robots_failure": """
+            WITH hosts AS (
+              SELECT DISTINCT user_id % 40 AS hn FROM events)
+            SELECT 'h' || CAST(hn AS VARCHAR) AS host,
+                   '*' AS agent,
+                   hn % 5 IN (1, 2) AS allow,
+                   '/' AS path_prefix,
+                   CAST(NULL AS DOUBLE) AS crawl_delay
+            FROM hosts WHERE hn % 5 <> 0
         """,
         "simsearch_bruteforce_topk": """
             SELECT query_id, cand_id, sim, rank FROM (

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "index_percolate",
     "corpus_zipf_fit",
     "crawl_fetch_fairness",
+    "crawl_robots_failure",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

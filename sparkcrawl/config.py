@@ -118,6 +118,14 @@ class CrawlConfig:
     # rule generations older than this many supersteps count as unknown
     # again (host re-defers + re-fetches robots.txt); 0 = never expire
     robots_ttl_supersteps: int = 0
+    # what a FAILED robots.txt fetch means for the host:
+    #   'allow'   — any failure = allow-all (urllib.robotparser
+    #               semantics; parity default, matches the goldens)
+    #   'rfc9309' — RFC 9309 §2.3.1: 4xx "unavailable" = allow-all;
+    #               5xx / transport error "unreachable" = DENY-all
+    #               until the marker's TTL generation expires and the
+    #               host re-fetches (the spec's "reasonable period")
+    robots_failure_policy: str = "allow"
     # --- crawler-trap suppression (operators/traps.py; off = parity) ---
     filter_traps: bool = False
     trap_max_depth: int = 12

@@ -243,3 +243,47 @@ def robots_policy_delta(
     return joined.select(
         *batch.columns, "allowed_old", "allowed_new", change.alias("change")
     )
+
+
+def failure_markers(rfetched: DataFrame, parsed: DataFrame,
+                    policy: str = "allow") -> DataFrame:
+    """R1 failure semantics: one synthetic rule row per host whose
+    robots.txt fetch produced NO usable rules, so the host becomes
+    "known" to the gate instead of deferring forever.
+
+    ``rfetched``: the robots-URL fetch results (host, status_code, ...);
+    ``parsed``: the rule rows that did parse (its hosts are excluded).
+
+    policy 'allow' (default, urllib.robotparser/parity semantics): any
+    failure means allow-all. policy 'rfc9309' (RFC 9309 §2.3.1): a 4xx
+    "unavailable" robots.txt means allow-all, but a 5xx or transport
+    error (status NULL) means the file is UNREACHABLE and the crawler
+    must assume complete disallow — the marker is a deny-all rule. The
+    marker carries the same TTL generation as real rules, so the deny
+    expires with ``robots_ttl_supersteps`` and the host re-fetches:
+    the spec's "reasonable period", expressed in supersteps.
+
+    Broadcast-sized by construction (one row per failed host per
+    superstep); pure column expressions over the anti-join.
+    """
+    if policy not in ("allow", "rfc9309"):
+        raise ValueError(f"unknown robots_failure_policy: {policy!r}")
+    failed = (
+        rfetched.groupBy("host")
+        .agg(F.min("status_code").alias("status_code"))
+        .join(parsed.select("host").distinct(), "host", "left_anti")
+    )
+    if policy == "allow":
+        allow = F.lit(True)
+    else:
+        unreachable = (
+            F.col("status_code").isNull() | (F.col("status_code") >= 500)
+        )
+        allow = ~unreachable
+    return failed.select(
+        "host",
+        F.lit("*").alias("agent"),
+        allow.alias("allow"),
+        F.lit("/").alias("path_prefix"),
+        F.lit(None).cast("double").alias("crawl_delay"),
+    )

@@ -312,9 +312,11 @@ class CrawlRun:
         batch = batch.persist()
 
         # fetch+parse robots.txt for the deferred hosts; hosts whose
-        # robots fetch fails or yields no rules get an allow-all marker
-        # so they become known (urllib.robotparser semantics: no usable
-        # robots.txt = allow). Superstep-tagged append: replay-safe.
+        # robots fetch fails or yields no rules get a marker rule so
+        # they become known (robots.failure_markers — allow-all under
+        # the parity default, RFC 9309 4xx-allow/5xx-deny under
+        # cfg.robots_failure_policy='rfc9309'). Superstep-tagged
+        # append: replay-safe.
         if deferred is not None:
             robots_batch = deferred.select("host").distinct().select(
                 F.concat(F.lit("http://"), F.col("host"),
@@ -331,16 +333,14 @@ class CrawlRun:
                 ).select("host", "body"),
                 cfg.user_agent,
             ).persist()
-            markers = (
-                rfetched.select("host").distinct()
-                .join(parsed.select("host").distinct(), "host", "left_anti")
-                .select(
-                    "host",
-                    F.lit("*").alias("agent"),
-                    F.lit(True).alias("allow"),
-                    F.lit("/").alias("path_prefix"),
-                    F.lit(None).cast("double").alias("crawl_delay"),
-                )
+            from sparkcrawl.operators.robots import failure_markers
+
+            # cfg.robots_failure_policy: 'allow' = any failure is
+            # allow-all (parity default); 'rfc9309' = 4xx allow-all,
+            # 5xx/transport-error DENY-all until the TTL generation
+            # expires (RFC 9309 §2.3.1 unreachable semantics).
+            markers = failure_markers(
+                rfetched, parsed, cfg.robots_failure_policy
             )
             self.robots_table.append(
                 parsed.unionByName(markers).withColumn(

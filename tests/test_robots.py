@@ -311,3 +311,43 @@ def test_robots_policy_delta(spark):
     p = buf.getvalue()
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_failure_markers_policies(spark):
+    """R1 failure semantics: 'allow' marks every ruleless host
+    allow-all; 'rfc9309' splits 4xx (unavailable -> allow) from
+    5xx/transport-error (unreachable -> DENY-all), and the deny marker
+    actually denies through the real R2 gate."""
+    import pytest as _pytest
+
+    from sparkcrawl.operators.robots import failure_markers, robots_gate
+
+    rfetched = spark.createDataFrame(
+        [("h200", 200), ("h404", 404), ("h500", 500), ("hconn", None),
+         ("hok", 200)],
+        schema="host string, status_code int",
+    )
+    parsed = spark.createDataFrame([("hok",)], ["host"])  # hok has rules
+
+    legacy = {r["host"]: r["allow"]
+              for r in failure_markers(rfetched, parsed, "allow").collect()}
+    assert legacy == {"h200": True, "h404": True, "h500": True,
+                      "hconn": True}
+
+    rfc = {r["host"]: r["allow"]
+           for r in failure_markers(rfetched, parsed, "rfc9309").collect()}
+    assert rfc == {"h200": True, "h404": True, "h500": False,
+                   "hconn": False}
+
+    with _pytest.raises(ValueError):
+        failure_markers(rfetched, parsed, "bogus")
+
+    # the deny marker denies every URL of the host through the gate
+    markers = failure_markers(rfetched, parsed, "rfc9309")
+    batch = spark.createDataFrame(
+        [("http://h500/x", "h500", "a" * 40),
+         ("http://h404/x", "h404", "b" * 40)],
+        ["url", "host", "url_hash"])
+    gated = {r["host"]: r["robots_allowed"]
+             for r in robots_gate(batch, markers).collect()}
+    assert gated == {"h500": False, "h404": True}
