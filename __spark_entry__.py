@@ -1877,6 +1877,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def embedding_triplets(spark, sf):
+        """Contrastive triplet mining (simsearch.triplet_mining): the
+        rank-1 neighbor as positive and the rank-5 as semi-hard
+        negative, both legs of ONE knn_graph build (same LSH config as
+        embedding_knn_graph, so the oracle reuses that CTE); margin =
+        pos_sim - neg_sim >= 0; anchors lacking a rank-5 neighbor
+        drop out."""
+        emb = _read(spark, sf, "embeddings")
+        return _widen(
+            simsearch.triplet_mining(
+                emb, pos_rank=1, neg_rank=5, n_planes=_ND_PLANES,
+                dim=_EMB_DIM, seed=_LSH_SEED, n_bands=_LSH_BANDS,
+                max_bucket_size=_ND_CAP,
+            )
+        )
+
     def corpus_quality_topfrac(spark, sf):
         """FineWeb-style per-language quality gate: keep docs at or
         above the stratum's 70th-percentile composite quality. The
@@ -3612,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf_fit": corpus_zipf_fit,
         "crawl_fetch_fairness": crawl_fetch_fairness,
         "crawl_robots_failure": crawl_robots_failure,
+        "embedding_triplets": embedding_triplets,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -6616,6 +6633,36 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings ea ON ea.vec_id = cand.src
               JOIN embeddings eb ON eb.vec_id = cand.dst)
             WHERE rank <= 5
+        """.replace("{bb}", _banded_bucket_cte(_ND_PLANES)),
+        "embedding_triplets": f"""
+            WITH bb AS ({{bb}}),
+            ok AS (
+              SELECT band, bucket FROM bb
+              GROUP BY band, bucket HAVING count(*) <= {_ND_CAP}),
+            bc AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst
+              FROM bc a JOIN bc b2
+                ON a.band = b2.band AND a.bucket = b2.bucket
+                   AND a.vec_id <> b2.vec_id),
+            g AS (
+              SELECT src, dst, sim, rank FROM (
+                SELECT src, dst,
+                       round({_cos_sql('ea.embedding', 'eb.embedding')}, 6)
+                         AS sim,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY src
+                         ORDER BY round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) DESC,
+                                  dst) AS rank
+                FROM cand
+                JOIN embeddings ea ON ea.vec_id = cand.src
+                JOIN embeddings eb ON eb.vec_id = cand.dst)
+              WHERE rank <= 5)
+            SELECT p.src AS anchor, p.dst AS positive, p.sim AS pos_sim,
+                   n.dst AS negative, n.sim AS neg_sim,
+                   round(p.sim - n.sim, 6) AS margin
+            FROM (SELECT * FROM g WHERE rank = 1) p
+            JOIN (SELECT * FROM g WHERE rank = 5) n USING (src)
         """.replace("{bb}", _banded_bucket_cte(_ND_PLANES)),
         "embedding_margin_alignment": f"""
             WITH bb AS ({{bb}}),

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "corpus_zipf_fit",
     "crawl_fetch_fairness",
     "crawl_robots_failure",
+    "embedding_triplets",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

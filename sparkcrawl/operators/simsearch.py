@@ -848,3 +848,57 @@ def cluster_downsample(
         .drop("_rn")
     )
     return kept.unionByName(noise)
+
+
+def triplet_mining(
+    embeddings: DataFrame,
+    pos_rank: int = 1,
+    neg_rank: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 0,
+    n_bands: int = 1,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive training triplets (anchor, positive, hard negative)
+    mined from the approximate kNN graph: the positive is the anchor's
+    rank-``pos_rank`` neighbor, the hard negative its rank-``neg_rank``
+    neighbor — the classic semi-hard band (Schroff et al., FaceNet
+    CVPR 2015: negatives close enough to inform the gradient, far
+    enough to be wrong). Embedding-model fine-tuning on crawl corpora
+    consumes exactly this table.
+
+    Output: (anchor, positive, pos_sim, negative, neg_sim, margin) with
+    margin = pos_sim - neg_sim >= 0 by construction (ranks come from
+    one ordering). Anchors whose bucket yields fewer than ``neg_rank``
+    neighbors drop out (inner join) — no padded/degenerate triplets.
+
+    Plan shape: ONE knn_graph build (banded+capped LSH self-join, the
+    only corpus-square stage, already skew-bounded), then two
+    rank-filtered legs of that SAME graph equi-joined on the anchor id
+    — co-partitioned by the window that ranked them, so the join adds
+    no exchange. Output is one row per anchor: linear in corpus size.
+    """
+    if not 0 < pos_rank < neg_rank:
+        raise ValueError("need 0 < pos_rank < neg_rank")
+    g = knn_graph(
+        embeddings, k=neg_rank, n_planes=n_planes, dim=dim, seed=seed,
+        n_bands=n_bands, max_bucket_size=max_bucket_size,
+        id_col=id_col, vec_col=vec_col,
+    )
+    pos = g.filter(F.col("rank") == pos_rank).select(
+        F.col("src").alias("anchor"),
+        F.col("dst").alias("positive"),
+        F.col("sim").alias("pos_sim"),
+    )
+    neg = g.filter(F.col("rank") == neg_rank).select(
+        F.col("src").alias("anchor"),
+        F.col("dst").alias("negative"),
+        F.col("sim").alias("neg_sim"),
+    )
+    return pos.join(neg, "anchor").select(
+        "anchor", "positive", "pos_sim", "negative", "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )

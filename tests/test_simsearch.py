@@ -962,3 +962,41 @@ def test_span_parity(spark):
     assert "Generate" not in p
     assert "BatchEvalPython" not in p
     assert p.count("Join") >= 1 and "FullOuter" in p
+
+
+def test_triplet_mining_semihard_band(spark):
+    """Triplets derive from the SAME knn graph: positive = rank 1,
+    negative = rank ``neg_rank``; margin >= 0 by construction; anchors
+    without a rank-``neg_rank`` neighbor drop out."""
+    import math
+
+    import pytest as _pytest
+
+    from sparkcrawl.operators._caching import release_caches
+    from sparkcrawl.operators.simsearch import knn_graph, triplet_mining
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # one 4-node cluster + one isolated pair (only 1 neighbor each at
+    # best once bucketing splits the space)
+    rows = [(j, unit(0.1 + 0.02 * j)) for j in range(4)]
+    rows += [(10, unit(3.1)), (11, unit(3.12))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(n_planes=6, dim=4, seed=1, n_bands=3)
+    g = {}
+    for r in knn_graph(emb, k=3, **kw).collect():
+        g.setdefault(r.src, {})[r.rank] = (r.dst, r.sim)
+    release_caches()
+    trips = {r.anchor: r for r in
+             triplet_mining(emb, pos_rank=1, neg_rank=3, **kw).collect()}
+    release_caches()
+    # exactly the anchors owning a rank-3 neighbor produce a triplet
+    assert set(trips) == {s for s, rk in g.items() if 3 in rk}
+    assert trips  # the 4-cluster produces some
+    for a, t in trips.items():
+        assert (t.positive, t.pos_sim) == g[a][1]
+        assert (t.negative, t.neg_sim) == g[a][3]
+        assert t.margin == round(t.pos_sim - t.neg_sim, 6) and t.margin >= 0
+    with _pytest.raises(ValueError):
+        triplet_mining(emb, pos_rank=3, neg_rank=2, **kw)
