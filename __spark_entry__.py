@@ -1893,6 +1893,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def crawl_aging_boost(spark, sf):
+        """Anti-starvation aging (schedule.apply_aging_boost): events
+        as a frontier (ts = next_date, priority = user_id%9+1, every
+        5th row non-pending); one priority level per hour of wait past
+        the CUTOFF clock, capped at 5, floored at 1."""
+        from sparkcrawl.operators.schedule import apply_aging_boost
+
+        ev = _read(spark, sf, "events")
+        fr = ev.select(
+            F.col("event_id").cast("string").alias("url_hash"),
+            F.when(F.col("user_id") % 5 == 0, F.lit("fetched"))
+            .otherwise(F.lit("pending")).alias("state"),
+            F.col("ts").alias("next_date"),
+            (F.col("user_id") % 9 + 1).cast("int").alias("priority"),
+        )
+        aged = apply_aging_boost(fr, CUTOFF, 3600.0, max_boost=5)
+        return _widen(aged.select(
+            "url_hash", "state",
+            _epoch_us("next_date").alias("next_us"), "priority"))
+
     def corpus_quality_topfrac(spark, sf):
         """FineWeb-style per-language quality gate: keep docs at or
         above the stratum's 70th-percentile composite quality. The
@@ -3629,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fetch_fairness": crawl_fetch_fairness,
         "crawl_robots_failure": crawl_robots_failure,
         "embedding_triplets": embedding_triplets,
+        "crawl_aging_boost": crawl_aging_boost,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -5557,6 +5578,25 @@ def oracle_sql() -> dict[str, str]:
                               THEN cv * cv / (vr * vf) END, 6) AS r2,
                    round(head_tokens / all_tokens, 6) AS top_share
             FROM fit, tot
+        """,
+        "crawl_aging_boost": """
+            WITH fr AS (
+              SELECT CAST(event_id AS VARCHAR) AS url_hash,
+                     CASE WHEN user_id % 5 = 0 THEN 'fetched'
+                          ELSE 'pending' END AS state,
+                     ts,
+                     CAST(user_id % 9 + 1 AS INTEGER) AS priority
+              FROM events),
+            w AS (
+              SELECT *, epoch_us(TIMESTAMP '2024-01-02 00:00:00')
+                          - epoch_us(ts) AS wait_us
+              FROM fr)
+            SELECT url_hash, state, epoch_us(ts) AS next_us,
+                   CAST(CASE WHEN state = 'pending' AND wait_us > 0
+                             THEN greatest(1, priority
+                               - least(floor(wait_us / 3600000000.0), 5))
+                             ELSE priority END AS BIGINT) AS priority
+            FROM w
         """,
         "crawl_fetch_fairness": """
             WITH per_host AS (

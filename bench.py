@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "crawl_fetch_fairness",
     "crawl_robots_failure",
     "embedding_triplets",
+    "crawl_aging_boost",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

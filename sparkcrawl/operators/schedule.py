@@ -601,3 +601,34 @@ def fetch_fairness(fetch_log: DataFrame, group_col: str = "superstep",
         F.round((s * s) / (n * sq), 6).alias("jain_index"),
         F.round(F.max("x") / s, 6).alias("top_share"),
     )
+
+
+def apply_aging_boost(frontier: DataFrame, virtual_time,
+                      age_seconds: float, max_boost: int = 3) -> DataFrame:
+    """Anti-starvation priority aging — the APPLY companion to
+    :func:`queue_starvation_report`: every pending row whose
+    ``next_date`` lags the clock gains one priority level (priority 1
+    is best — the W1 sort is ascending) per ``age_seconds`` of wait,
+    capped at ``max_boost`` levels and floored at priority 1. Rows a
+    biased queue selection kept skipping climb the ordering instead of
+    starving forever (the aging rule every production scheduler carries
+    next to its bias — else a hot queue's tail never drains).
+
+    Non-pending rows and rows whose time hasn't arrived are untouched.
+    Pure single-projection column arithmetic on integer micros — no
+    shuffle, no window, no join; safe to fold into the superstep's
+    eligibility scan at any frontier size. Deterministic (floor over
+    exact integer micros), so the rewrite replays identically on
+    resume.
+    """
+    vt_us = F.unix_micros(F.lit(virtual_time).cast("timestamp"))
+    nd_us = F.unix_micros(F.col("next_date").cast("timestamp"))
+    age_us = F.lit(int(age_seconds * 1_000_000))
+    steps = F.least(F.floor((vt_us - nd_us) / age_us),
+                    F.lit(int(max_boost)))
+    boosted = F.greatest(F.lit(1), F.col("priority") - steps).cast("int")
+    eligible_wait = (F.col("state") == "pending") & ((vt_us - nd_us) > 0)
+    return frontier.withColumn(
+        "priority",
+        F.when(eligible_wait, boosted).otherwise(F.col("priority")),
+    )

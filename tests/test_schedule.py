@@ -478,3 +478,33 @@ def test_fetch_fairness(spark):
     assert got[2]["jain_index"] == round(100 / 198, 6)
     assert got[2]["top_share"] == 0.8
     assert got[2]["n_hosts"] == 3 and got[2]["fetches"] == 10
+
+
+def test_apply_aging_boost(spark):
+    """One level per age_seconds of wait, capped at max_boost, floored
+    at 1; non-pending and not-yet-due rows untouched."""
+    from datetime import datetime, timezone
+
+    from sparkcrawl.operators.schedule import apply_aging_boost
+
+    vt = datetime(2026, 1, 10, tzinfo=timezone.utc)
+    day = 86400.0
+    rows = [
+        # (hash, state, next_date, priority)
+        ("w0", "pending", datetime(2026, 1, 9, 12, tzinfo=timezone.utc), 5),
+        ("w1", "pending", datetime(2026, 1, 8, tzinfo=timezone.utc), 5),
+        ("w9", "pending", datetime(2026, 1, 1, tzinfo=timezone.utc), 5),
+        ("wfloor", "pending", datetime(2026, 1, 1, tzinfo=timezone.utc), 2),
+        ("future", "pending", datetime(2026, 1, 11, tzinfo=timezone.utc), 5),
+        ("gone", "gone", datetime(2026, 1, 1, tzinfo=timezone.utc), 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "url_hash string, state string, next_date timestamp, priority int")
+    got = {r["url_hash"]: r["priority"]
+           for r in apply_aging_boost(df, vt, day, max_boost=3).collect()}
+    assert got["w0"] == 5       # waited half a day: no full step yet
+    assert got["w1"] == 3       # 2 days -> 2 steps
+    assert got["w9"] == 2       # 9 days -> capped at 3 steps
+    assert got["wfloor"] == 1   # floored at priority 1
+    assert got["future"] == 5   # not due yet
+    assert got["gone"] == 5     # only pending rows age
