@@ -1913,6 +1913,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url_hash", "state",
             _epoch_us("next_date").alias("next_us"), "priority"))
 
+    def index_postings_size(spark, sf):
+        """Posting-list storage planning (invindex.
+        postings_size_estimate over inverted_index, same df band as
+        index_inverted_terms): per-term fixed-int64 vs delta+varint
+        bytes + savings fraction — exact integer CASE-ladder math the
+        oracle replays on lag()-derived gaps."""
+        from sparkcrawl.operators.invindex import (
+            inverted_index, postings_size_estimate)
+
+        d = _read(spark, sf, "documents")
+        return _widen(postings_size_estimate(
+            inverted_index(d, min_df=2, max_df=150)))
+
     def corpus_quality_topfrac(spark, sf):
         """FineWeb-style per-language quality gate: keep docs at or
         above the stratum's 70th-percentile composite quality. The
@@ -3650,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_failure": crawl_robots_failure,
         "embedding_triplets": embedding_triplets,
         "crawl_aging_boost": crawl_aging_boost,
+        "index_postings_size": index_postings_size,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -6893,6 +6907,36 @@ def oracle_sql() -> dict[str, str]:
               FROM gapst GROUP BY tok)
             SELECT term, df, postings, gaps
             FROM agg WHERE df BETWEEN 2 AND 150
+        """,
+        "index_postings_size": r"""
+            WITH tok AS (
+              SELECT doc_id AS id, toks[i] AS tok
+              FROM (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text),
+                        '\s+'), x -> x <> '') AS toks
+                    FROM documents),
+                   generate_series(1, 500) g(i)
+              WHERE i <= len(toks)),
+            td AS (SELECT DISTINCT id, tok FROM tok),
+            gapst AS (
+              SELECT tok, id,
+                     id - coalesce(lag(id) OVER (PARTITION BY tok
+                                                 ORDER BY id), 0) AS gap
+              FROM td),
+            per AS (
+              SELECT tok AS term, count(*) AS df,
+                     SUM(CASE WHEN gap < 128 THEN 1
+                              WHEN gap < 16384 THEN 2
+                              WHEN gap < 2097152 THEN 3
+                              WHEN gap < 268435456 THEN 4
+                              ELSE 5 END) AS varint_bytes
+              FROM gapst GROUP BY tok)
+            SELECT term, CAST(df AS BIGINT) AS df,
+                   CAST(df * 8 AS BIGINT) AS raw_bytes,
+                   CAST(varint_bytes AS BIGINT) AS varint_bytes,
+                   round((df * 8 - varint_bytes) / (df * 8.0), 6)
+                     AS savings_frac
+            FROM per WHERE df BETWEEN 2 AND 150
         """,
         "index_phrase_search": r"""
             WITH tok AS (

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "crawl_robots_failure",
     "embedding_triplets",
     "crawl_aging_boost",
+    "index_postings_size",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

@@ -142,3 +142,40 @@ def percolate(docs: DataFrame, standing: DataFrame,
             | (F.col("matched_terms") == F.col("n_terms")))
         .select("id", "query_id", "matched_terms", "n_terms", "mode")
     )
+
+
+def postings_size_estimate(index: DataFrame) -> DataFrame:
+    """Index storage planning over :func:`inverted_index` output: per
+    term, the posting list's size under fixed-width int64 vs
+    delta+varint encoding (the standard layout — Witten/Moffat/Bell ch.
+    3: gaps are small for dense terms, so 7-bit varint groups shrink
+    exactly the lists that are big). The estimate decides shard counts
+    and cache budgets BEFORE writing a 10^10-doc index: rare terms
+    compress ~nothing, the head compresses ~8x.
+
+    Output: (term, df, raw_bytes = 8*df, varint_bytes = sum over gaps
+    of ceil(bits/7) bytes, savings_frac). Pure nested-HOF arithmetic
+    over the existing gaps arrays — one projection, no explode, no
+    shuffle, no UDF; doc ids up to 2^35 take <= 5 varint bytes (the
+    CASE ladder is exact integer math, identical in the oracle).
+    """
+    def vbytes(g):
+        return (
+            F.when(g < F.lit(1 << 7), F.lit(1))
+            .when(g < F.lit(1 << 14), F.lit(2))
+            .when(g < F.lit(1 << 21), F.lit(3))
+            .when(g < F.lit(1 << 28), F.lit(4))
+            .otherwise(F.lit(5))
+        )
+    varint = F.aggregate(
+        "gaps", F.lit(0).cast("bigint"),
+        lambda acc, g: acc + vbytes(g).cast("bigint"),
+    )
+    raw = (F.col("df").cast("bigint") * 8)
+    return index.select(
+        "term",
+        F.col("df").cast("bigint").alias("df"),
+        raw.alias("raw_bytes"),
+        varint.alias("varint_bytes"),
+        F.round((raw - varint) / raw, 6).alias("savings_frac"),
+    )

@@ -85,3 +85,27 @@ def test_percolate(spark, docs):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "Cartesian" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_postings_size_estimate(spark):
+    """Varint byte ladder is exact: gaps 1/127 -> 1 byte, 128 -> 2,
+    16384 -> 3; raw = 8*df; savings follow."""
+    rows = [
+        ("dense", 4, [1, 2, 3, 4], [1, 1, 1, 1]),
+        ("mixed", 3, [1, 129, 16513], [1, 128, 16384]),
+    ]
+    idx = spark.createDataFrame(
+        rows, "term string, df int, postings array<bigint>, gaps array<bigint>")
+    got = {r["term"]: r
+           for r in invindex.postings_size_estimate(idx).collect()}
+    assert got["dense"]["raw_bytes"] == 32
+    assert got["dense"]["varint_bytes"] == 4
+    assert got["dense"]["savings_frac"] == round(28 / 32, 6)
+    assert got["mixed"]["raw_bytes"] == 24
+    assert got["mixed"]["varint_bytes"] == 1 + 2 + 3
+    # composes with the real index builder
+    docs = spark.createDataFrame(
+        [(i, "common word") for i in range(5)], ["doc_id", "text"])
+    est = {r["term"]: r for r in invindex.postings_size_estimate(
+        invindex.inverted_index(docs)).collect()}
+    assert est["common"]["df"] == 5 and est["common"]["varint_bytes"] == 5
