@@ -91,6 +91,10 @@ def main() -> None:
                     help="(loc) table of sitemap <loc> entries for "
                          "--report sitemap-coverage (e.g. exported from "
                          "operators/extract.py::sitemap_entries)")
+    ap.add_argument("--rebalance-queues", type=int, default=0,
+                    help="target queue-pool size for --report rebalance "
+                         "(HRW-vs-mod migration counts from the current "
+                         "num_queues to this)")
     ap.add_argument("--report-limit", type=int, default=100,
                     help="row cap for the per-host reports (drain, "
                          "sitemap-coverage), worst-first — keeps the "
@@ -172,7 +176,7 @@ def main() -> None:
 
         wanted = [w.strip() for w in args.report.split(",") if w.strip()]
         known = {"saturation", "drain", "starvation", "sitemap-coverage",
-                 "token-yield"}
+                 "token-yield", "fairness", "rebalance"}
         unknown = set(wanted) - known
         if unknown:
             raise SystemExit(f"unknown --report kinds: {sorted(unknown)} "
@@ -229,6 +233,34 @@ def main() -> None:
                      domain_token_yield(fetched)
                      .orderBy(F.desc("budget_weight"), "domain")
                      .limit(args.report_limit))
+        if "fairness" in wanted:
+            # Jain index + top-share per superstep over the committed
+            # fetch log: the W2/W3/A2 regression canary
+            from sparkcrawl.functions.urlnorm import host_of_canonical_col
+            from sparkcrawl.operators.schedule import fetch_fairness
+            from sparkcrawl.sources.store import FetchLogTable
+
+            log = FetchLogTable(args.workdir).read(spark)
+            if log is not None:
+                emit("fairness",
+                     fetch_fairness(log.select(
+                         "superstep",
+                         host_of_canonical_col(F.col("url")).alias("host")))
+                     .orderBy("superstep"))
+        if "rebalance" in wanted:
+            if args.rebalance_queues <= 0:
+                raise SystemExit(
+                    "--report rebalance requires --rebalance-queues N")
+            if frontier is not None:
+                from sparkcrawl.operators.schedule import (
+                    queue_rebalance_report,
+                )
+
+                emit("rebalance",
+                     queue_rebalance_report(
+                         frontier.select("url_hash"),
+                         cfg.num_queues, args.rebalance_queues)
+                     .orderBy("strategy", "old_queue", "new_queue"))
         if "sitemap-coverage" in wanted:
             if not args.sitemap_locs:
                 raise SystemExit(

@@ -109,3 +109,31 @@ def test_report_token_yield(spark, crawl_workdir, capsys):
         assert 0.0 <= r["budget_weight"] <= 1.0
     # weights over the full (uncapped at this size) table sum to ~1
     assert abs(sum(r["budget_weight"] for r in rows) - 1.0) < 1e-3
+
+
+def test_report_fairness(spark, crawl_workdir, capsys):
+    rows = _report_rows(capsys, crawl_workdir, "fairness")
+    assert rows and all(r["report"] == "fairness" for r in rows)
+    assert {"superstep", "n_hosts", "fetches", "jain_index",
+            "top_share"} <= set(rows[0])
+    for r in rows:
+        assert 0 < r["jain_index"] <= 1.0
+        assert 0 < r["top_share"] <= 1.0
+
+
+def test_report_rebalance(spark, crawl_workdir, capsys):
+    rows = _report_rows(capsys, crawl_workdir, "rebalance",
+                        "--rebalance-queues", "6", "--num-queues", "4")
+    assert rows and all(r["report"] == "rebalance" for r in rows)
+    strategies = {r["strategy"] for r in rows}
+    assert strategies == {"mod", "rendezvous"}
+    # per strategy, counts conserve the same frontier
+    tot = {}
+    for r in rows:
+        tot[r["strategy"]] = tot.get(r["strategy"], 0) + r["urls"]
+    assert tot["mod"] == tot["rendezvous"] > 0
+    # HRW movers land only on new queues (>= the run's 4)
+    assert all(r["new_queue"] >= 4 for r in rows
+               if r["strategy"] == "rendezvous" and r["moved"])
+    with pytest.raises(SystemExit):
+        _report_rows(capsys, crawl_workdir, "rebalance")
