@@ -1926,6 +1926,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _widen(postings_size_estimate(
             inverted_index(d, min_df=2, max_df=150)))
 
+    def crawl_domain_dup_rate(spark, sf):
+        """Per-domain duplicate-rate steering signal (analytics.
+        domain_dup_rate): docs spread over 7 domains by id, plus a
+        mirror.example replaying the first 100 texts — its rows must
+        attribute as CROSS-domain dups (first copy elsewhere), while
+        any natural text collisions inside the synthetic corpus land
+        on whichever id is lowest, identically in both engines."""
+        from sparkcrawl.plans.analytics import domain_dup_rate
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        base = d.select(
+            "doc_id",
+            F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".example")).alias("domain"),
+            "text")
+        mirror = d.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.lit("mirror.example").alias("domain"), "text")
+        return _widen(domain_dup_rate(base.unionByName(mirror)))
+
     def corpus_quality_topfrac(spark, sf):
         """FineWeb-style per-language quality gate: keep docs at or
         above the stratum's 70th-percentile composite quality. The
@@ -3664,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_triplets": embedding_triplets,
         "crawl_aging_boost": crawl_aging_boost,
         "index_postings_size": index_postings_size,
+        "crawl_domain_dup_rate": crawl_domain_dup_rate,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -5611,6 +5632,33 @@ def oracle_sql() -> dict[str, str]:
                                - least(floor(wait_us / 3600000000.0), 5))
                              ELSE priority END AS BIGINT) AS priority
             FROM w
+        """,
+        "crawl_domain_dup_rate": """
+            WITH all_docs AS (
+              SELECT doc_id AS id,
+                     'd' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                       AS domain,
+                     md5(text) AS h
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, 'mirror.example', md5(text)
+              FROM documents WHERE doc_id < 100),
+            firsts AS (
+              SELECT h, MIN(id) AS first_id,
+                     arg_min(domain, id) AS first_domain
+              FROM all_docs GROUP BY h),
+            flagged AS (
+              SELECT d.domain,
+                     d.id <> f.first_id AS is_dup,
+                     d.id <> f.first_id AND d.domain <> f.first_domain
+                       AS is_cross
+              FROM all_docs d JOIN firsts f USING (h))
+            SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(count_if(is_dup) AS BIGINT) AS n_dups,
+                   round(count_if(is_dup) / CAST(COUNT(*) AS DOUBLE), 6)
+                     AS dup_rate,
+                   CAST(count_if(is_cross) AS BIGINT) AS cross_domain_dups
+            FROM flagged GROUP BY domain
         """,
         "crawl_fetch_fairness": """
             WITH per_host AS (

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "embedding_triplets",
     "crawl_aging_boost",
     "index_postings_size",
+    "crawl_domain_dup_rate",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

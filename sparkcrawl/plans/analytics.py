@@ -234,3 +234,54 @@ def domain_token_yield(
             ).alias("budget_weight"),
         )
     )
+
+
+def domain_dup_rate(
+    docs: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain duplicate-rate: the budget-steering complement of
+    :func:`domain_token_yield`. A domain whose fetches keep hashing to
+    content already crawled (mirror farms, boilerplate-only hosts,
+    scraped republishers) burns budget without adding tokens; this
+    reports, per registered domain, how much of its fetched volume was
+    exactly-duplicate content — split into ``self`` dups (first copy on
+    the SAME domain: template/boilerplate pages) and ``cross`` dups
+    (first copy elsewhere: the mirror signal mirrors.py acts on).
+
+    First-wins attribution matches the curation pipeline's exact-dedup
+    stage: the lowest ``id`` owning a content hash is the original.
+
+    Output per domain: (domain, n_docs, n_dups, dup_rate,
+    cross_domain_dups).
+
+    Plan shape: one hash agg on the content hash (min-id + min-by
+    first-domain — NO window, no collect_list), one self-equi-join on
+    the hash key (both sides co-partitioned by the agg's exchange),
+    one map-combinable domain agg. Content hashes, not texts, flow
+    through the shuffle.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h"),
+    )
+    firsts = hashed.groupBy("h").agg(
+        F.min("id").alias("first_id"),
+        F.min_by("domain", "id").alias("first_domain"),
+    )
+    flagged = hashed.join(firsts, "h").select(
+        "domain",
+        (F.col("id") != F.col("first_id")).alias("is_dup"),
+        ((F.col("id") != F.col("first_id"))
+         & (F.col("domain") != F.col("first_domain"))).alias("is_cross"),
+    )
+    n, d = F.count(F.lit(1)), F.count_if(F.col("is_dup"))
+    return flagged.groupBy("domain").agg(
+        n.alias("n_docs"),
+        d.alias("n_dups"),
+        F.round(d / n, 6).alias("dup_rate"),
+        F.count_if(F.col("is_cross")).alias("cross_domain_dups"),
+    )

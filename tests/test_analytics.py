@@ -142,3 +142,25 @@ def test_domain_token_yield(spark):
     assert "CartesianProduct" not in p
     assert "Window" not in p
     assert "Broadcast" in p
+
+
+def test_domain_dup_rate(spark):
+    """First-wins on the lowest id; self vs cross attribution; clean
+    domains report zero."""
+    from sparkcrawl.plans.analytics import domain_dup_rate
+
+    rows = [
+        (1, "a.example", "same text"),
+        (2, "a.example", "same text"),      # self dup of 1
+        (3, "b.example", "same text"),      # cross dup of 1
+        (4, "b.example", "unique b"),
+        (5, "c.example", "unique c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+    got = {r["domain"]: r for r in domain_dup_rate(df).collect()}
+    assert got["a.example"]["n_dups"] == 1
+    assert got["a.example"]["cross_domain_dups"] == 0
+    assert got["a.example"]["dup_rate"] == 0.5
+    assert got["b.example"]["n_dups"] == 1
+    assert got["b.example"]["cross_domain_dups"] == 1
+    assert got["c.example"]["n_dups"] == 0 and got["c.example"]["dup_rate"] == 0.0
