@@ -1946,6 +1946,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("mirror.example").alias("domain"), "text")
         return _widen(domain_dup_rate(base.unionByName(mirror)))
 
+    def layout_frontcoding(spark, sf):
+        """Front-coding storage estimate (layout.frontcoding_estimate):
+        12 hosts x ~42 synthetic section/page URLs (all under the
+        default per-host cap, so the estimate is exact); the oracle
+        replays the codegen LCP fold as a correlated max-prefix
+        probe."""
+        from sparkcrawl.operators.layout import frontcoding_estimate
+
+        d = _read(spark, sf, "documents")
+        hk = (F.col("doc_id") % 12).cast("string")
+        urls = d.select(
+            F.concat(F.lit("h"), hk, F.lit(".example")).alias("host"),
+            F.concat(F.lit("http://h"), hk, F.lit(".example/sec"),
+                     (F.col("doc_id") % 5).cast("string"), F.lit("/p"),
+                     F.col("doc_id").cast("string")).alias("url"))
+        return _widen(frontcoding_estimate(urls))
+
     def corpus_quality_topfrac(spark, sf):
         """FineWeb-style per-language quality gate: keep docs at or
         above the stratum's 70th-percentile composite quality. The
@@ -3685,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_aging_boost": crawl_aging_boost,
         "index_postings_size": index_postings_size,
         "crawl_domain_dup_rate": crawl_domain_dup_rate,
+        "layout_frontcoding": layout_frontcoding,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -5659,6 +5677,38 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_rate,
                    CAST(count_if(is_cross) AS BIGINT) AS cross_domain_dups
             FROM flagged GROUP BY domain
+        """,
+        "layout_frontcoding": """
+            WITH u AS (
+              SELECT DISTINCT
+                     'h' || CAST(doc_id % 12 AS VARCHAR) || '.example'
+                       AS host,
+                     'http://h' || CAST(doc_id % 12 AS VARCHAR)
+                       || '.example/sec' || CAST(doc_id % 5 AS VARCHAR)
+                       || '/p' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            p AS (
+              SELECT host, url,
+                     lag(url) OVER (PARTITION BY host ORDER BY url)
+                       AS prev
+              FROM u),
+            l AS (
+              SELECT host, length(url) AS len,
+                     CASE WHEN prev IS NULL THEN 0 ELSE
+                       coalesce(list_max(list_filter(
+                         generate_series(1,
+                           least(length(url), length(prev))),
+                         i -> substr(url, 1, CAST(i AS INTEGER))
+                              = substr(prev, 1, CAST(i AS INTEGER)))), 0)
+                     END AS lcp
+              FROM p)
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(SUM(len) AS BIGINT) AS raw_bytes,
+                   CAST(SUM(len - lcp) + 2 * COUNT(*) AS BIGINT)
+                     AS coded_bytes,
+                   round((SUM(len) - (SUM(len - lcp) + 2 * COUNT(*)))
+                         / CAST(SUM(len) AS DOUBLE), 6) AS savings_frac
+            FROM l GROUP BY host
         """,
         "crawl_fetch_fairness": """
             WITH per_host AS (

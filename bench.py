@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "crawl_aging_boost",
     "index_postings_size",
     "crawl_domain_dup_rate",
+    "layout_frontcoding",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

@@ -116,3 +116,65 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def frontcoding_estimate(urls: DataFrame, per_host_cap: int = 256,
+                         url_col: str = "url",
+                         host_col: str = "host") -> DataFrame:
+    """Front-coding storage estimate for the URL-dominated frontier:
+    per host, how many bytes the sorted URL column saves when each URL
+    stores only (LCP length, suffix) against its predecessor — the
+    layout CDX indexes and URL-list shards use (Witten/Moffat/Bell ch.
+    4 front coding). At 10^10 frontier rows URL text IS the table; this
+    is the number that decides whether to write plain or front-coded
+    shards.
+
+    Sampled: the FIRST ``per_host_cap`` URLs of each host in sorted
+    order (a front-coding block is exactly a sorted run, so the sample
+    measures real block compressibility; hosts with fewer URLs are
+    measured exactly). Output per host: (host, n_urls, raw_bytes,
+    coded_bytes, savings_frac) where coded = suffix bytes + 2 bytes
+    per row (varint LCP length + suffix length).
+
+    Plan shape: the per-host cap is the SAME two-stage salted
+    rank-limit as per_queue_topk (no task ever sees a whole hot host's
+    URL list); then one lag window + LCP fold over the ≤ cap-row
+    groups only. The LCP is a character fold inside codegen
+    (aggregate over sequence) — no UDF; the oracle replays it as a
+    correlated max-prefix probe.
+    """
+    from sparkcrawl.functions.hashing import md5_bucket
+    from pyspark.sql import Window as W
+
+    u = urls.select(F.col(host_col).alias("host"),
+                    F.col(url_col).alias("url")).distinct()
+    salted = u.withColumn("_salt", md5_bucket(F.col("url"), 16))
+    w1 = W.partitionBy("host", "_salt").orderBy("url")
+    local = (salted.withColumn("_rn", F.row_number().over(w1))
+             .filter(F.col("_rn") <= per_host_cap).drop("_rn", "_salt"))
+    w2 = W.partitionBy("host").orderBy("url")
+    capped = (local.withColumn("_rn", F.row_number().over(w2))
+              .filter(F.col("_rn") <= per_host_cap).drop("_rn"))
+    paired = capped.withColumn("prev", F.lag("url").over(w2))
+    lcp = F.expr("""
+        CASE WHEN prev IS NULL
+                  OR least(length(url), length(prev)) = 0 THEN 0
+             ELSE aggregate(
+                    sequence(1, least(length(url), length(prev))), 0,
+                    (acc, i) -> CASE WHEN acc = i - 1
+                                      AND substring(url, i, 1)
+                                          = substring(prev, i, 1)
+                                     THEN i ELSE acc END)
+        END
+    """)
+    rows = paired.select("host", F.length("url").alias("len"),
+                         lcp.alias("lcp"))
+    raw = F.sum("len").cast("bigint")
+    coded = (F.sum(F.col("len") - F.col("lcp")) + 2 * F.count(F.lit(1))) \
+        .cast("bigint")
+    return rows.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        raw.alias("raw_bytes"),
+        coded.alias("coded_bytes"),
+        F.round((raw - coded) / raw, 6).alias("savings_frac"),
+    )

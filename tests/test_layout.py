@@ -97,3 +97,31 @@ def test_skew_report_is_deterministic_on_ties(spark):
     df = spark.createDataFrame(rows, "k string")
     got = [r.k for r in skew_report(df, ["k"], 10, top_n=3).collect()]
     assert got == ["a", "b", "c"]  # ties broken by key
+
+
+def test_frontcoding_estimate(spark):
+    """Hand-computed LCP chain: /a/page1,/a/page2,/b/x on one host;
+    savings match byte arithmetic; per_host_cap truncates the block."""
+    from sparkcrawl.operators.layout import frontcoding_estimate
+
+    rows = [
+        ("h.example", "http://h.example/a/page1"),   # len 24, lcp 0
+        ("h.example", "http://h.example/a/page2"),   # len 24, lcp 23
+        ("h.example", "http://h.example/b/x"),       # len 20, lcp 17
+        ("solo.example", "http://solo.example/"),    # single: lcp 0
+    ]
+    df = spark.createDataFrame(rows, ["host", "url"])
+    got = {r["host"]: r for r in frontcoding_estimate(df).collect()}
+    h = got["h.example"]
+    assert h["n_urls"] == 3
+    assert h["raw_bytes"] == 24 + 24 + 20
+    # coded = (24-0) + (24-23) + (20-17) + 2*3
+    assert h["coded_bytes"] == 24 + 1 + 3 + 6
+    assert h["savings_frac"] == round((68 - 34) / 68, 6)
+    s = got["solo.example"]
+    assert s["coded_bytes"] == s["raw_bytes"] + 2  # overhead only
+    # cap: only the first (sorted) URL of h.example is measured
+    capped = {r["host"]: r for r in
+              frontcoding_estimate(df, per_host_cap=1).collect()}
+    assert capped["h.example"]["n_urls"] == 1
+    assert capped["h.example"]["raw_bytes"] == 24
