@@ -2318,6 +2318,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "revisit_sec",
         )
 
+    def freshness_hint_trust(spark, sf):
+        """Publisher-hint trust (freshness.hint_trust): measured
+        Poisson rates from the events history (same estimator leg as
+        freshness_revisit_schedule) against declared cadences cycling
+        hourly/daily/weekly by user_id%3, rolled up per host with the
+        3x log-band trust classes."""
+        from sparkcrawl.operators import freshness
+
+        ev = _read(spark, sf, "events")
+        hist = ev.select(
+            F.col("user_id").alias("url_hash"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_type").alias("content_hash"),
+        )
+        rates = freshness.change_rates(freshness.change_intervals(hist))
+        hints = ev.select("user_id").distinct().select(
+            F.col("user_id").alias("url_hash"),
+            F.concat(F.lit("h"), (F.col("user_id") % 6).cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.when(F.col("user_id") % 3 == 0, F.lit(3600))
+            .when(F.col("user_id") % 3 == 1, F.lit(86400))
+            .otherwise(F.lit(604800)).alias("declared_sec"),
+        )
+        return _widen(freshness.hint_trust(hints, rates))
+
     def trap_detection(spark, sf):
         """Crawler-trap detection (operators/traps.py): URL shape
         features + host-template fanout over a synthetic URL mix
@@ -3703,6 +3728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_postings_size": index_postings_size,
         "crawl_domain_dup_rate": crawl_domain_dup_rate,
         "layout_frontcoding": layout_frontcoding,
+        "freshness_hint_trust": freshness_hint_trust,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8012,6 +8038,56 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "freshness_hint_trust": """
+            WITH iv AS (
+              SELECT user_id AS key,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                       AS gap_sec,
+                     (event_type <> lag(event_type) OVER w) AS changed
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            rates AS (
+              SELECT key, count(*) AS n_intervals,
+                     sum(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changes,
+                     sum(gap_sec) AS span_sec
+              FROM iv WHERE gap_sec IS NOT NULL GROUP BY key
+            ),
+            lam AS (
+              SELECT key,
+                     -ln((n_intervals - n_changes + 0.5)
+                         / (n_intervals + 0.5))
+                       / (span_sec / n_intervals) AS lambda_per_sec
+              FROM rates
+            ),
+            hints AS (
+              SELECT DISTINCT user_id AS key,
+                     'h' || CAST(user_id % 6 AS VARCHAR) || '.example'
+                       AS host,
+                     CASE WHEN user_id % 3 = 0 THEN 3600.0
+                          WHEN user_id % 3 = 1 THEN 86400.0
+                          ELSE 604800.0 END AS declared_sec
+              FROM events
+            ),
+            j AS (
+              SELECT h.host,
+                     -ln(l.lambda_per_sec) - ln(h.declared_sec) AS lr
+              FROM hints h JOIN lam l USING (key)
+              WHERE l.lambda_per_sec > 0 AND h.declared_sec > 0
+            ),
+            a AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                     avg(lr) AS alr
+              FROM j GROUP BY host)
+            SELECT host, n_urls, round(alr, 6) AS avg_log_ratio,
+                   CASE WHEN alr > 1.0986122886681098
+                          THEN 'overstates_freshness'
+                        WHEN alr < -1.0986122886681098
+                          THEN 'understates_freshness'
+                        ELSE 'consistent' END AS trust
+            FROM a
         """,
         # trap features re-derived with 1-based list lambdas (the Spark
         # side uses element_at for exactly this parity); 'g' flag: DuckDB

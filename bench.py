@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "index_postings_size",
     "crawl_domain_dup_rate",
     "layout_frontcoding",
+    "freshness_hint_trust",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

@@ -168,3 +168,55 @@ def cache_control_hints(responses: DataFrame, url_col: str = "url",
         no_store.alias("no_store"),
         next_ok.alias("next_ok_us"),
     )
+
+
+_LN3 = 1.0986122886681098
+
+
+def hint_trust(
+    hints: DataFrame,
+    rates: DataFrame,
+    key: str = "url_hash",
+    host_col: str = "host",
+) -> DataFrame:
+    """Publisher freshness-hint trust: does a host's declared sitemap
+    cadence (``changefreq`` -> ``declared_sec``, from
+    extract.sitemap_entries) agree with the MEASURED Poisson change
+    rate (:func:`change_rates`) once fetch history exists? "hourly"
+    declarations on pages that never change are the classic crawl-bait
+    pattern; a trusted host's hints can keep steering the revisit
+    model, a lying host's must be dropped for measured rates.
+
+    Per-URL log ratio = ln(measured mean interval) - ln(declared) =
+    -ln(lambda) - ln(declared_sec). Per host: ``avg_log_ratio`` (the
+    log of the geometric-mean ratio — kept in log space so no exp()
+    crosses engines) and a trust class at the 3x band:
+    ``overstates_freshness`` (avg_log_ratio > ln 3: pages change >= 3x
+    slower than declared), ``understates_freshness`` (< -ln 3), else
+    ``consistent``.
+
+    ``hints``: one row per URL (key, host, declared_sec); ``rates``:
+    change_rates output. URLs without a positive estimate or a
+    positive declaration drop out (no estimate = no verdict). ONE
+    equi-join on the URL key + one map-combinable host agg.
+    """
+    joined = (
+        hints.select(key, F.col(host_col).alias("host"),
+                     F.col("declared_sec").cast("double")
+                     .alias("declared_sec"))
+        .join(rates.select(key, "lambda_per_sec"), key)
+        .filter((F.col("lambda_per_sec") > 0)
+                & (F.col("declared_sec") > 0))
+    )
+    lr = -F.log("lambda_per_sec") - F.log("declared_sec")
+    agg = joined.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.avg(lr).alias("_alr"),
+    )
+    return agg.select(
+        "host", "n_urls",
+        F.round("_alr", 6).alias("avg_log_ratio"),
+        F.when(F.col("_alr") > _LN3, F.lit("overstates_freshness"))
+        .when(F.col("_alr") < -_LN3, F.lit("understates_freshness"))
+        .otherwise(F.lit("consistent")).alias("trust"),
+    )

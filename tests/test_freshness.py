@@ -197,3 +197,41 @@ def test_cache_control_hints(spark):
     assert got[4]["max_age"] is None        # s-maxage must not match
     assert got[5]["max_age"] is None and not got[5]["no_cache"]
     assert got[6]["max_age"] == 0 and got[6]["next_ok_us"] == base_us
+
+
+def test_hint_trust_classes(spark):
+    """Declared-vs-measured agreement: a host declaring hourly on
+    never-changing pages overstates; one declaring weekly on
+    hourly-changing pages understates; matched declarations are
+    consistent; URLs without estimates or declarations drop out."""
+    import math
+
+    from sparkcrawl.operators.freshness import hint_trust
+
+    # measured mean interval = 1/lambda
+    rates = spark.createDataFrame(
+        [
+            ("u_over", 1.0 / (100 * 3600.0)),   # changes every ~100h
+            ("u_under", 1.0 / 3600.0),          # changes hourly
+            ("u_ok", 1.0 / 86400.0),            # daily
+            ("u_zero", 0.0),                    # no estimate
+        ],
+        ["url_hash", "lambda_per_sec"],
+    )
+    hints = spark.createDataFrame(
+        [
+            ("u_over", "liar.example", 3600),      # claims hourly
+            ("u_under", "shy.example", 604800),    # claims weekly
+            ("u_ok", "ok.example", 86400),         # claims daily
+            ("u_zero", "ok.example", 3600),
+            ("u_missing", "ok.example", 3600),     # no rate row
+        ],
+        ["url_hash", "host", "declared_sec"],
+    )
+    got = {r["host"]: r for r in hint_trust(hints, rates).collect()}
+    assert got["liar.example"]["trust"] == "overstates_freshness"
+    assert got["liar.example"]["avg_log_ratio"] == round(math.log(100), 6)
+    assert got["shy.example"]["trust"] == "understates_freshness"
+    assert got["ok.example"]["trust"] == "consistent"
+    assert got["ok.example"]["n_urls"] == 1   # zero/missing dropped
+    assert got["ok.example"]["avg_log_ratio"] == 0.0
