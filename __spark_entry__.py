@@ -2343,6 +2343,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _widen(freshness.hint_trust(hints, rates))
 
+    def multimodal_media_positions(spark, sf):
+        """Media-position profile (multimodal.media_position_profile):
+        synthetic interleaved docs with 3..6 spans and the single
+        image at index doc_id % n — the bin histogram says where a
+        truncation pass would drop media."""
+        from sparkcrawl.operators.multimodal import media_position_profile
+
+        d = _read(spark, sf, "documents")
+        n = (F.col("doc_id") % 4 + 3).cast("int")
+        mpos = (F.col("doc_id") % n).cast("int")
+        spans = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.struct(
+                F.when(i == mpos, F.lit("image"))
+                .otherwise(F.lit("text")).alias("kind"),
+                F.when(i != mpos, F.concat(F.lit("w"), i.cast("string")))
+                .alias("text"),
+                F.when(i == mpos, F.lit("img.png")).alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ))
+        docs = d.select("doc_id", spans.alias("spans"))
+        return _widen(media_position_profile(docs))
+
     def trap_detection(spark, sf):
         """Crawler-trap detection (operators/traps.py): URL shape
         features + host-template fanout over a synthetic URL mix
@@ -3729,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_domain_dup_rate": crawl_domain_dup_rate,
         "layout_frontcoding": layout_frontcoding,
         "freshness_hint_trust": freshness_hint_trust,
+        "multimodal_media_positions": multimodal_media_positions,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8038,6 +8062,24 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "multimodal_media_positions": """
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id % 4 + 3 AS INTEGER) AS n
+              FROM documents),
+            e AS (
+              SELECT doc_id, n,
+                     unnest(generate_series(0, n - 1)) AS pos
+              FROM d),
+            b AS (
+              SELECT CAST(floor(pos * 10 / n) AS INTEGER) AS bin,
+                     (doc_id % n) = pos AS is_media
+              FROM e)
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(count_if(is_media) AS BIGINT) AS n_media,
+                   round(count_if(is_media) / CAST(COUNT(*) AS DOUBLE), 6)
+                     AS media_share
+            FROM b GROUP BY bin
         """,
         "freshness_hint_trust": """
             WITH iv AS (

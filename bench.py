@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "crawl_domain_dup_rate",
     "layout_frontcoding",
     "freshness_hint_trust",
+    "multimodal_media_positions",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

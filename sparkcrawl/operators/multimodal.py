@@ -768,3 +768,33 @@ def span_parity(
         status.alias("status"),
         (status == F.lit("match")).alias("equal"),
     )
+
+
+def media_position_profile(docs_spans: DataFrame, n_bins: int = 10,
+                           spans_col: str = "spans") -> DataFrame:
+    """Where does media sit inside interleaved documents? Corpus-level
+    profile of span positions: each span's relative position (array
+    index / span count) lands in one of ``n_bins`` bins; per bin,
+    total spans, media spans, and the media share. Front-loaded media
+    (hero images) vs trailing media (galleries, related-content
+    footers) changes what a fixed-length packing/truncation pass
+    (pack_multimodal_sequences) silently drops — this is the readout
+    that says WHERE the loss would land before choosing a sequence
+    budget.
+
+    One posexplode over the spans array + one ``n_bins``-cardinality
+    hash agg; the bin is integer floor arithmetic over (index, size)
+    — no UDF, no window, no join.
+    """
+    rows = docs_spans.select(
+        F.size(spans_col).alias("n"),
+        F.posexplode(spans_col).alias("pos", "s"),
+    ).filter(F.col("n") > 0)
+    bin_ = F.floor(F.col("pos") * n_bins / F.col("n")).cast("int")
+    is_media = F.col("s")["kind"] != "text"
+    t, m = F.count(F.lit(1)), F.count_if(is_media)
+    return rows.groupBy(bin_.alias("bin")).agg(
+        t.alias("n_spans"),
+        m.alias("n_media"),
+        F.round(m / t, 6).alias("media_share"),
+    )

@@ -1000,3 +1000,28 @@ def test_triplet_mining_semihard_band(spark):
         assert t.margin == round(t.pos_sim - t.neg_sim, 6) and t.margin >= 0
     with _pytest.raises(ValueError):
         triplet_mining(emb, pos_rank=3, neg_rank=2, **kw)
+
+
+def test_media_position_profile(spark):
+    """Hand profile: 4-span docs with the image always at index 1 ->
+    only bin floor(1*4/4)=2? no: floor(1*10/4)=2 holds the media; all
+    other bins pure text; shares exact."""
+    from sparkcrawl.operators.multimodal import media_position_profile
+
+    def span(kind, off):
+        return (kind, "t" if kind == "text" else None,
+                "m.png" if kind != "text" else None, off)
+    rows = []
+    for d in range(6):
+        rows.append((d, [span("text", 0), span("image", 1),
+                         span("text", 2), span("text", 3)]))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    got = {r["bin"]: r for r in media_position_profile(df).collect()}
+    # indices 0,1,2,3 of n=4 -> bins 0, 2, 5, 7
+    assert set(got) == {0, 2, 5, 7}
+    assert got[2]["n_media"] == 6 and got[2]["media_share"] == 1.0
+    for b in (0, 5, 7):
+        assert got[b]["n_media"] == 0 and got[b]["n_spans"] == 6
