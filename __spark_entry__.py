@@ -2366,6 +2366,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = d.select("doc_id", spans.alias("spans"))
         return _widen(media_position_profile(docs))
 
+    def crawl_revalidation_stats(spark, sf):
+        """Conditional-GET economy (health.revalidation_stats): events
+        as a fetch log with statuses cycling 200/304/304/500/404 by
+        event_id — hosts with no content-bearing fetches must report
+        NULL, not 0."""
+        from sparkcrawl.operators.health import revalidation_stats
+
+        ev = _read(spark, sf, "events")
+        m = F.col("event_id") % 5
+        status = (
+            F.when(m == 0, F.lit(200)).when(m <= 2, F.lit(304))
+            .when(m == 3, F.lit(500)).otherwise(F.lit(404)))
+        log = ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 9).cast("string"),
+                     F.lit(".example")).alias("host"),
+            status.alias("status_code"))
+        return _widen(revalidation_stats(log))
+
     def trap_detection(spark, sf):
         """Crawler-trap detection (operators/traps.py): URL shape
         features + host-template fanout over a synthetic URL mix
@@ -3753,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_frontcoding": layout_frontcoding,
         "freshness_hint_trust": freshness_hint_trust,
         "multimodal_media_positions": multimodal_media_positions,
+        "crawl_revalidation_stats": crawl_revalidation_stats,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8062,6 +8081,26 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "crawl_revalidation_stats": """
+            WITH log AS (
+              SELECT 'h' || CAST(user_id % 9 AS VARCHAR) || '.example'
+                       AS host,
+                     CASE WHEN event_id % 5 = 0 THEN 200
+                          WHEN event_id % 5 <= 2 THEN 304
+                          WHEN event_id % 5 = 3 THEN 500
+                          ELSE 404 END AS status_code
+              FROM events)
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                   CAST(count_if(status_code = 200) AS BIGINT) AS n_full,
+                   CAST(count_if(status_code = 304) AS BIGINT)
+                     AS n_not_modified,
+                   CASE WHEN count_if(status_code IN (200, 304)) > 0
+                        THEN round(count_if(status_code = 304)
+                             / CAST(count_if(status_code IN (200, 304))
+                                    AS DOUBLE), 6) END
+                     AS revalidation_rate
+            FROM log GROUP BY host
         """,
         "multimodal_media_positions": """
             WITH d AS (

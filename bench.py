@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "layout_frontcoding",
     "freshness_hint_trust",
     "multimodal_media_positions",
+    "crawl_revalidation_stats",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

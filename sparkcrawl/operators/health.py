@@ -109,3 +109,25 @@ def adaptive_politeness(
         "error_rate",
         F.round(clamped, 4).alias("next_delay_ms"),
     )
+
+
+def revalidation_stats(log_with_host: DataFrame) -> DataFrame:
+    """Conditional-GET economy per host: of the fetches that reached
+    content (200 or 304), how many the validator machinery turned into
+    cheap 304 revalidations. ``revalidation_rate`` near 1 means the
+    host honors ETag/Last-Modified and re-crawling it is nearly free
+    (bandwidth is headers, not bodies); near 0 on a host we re-visit
+    often means either missing validators (check the frontier's etag
+    column) or genuinely fast-changing content — cross-reference
+    change_rates before widening its revisit interval. Input rows need
+    ``host`` and ``status_code``. ONE map-combinable host agg.
+    """
+    s = F.col("status_code")
+    ok, nm = F.count_if(s == 200), F.count_if(s == 304)
+    return log_with_host.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        ok.alias("n_full"),
+        nm.alias("n_not_modified"),
+        F.when(ok + nm > 0, F.round(nm / (ok + nm), 6))
+        .alias("revalidation_rate"),
+    )

@@ -134,3 +134,23 @@ def test_adaptive_politeness_single_agg_plan(spark):
     # one shuffle (the host agg), no window, no Python
     assert p.count("Exchange") == 1, p
     assert "Window" not in p and "EvalPython" not in p
+
+
+def test_revalidation_stats(spark):
+    """304s count as revalidation wins over the content-bearing
+    fetches only; hosts with no content fetches report NULL."""
+    from sparkcrawl.operators.health import revalidation_stats
+
+    rows = [
+        ("cache.example", 200), ("cache.example", 304),
+        ("cache.example", 304), ("cache.example", 500),
+        ("cold.example", 200), ("cold.example", 200),
+        ("down.example", 503),
+    ]
+    df = spark.createDataFrame(rows, ["host", "status_code"])
+    got = {r["host"]: r for r in revalidation_stats(df).collect()}
+    c = got["cache.example"]
+    assert (c["n_fetches"], c["n_full"], c["n_not_modified"]) == (4, 1, 2)
+    assert c["revalidation_rate"] == round(2 / 3, 6)
+    assert got["cold.example"]["revalidation_rate"] == 0.0
+    assert got["down.example"]["revalidation_rate"] is None
