@@ -3280,6 +3280,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
         return domain_token_yield(fetched, alpha=1.0)
 
+    def crawl_value_steering(spark, sf):
+        """Dedup-discounted crawl value, composed from THREE real ops
+        (analytics.domain_token_yield -> analytics.domain_dup_rate ->
+        analytics.crawl_value_weights): 7 domains + a mirror domain
+        replaying the first 100 texts; the mirror's token yield is
+        discounted by its cross-domain dup rate, so its weight
+        collapses relative to its raw yield."""
+        from sparkcrawl.plans.analytics import (
+            crawl_value_weights, domain_dup_rate, domain_token_yield)
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        base = d.select(
+            "doc_id",
+            F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".example")).alias("domain"), "text")
+        mirror = d.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.lit("mirror.example").alias("domain"), "text")
+        docs = base.unionByName(mirror)
+        fetched = docs.select(
+            "domain",
+            (F.length("text") + 512).cast("bigint").alias("n_bytes"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+        return crawl_value_weights(
+            domain_token_yield(fetched), domain_dup_rate(docs), alpha=1.0)
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -3773,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_hint_trust": freshness_hint_trust,
         "multimodal_media_positions": multimodal_media_positions,
         "crawl_revalidation_stats": crawl_revalidation_stats,
+        "crawl_value_steering": crawl_value_steering,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8082,6 +8109,43 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "crawl_value_steering": """
+            WITH all_docs AS (
+              SELECT doc_id AS id,
+                     'd' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                       AS domain,
+                     text, md5(text) AS h
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, 'mirror.example', text, md5(text)
+              FROM documents WHERE doc_id < 100),
+            yields AS (
+              SELECT domain,
+                     CAST(SUM(len(string_split(text, ' ')))
+                          AS BIGINT) AS total_tokens
+              FROM all_docs GROUP BY domain),
+            firsts AS (
+              SELECT h, MIN(id) AS first_id FROM all_docs GROUP BY h),
+            dups AS (
+              SELECT d.domain,
+                     count_if(d.id <> f.first_id)
+                       / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+              FROM all_docs d JOIN firsts f USING (h)
+              GROUP BY d.domain),
+            j AS (
+              SELECT y.domain, y.total_tokens,
+                     coalesce(p.dup_rate, 0.0) AS dup_rate,
+                     y.total_tokens * (1.0 - coalesce(p.dup_rate, 0.0))
+                       AS eff
+              FROM yields y LEFT JOIN dups p USING (domain)),
+            tot AS (
+              SELECT SUM(eff) AS grand, COUNT(*) AS n FROM j)
+            SELECT domain, total_tokens,
+                   round(dup_rate, 6) AS dup_rate,
+                   round(eff, 6) AS effective_tokens,
+                   round((eff + 1.0) / (grand + 1.0 * n), 6) AS weight
+            FROM j, tot
         """,
         "crawl_revalidation_stats": """
             WITH log AS (

@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "freshness_hint_trust",
     "multimodal_media_positions",
     "crawl_revalidation_stats",
+    "crawl_value_steering",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

@@ -285,3 +285,45 @@ def domain_dup_rate(
         F.round(d / n, 6).alias("dup_rate"),
         F.count_if(F.col("is_cross")).alias("cross_domain_dups"),
     )
+
+
+def crawl_value_weights(
+    yields: DataFrame,
+    dup_rates: DataFrame,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Dedup-discounted crawl-value steering: composes
+    :func:`domain_token_yield` (how many tokens a domain yields) with
+    :func:`domain_dup_rate` (how much of that is duplicate content)
+    into ONE budget weight per domain — effective_tokens =
+    total_tokens * (1 - dup_rate), then the same additive-``alpha``
+    share rule the yield weights use. A mirror farm can look
+    token-dense to the yield signal alone; the discount is what stops
+    the apportionment from feeding it. Output: (domain, total_tokens,
+    dup_rate, effective_tokens, weight); weights sum to ~1 and drop
+    straight into schedule.allocate_budgets.
+
+    Plan shape: one equi-join of two already-domain-cardinality
+    tables (left join — domains the dup pass never saw keep their
+    full yield), one 1-row global agg broadcast back. Nothing here
+    touches document-cardinality data.
+    """
+    j = yields.select("domain", "total_tokens").join(
+        dup_rates.select("domain", "dup_rate"), "domain", "left"
+    ).select(
+        "domain", "total_tokens",
+        F.coalesce(F.col("dup_rate"), F.lit(0.0)).alias("dup_rate"),
+        (F.col("total_tokens")
+         * (F.lit(1.0) - F.coalesce(F.col("dup_rate"), F.lit(0.0))))
+        .alias("effective_tokens"),
+    )
+    tot = j.agg(F.sum("effective_tokens").alias("_grand"),
+                F.count(F.lit(1)).alias("_n"))
+    return j.crossJoin(F.broadcast(tot)).select(
+        "domain", "total_tokens",
+        F.round("dup_rate", 6).alias("dup_rate"),
+        F.round("effective_tokens", 6).alias("effective_tokens"),
+        F.round((F.col("effective_tokens") + F.lit(float(alpha)))
+                / (F.col("_grand") + F.lit(float(alpha)) * F.col("_n")),
+                6).alias("weight"),
+    )

@@ -164,3 +164,25 @@ def test_domain_dup_rate(spark):
     assert got["b.example"]["n_dups"] == 1
     assert got["b.example"]["cross_domain_dups"] == 1
     assert got["c.example"]["n_dups"] == 0 and got["c.example"]["dup_rate"] == 0.0
+
+
+def test_crawl_value_weights(spark):
+    """Mirror-farm discount: equal token yields but 90% dup content
+    collapses a domain's weight; unmatched domains keep full yield;
+    weights sum to ~1."""
+    from sparkcrawl.plans.analytics import crawl_value_weights
+
+    yields = spark.createDataFrame(
+        [("good.example", 1000.0), ("mirror.example", 1000.0),
+         ("fresh.example", 500.0)],
+        ["domain", "total_tokens"])
+    dups = spark.createDataFrame(
+        [("good.example", 0.0), ("mirror.example", 0.9)],
+        ["domain", "dup_rate"])
+    got = {r["domain"]: r
+           for r in crawl_value_weights(yields, dups, alpha=0.0).collect()}
+    assert got["mirror.example"]["effective_tokens"] == 100.0
+    assert got["fresh.example"]["effective_tokens"] == 500.0  # no dup row
+    total = 1000.0 + 100.0 + 500.0
+    assert got["good.example"]["weight"] == round(1000 / total, 6)
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-9
