@@ -3306,6 +3306,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return crawl_value_weights(
             domain_token_yield(fetched), domain_dup_rate(docs), alpha=1.0)
 
+    def text_term_bursts(spark, sf):
+        """Period-over-period burst detection (textops.term_bursts):
+        docs bucketed into 3 crawl rounds by doc_id%3, smoothed
+        rate-ratio per million tokens, top-10 per round. Ranking runs
+        on unrounded doubles computed identically in both engines;
+        output doubles round 6dp after."""
+        from sparkcrawl.operators.textops import term_bursts
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id", (F.col("doc_id") % 3).alias("period"), "text")
+        return _widen(term_bursts(d, k=10, alpha=5.0))
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -3800,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_positions": multimodal_media_positions,
         "crawl_revalidation_stats": crawl_revalidation_stats,
         "crawl_value_steering": crawl_value_steering,
+        "text_term_bursts": text_term_bursts,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8109,6 +8122,39 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "text_term_bursts": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 3 AS period, text FROM documents),
+            toks AS (
+              SELECT period, t.tok
+              FROM docs,
+                   UNNEST(string_split_regex(lower(text), '\\s+')) AS t(tok)
+              WHERE t.tok <> ''),
+            tf AS (
+              SELECT period, tok, COUNT(*) AS tf
+              FROM toks GROUP BY 1, 2),
+            tot AS (SELECT period, SUM(tf) AS total FROM tf GROUP BY period),
+            cur AS (
+              SELECT tf.period, tok, tf, tf * 1e6 / total AS rate
+              FROM tf JOIN tot USING (period)),
+            sc AS (
+              SELECT period, tok, tf, rate,
+                     coalesce(lag(rate) OVER wt, 0.0) AS prev,
+                     (rate + 5.0) / (coalesce(lag(rate) OVER wt, 0.0)
+                                     + 5.0) AS score
+              FROM cur
+              WINDOW wt AS (PARTITION BY tok ORDER BY period)),
+            rk AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY period ORDER BY score DESC, tok) AS rank
+              FROM sc)
+            SELECT period, tok, CAST(tf AS BIGINT) AS tf,
+                   round(rate, 6) AS rate_ppm,
+                   round(prev, 6) AS prev_rate_ppm,
+                   round(score, 6) AS burst_score,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 10
         """,
         "crawl_value_steering": """
             WITH all_docs AS (

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "multimodal_media_positions",
     "crawl_revalidation_stats",
     "crawl_value_steering",
+    "text_term_bursts",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

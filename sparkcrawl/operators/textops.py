@@ -2135,3 +2135,66 @@ def zipf_fit(
         F.round(F.col("head_tokens") / F.col("all_tokens"), 6)
         .alias("top_share"),
     )
+
+
+def term_bursts(
+    docs: DataFrame,
+    period_col: str = "period",
+    k: int = 10,
+    alpha: float = 5.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Burst detection over crawl rounds: which terms' frequencies
+    JUMPED this period relative to the last one — the
+    trending/novelty signal that steers a recrawl toward hosts where
+    something is happening (Kleinberg-style burst intuition, done as
+    the smoothed period-over-period rate ratio instead of the HMM).
+
+    Per (period, term): tf this period vs previous period, both
+    RATE-normalized by the period's total token count (a big crawl
+    round must not look like a burst of everything), burst_score =
+    (rate + a) / (prev_rate + a) with additive ``alpha`` smoothing
+    expressed per-million tokens; top-``k`` per period by (score desc,
+    term). First-period terms compare against an empty previous round
+    and naturally score as new arrivals.
+
+    Plan shape: one token explode + one (period, term) hash agg (the
+    only corpus-scale shuffle). Period token totals come from a
+    second map-combinable agg on the tiny period key BROADCAST back —
+    never a window partitioned by period, which would drag each
+    round's whole vocabulary through one task. The previous-period
+    rate arrives via a lag window PARTITIONED BY TERM over the period
+    axis — each partition holds at most n_periods rows. Top-k per
+    period is a rank-limit window over the period's term set
+    (WindowGroupLimit heap). No UDF.
+    """
+    toks = _tokens(docs, text_col, id_col).join(
+        docs.select(F.col(id_col).alias("id"),
+                    F.col(period_col).alias("period")), "id")
+    tf = toks.groupBy("period", "tok").agg(
+        F.count(F.lit(1)).alias("tf"))
+    totals = tf.groupBy("period").agg(F.sum("tf").alias("_total"))
+    cur = tf.join(F.broadcast(totals), "period").select(
+        "period", "tok", "tf",
+        (F.col("tf") * 1e6 / F.col("_total")).alias("rate_ppm"))
+    wt = W.partitionBy("tok").orderBy("period")
+    scored = cur.withColumn(
+        "prev_rate_ppm",
+        F.coalesce(F.lag("rate_ppm").over(wt), F.lit(0.0)),
+    ).withColumn(
+        "burst_score",
+        (F.col("rate_ppm") + F.lit(float(alpha)))
+        / (F.col("prev_rate_ppm") + F.lit(float(alpha))),
+    )
+    wk = W.partitionBy("period").orderBy(
+        F.desc("burst_score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("period", "tok", F.col("tf").cast("bigint").alias("tf"),
+                F.round("rate_ppm", 6).alias("rate_ppm"),
+                F.round("prev_rate_ppm", 6).alias("prev_rate_ppm"),
+                F.round("burst_score", 6).alias("burst_score"),
+                F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -1057,3 +1057,27 @@ def test_zipf_fit_head_cap_and_ties(spark):
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # heap top-k, no global sort
     assert "BatchEvalPython" not in plan
+
+
+def test_term_bursts(spark):
+    """A term absent in round 1 and dominant in round 2 tops round 2's
+    burst ranking; steady terms score ~1; rate normalization keeps a
+    2x-bigger round from bursting everything."""
+    r1 = [(i, 1, "steady words here") for i in range(4)]
+    # round 2: twice the volume, same steady terms + a new hot one
+    r2 = [(100 + i, 2, "steady words here") for i in range(8)]
+    r2 += [(200 + i, 2, "BREAKING BREAKING news") for i in range(4)]
+    df = spark.createDataFrame(r1 + r2, ["doc_id", "period", "text"])
+    out = textops.term_bursts(df, k=3, alpha=5.0)
+    rows = {(r["period"], r["tok"]): r for r in out.collect()}
+    top2 = [r for r in rows.values() if r["period"] == 2 and r["rank"] == 1]
+    assert top2 and top2[0]["tok"] == "breaking"
+    assert top2[0]["prev_rate_ppm"] == 0.0
+    # steady terms in a bigger round: rate unchanged -> score ~ 1
+    steady = rows.get((2, "steady"))
+    if steady is not None:
+        assert abs(steady["burst_score"] - 1.0) < 0.2
+    # every period keeps <= k rows, dense ranks
+    for p in (1, 2):
+        ranks = sorted(r["rank"] for r in rows.values() if r["period"] == p)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
