@@ -3318,6 +3318,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", (F.col("doc_id") % 3).alias("period"), "text")
         return _widen(term_bursts(d, k=10, alpha=5.0))
 
+    def crawl_depth_yield(spark, sf):
+        """Token yield by path depth (analytics.depth_yield): synthetic
+        URLs whose depth cycles 0..4 by doc_id%5 (with a query-string
+        red herring on depth-2 rows), tokens = whitespace count."""
+        from sparkcrawl.plans.analytics import depth_yield
+
+        d = _read(spark, sf, "documents")
+        seg = F.concat(F.lit("s"), (F.col("doc_id") % 9).cast("string"))
+        m = F.col("doc_id") % 5
+        path = (
+            F.when(m == 0, F.lit("/"))
+            .when(m == 1, F.concat(F.lit("/"), seg))
+            .when(m == 2, F.concat(F.lit("/"), seg, F.lit("/b/?q=/x/y")))
+            .when(m == 3, F.concat(F.lit("/"), seg, F.lit("/b/c")))
+            .otherwise(F.concat(F.lit("/"), seg, F.lit("/b/c/d"))))
+        fetched = d.select(
+            F.concat(F.lit("http://h.example"), path).alias("url"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+        return _widen(depth_yield(fetched))
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -3813,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_revalidation_stats": crawl_revalidation_stats,
         "crawl_value_steering": crawl_value_steering,
         "text_term_bursts": text_term_bursts,
+        "crawl_depth_yield": crawl_depth_yield,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8122,6 +8143,24 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "crawl_depth_yield": """
+            WITH f AS (
+              SELECT CASE doc_id % 5
+                       WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                       WHEN 3 THEN 3 ELSE 4 END AS depth,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+              FROM documents),
+            per AS (
+              SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(t) AS BIGINT) AS total_tokens
+              FROM f GROUP BY depth),
+            tot AS (SELECT CAST(SUM(total_tokens) AS DOUBLE) AS g FROM per)
+            SELECT CAST(depth AS BIGINT) AS depth, n_docs, total_tokens,
+                   round(total_tokens / CAST(n_docs AS DOUBLE), 6)
+                     AS tokens_per_doc,
+                   round(total_tokens / g, 6) AS token_share
+            FROM per, tot
         """,
         "text_term_bursts": """
             WITH docs AS (

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "crawl_revalidation_stats",
     "crawl_value_steering",
     "text_term_bursts",
+    "crawl_depth_yield",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

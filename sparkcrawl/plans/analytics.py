@@ -327,3 +327,37 @@ def crawl_value_weights(
                 / (F.col("_grand") + F.lit(float(alpha)) * F.col("_n")),
                 6).alias("weight"),
     )
+
+
+def depth_yield(fetched: DataFrame, url_col: str = "url",
+                tokens_col: str = "n_tokens") -> DataFrame:
+    """Token yield by URL path depth: how much training-token value
+    lives N path segments below the root — the empirical basis for a
+    crawl's depth cap (trap_max_depth) and for per-level priority
+    decay. A corpus whose yield collapses past depth 3 should not
+    spend frontier budget at depth 8; one whose deep pages carry the
+    tokens (forums, docs sites) should.
+
+    Depth = count of non-empty '/'-segments in the path (query/
+    fragment excluded; root = 0). Output per depth: (depth, n_docs,
+    total_tokens, tokens_per_doc, token_share). One codegen projection
+    (regexp path extract + split/filter/size) + one map-combinable
+    agg on the tiny depth key + a broadcast 1-row total.
+    """
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"),
+                            lambda s: s != "")).alias("depth")
+    per = fetched.select(depth, F.col(tokens_col).alias("t")).groupBy(
+        "depth").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("t").cast("bigint").alias("total_tokens"),
+    )
+    tot = per.agg(F.sum("total_tokens").cast("double").alias("_g"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "depth", "n_docs", "total_tokens",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 6)
+        .alias("tokens_per_doc"),
+        F.round(F.col("total_tokens") / F.col("_g"), 6)
+        .alias("token_share"),
+    )

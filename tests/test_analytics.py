@@ -186,3 +186,22 @@ def test_crawl_value_weights(spark):
     total = 1000.0 + 100.0 + 500.0
     assert got["good.example"]["weight"] == round(1000 / total, 6)
     assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-9
+
+
+def test_depth_yield(spark):
+    """Depth = non-empty path segments (query excluded, root = 0);
+    shares sum to 1."""
+    from sparkcrawl.plans.analytics import depth_yield
+
+    rows = [
+        ("http://h.example/", 10),
+        ("http://h.example/a", 20),
+        ("http://h.example/a/b/?q=/x/y", 30),   # query slashes ignored
+        ("http://h.example/a/b/c", 40),
+    ]
+    df = spark.createDataFrame(rows, ["url", "n_tokens"])
+    got = {r["depth"]: r for r in depth_yield(df).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[2]["total_tokens"] == 30
+    assert got[3]["tokens_per_doc"] == 40.0
+    assert abs(sum(r["token_share"] for r in got.values()) - 1.0) < 1e-6
