@@ -3338,6 +3338,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
         return _widen(depth_yield(fetched))
 
+    def embedding_table_health(spark, sf):
+        """Embedding-table QA (simsearch.embedding_health): one summary
+        row — vector count, dim, mean/min norm, zero-norm and
+        dead-dimension counts, max |value| — over the embeddings
+        table; norms fold left-to-right exactly like the oracle's
+        list_dot_product."""
+        from sparkcrawl.operators.simsearch import embedding_health
+
+        emb = _read(spark, sf, "embeddings")
+        return _widen(embedding_health(emb))
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -3834,6 +3845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_value_steering": crawl_value_steering,
         "text_term_bursts": text_term_bursts,
         "crawl_depth_yield": crawl_depth_yield,
+        "embedding_table_health": embedding_table_health,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8143,6 +8155,33 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "embedding_table_health": """
+            WITH e AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            vals AS (
+              SELECT unnest(v) AS x,
+                     unnest(generate_series(1, len(v))) AS d
+              FROM e),
+            dims AS (SELECT d, var_pop(x) AS var FROM vals GROUP BY d),
+            dim_leg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS dim,
+                     CAST(count_if(var <= 1e-12) AS BIGINT)
+                       AS n_dead_dims
+              FROM dims),
+            norms AS (
+              SELECT sqrt(list_dot_product(v, v)) AS norm FROM e),
+            norm_leg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                     round(avg(norm), 6) AS mean_norm,
+                     round(min(norm), 6) AS min_norm,
+                     CAST(count_if(norm = 0.0) AS BIGINT) AS n_zero_norm
+              FROM norms),
+            max_leg AS (
+              SELECT round(max(abs(x)), 6) AS max_abs FROM vals)
+            SELECT n_vectors, dim, mean_norm, min_norm, n_zero_norm,
+                   n_dead_dims, max_abs
+            FROM norm_leg, dim_leg, max_leg
         """,
         "crawl_depth_yield": """
             WITH f AS (

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "crawl_value_steering",
     "text_term_bursts",
     "crawl_depth_yield",
+    "embedding_table_health",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

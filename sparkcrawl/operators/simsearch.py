@@ -902,3 +902,47 @@ def triplet_mining(
         "anchor", "positive", "pos_sim", "negative", "neg_sim",
         F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
     )
+
+
+def embedding_health(
+    embeddings: DataFrame,
+    dead_var_eps: float = 1e-12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-table QA before any ANN index is built over it: ONE
+    summary row (n_vectors, dim, mean_norm, min_norm, n_zero_norm,
+    n_dead_dims, max_abs). Zero-norm vectors poison cosine math (the
+    quantize and LSH paths both special-case scale=0 — this counts how
+    often), and "dead" dimensions (variance <= eps across the corpus)
+    mean the producing model collapsed or the ingest truncated columns
+    — an IVF/PQ index trained on them wastes codebook capacity.
+
+    Plan shape: one posexplode to (dim, value) feeding two
+    map-combinable aggs — per-dim moments (dim-cardinality output,
+    e.g. 64 rows) and per-vector norms reduced by a second 1-row agg;
+    the two 1-row legs meet in a crossJoin. No UDF, no window.
+    """
+    vals = embeddings.select(
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("d", "v"))
+    dims = vals.groupBy("d").agg(F.var_pop("v").alias("var"))
+    dim_leg = dims.agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.count_if(F.col("var") <= dead_var_eps).alias("n_dead_dims"),
+    )
+    norms = embeddings.select(
+        F.sqrt(F.aggregate(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(0.0), lambda a, x: a + x * x)).alias("norm"))
+    norm_leg = norms.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("norm"), 6).alias("mean_norm"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.count_if(F.col("norm") == 0.0).alias("n_zero_norm"),
+    )
+    max_leg = vals.agg(F.round(F.max(F.abs(F.col("v"))), 6)
+                       .alias("max_abs"))
+    return (norm_leg.crossJoin(dim_leg).crossJoin(max_leg)
+            .select("n_vectors", "dim", "mean_norm", "min_norm",
+                    "n_zero_norm", "n_dead_dims", "max_abs"))

@@ -1025,3 +1025,31 @@ def test_media_position_profile(spark):
     assert got[2]["n_media"] == 6 and got[2]["media_share"] == 1.0
     for b in (0, 5, 7):
         assert got[b]["n_media"] == 0 and got[b]["n_spans"] == 6
+
+
+def test_embedding_health(spark):
+    """Counts a zero vector and a dead (constant) dimension; norms
+    hand-checked on 3-4-5 triangles."""
+    from sparkcrawl.operators.simsearch import embedding_health
+
+    rows = [
+        (0, [3.0, 4.0, 1.0]),
+        (1, [0.0, 0.0, 0.0]),     # zero norm
+        (2, [6.0, 8.0, 1.0]),     # dim 2 constant except row 1...
+        (3, [3.0, 4.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_health(df).collect()[0]
+    assert r["n_vectors"] == 4 and r["dim"] == 3
+    assert r["n_zero_norm"] == 1
+    assert r["n_dead_dims"] == 0   # dim 2 varies (the zero row)
+    assert r["min_norm"] == 0.0
+    assert r["max_abs"] == 8.0
+    # now make dim 2 truly constant
+    df2 = spark.createDataFrame(
+        [(0, [3.0, 4.0, 1.0]), (1, [6.0, 8.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    r2 = embedding_health(df2).collect()[0]
+    assert r2["n_dead_dims"] == 1
+    assert r2["mean_norm"] == round((
+        (3 ** 2 + 4 ** 2 + 1) ** 0.5 + (6 ** 2 + 8 ** 2 + 1) ** 0.5) / 2, 6)
