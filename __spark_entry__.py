@@ -3349,6 +3349,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf, "embeddings")
         return _widen(embedding_health(emb))
 
+    def corpus_domain_kl(spark, sf):
+        """Per-domain KL(domain || corpus) over the top-50 corpus terms
+        (textops.domain_kl_profile, alpha=0.5): 7 synthetic domains by
+        doc_id%7 — the keyword-stuffing / off-language 'weirdness'
+        score."""
+        from sparkcrawl.operators.textops import domain_kl_profile
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".example")).alias("domain"),
+            "text")
+        return _widen(domain_kl_profile(d, head_n=50, alpha=0.5))
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -3846,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_term_bursts": text_term_bursts,
         "crawl_depth_yield": crawl_depth_yield,
         "embedding_table_health": embedding_table_health,
+        "corpus_domain_kl": corpus_domain_kl,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8155,6 +8170,48 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "corpus_domain_kl": """
+            WITH docs AS (
+              SELECT 'd' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                       AS domain, text
+              FROM documents),
+            toks AS (
+              SELECT domain, t.tok
+              FROM docs,
+                   UNNEST(string_split_regex(lower(text), '\\s+')) AS t(tok)
+              WHERE t.tok <> ''),
+            gf AS (SELECT tok, COUNT(*) AS gtf FROM toks GROUP BY tok),
+            head AS (
+              SELECT tok, gtf FROM gf ORDER BY gtf DESC, tok LIMIT 50),
+            dom_tot AS (
+              SELECT domain, COUNT(*) AS n_tokens
+              FROM toks GROUP BY domain),
+            dtf AS (
+              SELECT domain, tok, COUNT(*) AS dtf
+              FROM toks JOIN head USING (tok) GROUP BY 1, 2),
+            grid AS (
+              SELECT d.domain, d.n_tokens, h.tok, h.gtf
+              FROM dom_tot d CROSS JOIN head h),
+            cells AS (
+              SELECT g.domain, g.n_tokens, g.gtf,
+                     coalesce(t.dtf, 0) AS dtf
+              FROM grid g LEFT JOIN dtf t USING (domain, tok)),
+            ghead AS (SELECT SUM(gtf) AS ghead FROM head),
+            dhead AS (
+              SELECT domain, SUM(dtf) AS dhead FROM cells GROUP BY domain),
+            s AS (
+              SELECT c.domain, c.n_tokens, c.gtf, c.dtf, g.ghead, d.dhead
+              FROM cells c CROSS JOIN ghead g
+              JOIN dhead d ON d.domain = c.domain)
+            SELECT domain,
+                   CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(MAX(dhead) AS BIGINT) AS head_tokens,
+                   round(SUM(((dtf + 0.5) / (dhead + 25.0))
+                         * log2(((dtf + 0.5) / (dhead + 25.0))
+                                / ((gtf + 0.5) / (ghead + 25.0)))), 6)
+                     AS kl_bits
+            FROM s GROUP BY domain
         """,
         "embedding_table_health": """
             WITH e AS (

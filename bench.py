@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "text_term_bursts",
     "crawl_depth_yield",
     "embedding_table_health",
+    "corpus_domain_kl",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

@@ -1081,3 +1081,30 @@ def test_term_bursts(spark):
     for p in (1, 2):
         ranks = sorted(r["rank"] for r in rows.values() if r["period"] == p)
         assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+
+
+def test_domain_kl_profile(spark):
+    """A domain matching the corpus head shape scores ~0; a
+    keyword-stuffed one scores high; hand-check the 2-term case."""
+    import math
+
+    rows = (
+        [(i, "normal.example", "alpha beta") for i in range(8)]
+        + [(100 + i, "spam.example", "alpha alpha alpha alpha") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+    out = {r["domain"]: r for r in
+           textops.domain_kl_profile(df, head_n=2, alpha=0.5).collect()}
+    # corpus head = {alpha: 16, beta: 8}; ghead = 24
+    # normal: dtf = (8, 8), dhead 16 -> p = (8.5/17, 8.5/17)
+    # spam:   dtf = (8, 0), dhead 8  -> p = (8.5/9, 0.5/9)
+    q = [(16 + 0.5) / 25.0, (8 + 0.5) / 25.0]
+
+    def kl(ps):
+        return round(sum(p * math.log2(p / qq) for p, qq in zip(ps, q)), 6)
+
+    assert out["normal.example"]["kl_bits"] == kl([8.5 / 17, 8.5 / 17])
+    assert out["spam.example"]["kl_bits"] == kl([8.5 / 9, 0.5 / 9])
+    assert out["spam.example"]["kl_bits"] > out["normal.example"]["kl_bits"]
+    assert out["normal.example"]["n_tokens"] == 16
+    assert out["spam.example"]["head_tokens"] == 8
