@@ -3363,6 +3363,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text")
         return _widen(domain_kl_profile(d, head_n=50, alpha=0.5))
 
+    def crawl_most_wanted(spark, sf):
+        """Importance-weighted discovery gap (graph.most_wanted):
+        sources n0..n19 with rank (k%7)*0.5 point at targets m0..m29;
+        every third target is already seen — the rest rank by referrer
+        mass (exact binary fractions, so the float sums are exact in
+        both engines)."""
+        from sparkcrawl.operators.graph import most_wanted
+
+        ev = _read(spark, sf, "events")
+        sk = F.col("event_id") % 20
+        dk = (F.col("event_id") + F.col("user_id")) % 30
+        edges = ev.select(
+            F.concat(F.lit("n"), sk.cast("string")).alias("src"),
+            F.concat(F.lit("m"), dk.cast("string")).alias("dst"))
+        ranks = ev.select(sk.alias("k")).distinct().select(
+            F.concat(F.lit("n"), F.col("k").cast("string")).alias("node"),
+            ((F.col("k") % 7) * 0.5).alias("rank"))
+        seen = ev.select(dk.alias("j")).distinct() \
+            .filter(F.col("j") % 3 == 0) \
+            .select(F.concat(F.lit("m"), F.col("j").cast("string"))
+                    .alias("node"))
+        return _widen(most_wanted(edges, ranks, seen))
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -3861,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth_yield": crawl_depth_yield,
         "embedding_table_health": embedding_table_health,
         "corpus_domain_kl": corpus_domain_kl,
+        "crawl_most_wanted": crawl_most_wanted,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8170,6 +8194,18 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "crawl_most_wanted": """
+            WITH e AS (
+              SELECT event_id % 20 AS sk,
+                     (event_id + user_id) % 30 AS dk
+              FROM events),
+            unfetched AS (SELECT * FROM e WHERE dk % 3 <> 0)
+            SELECT 'm' || CAST(dk AS VARCHAR) AS node,
+                   CAST(COUNT(*) AS BIGINT) AS inlinks,
+                   CAST(COUNT(DISTINCT sk) AS BIGINT) AS referrers,
+                   round(SUM((sk % 7) * 0.5), 6) AS wanted_score
+            FROM unfetched GROUP BY dk
         """,
         "corpus_domain_kl": """
             WITH docs AS (

@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "crawl_depth_yield",
     "embedding_table_health",
     "corpus_domain_kl",
+    "crawl_most_wanted",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

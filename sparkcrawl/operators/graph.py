@@ -727,3 +727,46 @@ def seed_attribution(
         frontier = new
     e.unpersist()
     return visited
+
+
+def most_wanted(
+    edges: DataFrame,
+    ranks: DataFrame,
+    seen: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """The crawl's most-wanted list: nodes (domains/URLs) the crawled
+    web points at but the crawl has never fetched, scored by the
+    importance of who points there — Cho/Garcia-Molina/Page's
+    importance-first frontier ordering applied at the DISCOVERY
+    boundary. ``wanted_score`` = sum of the referrers' rank mass
+    (PageRank/OPIC/TrustRank — any (node, rank) table plugs in), so a
+    page wanted by ten spam blogs scores below one wanted by a single
+    high-rank hub.
+
+    Output per unfetched target: (node, inlinks, referrers,
+    wanted_score). Feed the top of this list back as seeds and the
+    next superstep crawls where the web's weight says to go.
+
+    Plan shape: one equi-join attaching rank to the edge's SOURCE
+    (rank table is node-cardinality), one LEFT ANTI join against the
+    seen set on the target, one map-combinable agg per target. No
+    window, no collect.
+    """
+    scored = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("node")
+    ).join(
+        ranks.select(F.col(node_col).alias("_s"),
+                     F.col(rank_col).alias("_r")), "_s", "left"
+    ).withColumn("_r", F.coalesce(F.col("_r"), F.lit(0.0)))
+    unfetched = scored.join(
+        seen.select(F.col(seen.columns[0]).alias("node")).distinct(),
+        "node", "left_anti")
+    return unfetched.groupBy("node").agg(
+        F.count(F.lit(1)).alias("inlinks"),
+        F.countDistinct("_s").alias("referrers"),
+        F.round(F.sum("_r"), 6).alias("wanted_score"),
+    )

@@ -299,3 +299,26 @@ def test_seed_attribution_seed_label_beats_later_arrival(spark):
     a = _attr(spark, [(1, 9), (9, 5)], [1, 9])
     assert a[9] == (0, 9)
     assert a[5] == (1, 9)
+
+
+def test_most_wanted(spark):
+    """Unfetched targets only; score = referrer rank mass, so one
+    high-rank hub outweighs many low-rank referrers; unknown-rank
+    referrers count as 0 mass but still count as inlinks."""
+    from sparkcrawl.operators.graph import most_wanted
+
+    edges = spark.createDataFrame(
+        [("hub", "gem"), ("spam1", "junk"), ("spam2", "junk"),
+         ("spam3", "junk"), ("hub", "alreadyseen"), ("mystery", "gem")],
+        ["src", "dst"])
+    ranks = spark.createDataFrame(
+        [("hub", 10.0), ("spam1", 0.1), ("spam2", 0.1), ("spam3", 0.1)],
+        ["node", "rank"])
+    seen = spark.createDataFrame([("alreadyseen",), ("hub",)], ["node"])
+    got = {r["node"]: r for r in
+           most_wanted(edges, ranks, seen).collect()}
+    assert set(got) == {"gem", "junk"}
+    assert got["gem"]["wanted_score"] == 10.0       # mystery adds 0
+    assert got["gem"]["inlinks"] == 2 and got["gem"]["referrers"] == 2
+    assert got["junk"]["wanted_score"] == round(0.3, 6)
+    assert got["gem"]["wanted_score"] > got["junk"]["wanted_score"]
