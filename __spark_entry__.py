@@ -3386,6 +3386,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .alias("node"))
         return _widen(most_wanted(edges, ranks, seen))
 
+    def corpus_usage_rights(spark, sf):
+        """AI usage-rights flags (extract.usage_rights_flags): five
+        HTML classes by doc_id%5 — quoted/bare/attribute-order-free
+        robots metas, a googlebot noai pair, a non-robots meta that
+        must NOT flag, and a meta-free page. The oracle enumerates
+        expected flags per class; it never re-parses HTML."""
+        from sparkcrawl.operators.extract import usage_rights_flags
+
+        d = _read(spark, sf, "documents")
+        m = F.col("doc_id") % 5
+        html = (
+            F.when(m == 0, F.lit(
+                '<html><meta name="robots" content="noindex, nofollow">'))
+            .when(m == 1, F.lit(
+                '<meta content="noai,noimageai" name="GOOGLEBOT"><p>x</p>'))
+            .when(m == 2, F.lit("<meta name='robots' content=noarchive>"))
+            .when(m == 3, F.lit(
+                '<meta name="description" content="noai noindex">'))
+            .otherwise(F.lit("<p>no meta at all</p>")))
+        return usage_rights_flags(d.select("doc_id", html.alias("html")))
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -3885,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_table_health": embedding_table_health,
         "corpus_domain_kl": corpus_domain_kl,
         "crawl_most_wanted": crawl_most_wanted,
+        "corpus_usage_rights": corpus_usage_rights,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8194,6 +8216,15 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "corpus_usage_rights": """
+            SELECT doc_id,
+                   doc_id % 5 = 0 AS noindex,
+                   doc_id % 5 = 0 AS nofollow,
+                   doc_id % 5 = 2 AS noarchive,
+                   doc_id % 5 = 1 AS noai,
+                   doc_id % 5 = 1 AS noimageai
+            FROM documents
         """,
         "crawl_most_wanted": """
             WITH e AS (

@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "embedding_table_health",
     "corpus_domain_kl",
     "crawl_most_wanted",
+    "corpus_usage_rights",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

@@ -696,3 +696,50 @@ def documents_from_fetch(extracted: DataFrame) -> DataFrame:
         extracted.filter(~F.col("extraction_finished"))
         .select(F.col("url").alias("doc_id"), F.col("spans"))
     )
+
+
+def usage_rights_flags(docs: DataFrame, html_col: str = "html",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Training-data governance flags from page-level robots meta
+    directives: ``noindex`` / ``nofollow`` / ``noarchive`` (classic
+    REP) plus the content-usage opt-outs ``noai`` / ``noimageai``
+    that publishers increasingly ship for ML pipelines. A corpus
+    builder filters on these BEFORE anything else touches the text —
+    the flags are per-document and must survive into the curation
+    audit trail.
+
+    Directives are read from every ``<meta>`` tag whose ``name`` is
+    ``robots`` or ``googlebot`` (case-insensitive, attribute order
+    free, quoted or bare values, comma/space token lists). Pure
+    column expressions: one regexp_extract_all over the raw HTML +
+    per-directive EXISTS over the tag array — no UDF, no explode, no
+    shuffle; the DuckDB oracle replays the same RE2-compatible
+    regexes.
+    """
+    metas = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?i)<meta\b[^>]*>"), F.lit(0))
+
+    def has(directive):
+        def tag_sets(m):
+            name = F.lower(F.regexp_extract(
+                m, r"""(?i)name\s*=\s*["']?([a-zA-Z-]+)""", 1))
+            content = F.lower(F.regexp_extract(
+                m, r"""(?i)content\s*=\s*(?:["']([^"']*)["']|([^\s>]+))""",
+                1))
+            content2 = F.lower(F.regexp_extract(
+                m, r"""(?i)content\s*=\s*(?:["']([^"']*)["']|([^\s>]+))""",
+                2))
+            toks = F.split(F.concat_ws(" ", content, content2),
+                           r"[,\s]+")
+            return (name.isin("robots", "googlebot")
+                    & F.array_contains(toks, directive))
+        return F.exists(metas, tag_sets)
+
+    return docs.select(
+        F.col(id_col),
+        has("noindex").alias("noindex"),
+        has("nofollow").alias("nofollow"),
+        has("noarchive").alias("noarchive"),
+        has("noai").alias("noai"),
+        has("noimageai").alias("noimageai"),
+    )

@@ -414,3 +414,27 @@ def test_canonical_extraction_and_dedup(spark):
     with contextlib.redirect_stdout(buf):
         canonical_dedup(docs, pairs).explain("simple")
     assert "Window" not in buf.getvalue()
+
+
+def test_usage_rights_flags(spark):
+    """Robots/googlebot meta directives: attribute order free, quoted
+    or bare, comma/space lists; non-robots meta ignored; noai family
+    detected."""
+    from sparkcrawl.operators.extract import usage_rights_flags
+
+    rows = [
+        (1, '<html><meta name="robots" content="noindex, nofollow">'),
+        (2, '<meta content="noai,noimageai" name="GOOGLEBOT"><p>x</p>'),
+        (3, "<meta name='robots' content=noarchive>"),
+        (4, '<meta name="description" content="noai noindex">'),  # ignored
+        (5, "<p>no meta at all</p>"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    got = {r["doc_id"]: r for r in usage_rights_flags(df).collect()}
+    assert got[1]["noindex"] and got[1]["nofollow"] and not got[1]["noai"]
+    assert got[2]["noai"] and got[2]["noimageai"] and not got[2]["noindex"]
+    assert got[3]["noarchive"] and not got[3]["nofollow"]
+    assert not any([got[4][c] for c in
+                    ("noindex", "nofollow", "noarchive", "noai",
+                     "noimageai")])
+    assert not got[5]["noai"]
