@@ -3407,6 +3407,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.lit("<p>no meta at all</p>")))
         return usage_rights_flags(d.select("doc_id", html.alias("html")))
 
+    def crawl_pagination_ranges(spark, sf):
+        """Pagination-range mining (urlfilter.pagination_ranges): three
+        counter families per host (?page=, /page/N/, trailing /N) plus
+        a counterless class — the oracle reconstructs ranges from the
+        generating arithmetic, never from the regexes."""
+        from sparkcrawl.operators.urlfilter import pagination_ranges
+
+        ev = _read(spark, sf, "events")
+        hk = (F.col("user_id") % 5).cast("string")
+        m = F.col("event_id") % 4
+        base = F.concat(F.lit("http://h"), hk, F.lit(".example"))
+        url = (
+            F.when(m == 0, F.concat(
+                base, F.lit("/list?page="),
+                (F.col("event_id") % 9 + 1).cast("string")))
+            .when(m == 1, F.concat(
+                base, F.lit("/blog/page/"),
+                (F.col("event_id") % 6 + 1).cast("string"), F.lit("/")))
+            .when(m == 2, F.concat(
+                base, F.lit("/item/"),
+                (F.col("event_id") % 7 + 1).cast("string")))
+            .otherwise(F.concat(base, F.lit("/static"))))
+        return _widen(pagination_ranges(ev.select(url.alias("url"))))
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -3907,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_domain_kl": corpus_domain_kl,
         "crawl_most_wanted": crawl_most_wanted,
         "corpus_usage_rights": corpus_usage_rights,
+        "crawl_pagination_ranges": crawl_pagination_ranges,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8216,6 +8241,32 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "crawl_pagination_ranges": """
+            WITH rows AS (
+              SELECT user_id % 5 AS hk, event_id % 4 AS cls,
+                     CASE event_id % 4
+                       WHEN 0 THEN event_id % 9 + 1
+                       WHEN 1 THEN event_id % 6 + 1
+                       WHEN 2 THEN event_id % 7 + 1 END AS n
+              FROM events),
+            d AS (SELECT DISTINCT hk, cls, n FROM rows WHERE cls <> 3),
+            agg AS (
+              SELECT hk, cls, COUNT(*) AS pages,
+                     MIN(n) AS min_n, MAX(n) AS max_n
+              FROM d GROUP BY hk, cls)
+            SELECT CASE cls
+                     WHEN 0 THEN 'http://h' || CAST(hk AS VARCHAR)
+                       || '.example/list?page={}'
+                     WHEN 1 THEN 'http://h' || CAST(hk AS VARCHAR)
+                       || '.example/blog/page/{}/'
+                     ELSE 'http://h' || CAST(hk AS VARCHAR)
+                       || '.example/item/{}' END AS template,
+                   CAST(pages AS BIGINT) AS pages,
+                   CAST(min_n AS BIGINT) AS min_n,
+                   CAST(max_n AS BIGINT) AS max_n,
+                   max_n - min_n + 1 = pages AS contiguous
+            FROM agg WHERE pages >= 2
         """,
         "corpus_usage_rights": """
             SELECT doc_id,

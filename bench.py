@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "corpus_domain_kl",
     "crawl_most_wanted",
     "corpus_usage_rights",
+    "crawl_pagination_ranges",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

@@ -163,3 +163,49 @@ def confusable_domain_pairs(
         cand.withColumn("distance", dist.cast("long"))
         .filter(F.col("distance") <= 1)
     )
+
+
+def pagination_ranges(urls: DataFrame, url_col: str = "url",
+                      min_pages: int = 2) -> DataFrame:
+    """Mine enumerable pagination sequences from the URL set: URLs that
+    differ only in a page counter (?page=N, /page/N/, or a trailing
+    /N) collapse to one template row with the observed counter range.
+    A crawler uses this two ways: CAP a runaway sequence (page=1..
+    50000 of a calendar trap — the complement of traps.py's shape
+    features, grounded in observed counters instead of URL shape), and
+    PLAN coverage (contiguous=false means pages the frontier never
+    saw — synthesize the gaps instead of waiting for links).
+
+    Template = the URL with the matched counter replaced by ``{}``;
+    first matching rule wins (query ``page=`` beats path ``/page/N``
+    beats a bare trailing segment, so one URL lands in exactly one
+    family). Output per template with >= ``min_pages`` observed:
+    (template, pages, min_n, max_n, contiguous) where contiguous means
+    the observed counters form exactly [min_n .. max_n].
+
+    One codegen projection (three regexes) + one hash agg on the
+    template key. No UDF, no window, no join.
+    """
+    u = F.col(url_col)
+    q_n = F.regexp_extract(u, r"[?&]page=(\d+)", 1)
+    p_n = F.regexp_extract(u, r"/page/(\d+)(/|$)", 1)
+    t_n = F.regexp_extract(u, r"/(\d+)/?$", 1)
+    n = (F.when(q_n != "", q_n).when(p_n != "", p_n)
+         .when(t_n != "", t_n).otherwise(F.lit(None))).cast("bigint")
+    template = (
+        F.when(q_n != "", F.regexp_replace(u, r"([?&]page=)\d+", r"$1{}"))
+        .when(p_n != "", F.regexp_replace(u, r"(/page/)\d+", r"$1{}"))
+        .when(t_n != "", F.regexp_replace(u, r"/\d+(/?)$", r"/{}$1"))
+    )
+    rows = urls.select(template.alias("template"), n.alias("n")) \
+        .filter(F.col("n").isNotNull()).distinct()
+    agg = rows.groupBy("template").agg(
+        F.count(F.lit(1)).alias("pages"),
+        F.min("n").alias("min_n"),
+        F.max("n").alias("max_n"),
+    )
+    return agg.filter(F.col("pages") >= min_pages).select(
+        "template", "pages", "min_n", "max_n",
+        (F.col("max_n") - F.col("min_n") + 1 == F.col("pages"))
+        .alias("contiguous"),
+    )

@@ -96,3 +96,33 @@ def test_confusable_domain_pairs(spark):
     assert ("papal.example", "paypal.example") in got
     assert ("paypa1.example", "paypal.example") in got
     assert all("short" not in p for pair in got for p in pair)
+
+
+def test_pagination_ranges(spark):
+    """Query page= beats /page/N beats trailing /N; contiguity over
+    observed counters; singletons dropped."""
+    from sparkcrawl.operators.urlfilter import pagination_ranges
+
+    rows = [
+        ("http://h/list?page=1",), ("http://h/list?page=2",),
+        ("http://h/list?page=4",),                      # gap -> not contiguous
+        ("http://h/blog/page/7/",), ("http://h/blog/page/8/",),
+        ("http://h/item/3",), ("http://h/item/4",), ("http://h/item/5",),
+        ("http://h/one/9",),                            # singleton family
+        ("http://h/nopage",),                           # no counter
+        # page= in query wins even with a trailing numeric segment
+        ("http://h/x/5?page=11",), ("http://h/x/5?page=12",),
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    got = {r["template"]: r for r in pagination_ranges(df).collect()}
+    q = got["http://h/list?page={}"]
+    assert (q["pages"], q["min_n"], q["max_n"], q["contiguous"]) \
+        == (3, 1, 4, False)
+    p = got["http://h/blog/page/{}/"]
+    assert (p["pages"], p["min_n"], p["max_n"], p["contiguous"]) \
+        == (2, 7, 8, True)
+    t = got["http://h/item/{}"]
+    assert (t["pages"], t["contiguous"]) == (3, True)
+    assert got["http://h/x/5?page={}"]["pages"] == 2
+    assert "http://h/one/{}" not in got          # singleton
+    assert all("nopage" not in k for k in got)
