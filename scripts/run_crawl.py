@@ -176,7 +176,8 @@ def main() -> None:
 
         wanted = [w.strip() for w in args.report.split(",") if w.strip()]
         known = {"saturation", "drain", "starvation", "sitemap-coverage",
-                 "token-yield", "fairness", "rebalance"}
+                 "token-yield", "fairness", "rebalance", "dup-rate",
+                 "value-steering"}
         unknown = set(wanted) - known
         if unknown:
             raise SystemExit(f"unknown --report kinds: {sorted(unknown)} "
@@ -201,13 +202,18 @@ def main() -> None:
             emit("starvation",
                  queue_starvation_report(frontier, last["virtual_time"])
                  .orderBy("queue"))
-        if "token-yield" in wanted:
+        value_reports = {"token-yield", "dup-rate", "value-steering"}
+        if value_reports & set(wanted):
             # crawl-value accounting from the documents table alone:
             # doc_id IS the fetched url; span volume proxies fetched
             # bytes, whitespace tokens over text spans are the usable
-            # training-token count (A2 budget-steering signal)
+            # training-token count (A2 budget-steering signals)
             from sparkcrawl.functions.domains import registered_domain
-            from sparkcrawl.plans.analytics import domain_token_yield
+            from sparkcrawl.plans.analytics import (
+                crawl_value_weights,
+                domain_dup_rate,
+                domain_token_yield,
+            )
 
             docs = run.documents.read(spark)
             if docs is not None:
@@ -229,10 +235,26 @@ def main() -> None:
                     F.size(F.filter(
                         F.split(text, r"\s+"), lambda t: t != F.lit(""))
                     ).cast("bigint").alias("n_tokens"))
-                emit("token_yield",
-                     domain_token_yield(fetched)
-                     .orderBy(F.desc("budget_weight"), "domain")
-                     .limit(args.report_limit))
+                dup_in = docs.select(
+                    F.col("doc_id"),
+                    registered_domain(host).alias("domain"),
+                    text.alias("text"))
+                if "token-yield" in wanted:
+                    emit("token_yield",
+                         domain_token_yield(fetched)
+                         .orderBy(F.desc("budget_weight"), "domain")
+                         .limit(args.report_limit))
+                if "dup-rate" in wanted:
+                    emit("dup_rate",
+                         domain_dup_rate(dup_in)
+                         .orderBy(F.desc("dup_rate"), "domain")
+                         .limit(args.report_limit))
+                if "value-steering" in wanted:
+                    emit("value_steering",
+                         crawl_value_weights(domain_token_yield(fetched),
+                                             domain_dup_rate(dup_in))
+                         .orderBy(F.desc("weight"), "domain")
+                         .limit(args.report_limit))
         if "fairness" in wanted:
             # Jain index + top-share per superstep over the committed
             # fetch log: the W2/W3/A2 regression canary

@@ -137,3 +137,18 @@ def test_report_rebalance(spark, crawl_workdir, capsys):
                if r["strategy"] == "rendezvous" and r["moved"])
     with pytest.raises(SystemExit):
         _report_rows(capsys, crawl_workdir, "rebalance")
+
+
+def test_report_dup_rate_and_value_steering(spark, crawl_workdir, capsys):
+    rows = _report_rows(capsys, crawl_workdir, "dup-rate,value-steering")
+    kinds = {r["report"] for r in rows}
+    assert kinds == {"dup_rate", "value_steering"}
+    dup = [r for r in rows if r["report"] == "dup_rate"]
+    assert {"domain", "n_docs", "n_dups", "dup_rate",
+            "cross_domain_dups"} <= set(dup[0])
+    for r in dup:
+        assert 0.0 <= r["dup_rate"] <= 1.0
+    vs = [r for r in rows if r["report"] == "value_steering"]
+    assert {"domain", "total_tokens", "effective_tokens",
+            "weight"} <= set(vs[0])
+    assert abs(sum(r["weight"] for r in vs) - 1.0) < 1e-4
