@@ -3431,6 +3431,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.concat(base, F.lit("/static"))))
         return _widen(pagination_ranges(ev.select(url.alias("url"))))
 
+    def corpus_markup_ratio(spark, sf):
+        """Text-to-markup junk detector (extract.markup_ratio): four
+        HTML classes by doc_id%4 (plain paragraph, script+comment
+        page, case-folded STYLE-only page, empty). The oracle
+        enumerates the expected byte accounting per class — RE2 lacks
+        the backreference the engine's block regex uses, so the oracle
+        never re-runs the regexes."""
+        from sparkcrawl.operators.extract import markup_ratio
+
+        d = _read(spark, sf, "documents")
+        m = F.col("doc_id") % 4
+        html = (
+            F.when(m == 0, F.lit("<p>hello world</p>"))
+            .when(m == 1, F.lit("<script type='x'>junk()</script>"
+                                "<p>hi</p><!-- note -->"))
+            .when(m == 2, F.lit("<STYLE>b{}</STYLE>"))
+            .otherwise(F.lit("")))
+        return markup_ratio(d.select("doc_id", html.alias("html")))
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -3932,6 +3951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_most_wanted": crawl_most_wanted,
         "corpus_usage_rights": corpus_usage_rights,
         "crawl_pagination_ranges": crawl_pagination_ranges,
+        "corpus_markup_ratio": corpus_markup_ratio,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8241,6 +8261,31 @@ def oracle_sql() -> dict[str, str]:
                                600.0), 604800.0)) AS BIGINT)
                         ELSE 604800 END AS revisit_sec
             FROM lam
+        """,
+        "corpus_markup_ratio": """
+            WITH c AS (
+              SELECT doc_id, doc_id % 4 AS m,
+                     length('<p>hello world</p>') AS l0,
+                     length('<script type=''x''>junk()</script>'
+                            || '<p>hi</p><!-- note -->') AS l1,
+                     length('<script type=''x''>junk()</script>') AS s1,
+                     length('<STYLE>b{}</STYLE>') AS l2
+              FROM documents)
+            SELECT doc_id,
+                   CAST(CASE m WHEN 0 THEN l0 WHEN 1 THEN l1
+                               WHEN 2 THEN l2 ELSE 0 END AS BIGINT)
+                     AS html_len,
+                   CAST(CASE m WHEN 0 THEN 11 WHEN 1 THEN 2
+                               ELSE 0 END AS BIGINT) AS visible_len,
+                   CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 5
+                               WHEN 2 THEN 2 ELSE 0 END AS BIGINT)
+                     AS tag_count,
+                   CAST(CASE m WHEN 1 THEN s1 WHEN 2 THEN l2
+                               ELSE 0 END AS BIGINT) AS script_style_len,
+                   CASE m WHEN 0 THEN round(11.0 / l0, 6)
+                          WHEN 1 THEN round(2.0 / l1, 6)
+                          WHEN 2 THEN 0.0 END AS text_ratio
+            FROM c
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

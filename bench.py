@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "crawl_most_wanted",
     "corpus_usage_rights",
     "crawl_pagination_ranges",
+    "corpus_markup_ratio",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
 ]

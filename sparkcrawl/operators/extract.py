@@ -743,3 +743,42 @@ def usage_rights_flags(docs: DataFrame, html_col: str = "html",
         has("noai").alias("noai"),
         has("noimageai").alias("noimageai"),
     )
+
+
+def markup_ratio(docs: DataFrame, html_col: str = "html",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Pre-extraction junk detector: how much of a fetched page is
+    payload vs plumbing. Pages that are ~all markup (tag soup, script
+    bundles, tracking scaffolding) aren't worth running the full span
+    extractor on — this cheap pass lets a pipeline route them to a
+    low-priority lane first (the text-to-markup heuristic readability/
+    boilerpipe use as their first cut).
+
+    Per doc: (id, html_len, visible_len, tag_count, script_style_len,
+    text_ratio) — visible = HTML minus <script>/<style> blocks,
+    comments, and tags, whitespace collapsed; text_ratio =
+    visible_len / html_len (NULL for empty input). One codegen
+    projection of chained regexp_replace — no UDF, no parser, no
+    shuffle; the oracle chains the same RE2-safe regexes.
+    """
+    h = F.col(html_col)
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(
+            h, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "),
+        r"(?s)<!--.*?-->", " ")
+    visible = F.trim(F.regexp_replace(
+        F.regexp_replace(no_blocks, r"(?s)<[^>]*>", " "), r"\s+", " "))
+    script_style = F.length(h) - F.length(F.regexp_replace(
+        h, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", ""))
+    return docs.select(
+        F.col(id_col),
+        F.length(h).cast("bigint").alias("html_len"),
+        F.length(visible).cast("bigint").alias("visible_len"),
+        F.size(F.regexp_extract_all(h, F.lit(r"<[a-zA-Z!/][^>]*>"),
+                                    F.lit(0)))
+        .cast("bigint").alias("tag_count"),
+        script_style.cast("bigint").alias("script_style_len"),
+        F.when(F.length(h) > 0,
+               F.round(F.length(visible) / F.length(h), 6))
+        .alias("text_ratio"),
+    )

@@ -438,3 +438,25 @@ def test_usage_rights_flags(spark):
                     ("noindex", "nofollow", "noarchive", "noai",
                      "noimageai")])
     assert not got[5]["noai"]
+
+
+def test_markup_ratio(spark):
+    """Script/style bodies and comments vanish from visible text; tag
+    count and byte accounting hand-checked; empty html -> NULL ratio."""
+    from sparkcrawl.operators.extract import markup_ratio
+
+    rows = [
+        (1, "<p>hello world</p>"),
+        (2, "<script type='x'>junk()</script><p>hi</p><!-- note -->"),
+        (3, "<STYLE>b{}</STYLE>"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    got = {r["doc_id"]: r for r in markup_ratio(df).collect()}
+    assert got[1]["visible_len"] == len("hello world")
+    assert got[1]["tag_count"] == 2
+    assert got[1]["text_ratio"] == round(11 / 18, 6)
+    assert got[2]["visible_len"] == 2          # just "hi"
+    assert got[2]["script_style_len"] == len("<script type='x'>junk()</script>")
+    assert got[3]["visible_len"] == 0          # case-folded style block
+    assert got[4]["text_ratio"] is None
