@@ -2169,9 +2169,13 @@ def term_bursts(
     period is a rank-limit window over the period's term set
     (WindowGroupLimit heap). No UDF.
     """
-    toks = _tokens(docs, text_col, id_col).join(
-        docs.select(F.col(id_col).alias("id"),
-                    F.col(period_col).alias("period")), "id")
+    # period rides the explode projection — joining tokens back to
+    # docs for it would add a second corpus-scale shuffle for nothing
+    toks = docs.select(
+        F.col(period_col).alias("period"),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                           lambda x: x != "")).alias("tok"),
+    )
     tf = toks.groupBy("period", "tok").agg(
         F.count(F.lit(1)).alias("tf"))
     totals = tf.groupBy("period").agg(F.sum("tf").alias("_total"))
