@@ -3450,6 +3450,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.lit("")))
         return markup_ratio(d.select("doc_id", html.alias("html")))
 
+    def crawl_soft404(spark, sf):
+        """Soft-404 detection (health.soft404_flags): five fetch
+        classes by event_id%5 — clean 200, phrase-bearing 200 ("was
+        not found"), 200 whose body length sits inside the host's
+        404-probe window (WWW 2004 probe method), a REAL 404 (never
+        soft — already routed by outcome), and a 200 well outside the
+        window. Probe lengths are per-host arithmetic, so the oracle
+        enumerates both signals per class without re-running the
+        regex."""
+        from sparkcrawl.operators.health import soft404_flags
+
+        ev = _read(spark, sf, "events")
+        hn = F.col("user_id") % 12
+        m = F.col("event_id") % 5
+        probe_len = (F.lit(1000) + hn * 10).cast("long")
+        pages = ev.select(
+            F.concat(F.lit("h"), hn.cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.concat(F.lit("http://h"), hn.cast("string"),
+                     F.lit(".example/p/"),
+                     F.col("event_id").cast("string")).alias("url"),
+            F.when(m == 3, 404).otherwise(200).cast("int").alias("status"),
+            (F.when(m == 0, F.lit(5000) + F.col("event_id") % 97)
+             .when(m == 1, F.lit(4000))
+             .when(m == 2, probe_len + F.col("event_id") % 7 - 3)
+             .when(m == 3, probe_len)
+             .otherwise(probe_len + 500)).cast("long").alias("body_len"),
+            (F.when(m == 1, F.lit(
+                "Sorry, the page you requested was not found."))
+             .when(m == 3, F.lit("404 Not Found"))
+             .otherwise(F.lit("welcome to the product catalog"))
+             ).alias("text"),
+        )
+        probes = spark.range(12).select(
+            F.concat(F.lit("h"), F.col("id").cast("string"),
+                     F.lit(".example")).alias("host"),
+            (F.lit(1000) + F.col("id") * 10).cast("long")
+            .alias("probe_len"))
+        return soft404_flags(pages, probes)
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -3952,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_usage_rights": corpus_usage_rights,
         "crawl_pagination_ranges": crawl_pagination_ranges,
         "corpus_markup_ratio": corpus_markup_ratio,
+        "crawl_soft404": crawl_soft404,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8286,6 +8327,27 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 1 THEN round(2.0 / l1, 6)
                           WHEN 2 THEN 0.0 END AS text_ratio
             FROM c
+        """,
+        "crawl_soft404": """
+            WITH e AS (
+              SELECT user_id % 12 AS hn, event_id AS eid,
+                     event_id % 5 AS m
+              FROM events)
+            SELECT 'h' || CAST(hn AS VARCHAR) || '.example' AS host,
+                   'http://h' || CAST(hn AS VARCHAR) || '.example/p/'
+                     || CAST(eid AS VARCHAR) AS url,
+                   CAST(CASE WHEN m = 3 THEN 404 ELSE 200 END
+                        AS INTEGER) AS status,
+                   CAST(CASE m WHEN 0 THEN 5000 + eid % 97
+                               WHEN 1 THEN 4000
+                               WHEN 2 THEN 1000 + hn * 10 + eid % 7 - 3
+                               WHEN 3 THEN 1000 + hn * 10
+                               ELSE 1500 + hn * 10 END AS BIGINT)
+                     AS body_len,
+                   m IN (1, 3) AS phrase_match,
+                   m IN (2, 3) AS len_match,
+                   m IN (1, 2) AS soft404
+            FROM e
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

@@ -131,3 +131,72 @@ def revalidation_stats(log_with_host: DataFrame) -> DataFrame:
         F.when(ok + nm > 0, F.round(nm / (ok + nm), 6))
         .alias("revalidation_rate"),
     )
+
+
+#: Error phrases that betray a "200 OK" page that is really an error
+#: lander. Deterministic word-boundary regex (Java/RE2-safe, no
+#: backreferences) — matched case-insensitively against visible text.
+SOFT404_PHRASES = (
+    r"(?i)\bnot\s+found\b"
+    r"|\berror\s*404\b|\b404\s*error\b"
+    r"|(does\s+not|doesn'?t)\s+exist"
+    r"|no\s+longer\s+(available|exists)"
+    r"|has\s+been\s+(removed|deleted)"
+)
+
+
+def soft404_flags(
+    pages: DataFrame,
+    probes: DataFrame | None = None,
+    len_tol_frac: float = 0.05,
+    len_tol_abs: int = 64,
+    host_col: str = "host",
+    status_col: str = "status",
+    body_len_col: str = "body_len",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft-404 detection: pages that answer ``200 OK`` but are really
+    error landers — they poison dedup (thousands of identical "not
+    found" bodies), waste extraction, and corrupt link-graph signals
+    (a soft-404 hub looks like real content). Two public signals,
+    combined per the probe method of Bar-Yossef, Broder, Kumar &
+    Tomkins, "Sic Transit Gloria Telae" (WWW 2004):
+
+    - ``phrase_match``: visible text matches :data:`SOFT404_PHRASES`
+      (one codegen ``rlike`` — no UDF).
+    - ``len_match``: body length falls inside the tolerance window of
+      the host's error-probe fingerprint (``probes`` = small
+      (host, probe_len) table from fetching one known-random URL per
+      host; the WWW 2004 trick). Window = max(``len_tol_abs``,
+      ``len_tol_frac`` * probe_len). Hosts without a probe never
+      length-match.
+    - ``soft404`` = status 200 AND (phrase OR length) — real 404s are
+      already routed by outcome and must not be double-counted.
+
+    Scale shape: one projection over the fetch slice plus ONE
+    broadcast left join against the |hosts|-sized probe dimension; no
+    shuffle on the page table, no Python.
+    """
+    phrase = F.coalesce(F.col(text_col).rlike(SOFT404_PHRASES), F.lit(False))
+    out = pages
+    if probes is not None:
+        out = out.join(
+            F.broadcast(probes.select(
+                F.col(host_col).alias("__ph"), "probe_len")),
+            F.col(host_col) == F.col("__ph"), "left",
+        ).drop("__ph")
+    else:
+        out = out.withColumn("probe_len", F.lit(None).cast("long"))
+    tol = F.greatest(
+        F.lit(float(len_tol_abs)), F.lit(len_tol_frac) * F.col("probe_len"))
+    len_match = F.coalesce(
+        F.abs(F.col(body_len_col) - F.col("probe_len")) <= tol, F.lit(False))
+    return out.select(
+        F.col(host_col).alias("host"),
+        *([F.col("url")] if "url" in pages.columns else []),
+        F.col(status_col).alias("status"),
+        F.col(body_len_col).cast("bigint").alias("body_len"),
+        phrase.alias("phrase_match"),
+        len_match.alias("len_match"),
+        ((F.col(status_col) == 200) & (phrase | len_match)).alias("soft404"),
+    )

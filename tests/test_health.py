@@ -154,3 +154,44 @@ def test_revalidation_stats(spark):
     assert c["revalidation_rate"] == round(2 / 3, 6)
     assert got["cold.example"]["revalidation_rate"] == 0.0
     assert got["down.example"]["revalidation_rate"] is None
+
+
+def test_soft404_flags(spark):
+    """Phrase-only, exact-tolerance-boundary length, no-probe host,
+    real 404 (never soft), and a clean page."""
+    from sparkcrawl.operators.health import soft404_flags
+
+    pages = spark.createDataFrame(
+        [
+            # phrase match, length far off
+            ("a.example", "http://a.example/1", 200, 9000,
+             "Sorry, this page was not found here."),
+            # diff == tol exactly (probe 1000 -> tol 64) -> len_match
+            ("a.example", "http://a.example/2", 200, 1064, "thin page"),
+            # just outside the window
+            ("a.example", "http://a.example/3", 200, 1065, "thin page"),
+            # real 404: phrase + length both fire, soft404 stays False
+            ("a.example", "http://a.example/4", 404, 1000,
+             "error 404 - not found"),
+            # no probe for this host: only the phrase lane can fire
+            ("b.example", "http://b.example/1", 200, 500,
+             "it does not exist anymore"),
+            ("b.example", "http://b.example/2", 200, 500, "fine page"),
+        ],
+        ["host", "url", "status", "body_len", "text"],
+    )
+    probes = spark.createDataFrame([("a.example", 1000)],
+                                   ["host", "probe_len"])
+    got = {r["url"]: r for r in soft404_flags(pages, probes).collect()}
+    assert got["http://a.example/1"]["phrase_match"]
+    assert not got["http://a.example/1"]["len_match"]
+    assert got["http://a.example/1"]["soft404"]
+    assert got["http://a.example/2"]["len_match"]
+    assert got["http://a.example/2"]["soft404"]
+    assert not got["http://a.example/3"]["len_match"]
+    assert not got["http://a.example/3"]["soft404"]
+    r404 = got["http://a.example/4"]
+    assert r404["phrase_match"] and r404["len_match"] and not r404["soft404"]
+    assert got["http://b.example/1"]["soft404"]      # phrase lane
+    assert not got["http://b.example/1"]["len_match"]
+    assert not got["http://b.example/2"]["soft404"]
