@@ -3490,6 +3490,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("probe_len"))
         return soft404_flags(pages, probes)
 
+    def crawl_param_entropy(spark, sf):
+        """Query-param value-entropy mining (dust.param_value_entropy):
+        three URL classes by event_id%3 build params with known value
+        distributions — page= (12-value enum), sessionid= (unique per
+        event, id_like strip candidate) + uid= (200-value pool), and
+        page=&ref= (enums). The oracle re-derives the (host, param,
+        value) stream from the same arithmetic — never re-parsing the
+        URL — and runs the identical two-level entropy agg."""
+        from sparkcrawl.operators.dust import param_value_entropy
+
+        ev = _read(spark, sf, "events")
+        hn = F.col("user_id") % 6
+        e = F.col("event_id")
+        m = e % 3
+        page = (e % 12).cast("string")
+        qs = (
+            F.when(m == 0, F.concat(F.lit("page="), page))
+            .when(m == 1, F.concat(
+                F.lit("sessionid=s"), e.cast("string"),
+                F.lit("&uid=u"), (e % 200).cast("string")))
+            .otherwise(F.concat(
+                F.lit("page="), page,
+                F.lit("&ref=r"), (e % 3).cast("string"))))
+        urls = ev.select(F.concat(
+            F.lit("http://h"), hn.cast("string"),
+            F.lit(".example/list?"), qs).alias("url"))
+        return param_value_entropy(urls)
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -3993,6 +4021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pagination_ranges": crawl_pagination_ranges,
         "corpus_markup_ratio": corpus_markup_ratio,
         "crawl_soft404": crawl_soft404,
+        "crawl_param_entropy": crawl_param_entropy,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8348,6 +8377,45 @@ def oracle_sql() -> dict[str, str]:
                    m IN (2, 3) AS len_match,
                    m IN (1, 2) AS soft404
             FROM e
+        """,
+        "crawl_param_entropy": """
+            WITH kv AS (
+              SELECT 'h' || CAST(user_id % 6 AS VARCHAR) || '.example'
+                       AS host,
+                     'page' AS param,
+                     CAST(event_id % 12 AS VARCHAR) AS value
+              FROM events WHERE event_id % 3 IN (0, 2)
+              UNION ALL
+              SELECT 'h' || CAST(user_id % 6 AS VARCHAR) || '.example',
+                     'sessionid', 's' || CAST(event_id AS VARCHAR)
+              FROM events WHERE event_id % 3 = 1
+              UNION ALL
+              SELECT 'h' || CAST(user_id % 6 AS VARCHAR) || '.example',
+                     'uid', 'u' || CAST(event_id % 200 AS VARCHAR)
+              FROM events WHERE event_id % 3 = 1
+              UNION ALL
+              SELECT 'h' || CAST(user_id % 6 AS VARCHAR) || '.example',
+                     'ref', 'r' || CAST(event_id % 3 AS VARCHAR)
+              FROM events WHERE event_id % 3 = 2),
+            pv AS (
+              SELECT host, param, value, COUNT(*) AS c
+              FROM kv GROUP BY 1, 2, 3),
+            ag AS (
+              SELECT host, param,
+                     CAST(SUM(c) AS BIGINT) AS n_obs,
+                     CAST(COUNT(*) AS BIGINT) AS n_values,
+                     SUM(c * ln(c)) AS clnc
+              FROM pv GROUP BY 1, 2)
+            SELECT host, param, n_obs, n_values,
+                   round(CAST(n_values AS DOUBLE) / n_obs, 6)
+                     AS distinct_ratio,
+                   round(ln(n_obs) - clnc / n_obs, 6) AS entropy_nats,
+                   CASE WHEN n_obs >= 2
+                             AND CAST(n_values AS DOUBLE) / n_obs >= 0.9
+                        THEN 'id_like'
+                        WHEN n_values <= 64 THEN 'enum_like'
+                        ELSE 'mixed' END AS param_class
+            FROM ag
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

@@ -205,3 +205,78 @@ def apply_dust_rules(
         F.replace(F.col(url_col), F.col("_rule.rule_from"), F.col("_rule.rule_to")),
     ).otherwise(F.col(url_col))
     return best.select(*urls.columns, rewritten.alias("dust_canonical"))
+
+
+def param_value_entropy(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_obs: int = 2,
+    id_ratio: float = 0.9,
+    max_enum_values: int = 64,
+) -> DataFrame:
+    """Per-(host, query-param) value-entropy mining — the statistical
+    companion to :func:`mine_dust_rules`. DustBuster needs same-content
+    PAIRS as evidence; the value-shape signal works pre-fetch, from
+    the URL log alone: a parameter whose value is new on (almost)
+    every observation (session ids, cache busters, click trackers) is
+    a strip candidate, while a low-cardinality parameter (page=, sort=,
+    lang=) selects content and must be kept. This is the standard
+    "URL parameter handling" heuristic search engines document
+    publicly, re-expressed relationally.
+
+    Per (host, param):
+
+    - ``n_obs`` observations, ``n_values`` distinct values,
+      ``distinct_ratio`` = n_values/n_obs,
+    - ``entropy_nats`` = ln(n_obs) - sum(c*ln c)/n_obs over the value
+      counts c (the map-combinable entropy identity — no per-value
+      probability column, both aggs are plain hash aggregations),
+    - ``param_class``: ``id_like`` when n_obs >= ``min_obs`` and
+      distinct_ratio >= ``id_ratio`` (strip candidate), else
+      ``enum_like`` when n_values <= ``max_enum_values`` (keep), else
+      ``mixed`` (high-cardinality but repeating — needs DUST pair
+      evidence to decide).
+
+    Scale shape: explode bounded by params-per-URL (small constant),
+    then TWO hash aggs — (host,param,value) then (host,param) — both
+    map-side combinable; output is dimension-sized. No window, no UDF,
+    no self-join.
+    """
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kv = (
+        urls.select(host.alias("host"),
+                    F.explode(F.split(qs, "&")).alias("pair"))
+        .filter(F.col("pair") != "")
+        .select(
+            "host",
+            F.substring_index("pair", "=", 1).alias("param"),
+            F.regexp_extract("pair", r"^[^=]*(?:=(.*))?$", 1).alias("value"),
+        )
+        .filter(F.col("param") != "")
+    )
+    per_val = kv.groupBy("host", "param", "value").agg(
+        F.count("*").alias("c"))
+    agg = per_val.groupBy("host", "param").agg(
+        F.sum("c").alias("n_obs"),
+        F.count("*").alias("n_values"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clnc"),
+    )
+    ratio_raw = F.col("n_values") / F.col("n_obs")
+    cls = (
+        F.when((F.col("n_obs") >= min_obs) & (ratio_raw >= id_ratio),
+               F.lit("id_like"))
+        .when(F.col("n_values") <= max_enum_values, F.lit("enum_like"))
+        .otherwise(F.lit("mixed"))
+    )
+    return agg.select(
+        "host",
+        "param",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        F.round(ratio_raw, 6).alias("distinct_ratio"),
+        F.round(F.log(F.col("n_obs")) - F.col("_clnc") / F.col("n_obs"),
+                6).alias("entropy_nats"),
+        cls.alias("param_class"),
+    )

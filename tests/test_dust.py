@@ -156,3 +156,39 @@ def test_engine_applies_dust_rules_pre_fetch(spark, mini_cfg, mini_web, tmp_path
     assert leaked == []
     # and the rewrite actually happened (page/0 exists in the frontier)
     assert frontier.filter(F.col("url").contains("/page/0")).count() > 0
+
+
+def test_param_value_entropy(spark):
+    """Known distributions: [2,2] -> ln 2 nats; unique-per-obs id
+    param classed id_like; bare flag param (no '=') gets value '';
+    fragments stop the query string; URLs without a query vanish."""
+    import math
+
+    from sparkcrawl.operators.dust import param_value_entropy
+
+    rows = [
+        ("http://a.example/l?page=1",),
+        ("http://a.example/l?page=1",),
+        ("http://a.example/l?page=2",),
+        ("http://a.example/l?page=2#frag",),
+        ("http://a.example/l?sid=x1",),
+        ("http://a.example/l?sid=x2",),
+        ("http://a.example/l?sid=x3",),
+        ("http://a.example/l?flag&flag",),
+        ("http://a.example/plain",),
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    got = {(r["host"], r["param"]): r
+           for r in param_value_entropy(df).collect()}
+    page = got[("a.example", "page")]
+    assert (page["n_obs"], page["n_values"]) == (4, 2)
+    assert page["entropy_nats"] == round(math.log(2), 6)
+    assert page["param_class"] == "enum_like"
+    sid = got[("a.example", "sid")]
+    assert sid["distinct_ratio"] == 1.0
+    assert sid["param_class"] == "id_like"
+    assert sid["entropy_nats"] == round(math.log(3), 6)
+    flag = got[("a.example", "flag")]
+    assert (flag["n_obs"], flag["n_values"]) == (2, 1)
+    assert flag["entropy_nats"] == 0.0
+    assert len(got) == 3
