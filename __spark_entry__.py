@@ -3518,6 +3518,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(".example/list?"), qs).alias("url"))
         return param_value_entropy(urls)
 
+    def crawl_scheme_migration(spark, sf):
+        """HTTP->HTTPS migration detector (mirrors.
+        scheme_migration_report): three host classes by host#%3 —
+        fully https, mixed (scheme flips with event parity over a
+        50-path pool, so most paths appear under both), and http-only.
+        Re-crawl duplicates are injected (the per-path bool-max must
+        absorb them). The oracle re-derives (scheme, host, rest) from
+        the same arithmetic and runs the identical two-level agg."""
+        from sparkcrawl.operators.mirrors import scheme_migration_report
+
+        ev = _read(spark, sf, "events")
+        hn = F.col("user_id") % 9
+        cls = hn % 3
+        e = F.col("event_id")
+        scheme = (
+            F.when(cls == 0, F.lit("https"))
+            .when(cls == 1, F.when(e % 2 == 0, F.lit("https"))
+                  .otherwise(F.lit("http")))
+            .otherwise(F.lit("http")))
+        urls = ev.select(F.concat(
+            scheme, F.lit("://h"), hn.cast("string"),
+            F.lit(".example/p/"), (e % 50).cast("string")).alias("url"))
+        return scheme_migration_report(urls)
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -4022,6 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_markup_ratio": corpus_markup_ratio,
         "crawl_soft404": crawl_soft404,
         "crawl_param_entropy": crawl_param_entropy,
+        "crawl_scheme_migration": crawl_scheme_migration,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8415,6 +8440,44 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'id_like'
                         WHEN n_values <= 64 THEN 'enum_like'
                         ELSE 'mixed' END AS param_class
+            FROM ag
+        """,
+        "crawl_scheme_migration": """
+            WITH rows AS (
+              SELECT user_id % 9 AS hn,
+                     CASE WHEN user_id % 9 % 3 = 0 THEN 'https'
+                          WHEN user_id % 9 % 3 = 1 THEN
+                            CASE WHEN event_id % 2 = 0 THEN 'https'
+                                 ELSE 'http' END
+                          ELSE 'http' END AS scheme,
+                     '/p/' || CAST(event_id % 50 AS VARCHAR) AS rest
+              FROM events),
+            per_path AS (
+              SELECT hn, rest,
+                     MAX(CASE WHEN scheme = 'http' THEN 1 ELSE 0 END)
+                       AS h,
+                     MAX(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)
+                       AS s
+              FROM rows GROUP BY 1, 2),
+            ag AS (
+              SELECT hn, COUNT(*) AS n_paths,
+                     SUM(CASE WHEN h = 1 AND s = 0 THEN 1 ELSE 0 END)
+                       AS n_http_only,
+                     SUM(CASE WHEN h = 0 AND s = 1 THEN 1 ELSE 0 END)
+                       AS n_https_only,
+                     SUM(CASE WHEN h = 1 AND s = 1 THEN 1 ELSE 0 END)
+                       AS n_both
+              FROM per_path GROUP BY 1)
+            SELECT 'h' || CAST(hn AS VARCHAR) || '.example' AS host,
+                   CAST(n_paths AS BIGINT) AS n_paths,
+                   CAST(n_http_only AS BIGINT) AS n_http_only,
+                   CAST(n_https_only AS BIGINT) AS n_https_only,
+                   CAST(n_both AS BIGINT) AS n_both,
+                   round(CAST(n_both + n_https_only AS DOUBLE)
+                         / n_paths, 6) AS https_share,
+                   n_paths >= 3
+                     AND CAST(n_both + n_https_only AS DOUBLE) / n_paths
+                         >= 0.8 AS migrate
             FROM ag
         """,
         "crawl_pagination_ranges": """

@@ -161,3 +161,89 @@ def mirror_canonicalize(
         ).otherwise(u).alias("canonical_url"),
         rewritten.alias("rewritten"),
     )
+
+
+def scheme_migration_report(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_paths: int = 3,
+    migrate_share: float = 0.8,
+) -> DataFrame:
+    """HTTP->HTTPS migration detector — the intra-host special case of
+    mirroring: the same host serving the same paths on both schemes is
+    the single most common duplicate family on the web since the
+    HTTPS-everywhere migration. A frontier that treats the two schemes
+    as distinct URLs fetches everything twice; once a host is observed
+    serving (nearly) everything over https, its http frontier rows
+    should be folded into https pre-fetch (cf. the HSTS upgrade
+    browsers apply — here derived from crawl observation instead of a
+    header).
+
+    Per host over DISTINCT (host, rest-of-URL) path keys:
+    ``n_paths``, ``n_http_only``, ``n_https_only``, ``n_both``,
+    ``https_share`` = (n_both + n_https_only)/n_paths, and ``migrate``
+    = n_paths >= ``min_paths`` AND https_share >= ``migrate_share``.
+
+    Scale shape: one projection, then TWO hash aggs — (host, rest)
+    with two bool max's (absorbs re-crawl duplicates), then host —
+    both map-side combinable; output is |hosts|-sized. No join, no
+    window, no UDF.
+    """
+    u = F.col(url_col)
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(u, _URL_HOST_PAT, 1)
+    rest = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    per_path = (
+        urls.select(scheme.alias("scheme"), host.alias("host"),
+                    rest.alias("rest"))
+        .filter((F.col("host") != "")
+                & F.col("scheme").isin("http", "https"))
+        .groupBy("host", "rest")
+        .agg(F.max((F.col("scheme") == "http").cast("int")).alias("h"),
+             F.max((F.col("scheme") == "https").cast("int")).alias("s"))
+    )
+    agg = per_path.groupBy("host").agg(
+        F.count("*").alias("n_paths"),
+        F.sum(((F.col("h") == 1) & (F.col("s") == 0)).cast("long"))
+        .alias("n_http_only"),
+        F.sum(((F.col("h") == 0) & (F.col("s") == 1)).cast("long"))
+        .alias("n_https_only"),
+        F.sum(((F.col("h") == 1) & (F.col("s") == 1)).cast("long"))
+        .alias("n_both"),
+    )
+    share_raw = (F.col("n_both") + F.col("n_https_only")) / F.col("n_paths")
+    return agg.select(
+        "host", "n_paths", "n_http_only", "n_https_only", "n_both",
+        F.round(share_raw, 6).alias("https_share"),
+        ((F.col("n_paths") >= min_paths)
+         & (share_raw >= migrate_share)).alias("migrate"),
+    )
+
+
+def scheme_merge_map(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """The pre-fetch rewrite list for :func:`scheme_migration_report`:
+    one (url_from, url_to) row per path observed under BOTH schemes —
+    the http variant folds into the https one (dedup merge before the
+    seen-filter, exactly like the DUST CASE rewrite). Same two-agg
+    shape; the pair is reconstructed by concatenation, so nothing but
+    (host, rest) keys ever shuffles."""
+    u = F.col(url_col)
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(u, _URL_HOST_PAT, 1)
+    rest = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    both = (
+        urls.select(scheme.alias("scheme"), host.alias("host"),
+                    rest.alias("rest"))
+        .filter((F.col("host") != "")
+                & F.col("scheme").isin("http", "https"))
+        .groupBy("host", "rest")
+        .agg(F.max((F.col("scheme") == "http").cast("int")).alias("h"),
+             F.max((F.col("scheme") == "https").cast("int")).alias("s"))
+        .filter((F.col("h") == 1) & (F.col("s") == 1))
+    )
+    return both.select(
+        F.concat(F.lit("http://"), F.col("host"), F.col("rest"))
+        .alias("url_from"),
+        F.concat(F.lit("https://"), F.col("host"), F.col("rest"))
+        .alias("url_to"),
+    )

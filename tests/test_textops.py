@@ -1108,3 +1108,41 @@ def test_domain_kl_profile(spark):
     assert out["spam.example"]["kl_bits"] > out["normal.example"]["kl_bits"]
     assert out["normal.example"]["n_tokens"] == 16
     assert out["spam.example"]["head_tokens"] == 8
+
+
+def test_scheme_migration_report(spark):
+    """Fully-migrated host flags migrate; a host below the share
+    threshold or the path floor does not; re-crawl duplicates do not
+    inflate path counts; merge map pairs only both-scheme paths."""
+    from sparkcrawl.operators.mirrors import (
+        scheme_merge_map,
+        scheme_migration_report,
+    )
+
+    rows = [
+        # migrated.example: 3 paths, /a under both, /b /c https-only
+        ("http://migrated.example/a",),
+        ("https://migrated.example/a",),
+        ("https://migrated.example/a",),      # duplicate observation
+        ("https://migrated.example/b",),
+        ("https://migrated.example/c",),
+        # split.example: 4 paths, half https -> share 0.5, no migrate
+        ("https://split.example/1",), ("https://split.example/2",),
+        ("http://split.example/3",), ("http://split.example/4",),
+        # tiny.example: only 2 paths (< min_paths), all https
+        ("https://tiny.example/x",), ("https://tiny.example/y",),
+        ("ftp://other.example/z",),           # non-web scheme ignored
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    got = {r["host"]: r for r in scheme_migration_report(df).collect()}
+    m = got["migrated.example"]
+    assert (m["n_paths"], m["n_both"], m["n_https_only"]) == (3, 1, 2)
+    assert m["https_share"] == 1.0 and m["migrate"]
+    s = got["split.example"]
+    assert s["https_share"] == 0.5 and not s["migrate"]
+    assert not got["tiny.example"]["migrate"]
+    assert "other.example" not in got
+    pairs = {(r["url_from"], r["url_to"])
+             for r in scheme_merge_map(df).collect()}
+    assert pairs == {("http://migrated.example/a",
+                      "https://migrated.example/a")}
