@@ -3542,6 +3542,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(".example/p/"), (e % 50).cast("string")).alias("url"))
         return scheme_migration_report(urls)
 
+    def text_token_fertility(spark, sf):
+        """Tokenizer fertility per language (textops.
+        token_fertility_by_lang) over the REAL documents text — both
+        token lanes (whitespace split, BPE-ish regex) are
+        DuckDB-expressible, so the oracle re-runs them verbatim and
+        the integer totals must agree exactly."""
+        from sparkcrawl.operators.textops import token_fertility_by_lang
+
+        return token_fertility_by_lang(_read(spark, sf, "documents"))
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -4047,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_soft404": crawl_soft404,
         "crawl_param_entropy": crawl_param_entropy,
         "crawl_scheme_migration": crawl_scheme_migration,
+        "text_token_fertility": text_token_fertility,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8478,6 +8489,30 @@ def oracle_sql() -> dict[str, str]:
                    n_paths >= 3
                      AND CAST(n_both + n_https_only AS DOUBLE) / n_paths
                          >= 0.8 AS migrate
+            FROM ag
+        """,
+        "text_token_fertility": """
+            WITH per AS (
+              SELECT lang, length(text) AS chars,
+                     len(string_split(text, ' ')) AS ws,
+                     len(regexp_extract_all(
+                           lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                       AS re_t
+              FROM documents),
+            ag AS (
+              SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(chars) AS BIGINT) AS total_chars,
+                     CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
+                     CAST(SUM(re_t) AS BIGINT) AS total_re_tokens
+              FROM per GROUP BY lang)
+            SELECT lang, n_docs, total_chars, total_ws_tokens,
+                   total_re_tokens,
+                   CASE WHEN total_ws_tokens > 0 THEN
+                     round(CAST(total_re_tokens AS DOUBLE)
+                           / total_ws_tokens, 6) END AS fertility,
+                   CASE WHEN total_chars > 0 THEN
+                     round(100.0 * total_re_tokens / total_chars, 6)
+                   END AS tokens_per_100_chars
             FROM ag
         """,
         "crawl_pagination_ranges": """

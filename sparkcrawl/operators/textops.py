@@ -2264,3 +2264,49 @@ def domain_kl_profile(
         F.max("_dhead").cast("bigint").alias("head_tokens"),
         F.round(F.sum(kl_term), 6).alias("kl_bits"),
     )
+
+
+def token_fertility_by_lang(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility per language — subword-ish tokens per
+    whitespace word (the standard tokenizer-quality metric; see Rust
+    et al., "How Good is Your Tokenizer?", ACL 2021): a language whose
+    fertility under the shared tokenizer is 2-3x English's pays that
+    multiple in sequence length, so mixture weights and token budgets
+    (corpus_token_shards, mixture sampling) must be set in TOKENS, not
+    documents. Uses the same whitespace and BPE-ish regex lanes as
+    :func:`token_counts`, aggregated per language:
+
+    (lang, n_docs, total_chars, total_ws_tokens, total_re_tokens,
+    fertility = re/ws, tokens_per_100_chars) — fertility NULL when a
+    language has no whitespace tokens.
+
+    ONE map-combinable hash agg keyed by language (bounded
+    cardinality); the token counting is codegen'd regexp work per row,
+    no explode — counting never materializes the token stream.
+    """
+    t = F.col(text_col)
+    ws = F.size(F.split(t, " "))
+    re_t = F.size(F.regexp_extract_all(
+        F.lower(t), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    agg = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(t)).cast("bigint").alias("total_chars"),
+        F.sum(ws).cast("bigint").alias("total_ws_tokens"),
+        F.sum(re_t).cast("bigint").alias("total_re_tokens"),
+    )
+    return agg.select(
+        "lang", "n_docs", "total_chars", "total_ws_tokens",
+        "total_re_tokens",
+        F.when(F.col("total_ws_tokens") > 0,
+               F.round(F.col("total_re_tokens") / F.col("total_ws_tokens"),
+                       6)).alias("fertility"),
+        F.when(F.col("total_chars") > 0,
+               F.round(F.lit(100.0) * F.col("total_re_tokens")
+                       / F.col("total_chars"), 6))
+        .alias("tokens_per_100_chars"),
+    )

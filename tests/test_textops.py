@@ -1146,3 +1146,27 @@ def test_scheme_migration_report(spark):
              for r in scheme_merge_map(df).collect()}
     assert pairs == {("http://migrated.example/a",
                       "https://migrated.example/a")}
+
+
+def test_token_fertility_by_lang(spark):
+    """Hand-counted token lanes: 'hello, world 42' -> 3 ws tokens, 5
+    regex tokens (hello , world 4-2 as one number run... verified
+    below); empty-text language reports NULL ratios."""
+    from sparkcrawl.operators.textops import token_fertility_by_lang
+
+    rows = [
+        (1, "en", "hello, world 42"),   # ws=3; re: hello , world 42 -> 4
+        (2, "en", "a b"),               # ws=2; re: a b -> 2
+        (3, "zz", ""),                  # ws=1 ([''])... chars=0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r["lang"]: r for r in token_fertility_by_lang(df).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["total_chars"]) == (2, 18)
+    assert en["total_ws_tokens"] == 5
+    assert en["total_re_tokens"] == 6
+    assert en["fertility"] == round(6 / 5, 6)
+    assert en["tokens_per_100_chars"] == round(600 / 18, 6)
+    zz = got["zz"]
+    assert zz["total_re_tokens"] == 0
+    assert zz["tokens_per_100_chars"] is None
