@@ -3552,6 +3552,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return token_fertility_by_lang(_read(spark, sf, "documents"))
 
+    def layout_compaction_plan(spark, sf):
+        """Small-file compaction planning (layout.compaction_plan)
+        over a synthetic manifest: 8 table partitions, 1/4 of files
+        large (kept), the rest 1-40 MB smalls sorted-filled into
+        128 MB bins. Window arithmetic (desc-bytes running sum, ceil
+        binning, ties by file id) reproduces exactly in SQL — the
+        power-of-two target keeps the ceil boundary float-exact."""
+        from sparkcrawl.operators.layout import compaction_plan
+
+        ev = _read(spark, sf, "events")
+        e = F.col("event_id")
+        manifest = ev.select(
+            F.concat(F.lit("p="), (F.col("user_id") % 8).cast("string"))
+            .alias("partition"),
+            e.alias("file_id"),
+            (F.when(e % 4 == 0, F.lit(600_000_000) + e % 1000)
+             .otherwise((e % 40 + 1) * 1_000_000))
+            .cast("bigint").alias("bytes"),
+        )
+        return compaction_plan(manifest, target_bytes=134_217_728)
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -4058,6 +4079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_param_entropy": crawl_param_entropy,
         "crawl_scheme_migration": crawl_scheme_migration,
         "text_token_fertility": text_token_fertility,
+        "layout_compaction_plan": layout_compaction_plan,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8514,6 +8536,34 @@ def oracle_sql() -> dict[str, str]:
                      round(100.0 * total_re_tokens / total_chars, 6)
                    END AS tokens_per_100_chars
             FROM ag
+        """,
+        "layout_compaction_plan": """
+            WITH manifest AS (
+              SELECT 'p=' || CAST(user_id % 8 AS VARCHAR) AS partition,
+                     event_id AS file_id,
+                     CAST(CASE WHEN event_id % 4 = 0
+                               THEN 600000000 + event_id % 1000
+                               ELSE (event_id % 40 + 1) * 1000000 END
+                          AS BIGINT) AS bytes
+              FROM events),
+            smalls AS (
+              SELECT partition, file_id, bytes,
+                     COUNT(*) OVER (PARTITION BY partition) AS n,
+                     SUM(bytes) OVER (
+                       PARTITION BY partition
+                       ORDER BY bytes DESC, file_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM manifest WHERE bytes < 0.5 * 134217728)
+            SELECT partition, file_id, bytes,
+                   CASE WHEN n >= 2 THEN 'compact' ELSE 'keep' END
+                     AS action,
+                   CASE WHEN n >= 2 THEN
+                     CAST(ceil(cum / 134217728.0) AS INTEGER) END AS bin
+            FROM smalls
+            UNION ALL
+            SELECT partition, file_id, bytes, 'keep',
+                   CAST(NULL AS INTEGER)
+            FROM manifest WHERE NOT (bytes < 0.5 * 134217728)
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

@@ -178,3 +178,67 @@ def frontcoding_estimate(urls: DataFrame, per_host_cap: int = 256,
         coded.alias("coded_bytes"),
         F.round((raw - coded) / raw, 6).alias("savings_frac"),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int = 512 * 1024 * 1024,
+    small_frac: float = 0.5,
+    partition_col: str = "partition",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction planner — the maintenance pass every
+    long-running Iceberg/Delta table needs (their OPTIMIZE /
+    rewrite_data_files): a frontier written superstep-by-superstep
+    accretes many sub-target files per partition, and at 100 TB the
+    scan-planning and open() overhead of millions of small files
+    dominates. Plans (does not execute) the rewrite from the file
+    manifest alone:
+
+    - files with bytes < ``small_frac`` * ``target_bytes`` are
+      compaction candidates; larger files are left alone (``keep``);
+    - within each partition, candidates are ordered bytes DESC (ties
+      by file id — deterministic) and sorted-filled into output bins:
+      bin = ceil(running_bytes / target) — each bin's total lands at
+      ~target_bytes, the first-fit-decreasing relative;
+    - a partition with fewer than 2 candidates keeps its file
+      (rewriting one file buys nothing).
+
+    Output: (partition, file_id, bytes, action 'keep'|'compact', bin —
+    NULL for keeps). Scale shape: windows are keyed by TABLE partition
+    (file counts per partition are bounded by retention, never by data
+    volume); one union of two projections; no join, no UDF. The
+    executor is ``read bin -> coalesce(1) -> rewrite`` per bin, driven
+    from this plan.
+    """
+    from pyspark.sql import Window as W
+
+    thresh = small_frac * target_bytes
+    part, fid, b = F.col(partition_col), F.col(file_col), F.col(bytes_col)
+    base = files.select(part.alias("partition"), fid.alias("file_id"),
+                        b.cast("bigint").alias("bytes"))
+    smalls = base.filter(F.col("bytes") < thresh)
+    larges = base.filter(~(F.col("bytes") < thresh))
+    wp = W.partitionBy("partition")
+    wo = (W.partitionBy("partition")
+          .orderBy(F.desc("bytes"), F.col("file_id"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    planned = (
+        smalls
+        .withColumn("_n", F.count("*").over(wp))
+        .withColumn("_cum", F.sum("bytes").over(wo))
+        .select(
+            "partition", "file_id", "bytes",
+            F.when(F.col("_n") >= 2, F.lit("compact"))
+            .otherwise(F.lit("keep")).alias("action"),
+            F.when(F.col("_n") >= 2,
+                   F.ceil(F.col("_cum") / F.lit(float(target_bytes)))
+                   .cast("int")).alias("bin"),
+        )
+    )
+    kept = larges.select(
+        "partition", "file_id", "bytes",
+        F.lit("keep").alias("action"),
+        F.lit(None).cast("int").alias("bin"))
+    return planned.unionByName(kept)

@@ -125,3 +125,26 @@ def test_frontcoding_estimate(spark):
               frontcoding_estimate(df, per_host_cap=1).collect()}
     assert capped["h.example"]["n_urls"] == 1
     assert capped["h.example"]["raw_bytes"] == 24
+
+
+def test_compaction_plan(spark):
+    """Sorted-fill binning hand-checked: 200+180+150 MB smalls against
+    a 512 MB target -> running 200/380/530 -> bins 1,1,2; a lone small
+    file and all >=256 MB files stay 'keep'."""
+    from sparkcrawl.operators.layout import compaction_plan
+
+    mb = 1024 * 1024
+    rows = [
+        ("p=0", 1, 200 * mb), ("p=0", 2, 180 * mb), ("p=0", 3, 150 * mb),
+        ("p=0", 4, 900 * mb),          # >= 256 MB threshold: keep
+        ("p=1", 5, 10 * mb),           # lone small: keep
+        ("p=1", 6, 600 * mb),
+    ]
+    df = spark.createDataFrame(rows, ["partition", "file_id", "bytes"])
+    got = {r["file_id"]: r for r in compaction_plan(df).collect()}
+    assert [got[i]["action"] for i in (1, 2, 3)] == ["compact"] * 3
+    # desc order: 200(id1), 180(id2), 150(id3) -> cum 200/380/530 MB
+    assert (got[1]["bin"], got[2]["bin"], got[3]["bin"]) == (1, 1, 2)
+    assert got[4]["action"] == "keep" and got[4]["bin"] is None
+    assert got[5]["action"] == "keep" and got[5]["bin"] is None
+    assert got[6]["action"] == "keep"
