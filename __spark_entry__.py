@@ -3573,6 +3573,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return compaction_plan(manifest, target_bytes=134_217_728)
 
+    def crawl_parked_domains(spark, sf):
+        """Parked-domain detection composed end-to-end (urlfilter.
+        parked_domain_flags -> parked_hosts): 10 host classes by
+        doc_id%10 — for-sale phrase landers (hosts 0-1), ad-block+thin
+        landers (host 2), ad-block on a link-rich page (host 3, must
+        NOT park), clean hosts otherwise. The oracle enumerates the
+        per-host arithmetic; the regex never re-runs."""
+        from sparkcrawl.operators.urlfilter import (
+            parked_domain_flags,
+            parked_hosts,
+        )
+
+        d = _read(spark, sf, "documents")
+        hn = F.col("doc_id") % 10
+        text = (
+            F.when(hn <= 1, F.lit(
+                "This domain name is for sale. Make an offer."))
+            .when(hn == 2, F.lit("Related searches: loans, insurance"))
+            .when(hn == 3, F.lit("Related searches: loans, insurance"))
+            .otherwise(F.lit(
+                "welcome to my long-running blog about gardens")))
+        links = (F.when(hn <= 2, F.lit(0)).when(hn == 3, F.lit(50))
+                 .otherwise(F.lit(10)))
+        flags = parked_domain_flags(d.select(
+            F.concat(F.lit("h"), hn.cast("string"),
+                     F.lit(".example")).alias("host"),
+            "doc_id", text.alias("text"),
+            links.cast("int").alias("n_links")))
+        return parked_hosts(flags)
+
     def crawl_yield_budgets(spark, sf):
         """Yield-steered budget apportionment, composed end-to-end:
         per-domain token totals (plans/analytics.domain_token_yield)
@@ -4080,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_scheme_migration": crawl_scheme_migration,
         "text_token_fertility": text_token_fertility,
         "layout_compaction_plan": layout_compaction_plan,
+        "crawl_parked_domains": crawl_parked_domains,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8564,6 +8595,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT partition, file_id, bytes, 'keep',
                    CAST(NULL AS INTEGER)
             FROM manifest WHERE NOT (bytes < 0.5 * 134217728)
+        """,
+        "crawl_parked_domains": """
+            WITH ag AS (
+              SELECT doc_id % 10 AS hn, COUNT(*) AS n_docs,
+                     SUM(CASE WHEN doc_id % 10 <= 2 THEN 1 ELSE 0 END)
+                       AS n_parked
+              FROM documents GROUP BY 1)
+            SELECT 'h' || CAST(hn AS VARCHAR) || '.example' AS host,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_parked AS BIGINT) AS n_parked,
+                   round(CAST(n_parked AS DOUBLE) / n_docs, 6)
+                     AS parked_share,
+                   n_docs >= 2
+                     AND CAST(n_parked AS DOUBLE) / n_docs >= 0.8
+                     AS parked_host
+            FROM ag
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

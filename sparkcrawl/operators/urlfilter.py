@@ -209,3 +209,84 @@ def pagination_ranges(urls: DataFrame, url_col: str = "url",
         (F.col("max_n") - F.col("min_n") + 1 == F.col("pages"))
         .alias("contiguous"),
     )
+
+
+#: Registrar-lander phrases (case-insensitive). Public signal set —
+#: every parked-domain study keys on the for-sale/parking boilerplate.
+PARKED_PHRASES = (
+    r"(?i)domain\s+(name\s+)?(is\s+)?for\s+sale"
+    r"|buy\s+this\s+domain|purchase\s+this\s+domain"
+    r"|domain\s+parking|parked\s+(free|domain)"
+    r"|this\s+domain\s+(has\s+been|was)\s+registered"
+    r"|make\s+an\s+offer\s+on\s+this\s+domain"
+)
+
+#: The ad-block boilerplate parked landers render instead of content.
+PARKED_AD_PHRASES = r"(?i)related\s+(searches|links)|sponsored\s+(listings|results)"
+
+
+def parked_domain_flags(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    links_col: str = "n_links",
+    max_links: int = 3,
+    max_chars: int = 2000,
+) -> DataFrame:
+    """Parked / for-sale domain detection — registrar landers are a
+    crawl-budget sink (every path on the domain serves the same sales
+    pitch) and a corpus pollutant (near-identical boilerplate at scale;
+    see Vissers, Joosen & Nikiforakis, "Parking Sensors: Analyzing and
+    Detecting Parked Domains", NDSS 2015 for the public signal set).
+    Per-doc flags, pure codegen:
+
+    - ``phrase_match``: for-sale/parking boilerplate
+      (:data:`PARKED_PHRASES`);
+    - ``ads_match``: the related-searches/sponsored-listings ad block
+      parked landers render instead of content;
+    - ``thin``: <= ``max_chars`` visible chars AND <= ``max_links``
+      outlinks (registrar landers are link-dead by design);
+    - ``parked`` = phrase_match OR (ads_match AND thin) — the ad block
+      alone also appears on legitimate thin pages, so it only votes
+      together with link-deadness.
+
+    One projection, no shuffle; roll up per host downstream with
+    :func:`parked_hosts`.
+    """
+    t = F.col(text_col)
+    phrase = F.coalesce(t.rlike(PARKED_PHRASES), F.lit(False))
+    ads = F.coalesce(t.rlike(PARKED_AD_PHRASES), F.lit(False))
+    thin = ((F.length(t) <= max_chars)
+            & (F.col(links_col) <= max_links))
+    return docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("doc_id"),
+        phrase.alias("phrase_match"),
+        ads.alias("ads_match"),
+        thin.alias("thin"),
+        (phrase | (ads & thin)).alias("parked"),
+    )
+
+
+def parked_hosts(
+    flags: DataFrame,
+    min_docs: int = 2,
+    min_share: float = 0.8,
+) -> DataFrame:
+    """Host rollup of :func:`parked_domain_flags`: a host is parked
+    when (nearly) EVERY sampled page is a lander — one page matching
+    the phrases may be an article ABOUT domain sales. ONE
+    map-combinable host agg; the output is the host blocklist feed for
+    url_quality_filter's broadcast side."""
+    agg = flags.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("parked").cast("long")).alias("n_parked"),
+    )
+    share_raw = F.col("n_parked") / F.col("n_docs")
+    return agg.select(
+        "host", "n_docs", "n_parked",
+        F.round(share_raw, 6).alias("parked_share"),
+        ((F.col("n_docs") >= min_docs)
+         & (share_raw >= min_share)).alias("parked_host"),
+    )

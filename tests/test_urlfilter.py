@@ -126,3 +126,41 @@ def test_pagination_ranges(spark):
     assert got["http://h/x/5?page={}"]["pages"] == 2
     assert "http://h/one/{}" not in got          # singleton
     assert all("nopage" not in k for k in got)
+
+
+def test_parked_domain_flags_and_hosts(spark):
+    """Phrase landers park regardless of links; the ad block only
+    parks together with link-deadness; the host rollup needs both the
+    doc floor and the share bar."""
+    from sparkcrawl.operators.urlfilter import (
+        parked_domain_flags,
+        parked_hosts,
+    )
+
+    rows = [
+        ("sale.example", 1, "This DOMAIN is for sale today", 40),
+        ("sale.example", 2, "Buy this domain now", 0),
+        ("ads.example", 3, "related searches: pills", 1),
+        ("ads.example", 4, "Sponsored Listings below", 2),
+        ("rich.example", 5, "related links section", 90),   # not thin
+        ("blog.example", 6, "my essay about domain names", 12),
+        ("mixed.example", 7, "domain parking lot review essay "
+                             "about the parked domain industry", 25),
+        ("mixed.example", 8, "an ordinary article", 9),
+    ]
+    df = spark.createDataFrame(rows, ["host", "doc_id", "text", "n_links"])
+    flags = parked_domain_flags(df)
+    got = {r["doc_id"]: r for r in flags.collect()}
+    assert got[1]["parked"] and got[1]["phrase_match"]
+    assert got[2]["parked"]
+    assert got[3]["parked"] and got[3]["ads_match"] and got[3]["thin"]
+    assert not got[5]["parked"]          # ads but 90 links
+    assert not got[6]["parked"]
+    assert got[7]["phrase_match"]        # essay mentions the phrases...
+    hosts = {r["host"]: r for r in parked_hosts(flags).collect()}
+    assert hosts["sale.example"]["parked_host"]
+    assert hosts["ads.example"]["parked_host"]
+    assert not hosts["rich.example"]["parked_host"]
+    # ...but the host share bar saves mixed.example (1 of 2 docs)
+    assert not hosts["mixed.example"]["parked_host"]
+    assert hosts["mixed.example"]["parked_share"] == 0.5
