@@ -3968,6 +3968,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_bucket_size=_LSH_CAP)
         return simsearch.ann_recall_eval(exact, approx, k=5)
 
+    def simsearch_ndcg_eval(spark, sf):
+        """Measured nDCG@5 of the LSH-bucketed ANN path against exact
+        brute force (simsearch.ann_ndcg_eval) at the registry's LSH
+        config — the graded companion to simsearch_recall_eval: gains
+        are the exact rounded cosines, so losing the rank-1 neighbor
+        costs more than losing rank 5."""
+        emb = _read(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        exact = simsearch.brute_force_topk(emb, q, k=5)
+        approx = simsearch.lsh_bucketed_topk(
+            emb, q, k=5, n_planes=_LSH_PLANES, dim=_EMB_DIM,
+            seed=_LSH_SEED, n_bands=_LSH_BANDS,
+            max_bucket_size=_LSH_CAP)
+        return simsearch.ann_ndcg_eval(exact, approx, k=5)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4111,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_fertility": text_token_fertility,
         "layout_compaction_plan": layout_compaction_plan,
         "crawl_parked_domains": crawl_parked_domains,
+        "simsearch_ndcg_eval": simsearch_ndcg_eval,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -7907,6 +7923,64 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(ru) * 1.0 / count(*) / 1000000.0, 6)
                      AS mean_recall,
                    round(min(ru) / 1000000.0, 6) AS min_recall
+            FROM j
+        """.replace("{bb}", _banded_bucket_cte(_LSH_PLANES)),
+        "simsearch_ndcg_eval": f"""
+            WITH bb AS ({{bb}}),
+            ok AS (
+              SELECT band, bucket FROM bb
+              GROUP BY band, bucket HAVING count(*) <= {_LSH_CAP}),
+            bc AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+            acand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+              FROM bb q JOIN bc c ON q.band = c.band AND q.bucket = c.bucket
+              WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+            approx AS (
+              SELECT query_id, cand_id, rank FROM (
+                SELECT query_id, cand_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY query_id
+                         ORDER BY round({_cos_sql('q.embedding', 'c.embedding')}, 6) DESC,
+                                  cand_id) AS rank
+                FROM acand
+                JOIN embeddings q ON q.vec_id = acand.query_id
+                JOIN embeddings c ON c.vec_id = acand.cand_id)
+              WHERE rank <= 5),
+            exact AS (
+              SELECT query_id, cand_id, sim, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       round({_cos_sql('q.embedding', 'c.embedding')}, 6) AS sim,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY round({_cos_sql('q.embedding', 'c.embedding')}, 6) DESC,
+                                  c.vec_id) AS rank
+                FROM embeddings q CROSS JOIN embeddings c
+                WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
+              WHERE rank <= 5),
+            e2 AS (
+              SELECT query_id AS q, cand_id AS c,
+                     greatest(sim, 0.0) AS g,
+                     greatest(sim, 0.0) / log2(rank + 1.0) AS gd
+              FROM exact),
+            idcg AS (SELECT q, SUM(gd) AS idcg FROM e2 GROUP BY q),
+            dcg AS (
+              SELECT a.query_id AS q,
+                     SUM(e2.g / log2(a.rank + 1.0)) AS dcg
+              FROM approx a
+              JOIN e2 ON e2.q = a.query_id AND e2.c = a.cand_id
+              GROUP BY a.query_id),
+            j AS (
+              SELECT idcg.q, idcg.idcg,
+                     coalesce(dcg.dcg, 0.0) AS dcg,
+                     CAST(round(coalesce(dcg.dcg, 0.0) * 1000000.0
+                                / idcg.idcg) AS BIGINT) AS nu
+              FROM idcg LEFT JOIN dcg ON dcg.q = idcg.q
+              WHERE idcg.idcg > 0)
+            SELECT count(*) AS n_queries,
+                   round(sum(dcg) / sum(idcg), 6) AS micro_ndcg,
+                   round(sum(nu) * 1.0 / count(*) / 1000000.0, 6)
+                     AS mean_ndcg,
+                   round(min(nu) / 1000000.0, 6) AS min_ndcg
             FROM j
         """.replace("{bb}", _banded_bucket_cte(_LSH_PLANES)),
         "crawl_sitemap_coverage": r"""

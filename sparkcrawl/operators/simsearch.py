@@ -946,3 +946,62 @@ def embedding_health(
     return (norm_leg.crossJoin(dim_leg).crossJoin(max_leg)
             .select("n_vectors", "dim", "mean_norm", "min_norm",
                     "n_zero_norm", "n_dead_dims", "max_abs"))
+
+
+def ann_ndcg_eval(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int | None = None,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    rank_col: str = "rank",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """nDCG@k of an approximate ANN result against the exact one — the
+    graded companion to :func:`ann_recall_eval`: recall treats every
+    exact top-k member equally, but losing the rank-1 neighbor costs a
+    downstream mining stage (margin scoring, near-dup verification)
+    far more than losing rank k. Standard pooled-truth nDCG
+    (Järvelin & Kekäläinen, TOIS 2002): gain of a retrieved candidate
+    = its EXACT similarity (clamped at 0 — cosine can be negative),
+    discount 1/log2(rank+1); IDCG from the exact ranking itself;
+    candidates outside the exact top-k pool carry zero gain.
+
+    ONE summary row: (n_queries, micro_ndcg = pooled sum DCG / sum
+    IDCG, mean_ndcg, min_ndcg). Per-query nDCG is converted to integer
+    micro-units before averaging (the ann_recall_eval device) so the
+    mean is bit-identical under any partitioning and in the oracle.
+
+    Scale shape: per-query aggs over <= k rows each, one equi-join of
+    two top-k tables co-keyed by query — all bounded by queries*k,
+    never by corpus size.
+    """
+    e = exact if k is None else exact.filter(F.col(rank_col) <= k)
+    a = approx if k is None else approx.filter(F.col(rank_col) <= k)
+    gain = F.greatest(F.col(sim_col), F.lit(0.0))
+    disc = F.lit(1.0) / F.log2(F.col(rank_col).cast("double") + 1.0)
+    e2 = e.select(F.col(query_col).alias("q"), F.col(cand_col).alias("c"),
+                  gain.alias("g"), (gain * disc).alias("gd"))
+    idcg = e2.groupBy("q").agg(F.sum("gd").alias("idcg"))
+    a2 = a.select(F.col(query_col).alias("q"), F.col(cand_col).alias("c"),
+                  disc.alias("ad"))
+    dcg = (
+        a2.join(e2.select("q", "c", "g"), ["q", "c"])
+        .groupBy("q").agg(F.sum(F.col("g") * F.col("ad")).alias("dcg"))
+    )
+    j = (
+        idcg.join(dcg, "q", "left")
+        .withColumn("dcg", F.coalesce(F.col("dcg"), F.lit(0.0)))
+        .filter(F.col("idcg") > 0)
+        .withColumn(
+            "_nu",
+            F.round(F.col("dcg") * F.lit(1_000_000.0) / F.col("idcg"))
+            .cast("long"))
+    )
+    return j.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.sum("dcg") / F.sum("idcg"), 6).alias("micro_ndcg"),
+        F.round(F.sum("_nu") / F.count("*") / F.lit(1e6), 6)
+        .alias("mean_ndcg"),
+        F.round(F.min("_nu") / F.lit(1e6), 6).alias("min_ndcg"),
+    )

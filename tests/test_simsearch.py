@@ -1053,3 +1053,51 @@ def test_embedding_health(spark):
     assert r2["n_dead_dims"] == 1
     assert r2["mean_norm"] == round((
         (3 ** 2 + 4 ** 2 + 1) ** 0.5 + (6 ** 2 + 8 ** 2 + 1) ** 0.5) / 2, 6)
+
+
+def test_ann_ndcg_eval(spark):
+    """Hand-computed nDCG: perfect retrieval -> 1.0; swapping in a
+    zero-gain candidate at rank 1 pushes the true top hit to rank 2
+    and drops nDCG by exactly the discount ratio."""
+    import math
+
+    from sparkcrawl.operators.simsearch import ann_ndcg_eval
+
+    exact = spark.createDataFrame(
+        [(1, 10, 0.9, 1), (1, 11, 0.5, 2),
+         (2, 20, 0.8, 1), (2, 21, 0.4, 2)],
+        ["query_id", "cand_id", "sim", "rank"])
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2),          # perfect for q1
+         (2, 99, 1), (2, 20, 2)],         # junk at rank 1 for q2
+        ["query_id", "cand_id", "rank"])
+    row = ann_ndcg_eval(exact, approx, k=2).collect()[0]
+    idcg2 = 0.8 / math.log2(2) + 0.4 / math.log2(3)
+    dcg2 = 0.8 / math.log2(3)             # true top hit demoted
+    half_up = lambda x: math.floor(x + 0.5)   # Spark/DuckDB rounding
+    assert row["n_queries"] == 2
+    assert row["min_ndcg"] == round(half_up(dcg2 * 1e6 / idcg2) / 1e6, 6)
+    assert row["mean_ndcg"] == round(
+        (1_000_000 + half_up(dcg2 * 1e6 / idcg2)) / 2 / 1e6, 6)
+    idcg1 = 0.9 / math.log2(2) + 0.5 / math.log2(3)
+    assert row["micro_ndcg"] == round(
+        (idcg1 + dcg2) / (idcg1 + idcg2), 6)
+
+
+def test_ann_ndcg_negative_gain_clamped(spark):
+    """Negative exact sims clamp to zero gain: a query whose entire
+    exact pool is negative has IDCG 0 and drops out of the summary."""
+    from sparkcrawl.operators.simsearch import ann_ndcg_eval
+
+    exact = spark.createDataFrame(
+        [(1, 10, 0.6, 1), (1, 11, -0.2, 2),
+         (3, 30, -0.5, 1)],
+        ["query_id", "cand_id", "sim", "rank"])
+    approx = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (3, 30, 1)],
+        ["query_id", "cand_id", "rank"])
+    import math
+    row = ann_ndcg_eval(exact, approx, k=2).collect()[0]
+    assert row["n_queries"] == 1          # q3 excluded (IDCG 0)
+    got = 1 / math.log2(3)                # 0.6/log2(3) over 0.6/log2(2)
+    assert row["micro_ndcg"] == round(got, 6)
