@@ -1074,11 +1074,15 @@ def test_ann_ndcg_eval(spark):
     row = ann_ndcg_eval(exact, approx, k=2).collect()[0]
     idcg2 = 0.8 / math.log2(2) + 0.4 / math.log2(3)
     dcg2 = 0.8 / math.log2(3)             # true top hit demoted
+    from decimal import ROUND_HALF_UP, Decimal
+
     half_up = lambda x: math.floor(x + 0.5)   # Spark/DuckDB rounding
+    r6 = lambda x: float(Decimal(repr(x)).quantize(
+        Decimal("1e-6"), ROUND_HALF_UP))      # Spark round(col, 6)
     assert row["n_queries"] == 2
-    assert row["min_ndcg"] == round(half_up(dcg2 * 1e6 / idcg2) / 1e6, 6)
-    assert row["mean_ndcg"] == round(
-        (1_000_000 + half_up(dcg2 * 1e6 / idcg2)) / 2 / 1e6, 6)
+    assert row["min_ndcg"] == r6(half_up(dcg2 * 1e6 / idcg2) / 1e6)
+    assert row["mean_ndcg"] == r6(
+        (1_000_000 + half_up(dcg2 * 1e6 / idcg2)) / 2 / 1e6)
     idcg1 = 0.9 / math.log2(2) + 0.5 / math.log2(3)
     assert row["micro_ndcg"] == round(
         (idcg1 + dcg2) / (idcg1 + idcg2), 6)
