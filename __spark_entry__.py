@@ -3983,6 +3983,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_bucket_size=_LSH_CAP)
         return simsearch.ann_ndcg_eval(exact, approx, k=5)
 
+    def crawl_link_rot(spark, sf):
+        """Link-rot accounting (plans/analytics.link_rot): 10 source
+        domains link into a 200-URL target pool; every third target
+        was never fetched (stays unknown, never counted dead), every
+        fifth fetched target is a 404. The oracle re-derives resolved/
+        dead per distinct (src, dst) pair arithmetically."""
+        from sparkcrawl.plans.analytics import link_rot
+
+        ev = _read(spark, sf, "events")
+        edges = ev.select(
+            F.concat(F.lit("d"), (F.col("user_id") % 10).cast("string"))
+            .alias("src_domain"),
+            F.concat(F.lit("http://t.example/p/"),
+                     (F.col("event_id") % 200).cast("string"))
+            .alias("dst_url"))
+        p = F.col("id")
+        outcomes = spark.range(200).filter(p % 3 != 2).select(
+            F.concat(F.lit("http://t.example/p/"), p.cast("string"))
+            .alias("url"),
+            F.when(p % 5 == 0, F.lit("not_found"))
+            .otherwise(F.lit("success")).alias("outcome"))
+        return link_rot(edges, outcomes)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4127,6 +4150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_compaction_plan": layout_compaction_plan,
         "crawl_parked_domains": crawl_parked_domains,
         "simsearch_ndcg_eval": simsearch_ndcg_eval,
+        "crawl_link_rot": crawl_link_rot,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8684,6 +8708,26 @@ def oracle_sql() -> dict[str, str]:
                    n_docs >= 2
                      AND CAST(n_parked AS DOUBLE) / n_docs >= 0.8
                      AS parked_host
+            FROM ag
+        """,
+        "crawl_link_rot": """
+            WITH e AS (
+              SELECT DISTINCT user_id % 10 AS s, event_id % 200 AS p
+              FROM events),
+            ag AS (
+              SELECT s, COUNT(*) AS n_links,
+                     SUM(CASE WHEN p % 3 <> 2 THEN 1 ELSE 0 END)
+                       AS n_resolved,
+                     SUM(CASE WHEN p % 3 <> 2 AND p % 5 = 0
+                              THEN 1 ELSE 0 END) AS n_dead
+              FROM e GROUP BY s)
+            SELECT 'd' || CAST(s AS VARCHAR) AS src_domain,
+                   CAST(n_links AS BIGINT) AS n_links,
+                   CAST(n_resolved AS BIGINT) AS n_resolved,
+                   CAST(n_dead AS BIGINT) AS n_dead,
+                   CASE WHEN n_resolved > 0 THEN
+                     round(CAST(n_dead AS DOUBLE) / n_resolved, 6)
+                   END AS dead_share
             FROM ag
         """,
         "crawl_pagination_ranges": """

@@ -361,3 +361,50 @@ def depth_yield(fetched: DataFrame, url_col: str = "url",
         F.round(F.col("total_tokens") / F.col("_g"), 6)
         .alias("token_share"),
     )
+
+
+def link_rot(
+    edges: DataFrame,
+    outcomes: DataFrame,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_url",
+    url_col: str = "url",
+    outcome_col: str = "outcome",
+    dead_outcomes: tuple[str, ...] = ("not_found", "gone"),
+) -> DataFrame:
+    """Link-rot accounting per source domain: of the outlinks a domain
+    publishes, how many point at targets the crawl has observed dead
+    (404/410 outcomes). High rot marks stale link farms and decaying
+    archives — their link-graph endorsements (PageRank mass, anchor
+    evidence) should be discounted, and their pages deprioritized for
+    recrawl-driven discovery since the frontier gains nothing by
+    re-walking dead pointers.
+
+    Targets never fetched stay ``unknown`` — absence of evidence is
+    not death. Output per src domain: (src_domain, n_links,
+    n_resolved, n_dead, dead_share = dead/resolved, NULL when nothing
+    resolved).
+
+    Scale shape: dedupe the edge list on (src, dst), ONE hash join on
+    the dst URL key against the |seen|-sized outcome table (both sides
+    shuffle on the same url key the engine co-partitions everywhere
+    else), then one map-combinable domain agg. No window, no UDF.
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    o = outcomes.select(F.col(url_col).alias("dst"),
+                        F.col(outcome_col).alias("_oc"))
+    j = e.join(o, "dst", "left")
+    dead = F.col("_oc").isin(*dead_outcomes)
+    agg = j.groupBy(F.col("src").alias("src_domain")).agg(
+        F.count("*").alias("n_links"),
+        F.sum(F.col("_oc").isNotNull().cast("long")).alias("n_resolved"),
+        F.sum(dead.cast("long")).alias("n_dead"),
+    )
+    return agg.select(
+        "src_domain", "n_links", "n_resolved",
+        F.coalesce(F.col("n_dead"), F.lit(0)).alias("n_dead"),
+        F.when(F.col("n_resolved") > 0,
+               F.round(F.coalesce(F.col("n_dead"), F.lit(0))
+                       / F.col("n_resolved"), 6)).alias("dead_share"),
+    )

@@ -205,3 +205,31 @@ def test_depth_yield(spark):
     assert got[2]["total_tokens"] == 30
     assert got[3]["tokens_per_doc"] == 40.0
     assert abs(sum(r["token_share"] for r in got.values()) - 1.0) < 1e-6
+
+
+def test_link_rot(spark):
+    """Unfetched targets stay unknown (never dead); duplicate edges
+    collapse; an all-unresolved domain reports NULL share."""
+    from sparkcrawl.plans.analytics import link_rot
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "http://t/1"), ("a", "http://t/1"),   # dup edge
+            ("a", "http://t/2"), ("a", "http://t/3"),
+            ("b", "http://t/9"),                         # never fetched
+        ],
+        ["src_domain", "dst_url"])
+    outcomes = spark.createDataFrame(
+        [
+            ("http://t/1", "not_found"),
+            ("http://t/2", "success"),
+            # t/3 never fetched
+        ],
+        ["url", "outcome"])
+    got = {r["src_domain"]: r for r in link_rot(edges, outcomes).collect()}
+    a = got["a"]
+    assert (a["n_links"], a["n_resolved"], a["n_dead"]) == (3, 2, 1)
+    assert a["dead_share"] == 0.5
+    b = got["b"]
+    assert (b["n_links"], b["n_resolved"], b["n_dead"]) == (1, 0, 0)
+    assert b["dead_share"] is None
