@@ -4006,6 +4006,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.lit("success")).alias("outcome"))
         return link_rot(edges, outcomes)
 
+    def layout_snapshot_expiry(spark, sf):
+        """Snapshot-retention planning (layout.snapshot_expiry_plan):
+        a 500-version snapshot log keeps the newest 10 plus every
+        50th older anchor, expiring the rest — recent beats anchor
+        when both apply. The oracle derives the same recent threshold
+        via ORDER BY DESC LIMIT."""
+        from sparkcrawl.operators.layout import snapshot_expiry_plan
+
+        ev = _read(spark, sf, "events")
+        snaps = ev.select((F.col("event_id") % 500).alias("version"))
+        return snapshot_expiry_plan(snaps, keep_last=10, keep_every=50)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4151,6 +4163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_parked_domains": crawl_parked_domains,
         "simsearch_ndcg_eval": simsearch_ndcg_eval,
         "crawl_link_rot": crawl_link_rot,
+        "layout_snapshot_expiry": layout_snapshot_expiry,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8729,6 +8742,22 @@ def oracle_sql() -> dict[str, str]:
                      round(CAST(n_dead AS DOUBLE) / n_resolved, 6)
                    END AS dead_share
             FROM ag
+        """,
+        "layout_snapshot_expiry": """
+            WITH vers AS (
+              SELECT DISTINCT CAST(event_id % 500 AS BIGINT) AS version
+              FROM events),
+            thr AS (
+              SELECT MIN(version) AS t FROM (
+                SELECT version FROM vers
+                ORDER BY version DESC LIMIT 10))
+            SELECT version,
+                   CASE WHEN version >= thr.t OR version % 50 = 0
+                        THEN 'keep' ELSE 'expire' END AS action,
+                   CASE WHEN version >= thr.t THEN 'recent'
+                        WHEN version % 50 = 0 THEN 'anchor' END
+                     AS reason
+            FROM vers, thr
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

@@ -242,3 +242,46 @@ def compaction_plan(
         F.lit("keep").alias("action"),
         F.lit(None).cast("int").alias("bin"))
     return planned.unionByName(kept)
+
+
+def snapshot_expiry_plan(
+    snapshots: DataFrame,
+    keep_last: int = 10,
+    keep_every: int = 50,
+    version_col: str = "version",
+) -> DataFrame:
+    """Snapshot-retention planner — the second Iceberg/Delta
+    maintenance pass next to :func:`compaction_plan` (their
+    expire_snapshots / VACUUM): a superstep-per-commit frontier
+    accretes one table version per superstep, and unreferenced
+    manifests+files are only reclaimable once the versions pointing at
+    them expire. Deterministic rule, planned from the snapshot log
+    alone:
+
+    - the newest ``keep_last`` versions stay (``recent`` — resume and
+      time-travel window),
+    - older versions divisible by ``keep_every`` stay (``anchor`` —
+      the coarse history lattice),
+    - everything else expires.
+
+    Output: (version, action 'keep'|'expire', reason
+    'recent'|'anchor'|NULL). The recent threshold is derived with an
+    orderBy().limit(keep_last) -> 1-row min, broadcast back — no
+    global window; the snapshot log is metadata-sized (bounded by
+    supersteps x retention, never by data volume), so the limit's
+    single-partition funnel is structurally bounded.
+    """
+    vers = snapshots.select(
+        F.col(version_col).cast("bigint").alias("version")).distinct()
+    thr = (vers.orderBy(F.desc("version")).limit(keep_last)
+           .agg(F.min("version").alias("_thr")))
+    recent = F.col("version") >= F.col("_thr")
+    anchor = F.col("version") % keep_every == 0
+    return vers.crossJoin(F.broadcast(thr)).select(
+        "version",
+        F.when(recent | anchor, F.lit("keep"))
+        .otherwise(F.lit("expire")).alias("action"),
+        F.when(recent, F.lit("recent"))
+        .when(anchor, F.lit("anchor"))
+        .otherwise(F.lit(None).cast("string")).alias("reason"),
+    )

@@ -148,3 +148,26 @@ def test_compaction_plan(spark):
     assert got[4]["action"] == "keep" and got[4]["bin"] is None
     assert got[5]["action"] == "keep" and got[5]["bin"] is None
     assert got[6]["action"] == "keep"
+
+
+def test_snapshot_expiry_plan(spark):
+    """Newest keep_last stay 'recent' (beating 'anchor' when both
+    apply), older multiples of keep_every stay 'anchor', the rest
+    expire; a log shorter than keep_last keeps everything."""
+    from sparkcrawl.operators.layout import snapshot_expiry_plan
+
+    snaps = spark.createDataFrame(
+        [(v,) for v in range(0, 120)], ["version"])
+    got = {r["version"]: r
+           for r in snapshot_expiry_plan(
+               snaps, keep_last=10, keep_every=50).collect()}
+    assert got[119]["reason"] == "recent"
+    assert got[110]["reason"] == "recent"
+    assert got[109]["action"] == "expire" and got[109]["reason"] is None
+    assert got[100]["reason"] == "anchor"      # 100 % 50 == 0, old
+    assert got[50]["reason"] == "anchor"
+    assert got[0]["reason"] == "anchor"
+    assert got[49]["action"] == "expire"
+    tiny = spark.createDataFrame([(3,), (7,)], ["version"])
+    assert {r["action"] for r in snapshot_expiry_plan(
+        tiny, keep_last=10, keep_every=50).collect()} == {"keep"}
