@@ -4018,6 +4018,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         snaps = ev.select((F.col("event_id") % 500).alias("version"))
         return snapshot_expiry_plan(snaps, keep_last=10, keep_every=50)
 
+    def graph_reciprocity(spark, sf):
+        """Link reciprocity per host (graph.reciprocity_stats) over an
+        arithmetic host graph — the oracle mirrors the identical
+        distinct -> mirror-equi-join -> host-agg pipeline in SQL, so
+        every derived edge's reciprocity must agree, not just class
+        counts (Davison AAAI 2000 nepotistic-link signal)."""
+        from sparkcrawl.operators.graph import reciprocity_stats
+
+        ev = _read(spark, sf, "events")
+        e, u = F.col("event_id"), F.col("user_id")
+        edges = ev.select(
+            F.concat(F.lit("h"), (e % 10).cast("string")).alias("src"),
+            F.concat(F.lit("h"),
+                     ((e * 3 + u) % 10).cast("string")).alias("dst"))
+        return reciprocity_stats(edges)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4164,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ndcg_eval": simsearch_ndcg_eval,
         "crawl_link_rot": crawl_link_rot,
         "layout_snapshot_expiry": layout_snapshot_expiry,
+        "graph_reciprocity": graph_reciprocity,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8758,6 +8775,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN version % 50 = 0 THEN 'anchor' END
                      AS reason
             FROM vers, thr
+        """,
+        "graph_reciprocity": """
+            WITH e AS (
+              SELECT DISTINCT
+                     'h' || CAST(event_id % 10 AS VARCHAR) AS s,
+                     'h' || CAST((event_id * 3 + user_id) % 10
+                                 AS VARCHAR) AS d
+              FROM events),
+            e2 AS (SELECT * FROM e WHERE s <> d),
+            m AS (
+              SELECT e2.s, e2.d, r.s IS NOT NULL AS rec
+              FROM e2 LEFT JOIN e2 r ON r.s = e2.d AND r.d = e2.s),
+            ag AS (
+              SELECT s, COUNT(*) AS n_out,
+                     SUM(CASE WHEN rec THEN 1 ELSE 0 END) AS n_rec
+              FROM m GROUP BY s)
+            SELECT s AS host, CAST(n_out AS BIGINT) AS n_out,
+                   CAST(n_rec AS BIGINT) AS n_reciprocal,
+                   round(CAST(n_rec AS DOUBLE) / n_out, 6)
+                     AS reciprocal_share,
+                   n_out >= 2 AND CAST(n_rec AS DOUBLE) / n_out >= 0.7
+                     AS flagged
+            FROM ag
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

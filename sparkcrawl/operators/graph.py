@@ -770,3 +770,50 @@ def most_wanted(
         F.countDistinct("_s").alias("referrers"),
         F.round(F.sum("_r"), 6).alias("wanted_score"),
     )
+
+
+def reciprocity_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_out: int = 2,
+    high_share: float = 0.7,
+) -> DataFrame:
+    """Link reciprocity per host — the classic nepotistic-link signal
+    (Davison, "Recognizing Nepotistic Links on the Web", AAAI 2000):
+    organic endorsement is mostly one-way, while link-exchange rings
+    and mirror farms link back. A host whose out-links are
+    overwhelmingly reciprocated earns a rank discount BEFORE any
+    iterative rank spends supersteps on it (cheaper than spam_mass,
+    which needs a trust seed set).
+
+    Per host over the DISTINCT host-level edge list (self-loops
+    dropped): (host, n_out, n_reciprocal, reciprocal_share, flagged =
+    n_out >= ``min_out`` AND share >= ``high_share``).
+
+    Scale shape: one distinct, ONE self-equi-join on the full
+    (src,dst)=(dst,src) composite key — an equi-join, never a pair
+    enumeration: each edge meets at most its exact mirror — then one
+    map-combinable host agg. No window, no cap needed (join
+    cardinality <= |edges|).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"),
+                   F.lit(1).alias("_r"))
+    marked = e.join(rev, ["s", "d"], "left")
+    agg = marked.groupBy(F.col("s").alias("host")).agg(
+        F.count("*").alias("n_out"),
+        F.sum(F.coalesce(F.col("_r"), F.lit(0)).cast("long"))
+        .alias("n_reciprocal"),
+    )
+    share_raw = F.col("n_reciprocal") / F.col("n_out")
+    return agg.select(
+        "host", "n_out", "n_reciprocal",
+        F.round(share_raw, 6).alias("reciprocal_share"),
+        ((F.col("n_out") >= min_out)
+         & (share_raw >= high_share)).alias("flagged"),
+    )

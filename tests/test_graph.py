@@ -322,3 +322,32 @@ def test_most_wanted(spark):
     assert got["gem"]["inlinks"] == 2 and got["gem"]["referrers"] == 2
     assert got["junk"]["wanted_score"] == round(0.3, 6)
     assert got["gem"]["wanted_score"] > got["junk"]["wanted_score"]
+
+
+def test_reciprocity_stats(spark):
+    """A two-host link ring flags; a one-way chain does not;
+    self-loops and duplicate edges are ignored."""
+    from sparkcrawl.operators.graph import reciprocity_stats
+
+    edges = spark.createDataFrame(
+        [
+            ("ring1", "ring2"), ("ring2", "ring1"),
+            ("ring1", "ring2"),                     # dup edge
+            ("ring1", "ring1"),                     # self-loop
+            ("ring1", "chainA"),                    # one organic outlink
+            ("chainA", "chainB"), ("chainB", "chainC"),
+        ],
+        ["src", "dst"])
+    got = {r["host"]: r
+           for r in reciprocity_stats(edges, min_out=2).collect()}
+    r1 = got["ring1"]
+    assert (r1["n_out"], r1["n_reciprocal"]) == (2, 1)
+    assert r1["reciprocal_share"] == 0.5 and not r1["flagged"]
+    r2 = got["ring2"]
+    assert (r2["n_out"], r2["n_reciprocal"]) == (1, 1)
+    assert not r2["flagged"]                       # below min_out
+    assert got["chainA"]["n_reciprocal"] == 0
+    fully = spark.createDataFrame(
+        [("x", "y"), ("y", "x"), ("x", "z"), ("z", "x")], ["src", "dst"])
+    f = {r["host"]: r for r in reciprocity_stats(fully).collect()}
+    assert f["x"]["flagged"] and f["x"]["reciprocal_share"] == 1.0
