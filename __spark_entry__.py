@@ -4034,6 +4034,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      ((e * 3 + u) % 10).cast("string")).alias("dst"))
         return reciprocity_stats(edges)
 
+    def corpus_host_languages(spark, sf):
+        """Per-host language mix (textops.host_language_profile) over
+        the REAL lang column with hosts assigned by doc_id%12 — the
+        oracle mirrors the identical two-level agg including the
+        struct-max majority tie-break (count desc, then lang desc)."""
+        from sparkcrawl.operators.textops import host_language_profile
+
+        d = _read(spark, sf, "documents")
+        return host_language_profile(d.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 12).cast("string"),
+                     F.lit(".example")).alias("host"),
+            "lang"))
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4181,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_link_rot": crawl_link_rot,
         "layout_snapshot_expiry": layout_snapshot_expiry,
         "graph_reciprocity": graph_reciprocity,
+        "corpus_host_languages": corpus_host_languages,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8798,6 +8812,35 @@ def oracle_sql() -> dict[str, str]:
                    n_out >= 2 AND CAST(n_rec AS DOUBLE) / n_out >= 0.7
                      AS flagged
             FROM ag
+        """,
+        "corpus_host_languages": """
+            WITH per AS (
+              SELECT 'h' || CAST(doc_id % 12 AS VARCHAR) || '.example'
+                       AS host,
+                     lang, COUNT(*) AS c
+              FROM documents GROUP BY 1, 2),
+            mj AS (
+              SELECT host, lang AS majority_lang, c AS mc
+              FROM (SELECT host, lang, c,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY host
+                             ORDER BY c DESC, lang DESC) AS rn
+                    FROM per)
+              WHERE rn = 1),
+            ag AS (
+              SELECT host, CAST(SUM(c) AS BIGINT) AS n_docs,
+                     CAST(COUNT(*) AS BIGINT) AS n_langs,
+                     SUM(c * ln(c)) AS clnc
+              FROM per GROUP BY host)
+            SELECT ag.host, ag.n_docs, ag.n_langs, mj.majority_lang,
+                   round(CAST(mj.mc AS DOUBLE) / ag.n_docs, 6)
+                     AS majority_share,
+                   round(ln(ag.n_docs) - ag.clnc / ag.n_docs, 6)
+                     AS lang_entropy,
+                   ag.n_docs >= 2
+                     AND ln(ag.n_docs) - ag.clnc / ag.n_docs >= 0.5
+                     AS multilingual
+            FROM ag JOIN mj ON mj.host = ag.host
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

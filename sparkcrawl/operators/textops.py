@@ -2310,3 +2310,55 @@ def token_fertility_by_lang(
                        / F.col("total_chars"), 6))
         .alias("tokens_per_100_chars"),
     )
+
+
+def host_language_profile(
+    docs: DataFrame,
+    host_col: str = "host",
+    lang_col: str = "lang",
+    min_docs: int = 2,
+    multi_entropy: float = 0.5,
+) -> DataFrame:
+    """Per-host language mix — the readout that routes hosts between
+    pipelines: a monolingual host feeds one language shard directly, a
+    genuinely multilingual host is an hreflang/bitext-candidate site
+    (feed operators/bitext.py), and a host whose 'languages' are
+    uniform noise is a langid-failure cluster worth auditing.
+
+    Per host: (n_docs, n_langs, majority_lang, majority_share,
+    lang_entropy in nats via the map-combinable identity ln n -
+    sum(c ln c)/n, multilingual = n_docs >= ``min_docs`` AND entropy
+    >= ``multi_entropy``). Majority tie-break: on equal counts the
+    lexicographically LARGEST lang wins (struct-max ordering — one
+    deterministic rule, no window).
+
+    Scale shape: two hash aggs — (host, lang) then host — both
+    map-side combinable; output is |hosts|-sized. No join, no window,
+    no UDF.
+    """
+    per = (
+        docs.groupBy(F.col(host_col).alias("host"),
+                     F.col(lang_col).alias("lang"))
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per.groupBy("host").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clnc"),
+        F.max(F.struct(F.col("c"), F.col("lang"))).alias("_mj"),
+    )
+    ent = F.round(
+        F.log(F.col("n_docs")) - F.col("_clnc") / F.col("n_docs"), 6)
+    return agg.select(
+        "host",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("_mj.lang").alias("majority_lang"),
+        F.round(F.col("_mj.c") / F.col("n_docs"), 6)
+        .alias("majority_share"),
+        ent.alias("lang_entropy"),
+        ((F.col("n_docs") >= min_docs)
+         & ((F.log(F.col("n_docs"))
+             - F.col("_clnc") / F.col("n_docs")) >= multi_entropy))
+        .alias("multilingual"),
+    )

@@ -1170,3 +1170,32 @@ def test_token_fertility_by_lang(spark):
     zz = got["zz"]
     assert zz["total_re_tokens"] == 0
     assert zz["tokens_per_100_chars"] is None
+
+
+def test_host_language_profile(spark):
+    """Hand-checked entropy and the struct-max majority tie-break
+    (equal counts -> lexicographically larger lang wins)."""
+    import math
+
+    from sparkcrawl.operators.textops import host_language_profile
+
+    rows = [
+        ("mono", "en"), ("mono", "en"), ("mono", "en"),
+        ("multi", "en"), ("multi", "de"), ("multi", "en"),
+        ("multi", "fr"),
+        ("tie", "de"), ("tie", "en"),
+        ("solo", "zh"),
+    ]
+    df = spark.createDataFrame(rows, ["host", "lang"])
+    got = {r["host"]: r for r in host_language_profile(df).collect()}
+    m = got["mono"]
+    assert (m["n_docs"], m["n_langs"], m["majority_lang"]) == (3, 1, "en")
+    assert m["lang_entropy"] == 0.0 and not m["multilingual"]
+    mu = got["multi"]
+    assert mu["majority_lang"] == "en"
+    assert mu["majority_share"] == 0.5
+    exp = round(math.log(4) - (2 * math.log(2)) / 4, 6)
+    assert mu["lang_entropy"] == exp and mu["multilingual"]
+    assert got["tie"]["majority_lang"] == "en"     # ties -> larger lang
+    s = got["solo"]
+    assert not s["multilingual"]                    # below min_docs
