@@ -177,7 +177,8 @@ def main() -> None:
         wanted = [w.strip() for w in args.report.split(",") if w.strip()]
         known = {"saturation", "drain", "starvation", "sitemap-coverage",
                  "token-yield", "fairness", "rebalance", "dup-rate",
-                 "value-steering"}
+                 "value-steering", "reciprocity", "soft404",
+                 "scheme-migration", "param-entropy"}
         unknown = set(wanted) - known
         if unknown:
             raise SystemExit(f"unknown --report kinds: {sorted(unknown)} "
@@ -283,6 +284,61 @@ def main() -> None:
                          frontier.select("url_hash"),
                          cfg.num_queues, args.rebalance_queues)
                      .orderBy("strategy", "old_queue", "new_queue"))
+        if "reciprocity" in wanted:
+            # link-exchange rings over the recorded host link graph
+            from sparkcrawl.operators.graph import reciprocity_stats
+            from sparkcrawl.sources.store import LinkEdgesTable
+
+            edges = LinkEdgesTable(args.workdir).read(spark)
+            if edges is None:
+                raise SystemExit(
+                    "--report reciprocity requires a workdir crawled "
+                    "with --record-link-graph")
+            emit("reciprocity",
+                 reciprocity_stats(edges.select(
+                     F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst")))
+                 .orderBy(F.desc("reciprocal_share"), "host")
+                 .limit(args.report_limit))
+        if "soft404" in wanted:
+            # phrase-lane soft-404s over the stored documents (doc_id
+            # IS the fetched url; every stored doc answered 200; no
+            # per-host probes in a live workdir: length lane stays off)
+            from sparkcrawl.operators.health import soft404_flags
+
+            docs = run.documents.read(spark)
+            if docs is not None:
+                spans = F.col("spans")
+                text = F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter(spans, lambda s: s["kind"] == F.lit("text")),
+                        lambda s: s["text"]))
+                pages = docs.select(
+                    F.lower(F.regexp_extract(
+                        F.col("doc_id"),
+                        r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)).alias("host"),
+                    F.col("doc_id").alias("url"),
+                    F.lit(200).alias("status"),
+                    F.length(text).alias("body_len"),
+                    text.alias("text"))
+                emit("soft404",
+                     soft404_flags(pages).filter("soft404")
+                     .orderBy("host", "url").limit(args.report_limit))
+        if "scheme-migration" in wanted and frontier is not None:
+            from sparkcrawl.operators.mirrors import scheme_migration_report
+
+            emit("scheme_migration",
+                 scheme_migration_report(frontier.select("url"))
+                 .orderBy(F.desc("https_share"), "host")
+                 .limit(args.report_limit))
+        if "param-entropy" in wanted and frontier is not None:
+            from sparkcrawl.operators.dust import param_value_entropy
+
+            emit("param_entropy",
+                 param_value_entropy(frontier.select("url"))
+                 .orderBy(F.desc("entropy_nats"), "host", "param")
+                 .limit(args.report_limit))
         if "sitemap-coverage" in wanted:
             if not args.sitemap_locs:
                 raise SystemExit(

@@ -22,7 +22,7 @@ _SPEC.loader.exec_module(run_crawl)
 def crawl_workdir(spark, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("cli_reports") / "work")
     _cli(wd, "--generate-fixtures", "8", "--max-supersteps", "3",
-         "--num-queues", "4")
+         "--num-queues", "4", "--record-link-graph")
     return wd
 
 
@@ -152,3 +152,29 @@ def test_report_dup_rate_and_value_steering(spark, crawl_workdir, capsys):
     assert {"domain", "total_tokens", "effective_tokens",
             "weight"} <= set(vs[0])
     assert abs(sum(r["weight"] for r in vs) - 1.0) < 1e-4
+
+
+def test_report_reciprocity(spark, crawl_workdir, capsys):
+    rows = _report_rows(capsys, crawl_workdir, "reciprocity")
+    assert rows and all(r["report"] == "reciprocity" for r in rows)
+    assert {"host", "n_out", "n_reciprocal", "reciprocal_share",
+            "flagged"} <= set(rows[0])
+    for r in rows:
+        assert 0 <= r["n_reciprocal"] <= r["n_out"]
+
+
+def test_report_soft404_and_scheme_migration(spark, crawl_workdir, capsys):
+    rows = _report_rows(capsys, crawl_workdir,
+                        "soft404,scheme-migration,param-entropy")
+    kinds = {r["report"] for r in rows}
+    # soft404/param-entropy may legitimately be empty on the fixture
+    # web (no error landers, no query strings) — scheme report always
+    # has the frontier's hosts
+    assert "scheme_migration" in kinds
+    sm = [r for r in rows if r["report"] == "scheme_migration"]
+    assert {"host", "n_paths", "https_share", "migrate"} <= set(sm[0])
+    for r in rows:
+        if r["report"] == "soft404":
+            assert r["soft404"] and r["status"] == 200
+        if r["report"] == "param_entropy":
+            assert r["param_class"] in ("id_like", "enum_like", "mixed")
