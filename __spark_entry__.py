@@ -4047,6 +4047,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.lit(".example")).alias("host"),
             "lang"))
 
+    def crawl_shared_hosting(spark, sf):
+        """Hosts-per-IP fan (urlfilter.shared_hosting_fan): 12 IPs
+        serve a mix of standalone domains (even events) and subdomain
+        families under ten big*.com parents (odd events) — n_domains
+        must collapse the family via the real PSL path while n_hosts
+        counts every name. Oracle derives the same pairs and the
+        registered domain by class arithmetic."""
+        from sparkcrawl.operators.urlfilter import shared_hosting_fan
+
+        ev = _read(spark, sf, "events")
+        e = F.col("event_id")
+        host = (
+            F.when(e % 2 == 0, F.concat(
+                F.lit("s"), (e % 300).cast("string"), F.lit(".com")))
+            .otherwise(F.concat(
+                F.lit("sub"), (e % 5).cast("string"), F.lit(".big"),
+                (e % 10).cast("string"), F.lit(".com"))))
+        pairs = ev.select(
+            host.alias("host"),
+            F.concat(F.lit("10.0."), (e % 12).cast("string"),
+                     F.lit(".1")).alias("ip"))
+        return shared_hosting_fan(pairs, min_hosts=20)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4195,6 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_snapshot_expiry": layout_snapshot_expiry,
         "graph_reciprocity": graph_reciprocity,
         "corpus_host_languages": corpus_host_languages,
+        "crawl_shared_hosting": crawl_shared_hosting,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8841,6 +8865,28 @@ def oracle_sql() -> dict[str, str]:
                      AND ln(ag.n_docs) - ag.clnc / ag.n_docs >= 0.5
                      AS multilingual
             FROM ag JOIN mj ON mj.host = ag.host
+        """,
+        "crawl_shared_hosting": """
+            WITH pairs AS (
+              SELECT DISTINCT
+                CASE WHEN event_id % 2 = 0
+                     THEN 's' || CAST(event_id % 300 AS VARCHAR)
+                          || '.com'
+                     ELSE 'sub' || CAST(event_id % 5 AS VARCHAR)
+                          || '.big' || CAST(event_id % 10 AS VARCHAR)
+                          || '.com' END AS host,
+                CASE WHEN event_id % 2 = 0
+                     THEN 's' || CAST(event_id % 300 AS VARCHAR)
+                          || '.com'
+                     ELSE 'big' || CAST(event_id % 10 AS VARCHAR)
+                          || '.com' END AS dom,
+                '10.0.' || CAST(event_id % 12 AS VARCHAR) || '.1' AS ip
+              FROM events)
+            SELECT ip, CAST(COUNT(*) AS BIGINT) AS n_hosts,
+                   CAST(COUNT(DISTINCT dom) AS BIGINT) AS n_domains,
+                   MIN(host) AS example_host,
+                   COUNT(*) >= 20 AS mass_hosting
+            FROM pairs GROUP BY ip
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

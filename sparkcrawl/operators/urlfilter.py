@@ -290,3 +290,37 @@ def parked_hosts(
         ((F.col("n_docs") >= min_docs)
          & (share_raw >= min_share)).alias("parked_host"),
     )
+
+
+def shared_hosting_fan(
+    host_ip: DataFrame,
+    min_hosts: int = 50,
+    host_col: str = "host",
+    ip_col: str = "ip",
+) -> DataFrame:
+    """Hosts-per-IP fan — the shared-hosting/spam-farm signal
+    (Fetterly, Manasse & Najork, "Spam, Damn Spam, and Statistics",
+    WebDB 2004: machines hosting thousands of hostnames are
+    overwhelmingly spam): a DNS-cache export (host, ip) collapses to a
+    per-IP fan count, and IPs whose fan crosses ``min_hosts`` feed the
+    same review/blocklist lane as parked_hosts. Also the capacity
+    readout for ip-keyed politeness (a 1000-host IP fan means those
+    1000 'hosts' share one real politeness budget —
+    schedule.ip_politeness_slots).
+
+    Per IP over distinct (host, ip): (ip, n_hosts, n_domains,
+    example_host = lexicographic min, mass_hosting). TWO map-combinable
+    aggs ((ip,host) dedupe then ip), output |IPs|-sized; no window, no
+    join, no UDF.
+    """
+    from sparkcrawl.functions.domains import registered_domain
+
+    pairs = host_ip.select(
+        F.col(ip_col).alias("ip"), F.col(host_col).alias("host")).distinct()
+    return pairs.groupBy("ip").agg(
+        F.count("*").alias("n_hosts"),
+        F.countDistinct(registered_domain(F.col("host")))
+        .alias("n_domains"),
+        F.min("host").alias("example_host"),
+        (F.count("*") >= min_hosts).alias("mass_hosting"),
+    )

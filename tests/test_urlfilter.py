@@ -164,3 +164,23 @@ def test_parked_domain_flags_and_hosts(spark):
     # ...but the host share bar saves mixed.example (1 of 2 docs)
     assert not hosts["mixed.example"]["parked_host"]
     assert hosts["mixed.example"]["parked_share"] == 0.5
+
+
+def test_shared_hosting_fan(spark):
+    """Duplicate DNS rows collapse; subdomain families count many
+    hosts but one registered domain; the fan bar flags."""
+    from sparkcrawl.operators.urlfilter import shared_hosting_fan
+
+    rows = [
+        ("a.example.org", "1.1.1.1"), ("a.example.org", "1.1.1.1"),
+        ("b.example.org", "1.1.1.1"), ("other.net", "1.1.1.1"),
+        ("solo.net", "2.2.2.2"),
+    ]
+    df = spark.createDataFrame(rows, ["host", "ip"])
+    got = {r["ip"]: r for r in shared_hosting_fan(df, min_hosts=3).collect()}
+    fan = got["1.1.1.1"]
+    assert fan["n_hosts"] == 3
+    assert fan["n_domains"] == 2          # example.org + other.net
+    assert fan["example_host"] == "a.example.org"
+    assert fan["mass_hosting"]
+    assert not got["2.2.2.2"]["mass_hosting"]
