@@ -4070,6 +4070,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.lit(".1")).alias("ip"))
         return shared_hosting_fan(pairs, min_hosts=20)
 
+    def text_reading_ease(spark, sf):
+        """Flesch Reading Ease (textops.flesch_reading_ease) over the
+        REAL documents text — all three regexp counters are
+        DuckDB-expressible, so the oracle re-runs them and the rounded
+        scores must agree value-for-value."""
+        from sparkcrawl.operators.textops import flesch_reading_ease
+
+        return flesch_reading_ease(_read(spark, sf, "documents"))
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4219,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": graph_reciprocity,
         "corpus_host_languages": corpus_host_languages,
         "crawl_shared_hosting": crawl_shared_hosting,
+        "text_reading_ease": text_reading_ease,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8887,6 +8897,28 @@ def oracle_sql() -> dict[str, str]:
                    MIN(host) AS example_host,
                    COUNT(*) >= 20 AS mass_hosting
             FROM pairs GROUP BY ip
+        """,
+        "text_reading_ease": """
+            WITH per AS (
+              SELECT doc_id AS id,
+                     len(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')),
+                              1) AS n_sentences,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS n_syllables
+              FROM documents)
+            SELECT id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   CAST(n_syllables AS BIGINT) AS n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                     round(206.835
+                           - 1.015 * (CAST(n_words AS DOUBLE)
+                                      / n_sentences)
+                           - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                     / n_words), 4)
+                   END AS flesch
+            FROM per
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

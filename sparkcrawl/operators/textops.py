@@ -2362,3 +2362,48 @@ def host_language_profile(
              - F.col("_clnc") / F.col("n_docs")) >= multi_entropy))
         .alias("multilingual"),
     )
+
+
+def flesch_reading_ease(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch Reading Ease (Flesch 1948 — the classic readability
+    score; quality-curation pipelines band on it the way they band on
+    Gopher/C4 rules): 206.835 - 1.015·(words/sentences) -
+    84.6·(syllables/words). Relational approximations, documented and
+    deterministic:
+
+    - words   = ``[a-z]+`` runs of the lowercased text (digits/
+      punctuation are not words);
+    - sentences = ``[.!?]+`` runs, floored at 1 (a fragment is one
+      sentence);
+    - syllables = ``[aeiouy]+`` vowel-group runs — a vowel run never
+      spans two words (separators are non-vowels), so the global run
+      count equals the per-word sum, WITHOUT materializing a token
+      stream.
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch rounded to
+    4; NULL when the doc has no words). One codegen projection — three
+    regexp counters per row, no explode/shuffle/UDF. The score is the
+    curation-side band input (quality_top_fraction / curation_audit
+    accept it like any other quality column).
+    """
+    t = F.lower(F.col(text_col))
+    words = F.size(F.regexp_extract_all(t, F.lit(r"[a-z]+"), 0))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(r"[.!?]+"), 0)),
+        F.lit(1))
+    syll = F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), 0))
+    score = (F.lit(206.835)
+             - F.lit(1.015) * (words.cast("double") / sents)
+             - F.lit(84.6) * (syll.cast("double") / words))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        words.cast("bigint").alias("n_words"),
+        sents.cast("bigint").alias("n_sentences"),
+        syll.cast("bigint").alias("n_syllables"),
+        F.when(words > 0, F.round(score, 4)).alias("flesch"),
+    )

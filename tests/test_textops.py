@@ -1199,3 +1199,27 @@ def test_host_language_profile(spark):
     assert got["tie"]["majority_lang"] == "en"     # ties -> larger lang
     s = got["solo"]
     assert not s["multilingual"]                    # below min_docs
+
+
+def test_flesch_reading_ease(spark):
+    """Hand-counted lanes: 'The cat sat. It ran!' -> 5 words, 2
+    sentences, 5 vowel runs; empty/wordless docs report NULL."""
+    from sparkcrawl.operators.textops import flesch_reading_ease
+
+    rows = [
+        (1, "The cat sat. It ran!"),
+        (2, "12345 !!!"),
+        (3, "Incomprehensibilities abound"),   # fragment: 1 sentence
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r for r in flesch_reading_ease(df).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (5, 2, 5)
+    assert r1["flesch"] == round(
+        206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), 4)
+    r2 = got[2]
+    assert r2["n_words"] == 0 and r2["flesch"] is None
+    r3 = got[3]
+    # in-com-pre-hen-si-bi-li-ties a-bound: vowel runs
+    assert r3["n_sentences"] == 1
+    assert r3["n_words"] == 2
