@@ -4079,6 +4079,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return flesch_reading_ease(_read(spark, sf, "documents"))
 
+    def crawl_priority_drift(spark, sf):
+        """PSI between two synthetic frontier snapshots (plans/
+        analytics.priority_drift_psi): before uses priorities 1-4,
+        after 1-5 — the union bin set has a zero 'before' bin, so the
+        additive smoothing lane is exercised. The oracle mirrors the
+        smoothed-PSI arithmetic bin-for-bin."""
+        from sparkcrawl.plans.analytics import priority_drift_psi
+
+        ev = _read(spark, sf, "events")
+        e = F.col("event_id")
+        before = ev.select((e % 4 + 1).alias("priority"))
+        after = ev.select((e % 5 + 1).alias("priority"))
+        return priority_drift_psi(before, after)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4229,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_host_languages": corpus_host_languages,
         "crawl_shared_hosting": crawl_shared_hosting,
         "text_reading_ease": text_reading_ease,
+        "crawl_priority_drift": crawl_priority_drift,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8919,6 +8934,37 @@ def oracle_sql() -> dict[str, str]:
                                      / n_words), 4)
                    END AS flesch
             FROM per
+        """,
+        "crawl_priority_drift": """
+            WITH a AS (
+              SELECT event_id % 4 + 1 AS bin, COUNT(*) AS ca
+              FROM events GROUP BY 1),
+            b AS (
+              SELECT event_id % 5 + 1 AS bin, COUNT(*) AS cb
+              FROM events GROUP BY 1),
+            bins AS (
+              SELECT coalesce(a.bin, b.bin) AS bin,
+                     coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+              FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+            tot AS (
+              SELECT SUM(ca) AS ta, SUM(cb) AS tb, COUNT(*) AS nb
+              FROM bins),
+            sm AS (
+              SELECT nb, ta, tb,
+                     (ca + 0.5) / (ta + 0.5 * nb) AS pa,
+                     (cb + 0.5) / (tb + 0.5 * nb) AS pb
+              FROM bins, tot),
+            ag AS (
+              SELECT CAST(nb AS BIGINT) AS n_bins,
+                     CAST(ta AS BIGINT) AS total_before,
+                     CAST(tb AS BIGINT) AS total_after,
+                     round(SUM((pb - pa) * ln(pb / pa)), 6) AS psi
+              FROM sm GROUP BY 1, 2, 3)
+            SELECT n_bins, total_before, total_after, psi,
+                   CASE WHEN psi < 0.1 THEN 'stable'
+                        WHEN psi < 0.25 THEN 'moderate'
+                        ELSE 'major' END AS drift
+            FROM ag
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

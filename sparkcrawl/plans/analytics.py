@@ -408,3 +408,58 @@ def link_rot(
                F.round(F.coalesce(F.col("n_dead"), F.lit(0))
                        / F.col("n_resolved"), 6)).alias("dead_share"),
     )
+
+
+def priority_drift_psi(
+    before: DataFrame,
+    after: DataFrame,
+    col: str = "priority",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two frontier snapshots'
+    priority distributions — the standard drift score (credit-risk
+    monitoring vocabulary, applied here to the scheduler): a config
+    push or a prioritizer bug that silently reshapes the priority
+    histogram shows up as PSI long before throughput or fairness move.
+    PSI = sum over bins of (p_after - p_before)·ln(p_after/p_before),
+    with additive ``alpha``-smoothing on the UNION bin set so new or
+    vanished bins stay finite (the deterministic stand-in for the
+    ad-hoc 'replace 0 with 0.0001' rule).
+
+    ONE summary row: (n_bins, total_before, total_after, psi, drift =
+    'stable' < 0.1 <= 'moderate' < 0.25 <= 'major' — the conventional
+    PSI bands). Scale shape: two map-combinable bin aggs (bin
+    cardinality = priority levels, tiny), one full outer join on bin,
+    one 1-row rollup. No window, no UDF.
+    """
+    a = before.groupBy(F.col(col).alias("bin")).agg(
+        F.count("*").alias("ca"))
+    b = after.groupBy(F.col(col).alias("bin")).agg(
+        F.count("*").alias("cb"))
+    bins = (
+        a.join(b, "bin", "full_outer")
+        .select("bin",
+                F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+                F.coalesce(F.col("cb"), F.lit(0)).alias("cb"))
+    )
+    tot = bins.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"),
+                   F.count("*").alias("nb"))
+    sm = bins.crossJoin(F.broadcast(tot)).select(
+        "nb", "ta", "tb",
+        ((F.col("ca") + alpha)
+         / (F.col("ta") + alpha * F.col("nb"))).alias("pa"),
+        ((F.col("cb") + alpha)
+         / (F.col("tb") + alpha * F.col("nb"))).alias("pb"),
+    )
+    psi = F.sum((F.col("pb") - F.col("pa"))
+                * F.log(F.col("pb") / F.col("pa")))
+    out = sm.groupBy("nb", "ta", "tb").agg(F.round(psi, 6).alias("psi"))
+    return out.select(
+        F.col("nb").cast("bigint").alias("n_bins"),
+        F.col("ta").cast("bigint").alias("total_before"),
+        F.col("tb").cast("bigint").alias("total_after"),
+        "psi",
+        F.when(F.col("psi") < 0.1, F.lit("stable"))
+        .when(F.col("psi") < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("major")).alias("drift"),
+    )

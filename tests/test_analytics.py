@@ -233,3 +233,26 @@ def test_link_rot(spark):
     b = got["b"]
     assert (b["n_links"], b["n_resolved"], b["n_dead"]) == (1, 0, 0)
     assert b["dead_share"] is None
+
+
+def test_priority_drift_psi(spark):
+    """Identical snapshots -> PSI 0 ('stable'); a wholesale shift to a
+    new bin -> 'major'; hand-checked smoothed arithmetic on a tiny
+    case with a vanished bin."""
+    import math
+
+    from sparkcrawl.plans.analytics import priority_drift_psi
+
+    same = spark.createDataFrame([(1,)] * 6 + [(2,)] * 4, ["priority"])
+    row = priority_drift_psi(same, same).collect()[0]
+    assert row["psi"] == 0.0 and row["drift"] == "stable"
+    assert (row["total_before"], row["total_after"]) == (10, 10)
+
+    before = spark.createDataFrame([(1,)] * 8 + [(2,)] * 2, ["priority"])
+    after = spark.createDataFrame([(3,)] * 10, ["priority"])
+    row = priority_drift_psi(before, after).collect()[0]
+    assert row["n_bins"] == 3 and row["drift"] == "major"
+    pa = [(8 + .5) / 11.5, (2 + .5) / 11.5, .5 / 11.5]
+    pb = [.5 / 11.5, .5 / 11.5, (10 + .5) / 11.5]
+    exp = sum((b - a) * math.log(b / a) for a, b in zip(pa, pb))
+    assert abs(row["psi"] - exp) < 1e-6
