@@ -4093,6 +4093,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         after = ev.select((e % 5 + 1).alias("priority"))
         return priority_drift_psi(before, after)
 
+    def crawl_title_templates(spark, sf):
+        """Duplicate-title clustering (extract.title_dup_stats): 8
+        host classes by doc_id%8 — CMS-default hosts (one shared
+        title), unique-title blogs, a half-duplicated host, and
+        untitled shells (missing <title> collapses to the '' class).
+        The oracle enumerates titles per class arithmetic and mirrors
+        the two-level agg including the struct-max tie-break."""
+        from sparkcrawl.operators.extract import title_dup_stats
+
+        d = _read(spark, sf, "documents")
+        hn = F.col("doc_id") % 8
+        title = (
+            F.when(hn <= 2, F.lit("Home - Site Name"))
+            .when(hn <= 4, F.concat(F.lit("Post "),
+                                    F.col("doc_id").cast("string")))
+            .when(hn == 5, F.concat(F.lit("T"),
+                                    (F.col("doc_id") % 2).cast("string")))
+            .otherwise(F.lit(None).cast("string")))
+        html = F.when(
+            title.isNotNull(),
+            F.concat(F.lit("<html><head><title>  "), title,
+                     F.lit("\n</title></head><body>x</body></html>"))
+        ).otherwise(F.lit("<html><body>untitled shell</body></html>"))
+        return title_dup_stats(d.select(
+            F.concat(F.lit("h"), hn.cast("string"),
+                     F.lit(".example")).alias("host"),
+            html.alias("html")))
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4244,6 +4272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_shared_hosting": crawl_shared_hosting,
         "text_reading_ease": text_reading_ease,
         "crawl_priority_drift": crawl_priority_drift,
+        "crawl_title_templates": crawl_title_templates,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -8965,6 +8994,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN psi < 0.25 THEN 'moderate'
                         ELSE 'major' END AS drift
             FROM ag
+        """,
+        "crawl_title_templates": """
+            WITH t AS (
+              SELECT doc_id % 8 AS hn,
+                     CASE WHEN doc_id % 8 <= 2 THEN 'home - site name'
+                          WHEN doc_id % 8 <= 4
+                            THEN 'post ' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 8 = 5
+                            THEN 't' || CAST(doc_id % 2 AS VARCHAR)
+                          ELSE '' END AS title
+              FROM documents),
+            per AS (
+              SELECT hn, title, COUNT(*) AS c FROM t GROUP BY 1, 2),
+            top AS (
+              SELECT hn, title AS top_title, c AS tc FROM (
+                SELECT hn, title, c,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY hn
+                         ORDER BY c DESC, title DESC) AS rn
+                FROM per) WHERE rn = 1),
+            ag AS (
+              SELECT hn, CAST(SUM(c) AS BIGINT) AS n_pages,
+                     CAST(COUNT(*) AS BIGINT) AS n_titles
+              FROM per GROUP BY hn)
+            SELECT 'h' || CAST(ag.hn AS VARCHAR) || '.example' AS host,
+                   n_pages, n_titles,
+                   round(1.0 - CAST(n_titles AS DOUBLE) / n_pages, 6)
+                     AS dup_share,
+                   top.top_title, CAST(top.tc AS BIGINT) AS top_count,
+                   n_pages >= 2
+                     AND 1.0 - CAST(n_titles AS DOUBLE) / n_pages
+                         >= 0.5 AS templated
+            FROM ag JOIN top ON top.hn = ag.hn
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

@@ -782,3 +782,55 @@ def markup_ratio(docs: DataFrame, html_col: str = "html",
                F.round(F.length(visible) / F.length(h), 6))
         .alias("text_ratio"),
     )
+
+
+def title_dup_stats(
+    pages: DataFrame,
+    html_col: str = "html",
+    host_col: str = "host",
+    min_pages: int = 2,
+    dup_bar: float = 0.5,
+) -> DataFrame:
+    """Duplicate-title clustering per host — the cheapest template/
+    CMS-default detector there is: a host whose pages overwhelmingly
+    share one <title> ("Home - Site Name", an untitled CMS default) is
+    serving templated shells, and title equality is also the classic
+    zero-cost prefilter ahead of content near-dup (titles are tiny,
+    bodies are not). Title = first ``<title>`` text, whitespace-
+    collapsed, lowercased; missing titles collapse to the ``''`` class
+    (untitled IS a template).
+
+    Per host: (n_pages, n_titles, dup_share = 1 - titles/pages,
+    top_title, top_count, templated = n_pages >= ``min_pages`` AND
+    dup_share >= ``dup_bar``). Top tie-break: lexicographically
+    largest title on equal counts (struct-max, no window).
+
+    Scale shape: one codegen regexp projection, then two hash aggs —
+    (host, title) and host — both map-side combinable. No join, no
+    window, no UDF, and bodies never shuffle (only the short titles
+    do).
+    """
+    title = F.lower(F.trim(F.regexp_replace(
+        F.regexp_extract(F.col(html_col),
+                         r"(?is)<title[^>]*>([^<]*)", 1),
+        r"\s+", " ")))
+    per = (
+        pages.select(F.col(host_col).alias("host"), title.alias("title"))
+        .groupBy("host", "title").agg(F.count("*").alias("c"))
+    )
+    agg = per.groupBy("host").agg(
+        F.sum("c").alias("n_pages"),
+        F.count("*").alias("n_titles"),
+        F.max(F.struct(F.col("c"), F.col("title"))).alias("_top"),
+    )
+    share_raw = F.lit(1.0) - F.col("n_titles") / F.col("n_pages")
+    return agg.select(
+        "host",
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        F.col("n_titles").cast("bigint").alias("n_titles"),
+        F.round(share_raw, 6).alias("dup_share"),
+        F.col("_top.title").alias("top_title"),
+        F.col("_top.c").cast("bigint").alias("top_count"),
+        ((F.col("n_pages") >= min_pages) & (share_raw >= dup_bar))
+        .alias("templated"),
+    )

@@ -460,3 +460,32 @@ def test_markup_ratio(spark):
     assert got[2]["script_style_len"] == len("<script type='x'>junk()</script>")
     assert got[3]["visible_len"] == 0          # case-folded style block
     assert got[4]["text_ratio"] is None
+
+
+def test_title_dup_stats(spark):
+    """Whitespace/case-normalized titles cluster; missing titles form
+    the '' class; struct-max tie-break on equal counts."""
+    from sparkcrawl.operators.extract import title_dup_stats
+
+    mk = lambda t: f"<html><head><title>{t}</title></head><body/></html>"
+    rows = [
+        ("cms.example", mk("  Home -   Site ")),
+        ("cms.example", mk("home - site")),
+        ("cms.example", mk("About Us")),
+        ("blog.example", mk("Post 1")),
+        ("blog.example", mk("Post 2")),
+        ("bare.example", "<html><body>no title</body></html>"),
+        ("bare.example", "<html><body>also none</body></html>"),
+        ("tie.example", mk("aaa")), ("tie.example", mk("bbb")),
+    ]
+    df = spark.createDataFrame(rows, ["host", "html"])
+    got = {r["host"]: r for r in title_dup_stats(df).collect()}
+    cms = got["cms.example"]
+    assert (cms["n_pages"], cms["n_titles"]) == (3, 2)
+    assert cms["top_title"] == "home - site" and cms["top_count"] == 2
+    assert cms["templated"] is False          # dup_share 1/3 < 0.5
+    blog = got["blog.example"]
+    assert blog["dup_share"] == 0.0 and not blog["templated"]
+    bare = got["bare.example"]
+    assert bare["top_title"] == "" and bare["templated"]
+    assert got["tie.example"]["top_title"] == "bbb"   # tie -> larger
