@@ -466,3 +466,41 @@ def test_saturation_and_coverage_plans(spark, queries):
     a = plan_of(queries["corpus_curation_audit"](spark, SF), "simple")
     assert "Window" not in a   # audit argmax is a min-of-struct agg
     assert "BatchEvalPython" not in a and "ArrowEvalPython" not in a
+
+
+def test_soft404_probe_join_is_broadcast_no_python(spark, queries):
+    """The per-host probe dimension must broadcast onto the fetch
+    slice, and both signal lanes stay JVM-side (regexp + arithmetic,
+    no BatchEvalPython)."""
+    p = plan_of(queries["crawl_soft404"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_param_entropy_is_two_hash_aggs_no_window(spark, queries):
+    """Entropy via the ln n - sum(c ln c)/n identity: two hash
+    aggregations, never a per-value window or Python."""
+    p = plan_of(queries["crawl_param_entropy"](spark, SF), "simple")
+    assert "Window" not in p
+    assert "EvalPython" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_compaction_plan_windows_are_partitioned(spark, queries):
+    """The sorted-fill windows must be keyed by the TABLE partition —
+    a global (empty-key) window would funnel the whole manifest
+    through one task."""
+    p = plan_of(queries["layout_compaction_plan"](spark, SF))
+    for m in re.finditer(r"partitionBy=\[([^\]]*)\]", p):
+        assert m.group(1).strip(), f"unpartitioned window in plan:\n{p}"
+    assert "EvalPython" not in p
+
+
+def test_reciprocity_join_is_equi_not_cartesian(spark, queries):
+    """The mirror join must be a hash/sort-merge EQUI join on the
+    composite key — never a cartesian/broadcast-nested-loop pair
+    enumeration."""
+    p = plan_of(queries["graph_reciprocity"](spark, SF), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
