@@ -4121,6 +4121,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.lit(".example")).alias("host"),
             html.alias("html")))
 
+    def embedding_mean_pool(spark, sf):
+        """Chunk->doc embedding pooling (simsearch.pool_embeddings):
+        the real embedding table's vectors mean-pooled into 50 groups
+        (vec_id%50) — the SBERT chunk-pooling primitive. The oracle
+        runs the identical dim-wise avg via the dual-unnest position
+        trick; component rounding pins the float order."""
+        emb = _read(spark, sf, "embeddings")
+        return simsearch.pool_embeddings(
+            emb.select((F.col("vec_id") % 50).alias("group_id"),
+                       "embedding"))
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4273,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_reading_ease": text_reading_ease,
         "crawl_priority_drift": crawl_priority_drift,
         "crawl_title_templates": crawl_title_templates,
+        "embedding_mean_pool": embedding_mean_pool,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -9027,6 +9039,24 @@ def oracle_sql() -> dict[str, str]:
                      AND 1.0 - CAST(n_titles AS DOUBLE) / n_pages
                          >= 0.5 AS templated
             FROM ag JOIN top ON top.hn = ag.hn
+        """,
+        "embedding_mean_pool": """
+            WITH e AS (
+              SELECT vec_id % 50 AS g,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            vals AS (
+              SELECT g,
+                     unnest(generate_series(1, len(v))) - 1 AS pos,
+                     unnest(v) AS x
+              FROM e),
+            per AS (
+              SELECT g, pos, COUNT(*) AS n, round(avg(x), 6) AS mv
+              FROM vals GROUP BY 1, 2)
+            SELECT g AS group_id,
+                   CAST(MAX(n) AS BIGINT) AS n_members,
+                   list(mv ORDER BY pos) AS embedding
+            FROM per GROUP BY g
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

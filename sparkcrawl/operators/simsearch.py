@@ -1005,3 +1005,43 @@ def ann_ndcg_eval(
         .alias("mean_ndcg"),
         F.round(F.min("_nu") / F.lit(1e6), 6).alias("min_ndcg"),
     )
+
+
+def pool_embeddings(
+    vectors: DataFrame,
+    group_col: str = "group_id",
+    vec_col: str = "embedding",
+    mode: str = "mean",
+) -> DataFrame:
+    """Pool member embeddings (chunk/span/paragraph vectors) into one
+    vector per group — the table-construction primitive behind every
+    doc-level embedding column: long documents are embedded in chunks
+    and mean-pooled (the SBERT/SentenceTransformers default), or
+    max-pooled for feature-presence semantics. Output: (group,
+    n_members, embedding) with components rounded to 6 (pooled floats
+    are order-of-addition sensitive; rounding pins the cross-engine
+    value, same device as the cosine lanes).
+
+    Relational shape: posexplode to (group, dim, value) — rows x dim,
+    the honest cost of dimension-wise aggregation — then TWO hash aggs
+    ((group, dim) pool, then group re-assembly via array_sort over the
+    collected (dim, value) structs: sorted by dim, deterministic under
+    any partitioning). Group cardinality bounds the collect_list at
+    exactly `dim` entries — never corpus-sized. No window, no UDF.
+    """
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be 'mean' or 'max', got {mode!r}")
+    pool = F.avg if mode == "mean" else F.max
+    ex = vectors.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    per = ex.groupBy("g", "pos").agg(
+        F.count("*").alias("n"),
+        F.round(pool(F.col("v").cast("double")), 6).alias("mv"))
+    doc = per.groupBy("g").agg(
+        F.max("n").cast("bigint").alias("n_members"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s["mv"]).alias("embedding"))
+    return doc.select(F.col("g").alias(group_col), "n_members",
+                      "embedding")

@@ -1105,3 +1105,27 @@ def test_ann_ndcg_negative_gain_clamped(spark):
     assert row["n_queries"] == 1          # q3 excluded (IDCG 0)
     got = 1 / math.log2(3)                # 0.6/log2(3) over 0.6/log2(2)
     assert row["micro_ndcg"] == round(got, 6)
+
+
+def test_pool_embeddings(spark):
+    """Hand-checked mean and max pooling; component order preserved;
+    singleton groups pass through (rounded)."""
+    import pytest as _pt
+
+    from sparkcrawl.operators.simsearch import pool_embeddings
+
+    rows = [
+        ("d1", [1.0, 2.0, 3.0]),
+        ("d1", [3.0, 2.0, 1.0]),
+        ("d2", [0.5, -0.5, 0.25]),
+    ]
+    df = spark.createDataFrame(rows, ["group_id", "embedding"])
+    got = {r["group_id"]: r for r in pool_embeddings(df).collect()}
+    assert got["d1"]["n_members"] == 2
+    assert got["d1"]["embedding"] == [2.0, 2.0, 2.0]
+    assert got["d2"]["embedding"] == [0.5, -0.5, 0.25]
+    mx = {r["group_id"]: r
+          for r in pool_embeddings(df, mode="max").collect()}
+    assert mx["d1"]["embedding"] == [3.0, 2.0, 3.0]
+    with _pt.raises(ValueError):
+        pool_embeddings(df, mode="median")
