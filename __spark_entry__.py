@@ -4132,6 +4132,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.select((F.col("vec_id") % 50).alias("group_id"),
                        "embedding"))
 
+    def crawl_backlink_novelty(spark, sf):
+        """New-backlink recrawl boost (freshness.backlink_novelty):
+        a 120-URL fetched set (fetched_superstep = id%25) against
+        inlinks discovered at user_id%30 — only strictly-later
+        discoveries count, never-fetched targets are excluded, and
+        the log2 boost ladder is exercised across its rungs. Oracle
+        mirrors the join-filter-agg with an exact CASE ladder."""
+        from sparkcrawl.operators.freshness import backlink_novelty
+
+        ev = _read(spark, sf, "events")
+        edges = ev.select(
+            F.concat(F.lit("http://t/"),
+                     (F.col("event_id") % 120).cast("string"))
+            .alias("dst"),
+            (F.col("user_id") % 30).alias("discovered_superstep"))
+        fetched = spark.range(120).select(
+            F.concat(F.lit("http://t/"), F.col("id").cast("string"))
+            .alias("url"),
+            (F.col("id") % 25).alias("fetched_superstep"))
+        return backlink_novelty(edges, fetched)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4285,6 +4306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_priority_drift": crawl_priority_drift,
         "crawl_title_templates": crawl_title_templates,
         "embedding_mean_pool": embedding_mean_pool,
+        "crawl_backlink_novelty": crawl_backlink_novelty,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -9057,6 +9079,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n) AS BIGINT) AS n_members,
                    list(mv ORDER BY pos) AS embedding
             FROM per GROUP BY g
+        """,
+        "crawl_backlink_novelty": """
+            WITH f AS (
+              SELECT unnest(generate_series(0, 119)) AS p),
+            e AS (
+              SELECT event_id % 120 AS p, user_id % 30 AS disc
+              FROM events),
+            new AS (
+              SELECT e.p, f.p % 25 AS fs
+              FROM e JOIN f ON f.p = e.p
+              WHERE e.disc > f.p % 25),
+            ag AS (
+              SELECT p, fs, COUNT(*) AS n FROM new GROUP BY 1, 2)
+            SELECT 'http://t/' || CAST(p AS VARCHAR) AS url,
+                   CAST(fs AS BIGINT) AS fetched_superstep,
+                   CAST(n AS BIGINT) AS n_new_inlinks,
+                   CAST(CASE WHEN n + 1 >= 16 THEN 4
+                             WHEN n + 1 >= 8 THEN 3
+                             WHEN n + 1 >= 4 THEN 2
+                             WHEN n + 1 >= 2 THEN 1
+                             ELSE 0 END AS INTEGER) AS boost
+            FROM ag
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

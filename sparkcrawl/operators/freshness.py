@@ -220,3 +220,48 @@ def hint_trust(
         .when(F.col("_alr") < -_LN3, F.lit("understates_freshness"))
         .otherwise(F.lit("consistent")).alias("trust"),
     )
+
+
+def backlink_novelty(
+    edges: DataFrame,
+    fetched: DataFrame,
+    dst_col: str = "dst",
+    discovered_col: str = "discovered_superstep",
+    url_col: str = "url",
+    fetched_col: str = "fetched_superstep",
+    max_boost: int = 4,
+) -> DataFrame:
+    """Recrawl boost from NEW backlinks: inlinks discovered AFTER a
+    page's last fetch are fresh evidence the page matters now
+    (breaking stories, newly-canonical docs) — the link-side
+    complement of the content-side Poisson change estimator
+    (:func:`change_rates`): change_rates says *it changes often*, this
+    says *the web just started pointing at it*.
+
+    Per already-fetched target: (url, fetched_superstep,
+    n_new_inlinks, boost) where boost = min(``max_boost``,
+    floor(log2(n_new_inlinks + 1))) — computed as binary-string length
+    (base-conversion, exact integer) rather than float log2, so the
+    2^k boundaries can never straddle a libm ulp. Never-fetched
+    targets are discovery (most_wanted's job), not recrawl, and are
+    excluded by the inner join.
+
+    Scale shape: one equi-join of the edge list against the fetched
+    set on the co-partitioned url key, one filter, one map-combinable
+    target agg. No window, no UDF.
+    """
+    e = edges.select(F.col(dst_col).alias("url"),
+                     F.col(discovered_col).alias("_disc"))
+    f = fetched.select(F.col(url_col).alias("url"),
+                       F.col(fetched_col).alias("fetched_superstep"))
+    new = e.join(f, "url").filter(
+        F.col("_disc") > F.col("fetched_superstep"))
+    agg = new.groupBy("url", "fetched_superstep").agg(
+        F.count("*").alias("n_new_inlinks"))
+    width = F.length(F.conv(
+        (F.col("n_new_inlinks") + 1).cast("string"), 10, 2)) - 1
+    return agg.select(
+        "url", "fetched_superstep",
+        F.col("n_new_inlinks").cast("bigint").alias("n_new_inlinks"),
+        F.least(F.lit(max_boost), width).cast("int").alias("boost"),
+    )

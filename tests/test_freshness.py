@@ -235,3 +235,28 @@ def test_hint_trust_classes(spark):
     assert got["ok.example"]["trust"] == "consistent"
     assert got["ok.example"]["n_urls"] == 1   # zero/missing dropped
     assert got["ok.example"]["avg_log_ratio"] == 0.0
+
+
+def test_backlink_novelty(spark):
+    """Only strictly-later inlinks count; never-fetched targets are
+    excluded; the exact-integer boost ladder hits its rungs."""
+    from sparkcrawl.operators.freshness import backlink_novelty
+
+    edges = spark.createDataFrame(
+        [("u1", 5)] * 3 + [("u1", 4), ("u1", 3)]     # 3 new, 2 old
+        + [("u2", 9)] * 15                            # 15 new
+        + [("u3", 2)]                                 # never fetched
+        + [("u4", 1)],                                # equal, not newer
+        ["dst", "discovered_superstep"])
+    fetched = spark.createDataFrame(
+        [("u1", 4), ("u2", 1), ("u4", 1)],
+        ["url", "fetched_superstep"])
+    got = {r["url"]: r for r in backlink_novelty(edges, fetched).collect()}
+    assert got["u1"]["n_new_inlinks"] == 3
+    assert got["u1"]["boost"] == 2                    # floor(log2(4))
+    assert got["u2"]["n_new_inlinks"] == 15
+    assert got["u2"]["boost"] == 4                    # log2(16) = 4
+    assert "u3" not in got and "u4" not in got
+    capped = {r["url"]: r for r in
+              backlink_novelty(edges, fetched, max_boost=3).collect()}
+    assert capped["u2"]["boost"] == 3
