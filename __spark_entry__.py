@@ -4153,6 +4153,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("id") % 25).alias("fetched_superstep"))
         return backlink_novelty(edges, fetched)
 
+    def crawl_retry_after(spark, sf):
+        """Retry-After compliance (health.retry_after_schedule): four
+        response classes by event_id%4 — delta-seconds on a 429, an
+        IMF-fixdate on a 503, an unparseable header (dropped), and a
+        200 carrying a stray header (ignored). Hosts by user_id%5 mix
+        the classes, so the per-host max and signal counts are real
+        aggregations; the oracle enumerates both instants exactly."""
+        import datetime as _dt
+
+        from sparkcrawl.operators.health import retry_after_schedule
+
+        ev = _read(spark, sf, "events")
+        e, u = F.col("event_id"), F.col("user_id")
+        m = e % 4
+        resp = ev.select(
+            F.concat(F.lit("h"), (u % 5).cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.when(m == 0, 429).when(m == 3, 200)
+            .otherwise(503).cast("int").alias("status"),
+            (F.when(m == 0, F.lit("120"))
+             .when(m == 1, F.lit("Wed, 21 Oct 2026 07:28:00 GMT"))
+             .when(m == 2, F.lit("soon"))
+             .otherwise(F.lit("60"))).alias("retry_after"))
+        now = _dt.datetime(2026, 10, 21, tzinfo=_dt.timezone.utc)
+        return retry_after_schedule(resp, now)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4307,6 +4333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_title_templates": crawl_title_templates,
         "embedding_mean_pool": embedding_mean_pool,
         "crawl_backlink_novelty": crawl_backlink_novelty,
+        "crawl_retry_after": crawl_retry_after,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -9101,6 +9128,21 @@ def oracle_sql() -> dict[str, str]:
                              WHEN n + 1 >= 2 THEN 1
                              ELSE 0 END AS INTEGER) AS boost
             FROM ag
+        """,
+        "crawl_retry_after": """
+            WITH sig AS (
+              SELECT user_id % 5 AS hn,
+                     CASE event_id % 4
+                       WHEN 0 THEN epoch_us(
+                         TIMESTAMP '2026-10-21 00:00:00') + 120000000
+                       WHEN 1 THEN epoch_us(
+                         TIMESTAMP '2026-10-21 07:28:00')
+                     END AS u
+              FROM events WHERE event_id % 4 IN (0, 1))
+            SELECT 'h' || CAST(hn AS VARCHAR) || '.example' AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n_signals,
+                   CAST(MAX(u) AS BIGINT) AS retry_until_us
+            FROM sig GROUP BY hn
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

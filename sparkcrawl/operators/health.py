@@ -200,3 +200,48 @@ def soft404_flags(
         len_match.alias("len_match"),
         ((F.col(status_col) == 200) & (phrase | len_match)).alias("soft404"),
     )
+
+
+def retry_after_schedule(
+    responses: DataFrame,
+    now,
+    host_col: str = "host",
+    status_col: str = "status",
+    header_col: str = "retry_after",
+) -> DataFrame:
+    """Retry-After compliance (RFC 9110 §10.2.3): a 429/503 carrying
+    Retry-After is the server TELLING the crawler its politeness
+    floor — ignoring it is how crawlers get IP-banned. Both header
+    forms are honored JVM-side: delta-seconds (digit string) and the
+    IMF-fixdate HTTP-date. Per host, the LATEST instant wins (multiple
+    signals = the most conservative one), emitted as epoch
+    microseconds so it joins the frontier's integer-time eligibility
+    lane (F6) directly: (host, n_signals, retry_until_us).
+
+    Only 429/503 rows count (a 200 with a stray Retry-After is
+    noise), and only parseable headers count as signals. ONE
+    projection (regexp + try_to_timestamp, no UDF) + one
+    map-combinable host agg.
+    """
+    h = F.col(header_col)
+    status_ok = F.col(status_col).isin(429, 503)
+    now_us = F.lit(int(now.timestamp() * 1_000_000))
+    secs = F.when(h.rlike(r"^\d{1,9}$"), h.cast("long"))
+    # Spark's post-3.0 parser refuses day-of-week fields in PARSE
+    # patterns, so the IMF-fixdate weekday prefix is stripped first
+    # (it is redundant with the date anyway)
+    dt = F.try_to_timestamp(
+        F.regexp_replace(h, r"^[A-Za-z]{3}, ", ""),
+        F.lit("dd MMM yyyy HH:mm:ss 'GMT'"))
+    until_us = F.when(secs.isNotNull(),
+                      now_us + secs * F.lit(1_000_000)) \
+        .otherwise(F.unix_micros(dt))
+    sig = (
+        responses.filter(status_ok & h.isNotNull())
+        .select(F.col(host_col).alias("host"), until_us.alias("u"))
+        .filter(F.col("u").isNotNull())
+    )
+    return sig.groupBy("host").agg(
+        F.count("*").alias("n_signals"),
+        F.max("u").alias("retry_until_us"),
+    )

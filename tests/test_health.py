@@ -195,3 +195,33 @@ def test_soft404_flags(spark):
     assert got["http://b.example/1"]["soft404"]      # phrase lane
     assert not got["http://b.example/1"]["len_match"]
     assert not got["http://b.example/2"]["soft404"]
+
+
+def test_retry_after_schedule(spark):
+    """Both header forms parse; the latest instant wins per host;
+    garbage headers and non-429/503 rows never count."""
+    import datetime as dt
+
+    from sparkcrawl.operators.health import retry_after_schedule
+
+    now = dt.datetime(2026, 10, 21, tzinfo=dt.timezone.utc)
+    now_us = int(now.timestamp() * 1_000_000)
+    rows = [
+        ("a.example", 429, "120"),
+        ("a.example", 503, "Wed, 21 Oct 2026 07:28:00 GMT"),
+        ("a.example", 503, "whenever"),        # unparseable: dropped
+        ("b.example", 200, "999999"),          # wrong status: ignored
+        ("b.example", 503, "30"),
+        ("c.example", 503, None),              # no header
+    ]
+    df = spark.createDataFrame(rows, ["host", "status", "retry_after"])
+    got = {r["host"]: r for r in retry_after_schedule(df, now).collect()}
+    a = got["a.example"]
+    assert a["n_signals"] == 2
+    date_us = int(dt.datetime(
+        2026, 10, 21, 7, 28, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert a["retry_until_us"] == date_us          # 07:28 > now+120s
+    b = got["b.example"]
+    assert b["n_signals"] == 1
+    assert b["retry_until_us"] == now_us + 30_000_000
+    assert "c.example" not in got
