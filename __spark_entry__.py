@@ -4179,6 +4179,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         now = _dt.datetime(2026, 10, 21, tzinfo=_dt.timezone.utc)
         return retry_after_schedule(resp, now)
 
+    def layout_shard_checksums(spark, sf):
+        """Reproducibility checksums (layout.shard_checksums) over an
+        events projection: content-addressed 32-way sharding with
+        per-shard XOR fingerprints — the oracle recomputes md5/hex
+        arithmetic byte-for-byte, so any serialization or hashing
+        drift between engines fails the value hash."""
+        from sparkcrawl.operators.layout import shard_checksums
+
+        ev = _read(spark, sf, "events").select(
+            "event_id", "user_id", "event_type")
+        return shard_checksums(ev, n_shards=32)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4262,7 +4274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- Mid-r5, bpe_merges/tokens and image/audio near-dup GAINED
         # --- DuckDB oracles (only compression_ratio stays rows-only,
         # --- golden-pinned). Rotate those 7 plus the new-in-r5 keys
-        # --- below them (crawl_politeness_audit, corpus_ares_sample)
+        # --- below them (crawl_politeness_audit through the end of
+        # --- the new-in-r5 block — more than 50 now exist in total,
+        # --- so the overflow rotates to r7 in FIFO order)
         # --- into the first 50 next round; everything after the
         # --- new-in-r5 block is driver-green in r1-r4 CORRECTNESS
         # --- files. (If r5 is the final round, the holdouts and the
@@ -4334,6 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mean_pool": embedding_mean_pool,
         "crawl_backlink_novelty": crawl_backlink_novelty,
         "crawl_retry_after": crawl_retry_after,
+        "layout_shard_checksums": layout_shard_checksums,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -9143,6 +9158,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_signals,
                    CAST(MAX(u) AS BIGINT) AS retry_until_us
             FROM sig GROUP BY hn
+        """,
+        "layout_shard_checksums": """
+            WITH r AS (
+              SELECT md5(concat_ws(chr(31),
+                       CAST(event_id AS VARCHAR),
+                       CAST(user_id AS VARCHAR),
+                       event_type)) AS h
+              FROM events),
+            f AS (
+              SELECT CAST(concat('0x', substr(h, 1, 15)) AS BIGINT)
+                       AS fp,
+                     CAST(concat('0x', substr(h, 16, 4)) AS BIGINT)
+                       % 32 AS shard
+              FROM r)
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor(fp) AS BIGINT) AS checksum
+            FROM f GROUP BY shard
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

