@@ -4191,6 +4191,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", "user_id", "event_type")
         return shard_checksums(ev, n_shards=32)
 
+    def crawl_discovery_forecast(spark, sf):
+        """Discovery-decay forecast (plans/analytics.
+        discovery_forecast) over a 15-superstep checkpoint log with
+        integer-exact near-geometric yields ((1<<19)>>t + t — the +t
+        perturbation keeps the OLS off exact-integer ceil boundaries
+        while both engines derive identical inputs). Oracle re-runs
+        the guarded moment fit."""
+        from sparkcrawl.plans.analytics import discovery_forecast
+
+        cp = spark.range(15).select(
+            F.col("id").alias("superstep"),
+            F.expr("CAST(shiftright(524288, CAST(id AS INT)) + id "
+                   "AS BIGINT)").alias("new_urls"))
+        return discovery_forecast(cp)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4349,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_backlink_novelty": crawl_backlink_novelty,
         "crawl_retry_after": crawl_retry_after,
         "layout_shard_checksums": layout_shard_checksums,
+        "crawl_discovery_forecast": crawl_discovery_forecast,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -9175,6 +9191,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(bit_xor(fp) AS BIGINT) AS checksum
             FROM f GROUP BY shard
+        """,
+        "crawl_discovery_forecast": """
+            WITH cp AS (
+              SELECT t, CAST((524288 >> CAST(t AS INTEGER)) + t
+                             AS BIGINT) AS new_urls
+              FROM (SELECT unnest(generate_series(0, 14)) AS t)),
+            pts AS (
+              SELECT CAST(t AS DOUBLE) AS t,
+                     ln(CAST(new_urls AS DOUBLE)) AS y
+              FROM cp WHERE new_urls > 0),
+            m AS (
+              SELECT COUNT(*) AS n, covar_pop(t, y) AS cov,
+                     var_pop(t) AS vt, var_pop(y) AS vy,
+                     avg(t) AS mt, avg(y) AS my, max(t) AS tmax
+              FROM pts)
+            SELECT CAST(n AS BIGINT) AS n_points,
+                   CASE WHEN n >= 2 AND vt > 0 THEN
+                     round(my - (cov / vt) * mt, 6) END AS ln_a,
+                   CASE WHEN n >= 2 AND vt > 0 THEN
+                     round(exp(cov / vt), 6) END AS decay_r,
+                   CASE WHEN n >= 2 AND vt > 0 AND vy > 0 THEN
+                     round(cov * cov / (vt * vy), 6) END AS r2,
+                   CASE WHEN n >= 2 AND vt > 0 THEN
+                     round(exp((my - (cov / vt) * mt)
+                               + (cov / vt) * (tmax + 1)), 6)
+                   END AS next_yield,
+                   CASE WHEN n >= 2 AND vt > 0 AND cov / vt < 0 THEN
+                     CAST(ceil(-(my - (cov / vt) * mt) / (cov / vt))
+                          AS BIGINT)
+                   END AS eta_supersteps
+            FROM m
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

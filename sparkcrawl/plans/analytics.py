@@ -463,3 +463,60 @@ def priority_drift_psi(
         .when(F.col("psi") < 0.25, F.lit("moderate"))
         .otherwise(F.lit("major")).alias("drift"),
     )
+
+
+def discovery_forecast(
+    checkpoints: DataFrame,
+    superstep_col: str = "superstep",
+    yield_col: str = "new_urls",
+) -> DataFrame:
+    """Discovery-decay forecast from the checkpoint history: frontier
+    yield under a fixed scope decays ~geometrically as the reachable
+    set saturates, so fitting ln(yield) = ln a + t·ln r by OLS over
+    the observed supersteps (the Heaps/Zipf-style moment fit this
+    engine already uses for vocabulary growth) turns the saturation
+    CURVE into a decision number: how many more supersteps until new
+    URLs per round drops below one — i.e. when to stop paying for
+    this crawl scope.
+
+    ONE summary row: (n_points, ln_a, decay_r, r2, next_yield =
+    a·r^(t_max+1), eta_supersteps = ceil(-ln a / ln r) — the t where
+    a·r^t < 1 — NULL when the fit says yield is NOT decaying
+    (r >= 1) or the fit is degenerate). Zero-yield supersteps are
+    excluded from the log fit (ln 0), which biases r upward — the
+    conservative direction for a stop decision.
+
+    Scale shape: guarded covar_pop/var_pop moments over the
+    checkpoint log (supersteps-sized metadata) — one tiny agg, no
+    window, no collect.
+    """
+    pts = checkpoints.select(
+        F.col(superstep_col).cast("double").alias("t"),
+        F.log(F.col(yield_col).cast("double")).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.covar_pop("t", "y").alias("cov"),
+        F.var_pop("t").alias("vt"),
+        F.var_pop("y").alias("vy"),
+        F.avg("t").alias("mt"),
+        F.avg("y").alias("my"),
+        F.max("t").alias("tmax"),
+    )
+    ok = (F.col("n") >= 2) & (F.col("vt") > 0)
+    slope = F.col("cov") / F.col("vt")
+    ln_a = F.col("my") - slope * F.col("mt")
+    r2 = F.when(F.col("vy") > 0,
+                (F.col("cov") * F.col("cov"))
+                / (F.col("vt") * F.col("vy")))
+    nxt = F.exp(ln_a + slope * (F.col("tmax") + 1))
+    eta = F.when(slope < 0,
+                 F.ceil(-ln_a / slope).cast("bigint"))
+    return m.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.when(ok, F.round(ln_a, 6)).alias("ln_a"),
+        F.when(ok, F.round(F.exp(slope), 6)).alias("decay_r"),
+        F.when(ok, F.round(r2, 6)).alias("r2"),
+        F.when(ok, F.round(nxt, 6)).alias("next_yield"),
+        F.when(ok, eta).alias("eta_supersteps"),
+    )

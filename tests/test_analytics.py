@@ -256,3 +256,26 @@ def test_priority_drift_psi(spark):
     pb = [.5 / 11.5, .5 / 11.5, (10 + .5) / 11.5]
     exp = sum((b - a) * math.log(b / a) for a, b in zip(pa, pb))
     assert abs(row["psi"] - exp) < 1e-6
+
+
+def test_discovery_forecast(spark):
+    """A clean halving series recovers r~0.5 with r2~1 and a finite
+    ETA; a growing series yields NULL ETA; degenerate logs guard."""
+    from sparkcrawl.plans.analytics import discovery_forecast
+
+    cp = spark.createDataFrame(
+        [(t, 1 << (12 - t)) for t in range(10)],
+        ["superstep", "new_urls"])
+    row = discovery_forecast(cp).collect()[0]
+    assert row["n_points"] == 10
+    assert abs(row["decay_r"] - 0.5) < 1e-6
+    assert row["r2"] == 1.0
+    assert row["next_yield"] == 4.0            # 2^(12-10)
+    assert 12 <= row["eta_supersteps"] <= 13   # 2^(12-t) < 1 at t=13
+    growing = spark.createDataFrame(
+        [(t, 100 * (t + 1)) for t in range(6)], ["superstep", "new_urls"])
+    g = discovery_forecast(growing).collect()[0]
+    assert g["decay_r"] > 1.0 and g["eta_supersteps"] is None
+    single = spark.createDataFrame([(0, 50)], ["superstep", "new_urls"])
+    s = discovery_forecast(single).collect()[0]
+    assert s["n_points"] == 1 and s["decay_r"] is None
