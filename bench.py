@@ -185,6 +185,28 @@ BENCH_QUERIES = [
     "corpus_markup_ratio",
     "multimodal_caption_coverage",
     "bitext_hreflang_pairs",
+    # r5 closing batch
+    "crawl_soft404",
+    "crawl_param_entropy",
+    "crawl_scheme_migration",
+    "text_token_fertility",
+    "layout_compaction_plan",
+    "crawl_parked_domains",
+    "simsearch_ndcg_eval",
+    "crawl_link_rot",
+    "layout_snapshot_expiry",
+    "graph_reciprocity",
+    "corpus_host_languages",
+    "crawl_shared_hosting",
+    "text_reading_ease",
+    "crawl_priority_drift",
+    "crawl_title_templates",
+    "embedding_mean_pool",
+    "crawl_backlink_novelty",
+    "crawl_retry_after",
+    "layout_shard_checksums",
+    # crawl_discovery_forecast is EXCLUDED: a 15-row generate-series
+    # moment fit (no data read) — nothing to bench.
 ]
 
 # queries whose operator runs a driver-side iteration at CONSTRUCTION
