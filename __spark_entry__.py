@@ -4206,6 +4206,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    "AS BIGINT)").alias("new_urls"))
         return discovery_forecast(cp)
 
+    def crawl_agent_policy_diff(spark, sf):
+        """Selective robots policy between agents (robots.
+        agent_policy_diff, composing the REAL R2 gate twice): host
+        classes by user_id%4 — same-for-everyone rules, a
+        googlebot-only /private allow (tie broken allow-wins at equal
+        rule length), a '*'-deny/googlebot-allow whitelist host, and a
+        no-rules host. The oracle enumerates the per-class verdicts;
+        the gate's longest-match machinery is exercised engine-side."""
+        from sparkcrawl.operators.robots import agent_policy_diff
+
+        ev = _read(spark, sf, "events")
+        e, u = F.col("event_id"), F.col("user_id")
+        hn = u % 4
+        path = F.when(e % 2 == 0, F.lit("/private/"))\
+            .otherwise(F.lit("/public/"))
+        url = F.concat(F.lit("http://h"), hn.cast("string"),
+                       F.lit(".example"), path, e.cast("string"))
+        batch = ev.select(
+            F.concat(F.lit("h"), hn.cast("string"),
+                     F.lit(".example")).alias("host"),
+            url.alias("url"), F.md5(url).alias("url_hash"))
+        rules = spark.createDataFrame(
+            [("h0.example", "*", False, "/private/", None),
+             ("h1.example", "*", False, "/private/", None),
+             ("h1.example", "googlebot", True, "/private/", None),
+             ("h2.example", "*", False, "/", None),
+             ("h2.example", "googlebot", True, "/", None)],
+            "host string, agent string, allow boolean, "
+            "path_prefix string, crawl_delay double")
+        return agent_policy_diff(batch, rules)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4365,6 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_retry_after": crawl_retry_after,
         "layout_shard_checksums": layout_shard_checksums,
         "crawl_discovery_forecast": crawl_discovery_forecast,
+        "crawl_agent_policy_diff": crawl_agent_policy_diff,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -9222,6 +9254,30 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT)
                    END AS eta_supersteps
             FROM m
+        """,
+        "crawl_agent_policy_diff": """
+            WITH rows AS (
+              SELECT user_id % 4 AS hn, event_id % 2 = 0 AS priv
+              FROM events),
+            v AS (
+              SELECT hn, priv,
+                     CASE WHEN hn = 0 THEN NOT priv
+                          WHEN hn = 1 THEN NOT priv
+                          WHEN hn = 2 THEN FALSE
+                          ELSE TRUE END AS a,
+                     CASE WHEN hn = 0 THEN NOT priv
+                          ELSE TRUE END AS b
+              FROM rows)
+            SELECT 'h' || CAST(hn AS VARCHAR) || '.example' AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_a_allowed,
+                   CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_b_allowed,
+                   CAST(SUM(CASE WHEN a <> b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_diff,
+                   bool_or(a <> b) AS selective
+            FROM v GROUP BY hn
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

@@ -287,3 +287,37 @@ def failure_markers(rfetched: DataFrame, parsed: DataFrame,
         F.lit("/").alias("path_prefix"),
         F.lit(None).cast("double").alias("crawl_delay"),
     )
+
+
+def agent_policy_diff(
+    batch: DataFrame,
+    robots: DataFrame,
+    agent_a: str = "*",
+    agent_b: str = "googlebot",
+) -> DataFrame:
+    """Selective-policy readout: how a host's robots rules treat
+    ``agent_b`` differently from ``agent_a`` over a concrete URL set —
+    the agent-axis sibling of :func:`robots_policy_delta` (which
+    diffs two SNAPSHOTS for one agent). Hosts that whitelist one
+    crawler while disallowing the world (or vice versa) need an
+    explicit operator decision about which policy THIS crawl claims,
+    and REP-compliance studies measure exactly this delta.
+
+    Composes the real R2 gate twice (same broadcast longest-match
+    semantics both times) and joins the two verdicts on the
+    co-partitioned url_hash key. Per host: (n_urls, n_a_allowed,
+    n_b_allowed, n_diff, selective = any URL decided differently).
+    """
+    a = robots_gate(batch, robots, agent_a).select(
+        "url_hash", "host",
+        F.col("robots_allowed").alias("_a"))
+    b = robots_gate(batch, robots, agent_b).select(
+        "url_hash", F.col("robots_allowed").alias("_b"))
+    j = a.join(b, "url_hash")
+    return j.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.col("_a").cast("long")).alias("n_a_allowed"),
+        F.sum(F.col("_b").cast("long")).alias("n_b_allowed"),
+        F.sum((F.col("_a") != F.col("_b")).cast("long")).alias("n_diff"),
+        F.max(F.col("_a") != F.col("_b")).alias("selective"),
+    )

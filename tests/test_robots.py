@@ -351,3 +351,35 @@ def test_failure_markers_policies(spark):
     gated = {r["host"]: r["robots_allowed"]
              for r in robots_gate(batch, markers).collect()}
     assert gated == {"h500": False, "h404": True}
+
+
+def test_agent_policy_diff(spark):
+    """A googlebot whitelist on a '*'-denied host flags selective;
+    equal-policy and no-rule hosts do not; counts hand-checked."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.operators.robots import agent_policy_diff
+
+    urls = [
+        ("open.example", "/a"), ("open.example", "/b"),
+        ("vip.example", "/a"), ("vip.example", "/b"),
+        ("none.example", "/x"),
+    ]
+    batch = spark.createDataFrame(
+        [(h, f"http://{h}{p}") for h, p in urls], ["host", "url"]
+    ).withColumn("url_hash", F.md5("url"))
+    rules = spark.createDataFrame(
+        [("open.example", "*", False, "/a", None),
+         ("vip.example", "*", False, "/", None),
+         ("vip.example", "googlebot", True, "/", None)],
+        "host string, agent string, allow boolean, "
+        "path_prefix string, crawl_delay double")
+    got = {r["host"]: r for r in agent_policy_diff(batch, rules).collect()}
+    o = got["open.example"]
+    assert (o["n_urls"], o["n_a_allowed"], o["n_b_allowed"]) == (2, 1, 1)
+    assert o["n_diff"] == 0 and not o["selective"]
+    v = got["vip.example"]
+    assert (v["n_a_allowed"], v["n_b_allowed"]) == (0, 2)
+    assert v["n_diff"] == 2 and v["selective"]
+    n = got["none.example"]
+    assert n["n_diff"] == 0 and n["n_a_allowed"] == 1
