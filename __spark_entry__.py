@@ -4237,6 +4237,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "path_prefix string, crawl_delay double")
         return agent_policy_diff(batch, rules)
 
+    def crawl_latency_anomalies(spark, sf):
+        """Robust latency incidents (health.latency_anomalies): six
+        hosts with tight 100-106 ms baselines and a 5000 ms spike on
+        every 31st event — median/MAD must flag exactly the spikes
+        (mean/stddev would drag the threshold toward them). The oracle
+        re-runs the identical two-median pipeline."""
+        from sparkcrawl.operators.health import latency_anomalies
+
+        ev = _read(spark, sf, "events")
+        e, u = F.col("event_id"), F.col("user_id")
+        log = ev.select(
+            F.concat(F.lit("h"), (u % 6).cast("string"),
+                     F.lit(".example")).alias("host"),
+            (e % 40).alias("superstep"),
+            F.when(e % 31 == 0, F.lit(5000.0))
+            .otherwise((F.lit(100) + e % 7).cast("double"))
+            .alias("latency_ms"))
+        return latency_anomalies(log)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4397,6 +4416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_shard_checksums": layout_shard_checksums,
         "crawl_discovery_forecast": crawl_discovery_forecast,
         "crawl_agent_policy_diff": crawl_agent_policy_diff,
+        "crawl_latency_anomalies": crawl_latency_anomalies,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -9278,6 +9298,29 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_diff,
                    bool_or(a <> b) AS selective
             FROM v GROUP BY hn
+        """,
+        "crawl_latency_anomalies": """
+            WITH base AS (
+              SELECT user_id % 6 AS hn, event_id % 40 AS superstep,
+                     CAST(CASE WHEN event_id % 31 = 0 THEN 5000
+                               ELSE 100 + event_id % 7 END AS DOUBLE)
+                       AS lat
+              FROM events),
+            med AS (SELECT hn, median(lat) AS med FROM base GROUP BY hn),
+            j1 AS (SELECT base.*, med.med FROM base
+                   JOIN med USING (hn)),
+            mad AS (SELECT hn, median(abs(lat - med)) AS mad
+                    FROM j1 GROUP BY hn),
+            f AS (
+              SELECT j1.*, mad.mad, greatest(mad.mad, 1.0) AS eff
+              FROM j1 JOIN mad USING (hn))
+            SELECT 'h' || CAST(hn AS VARCHAR) || '.example' AS host,
+                   CAST(superstep AS BIGINT) AS superstep,
+                   lat AS latency_ms,
+                   round(med, 6) AS median_ms,
+                   round(mad, 6) AS mad_ms,
+                   round((lat - med) / eff, 6) AS robust_z
+            FROM f WHERE abs(lat - med) > 5.0 * eff
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

@@ -245,3 +245,52 @@ def retry_after_schedule(
         F.count("*").alias("n_signals"),
         F.max("u").alias("retry_until_us"),
     )
+
+
+def latency_anomalies(
+    fetch_log: DataFrame,
+    k: float = 5.0,
+    mad_floor_ms: float = 1.0,
+    host_col: str = "host",
+    step_col: str = "superstep",
+    latency_col: str = "latency_ms",
+) -> DataFrame:
+    """Robust per-host latency anomaly detection — median/MAD instead
+    of mean/stddev (a crawl's latency history is exactly the
+    heavy-tailed data that breaks z-scores; Leys et al. 2013 is the
+    standard citation for MAD-based outlier rules). A flagged
+    (host, superstep) is a host incident — origin overload, rate
+    limiting kicking in, a network path change — that should pause
+    adaptive-politeness tightening for that host rather than be
+    averaged into it.
+
+    Rows whose |latency - median| > ``k`` * max(MAD, ``mad_floor_ms``)
+    are returned with their robust z-score. The floor keeps a host
+    with near-constant latency (MAD ~ 0) from flagging micro-jitter.
+
+    Scale shape: two exact-median host aggs (F.median — the
+    approx_percentile swap-in applies at 100 TB, same trade as
+    adaptive_politeness) with broadcast joins back on the |hosts|-
+    sized dimension; one final filter. No window, no UDF.
+    """
+    x = F.col(latency_col).cast("double")
+    base = fetch_log.select(F.col(host_col).alias("host"),
+                            F.col(step_col).alias("superstep"),
+                            x.alias("lat"))
+    med = base.groupBy("host").agg(F.median("lat").alias("med"))
+    j1 = base.join(F.broadcast(med), "host")
+    mad = j1.groupBy("host").agg(
+        F.median(F.abs(F.col("lat") - F.col("med"))).alias("mad"))
+    j2 = j1.join(F.broadcast(mad), "host")
+    eff = F.greatest(F.col("mad"), F.lit(float(mad_floor_ms)))
+    z = (F.col("lat") - F.col("med")) / eff
+    return (
+        j2.filter(F.abs(F.col("lat") - F.col("med")) > k * eff)
+        .select(
+            "host", "superstep",
+            F.col("lat").alias("latency_ms"),
+            F.round(F.col("med"), 6).alias("median_ms"),
+            F.round(F.col("mad"), 6).alias("mad_ms"),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )

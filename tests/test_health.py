@@ -225,3 +225,27 @@ def test_retry_after_schedule(spark):
     assert b["n_signals"] == 1
     assert b["retry_until_us"] == now_us + 30_000_000
     assert "c.example" not in got
+
+
+def test_latency_anomalies(spark):
+    """The spike flags with the hand-computed robust z; baseline
+    jitter does not; a constant-latency host needs the MAD floor to
+    stay quiet on micro-jitter."""
+    from sparkcrawl.operators.health import latency_anomalies
+
+    rows = (
+        [("a.example", s, 100.0 + (s % 3)) for s in range(10)]
+        + [("a.example", 10, 900.0)]                 # incident
+        + [("flat.example", s, 50.0) for s in range(8)]
+        + [("flat.example", 8, 52.0)]                # micro-jitter
+    )
+    df = spark.createDataFrame(rows, ["host", "superstep", "latency_ms"])
+    got = latency_anomalies(df, k=5.0).collect()
+    assert [(r["host"], r["superstep"]) for r in got] == [("a.example", 10)]
+    r = got[0]
+    assert r["median_ms"] == 101.0 and r["mad_ms"] == 1.0
+    assert r["robust_z"] == 799.0
+    # drop the floor and the 2ms jitter on the flat host flags too
+    loose = latency_anomalies(df, k=5.0, mad_floor_ms=0.1).collect()
+    assert ("flat.example", 8) in {(r["host"], r["superstep"])
+                                   for r in loose}
