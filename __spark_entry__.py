@@ -4256,6 +4256,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("latency_ms"))
         return latency_anomalies(log)
 
+    def multimodal_type_mismatch(spark, sf):
+        """Declared-vs-sniffed content-type audit (multimodal.
+        content_type_mismatch): five classes by doc_id%5 hitting every
+        severity — param/case-normalized agreement, an html body
+        declared as png (conflict), an unsniffable plain body
+        (refines), an undeclared pdf, and a case-folded gif. The
+        oracle enumerates the class verdicts; the hex sniffing runs
+        engine-side."""
+        from sparkcrawl.operators.multimodal import content_type_mismatch
+
+        docs = _read(spark, sf, "documents")
+        m = F.col("doc_id") % 5
+        magic = (
+            F.when(m == 0, F.lit("89504E470D0A1A0A"))
+            .when(m == 1, F.lit("3C21444F43545950"))
+            .when(m == 2, F.lit("20"))
+            .when(m == 3, F.lit("25504446"))
+            .otherwise(F.lit("474946383961")))
+        declared = (
+            F.when(m == 0, F.lit("image/png; charset=binary"))
+            .when(m == 1, F.lit("image/png"))
+            .when(m == 2, F.lit("text/plain"))
+            .when(m == 3, F.lit(None).cast("string"))
+            .otherwise(F.lit("IMAGE/GIF")))
+        resp = docs.select(
+            F.col("doc_id").alias("url"),
+            F.concat(F.unhex(magic),
+                     F.encode(F.substring(F.col("text"), 1, 16),
+                              "UTF-8")).alias("payload"),
+            declared.alias("content_type"))
+        return content_type_mismatch(resp)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4417,6 +4449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_discovery_forecast": crawl_discovery_forecast,
         "crawl_agent_policy_diff": crawl_agent_policy_diff,
         "crawl_latency_anomalies": crawl_latency_anomalies,
+        "multimodal_type_mismatch": multimodal_type_mismatch,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -9321,6 +9354,29 @@ def oracle_sql() -> dict[str, str]:
                    round(mad, 6) AS mad_ms,
                    round((lat - med) / eff, 6) AS robust_z
             FROM f WHERE abs(lat - med) > 5.0 * eff
+        """,
+        "multimodal_type_mismatch": """
+            SELECT doc_id AS id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'image/png'
+                     WHEN 2 THEN 'text/plain'
+                     WHEN 3 THEN ''
+                     ELSE 'image/gif' END AS declared,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'text/html'
+                     WHEN 2 THEN 'application/octet-stream'
+                     WHEN 3 THEN 'application/pdf'
+                     ELSE 'image/gif' END AS sniffed,
+                   doc_id % 5 IN (0, 3, 4) AS match,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'agree'
+                     WHEN 1 THEN 'conflict'
+                     WHEN 2 THEN 'refines'
+                     WHEN 3 THEN 'undeclared'
+                     ELSE 'agree' END AS severity
+            FROM documents
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

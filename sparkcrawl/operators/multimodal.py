@@ -798,3 +798,43 @@ def media_position_profile(docs_spans: DataFrame, n_bins: int = 10,
         m.alias("n_media"),
         F.round(m / t, 6).alias("media_share"),
     )
+
+
+def content_type_mismatch(
+    responses: DataFrame,
+    payload_col: str = "payload",
+    declared_col: str = "content_type",
+    id_col: str = "url",
+) -> DataFrame:
+    """Declared-vs-sniffed content-type audit: servers lie about
+    Content-Type (the reason :func:`sniff_mime` exists), and the
+    mismatch TABLE is itself a routing signal — an 'image/png' that
+    sniffs as text/html is an error lander or a hotlink blocker, a
+    'text/html' that sniffs as PDF needs the document lane, and a
+    host-level mismatch cluster marks a misconfigured origin.
+
+    Per row: (id, declared normalized to its bare media type —
+    parameters and case stripped, NULL -> '' , sniffed, ``match`` =
+    declared equals sniffed or declared is empty, ``severity``:
+    'agree' | 'undeclared' | 'refines' (sniff says octet-stream — no
+    evidence against the header) | 'conflict'). One codegen
+    projection on the hex prefix; no UDF, no shuffle.
+    """
+    declared = F.lower(F.trim(
+        F.substring_index(F.coalesce(F.col(declared_col), F.lit("")),
+                          ";", 1)))
+    sniffed = sniff_mime(F.col(payload_col))
+    agree = declared == sniffed
+    sev = (
+        F.when(agree, F.lit("agree"))
+        .when(declared == "", F.lit("undeclared"))
+        .when(sniffed == "application/octet-stream", F.lit("refines"))
+        .otherwise(F.lit("conflict"))
+    )
+    return responses.select(
+        F.col(id_col).alias("id"),
+        declared.alias("declared"),
+        sniffed.alias("sniffed"),
+        (agree | (declared == "")).alias("match"),
+        sev.alias("severity"),
+    )

@@ -197,3 +197,27 @@ def test_ivfpq_narrow_probe_prunes(spark):
             for r in ivf_assign(emb, centroids).collect()}
     for r in out:
         assert cell[r["cand_id"]] == cell[r["query_id"]], r
+
+
+def test_content_type_mismatch(spark):
+    """Every severity lane: param/case normalization agrees, html-
+    as-png conflicts, unsniffable bodies refine, missing headers are
+    undeclared."""
+    from sparkcrawl.operators.multimodal import content_type_mismatch
+
+    rows = [
+        ("u1", bytes.fromhex("89504E470D0A1A0A") + b"x",
+         "image/png; charset=binary"),
+        ("u2", b"<!DOCTYPE html><p>hi", "image/png"),
+        ("u3", b"plain words only", "text/plain"),
+        ("u4", bytes.fromhex("25504446") + b"-1.4", None),
+        ("u5", bytes.fromhex("474946383961") + b"x", "IMAGE/GIF "),
+    ]
+    df = spark.createDataFrame(rows, ["url", "payload", "content_type"])
+    got = {r["id"]: r for r in content_type_mismatch(df).collect()}
+    assert got["u1"]["severity"] == "agree" and got["u1"]["match"]
+    assert got["u2"]["severity"] == "conflict" and not got["u2"]["match"]
+    assert got["u2"]["sniffed"] == "text/html"
+    assert got["u3"]["severity"] == "refines" and not got["u3"]["match"]
+    assert got["u4"]["severity"] == "undeclared" and got["u4"]["match"]
+    assert got["u5"]["severity"] == "agree"     # case + trim normalized
