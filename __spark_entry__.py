@@ -4288,6 +4288,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             declared.alias("content_type"))
         return content_type_mismatch(resp)
 
+    def crawl_sitemap_conflicts(spark, sf):
+        """Sitemap-declares / robots-denies audit (plans/analytics.
+        sitemap_gate_conflicts, composing the REAL R2 gate): 12 hosts
+        declare /keep/ and /secret/ URLs; even hosts disallow
+        /secret/ — their declared-but-denied share is exactly the
+        secret fraction, odd hosts report zero. Oracle enumerates per
+        distinct declared URL."""
+        from sparkcrawl.plans.analytics import sitemap_gate_conflicts
+
+        ev = _read(spark, sf, "events")
+        e, u = F.col("event_id"), F.col("user_id")
+        hn = u % 12
+        path = F.when(e % 3 == 0, F.lit("/secret/"))\
+            .otherwise(F.lit("/keep/"))
+        locs = ev.select(F.concat(
+            F.lit("http://h"), hn.cast("string"), F.lit(".example"),
+            path, e.cast("string")).alias("loc"))
+        rules = spark.range(12).filter(F.col("id") % 2 == 0).select(
+            F.concat(F.lit("h"), F.col("id").cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.lit("*").alias("agent"),
+            F.lit(False).alias("allow"),
+            F.lit("/secret/").alias("path_prefix"),
+            F.lit(None).cast("double").alias("crawl_delay"))
+        return sitemap_gate_conflicts(locs, rules)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4450,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_agent_policy_diff": crawl_agent_policy_diff,
         "crawl_latency_anomalies": crawl_latency_anomalies,
         "multimodal_type_mismatch": multimodal_type_mismatch,
+        "crawl_sitemap_conflicts": crawl_sitemap_conflicts,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -9377,6 +9404,21 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 3 THEN 'undeclared'
                      ELSE 'agree' END AS severity
             FROM documents
+        """,
+        "crawl_sitemap_conflicts": """
+            WITH locs AS (
+              SELECT DISTINCT user_id % 12 AS hn, event_id AS e,
+                     event_id % 3 = 0 AS secret
+              FROM events),
+            v AS (
+              SELECT hn, secret AND hn % 2 = 0 AS denied FROM locs)
+            SELECT 'h' || CAST(hn AS VARCHAR) || '.example' AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n_declared,
+                   CAST(SUM(CASE WHEN denied THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_denied,
+                   round(SUM(CASE WHEN denied THEN 1.0 ELSE 0 END)
+                         / COUNT(*), 6) AS denied_share
+            FROM v GROUP BY hn
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

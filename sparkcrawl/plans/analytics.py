@@ -520,3 +520,44 @@ def discovery_forecast(
         F.when(ok, F.round(nxt, 6)).alias("next_yield"),
         F.when(ok, eta).alias("eta_supersteps"),
     )
+
+
+def sitemap_gate_conflicts(
+    sitemap_locs: DataFrame,
+    robots: DataFrame,
+    user_agent: str = "*",
+    loc_col: str = "loc",
+) -> DataFrame:
+    """Publisher self-contradiction audit: URLs a host DECLARES in its
+    sitemaps but DENIES through robots.txt. The sitemaps protocol and
+    REP are maintained independently on real sites, and the conflict
+    set is operationally important both ways — the crawler must not
+    fetch them (REP wins), and a host where most declared URLs are
+    denied has a broken publishing pipeline whose sitemap hints
+    (lastmod cadence, priority) should not be trusted
+    (cf. freshness.hint_trust).
+
+    Composes the real R2 gate over the declared set. Per host:
+    (n_declared, n_denied, denied_share). Locs are expected canonical
+    (the C1 seed-ingestion path, same contract as sitemap_coverage).
+
+    Scale shape: one distinct on the loc set, the gate's broadcast
+    longest-match join, one host agg.
+    """
+    from sparkcrawl.functions.urlnorm import host_of_canonical_col
+    from sparkcrawl.operators.robots import robots_gate
+
+    locs = sitemap_locs.select(F.col(loc_col).alias("url")).distinct()
+    batch = locs.select(
+        host_of_canonical_col(F.col("url")).alias("host"),
+        "url", F.md5("url").alias("url_hash"))
+    gated = robots_gate(batch, robots, user_agent)
+    agg = gated.groupBy("host").agg(
+        F.count("*").alias("n_declared"),
+        F.sum((~F.col("robots_allowed")).cast("long")).alias("n_denied"),
+    )
+    return agg.select(
+        "host", "n_declared", "n_denied",
+        F.round(F.col("n_denied") / F.col("n_declared"), 6)
+        .alias("denied_share"),
+    )

@@ -279,3 +279,29 @@ def test_discovery_forecast(spark):
     single = spark.createDataFrame([(0, 50)], ["superstep", "new_urls"])
     s = discovery_forecast(single).collect()[0]
     assert s["n_points"] == 1 and s["decay_r"] is None
+
+
+def test_sitemap_gate_conflicts(spark):
+    """Declared-but-denied URLs count through the real gate; an
+    allow-all host reports zero share; duplicate locs collapse."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.plans.analytics import sitemap_gate_conflicts
+
+    locs = spark.createDataFrame(
+        [("http://a.example/secret/1",),
+         ("http://a.example/secret/1",),      # dup declaration
+         ("http://a.example/keep/2",),
+         ("http://b.example/anything",)],
+        ["loc"])
+    rules = spark.createDataFrame(
+        [("a.example", "*", False, "/secret/", None)],
+        "host string, agent string, allow boolean, "
+        "path_prefix string, crawl_delay double")
+    got = {r["host"]: r
+           for r in sitemap_gate_conflicts(locs, rules).collect()}
+    a = got["a.example"]
+    assert (a["n_declared"], a["n_denied"]) == (2, 1)
+    assert a["denied_share"] == 0.5
+    b = got["b.example"]
+    assert b["n_denied"] == 0 and b["denied_share"] == 0.0
