@@ -205,6 +205,10 @@ BENCH_QUERIES = [
     "crawl_backlink_novelty",
     "crawl_retry_after",
     "layout_shard_checksums",
+    "crawl_agent_policy_diff",
+    "crawl_latency_anomalies",
+    "multimodal_type_mismatch",
+    "crawl_sitemap_conflicts",
     # crawl_discovery_forecast is EXCLUDED: a 15-row generate-series
     # moment fit (no data read) — nothing to bench.
 ]
