@@ -4314,6 +4314,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("double").alias("crawl_delay"))
         return sitemap_gate_conflicts(locs, rules)
 
+    def corpus_canary_scan(spark, sf):
+        """Benchmark canary detection (textops.canary_scan): two
+        sentinel strings injected at doc_id%97 / %41 plus one absent
+        GUID — the absent canary must still report its zero row (the
+        clearance result). Engine runs real substring containment;
+        the oracle enumerates the injection arithmetic."""
+        from sparkcrawl.operators.textops import canary_scan
+
+        d = _read(spark, sf, "documents")
+        text = F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 97 == 0,
+                   F.lit(" CANARY-8f3a-deadbeef")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 41 == 0,
+                   F.lit(" EVAL-MARK-77")).otherwise(F.lit("")))
+        canaries = spark.createDataFrame(
+            [("bigbench", "CANARY-8f3a-deadbeef"),
+             ("evalmark", "EVAL-MARK-77"),
+             ("absent", "GUID-0000-never-in-corpus")],
+            ["name", "canary"])
+        return canary_scan(d.select("doc_id", text.alias("text")),
+                           canaries)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4477,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_latency_anomalies": crawl_latency_anomalies,
         "multimodal_type_mismatch": multimodal_type_mismatch,
         "crawl_sitemap_conflicts": crawl_sitemap_conflicts,
+        "corpus_canary_scan": corpus_canary_scan,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -9419,6 +9443,25 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(CASE WHEN denied THEN 1.0 ELSE 0 END)
                          / COUNT(*), 6) AS denied_share
             FROM v GROUP BY hn
+        """,
+        "corpus_canary_scan": """
+            WITH hits AS (
+              SELECT 'bigbench' AS name,
+                     CASE WHEN doc_id % 97 = 0 THEN doc_id
+                          ELSE CAST(NULL AS BIGINT) END AS hid
+              FROM documents
+              UNION ALL
+              SELECT 'evalmark',
+                     CASE WHEN doc_id % 41 = 0 THEN doc_id
+                          ELSE CAST(NULL AS BIGINT) END
+              FROM documents
+              UNION ALL
+              SELECT 'absent', CAST(NULL AS BIGINT) FROM documents)
+            SELECT name,
+                   CAST(SUM(CASE WHEN hid IS NOT NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_hits,
+                   MIN(hid) AS example_doc
+            FROM hits GROUP BY name
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

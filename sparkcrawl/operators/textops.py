@@ -2407,3 +2407,40 @@ def flesch_reading_ease(
         syll.cast("bigint").alias("n_syllables"),
         F.when(words > 0, F.round(score, 4)).alias("flesch"),
     )
+
+
+def canary_scan(
+    docs: DataFrame,
+    canaries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    canary_col: str = "canary",
+    name_col: str = "name",
+) -> DataFrame:
+    """Benchmark canary-string scan — the cheapest, highest-precision
+    contamination check there is: eval suites embed globally-unique
+    GUID sentences (the BIG-bench "canary string" convention)
+    precisely so a training-data pipeline can grep for them; any hit
+    is a smoking gun needing no n-gram or semantic machinery. Runs as
+    exact substring containment of each canary against each document.
+
+    Per canary: (name, n_hits, example_doc = lowest hit id). The
+    canary table is tiny (tens of rows) and BROADCAST; containment is
+    a codegen `contains` over the corpus — an intentional
+    broadcast-nested-loop of |docs| x |canaries| PROJECTION work, the
+    same cost as evaluating |canaries| extra columns, with no shuffle
+    of the text. Zero-hit canaries are reported (absence is the
+    result that clears a corpus for release).
+    """
+    c = F.broadcast(canaries.select(F.col(name_col).alias("name"),
+                                    F.col(canary_col).alias("_c")))
+    j = docs.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_t")).crossJoin(c)
+    hits = j.select(
+        "name",
+        F.when(F.col("_t").contains(F.col("_c")), F.col("_id"))
+        .alias("hit_id"))
+    return hits.groupBy("name").agg(
+        F.sum(F.col("hit_id").isNotNull().cast("long")).alias("n_hits"),
+        F.min("hit_id").alias("example_doc"),
+    )

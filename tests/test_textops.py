@@ -1223,3 +1223,22 @@ def test_flesch_reading_ease(spark):
     # in-com-pre-hen-si-bi-li-ties a-bound: vowel runs
     assert r3["n_sentences"] == 1
     assert r3["n_words"] == 2
+
+
+def test_canary_scan(spark):
+    """Exact containment only (no tokenization tricks); zero-hit
+    canaries still report their clearance row; lowest hit id wins."""
+    from sparkcrawl.operators.textops import canary_scan
+
+    docs = spark.createDataFrame(
+        [(5, "training text with CANARY-xyz inside"),
+         (3, "another CANARY-xyz carrier"),
+         (7, "clean document"),
+         (9, "near miss CANARY-xy z")],
+        ["doc_id", "text"])
+    canaries = spark.createDataFrame(
+        [("c1", "CANARY-xyz"), ("c2", "NEVER-SEEN")],
+        ["name", "canary"])
+    got = {r["name"]: r for r in canary_scan(docs, canaries).collect()}
+    assert got["c1"]["n_hits"] == 2 and got["c1"]["example_doc"] == 3
+    assert got["c2"]["n_hits"] == 0 and got["c2"]["example_doc"] is None
