@@ -129,6 +129,15 @@ def main() -> None:
                          "counterpart to --semantic-threshold")
     ap.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
     ap.add_argument("--salt", default="corpus-v1")
+    ap.add_argument("--report", default="",
+                    help="comma list of post-curation readouts printed "
+                         "as JSON lines: fertility (tokens per word "
+                         "per detected language), reading-ease "
+                         "(corpus Flesch summary), canaries (needs "
+                         "--canaries)")
+    ap.add_argument("--canaries", metavar="PARQUET",
+                    help="(name, canary) sentinel strings for "
+                         "--report canaries")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("sparkcrawl-corpus").getOrCreate()
@@ -338,6 +347,44 @@ def main() -> None:
             tokens_col=tokens_col,
         ).select("doc_id", "shard")
         labeled = labeled.join(shards, "doc_id")
+    if args.report:
+        wanted = [w.strip() for w in args.report.split(",") if w.strip()]
+        known = {"fertility", "reading-ease", "canaries"}
+        unknown = set(wanted) - known
+        if unknown:
+            raise SystemExit(f"unknown --report kinds: {sorted(unknown)} "
+                             f"(known: {sorted(known)})")
+
+        def emit(name, df):
+            for r in df.collect():
+                print(json.dumps({"report": name, **r.asDict()},
+                                 default=str))
+
+        if "fertility" in wanted:
+            if "lang" in labeled.columns:
+                fert_in = labeled
+            else:  # derive from the engine's own langid
+                langs = textops.language_id(labeled).select(
+                    F.col("id").alias("doc_id"),
+                    F.col("pred_lang").alias("lang"))
+                fert_in = labeled.join(langs, "doc_id")
+            emit("fertility",
+                 textops.token_fertility_by_lang(fert_in)
+                 .orderBy("lang"))
+        if "reading-ease" in wanted:
+            fl = textops.flesch_reading_ease(labeled)
+            emit("reading_ease", fl.agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.avg("flesch"), 4).alias("mean_flesch"),
+                F.round(F.percentile("flesch", 0.1), 4).alias("p10"),
+                F.round(F.percentile("flesch", 0.9), 4).alias("p90")))
+        if "canaries" in wanted:
+            if not args.canaries:
+                raise SystemExit("--report canaries requires --canaries")
+            emit("canaries",
+                 textops.canary_scan(
+                     labeled, spark.read.parquet(args.canaries))
+                 .orderBy("name"))
     manifest = export_curated(labeled, args.output)
     print(json.dumps({"output": args.output, "manifest": manifest}))
 

@@ -104,3 +104,57 @@ def test_run_corpus_cli_token_budget(spark, tmp_path, capsys):
         expect.add(r["doc_id"])
     got = {r["doc_id"] for r in capped.collect()}
     assert got == expect
+
+
+def test_run_corpus_cli_reports(spark, tmp_path, capsys):
+    """--report fertility/reading-ease/canaries emit JSON readout
+    rows; the absent canary reports its zero clearance row; unknown
+    kinds are a hard error."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "run_corpus",
+        os.path.join(os.path.dirname(__file__), os.pardir,
+                     "scripts", "run_corpus.py"),
+    )
+    run_corpus = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_corpus)
+
+    canaries = str(tmp_path / "canaries")
+    spark.createDataFrame(
+        [("absent", "GUID-never-present")], ["name", "canary"]
+    ).write.parquet(canaries)
+
+    def _run(out, *extra):
+        old = sys.argv
+        sys.argv = ["run_corpus.py", "--input",
+                    f"{SF}/documents.parquet", "--output", out, *extra]
+        try:
+            run_corpus.main()
+        finally:
+            sys.argv = old
+        return [json.loads(ln) for ln in
+                capsys.readouterr().out.splitlines()
+                if ln.startswith("{") and '"report"' in ln]
+
+    rows = _run(str(tmp_path / "o1"),
+                "--report", "fertility,reading-ease,canaries",
+                "--canaries", canaries)
+    kinds = {r["report"] for r in rows}
+    assert kinds == {"fertility", "reading_ease", "canaries"}
+    fert = [r for r in rows if r["report"] == "fertility"]
+    assert all(r["total_re_tokens"] >= r["total_ws_tokens"] > 0
+               for r in fert)
+    re_row = next(r for r in rows if r["report"] == "reading_ease")
+    assert re_row["n_docs"] > 0 and re_row["p10"] <= re_row["p90"]
+    can = next(r for r in rows if r["report"] == "canaries")
+    assert can["n_hits"] == 0 and can["example_doc"] is None
+    with pytest.raises(SystemExit):
+        _run(str(tmp_path / "o2"), "--report", "nope")
+    with pytest.raises(SystemExit):
+        _run(str(tmp_path / "o3"), "--report", "canaries")
