@@ -4337,6 +4337,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return canary_scan(d.select("doc_id", text.alias("text")),
                            canaries)
 
+    def crawl_host_ip_fan(spark, sf):
+        """IPs-per-host fan (urlfilter.host_ip_fan): 15 hosts in three
+        classes — a CDN (16 IPs, one /16 prefix: multihomed but not
+        scattered), a fast-flux-style scatter (up to 97x13 addresses
+        across as many prefixes), and single-homed. The oracle derives
+        the same address strings and runs the identical aggs."""
+        from sparkcrawl.operators.urlfilter import host_ip_fan
+
+        ev = _read(spark, sf, "events")
+        e, u = F.col("event_id"), F.col("user_id")
+        hid = u % 15
+        ip = (
+            F.when(hid % 3 == 0, F.concat(
+                F.lit("203.0."), (e % 16).cast("string"), F.lit(".7")))
+            .when(hid % 3 == 1, F.concat(
+                (e % 97 + 1).cast("string"), F.lit("."),
+                (e % 13).cast("string"), F.lit(".9.9")))
+            .otherwise(F.lit("198.51.100.1")))
+        pairs = ev.select(
+            F.concat(F.lit("h"), hid.cast("string"),
+                     F.lit(".example")).alias("host"),
+            ip.alias("ip"))
+        return host_ip_fan(pairs, min_ips=8)
+
     def crawl_sitemap_coverage(spark, sf):
         """Declared-vs-seen coverage per host (plans/analytics.py::
         sitemap_coverage): sitemap <loc> sets synthesized over 20
@@ -4501,6 +4525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_type_mismatch": multimodal_type_mismatch,
         "crawl_sitemap_conflicts": crawl_sitemap_conflicts,
         "corpus_canary_scan": corpus_canary_scan,
+        "crawl_host_ip_fan": crawl_host_ip_fan,
         # --- driver-green in earlier rounds (r1-r4) below ---
         "simsearch_lsh_bucketed": simsearch_lsh_bucketed,
         "simsearch_ivf_topk": simsearch_ivf_topk,
@@ -9462,6 +9487,32 @@ def oracle_sql() -> dict[str, str]:
                             END) AS BIGINT) AS n_hits,
                    MIN(hid) AS example_doc
             FROM hits GROUP BY name
+        """,
+        "crawl_host_ip_fan": """
+            WITH pairs AS (
+              SELECT DISTINCT user_id % 15 AS hid,
+                CASE WHEN user_id % 15 % 3 = 0
+                     THEN '203.0.' || CAST(event_id % 16 AS VARCHAR)
+                          || '.7'
+                     WHEN user_id % 15 % 3 = 1
+                     THEN CAST(event_id % 97 + 1 AS VARCHAR) || '.'
+                          || CAST(event_id % 13 AS VARCHAR) || '.9.9'
+                     ELSE '198.51.100.1' END AS ip,
+                CASE WHEN user_id % 15 % 3 = 0 THEN '203.0'
+                     WHEN user_id % 15 % 3 = 1
+                     THEN CAST(event_id % 97 + 1 AS VARCHAR) || '.'
+                          || CAST(event_id % 13 AS VARCHAR)
+                     ELSE '198.51' END AS p16
+              FROM events)
+            SELECT 'h' || CAST(hid AS VARCHAR) || '.example' AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n_ips,
+                   CAST(COUNT(DISTINCT p16) AS BIGINT) AS n_prefixes,
+                   MIN(ip) AS example_ip,
+                   COUNT(*) >= 8 AS multihomed,
+                   COUNT(*) >= 8
+                     AND COUNT(DISTINCT p16) > COUNT(*) / 2.0
+                     AS scattered
+            FROM pairs GROUP BY hid
         """,
         "crawl_pagination_ranges": """
             WITH rows AS (

@@ -324,3 +324,39 @@ def shared_hosting_fan(
         F.min("host").alias("example_host"),
         (F.count("*") >= min_hosts).alias("mass_hosting"),
     )
+
+
+def host_ip_fan(
+    host_ip: DataFrame,
+    min_ips: int = 8,
+    host_col: str = "host",
+    ip_col: str = "ip",
+) -> DataFrame:
+    """IPs-per-host fan — the inverse readout of
+    :func:`shared_hosting_fan`, with two distinct operational uses: a
+    large STABLE fan is a CDN/anycast host (politeness must key by
+    host, never by IP — the ip_politeness mode would fragment one
+    origin's budget across replicas), while a large fan of
+    single-shot, widely-scattered addresses is the classic fast-flux
+    service-network signature (Holz, Gorecki, Rieck & Freiling,
+    NDSS 2008). The /16-prefix spread separates the two: CDNs
+    concentrate in few prefixes, flux nets scatter.
+
+    Per host over distinct (host, ip): (host, n_ips, n_prefixes,
+    example_ip, multihomed = n_ips >= ``min_ips``, scattered =
+    multihomed AND prefixes > n_ips/2). TWO map-combinable aggs,
+    |hosts|-sized output.
+    """
+    prefix = F.regexp_extract(F.col(ip_col), r"^(\d+\.\d+)\.", 1)
+    pairs = host_ip.select(
+        F.col(host_col).alias("host"), F.col(ip_col).alias("ip"),
+        prefix.alias("p16")).distinct()
+    return pairs.groupBy("host").agg(
+        F.count("*").alias("n_ips"),
+        F.countDistinct("p16").alias("n_prefixes"),
+        F.min("ip").alias("example_ip"),
+        (F.count("*") >= min_ips).alias("multihomed"),
+        ((F.count("*") >= min_ips)
+         & (F.countDistinct("p16") > F.count("*") / 2))
+        .alias("scattered"),
+    )

@@ -184,3 +184,25 @@ def test_shared_hosting_fan(spark):
     assert fan["example_host"] == "a.example.org"
     assert fan["mass_hosting"]
     assert not got["2.2.2.2"]["mass_hosting"]
+
+
+def test_host_ip_fan(spark):
+    """A one-prefix CDN fan is multihomed but not scattered; a
+    many-prefix flux fan is both; duplicates collapse."""
+    from sparkcrawl.operators.urlfilter import host_ip_fan
+
+    rows = (
+        [("cdn.example", f"203.0.{i}.7") for i in range(10)]
+        + [("cdn.example", "203.0.0.7")]          # dup
+        + [("flux.example", f"{10 + i}.{i}.9.9") for i in range(9)]
+        + [("plain.example", "198.51.100.1")]
+    )
+    df = spark.createDataFrame(rows, ["host", "ip"])
+    got = {r["host"]: r for r in host_ip_fan(df, min_ips=8).collect()}
+    cdn = got["cdn.example"]
+    assert (cdn["n_ips"], cdn["n_prefixes"]) == (10, 1)
+    assert cdn["multihomed"] and not cdn["scattered"]
+    flux = got["flux.example"]
+    assert flux["n_ips"] == 9 and flux["n_prefixes"] == 9
+    assert flux["scattered"]
+    assert not got["plain.example"]["multihomed"]
