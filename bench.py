@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "crawl_latency_anomalies",
     "multimodal_type_mismatch",
     "crawl_sitemap_conflicts",
+    "corpus_canary_scan",
+    "crawl_host_ip_fan",
     # crawl_discovery_forecast is EXCLUDED: a 15-row generate-series
     # moment fit (no data read) — nothing to bench.
 ]
