@@ -3132,7 +3132,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sparkcrawl.operators.bitext import reciprocal_hreflang_pairs
         from sparkcrawl.operators.extract import extract_hreflang_declarations
 
-        ev = _read(spark, sf, "events")
+        # The test tables are single-row-group parquet files, so the
+        # scan stage is one task and every expression fused into it
+        # (page synthesis + the hreflang tag scan) would run on one
+        # core. Shuffle ONLY the two key columns (16 bytes/row, guide
+        # §2.3) by a deterministic key to fan the heavy projection out
+        # to the session's full width before synthesizing bodies.
+        ev = (_read(spark, sf, "events")
+              .select("event_id", "user_id")
+              .repartition(spark.sparkContext.defaultParallelism, "event_id"))
         p = F.col("user_id") % 4
         host = F.concat(F.lit("http://h"),
                         F.col("event_id").cast("string"),

@@ -166,7 +166,15 @@ def reciprocal_hreflang_pairs(decls: DataFrame) -> DataFrame:
     even hash shuffle with no skew pole (a site's hreflang fan-out is
     its language count, dozens at most) and no window anywhere.
     """
-    d = (
+    from sparkcrawl.operators import tracked_persist
+
+    # Both sides of the reciprocity self-join consume the SAME distinct
+    # declaration table; without a materialization boundary the whole
+    # upstream extraction pipeline is planned (and executed) twice —
+    # once per join side (guide §5: persist when a DataFrame is reused
+    # and recomputing beats the memory pressure; the fingerprint tables
+    # in cross_corpus_contamination use the same pattern).
+    d = tracked_persist(
         decls.filter(
             (F.col("alt_url") != F.col("url"))
             & (F.col("lang") != "x-default")

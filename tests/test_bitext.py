@@ -250,3 +250,87 @@ def test_reciprocal_hreflang_pairs(spark):
         plan_df.explain("simple")
     p = buf.getvalue()
     assert "CartesianProduct" not in p and "Window" not in p
+
+
+def test_hreflang_fast_lane_matches_python_parser(spark):
+    """Differential gate for the codegen hreflang lane: the operator's
+    output over a corpus of tricky fixtures must equal the pure-Python
+    SpanLinkParser reference page-for-page — fast-class pages exercise
+    the regexp lane, every hazard class must route to (and agree with)
+    the parser lane."""
+    from sparkcrawl.config import CrawlConfig
+    from sparkcrawl.operators.extract import (
+        _extraction_finished, extract_hreflang_declarations,
+        parse_document_hreflang)
+
+    A = "http://t.example/a"
+    pages = [
+        # fast class: plain, multiple declarations, dup dedup, x-default
+        ("http://f1.example/", '<link rel="alternate" hreflang="en" href="http://f1.example/en">'
+         '<link rel="alternate" hreflang="DE" href="http://f1.example/de">'
+         '<link rel="alternate" hreflang="de" href="http://f1.example/de">'
+         '<link rel="alternate" hreflang="x-default" href="http://f1.example/">'),
+        # fast class: single quotes, unquoted value, uppercase names, rel token list
+        ("http://f2.example/", "<LINK REL='alternate stylesheet' HREFLANG='fr' HREF=http://f2.example/fr>"
+         '<link rel="alternate" hreflang=" es " href="http://f2.example/es#frag">'),
+        # fast class: canonicalization work (default port, fragment, session param)
+        ("http://f3.example/", '<link rel="alternate" hreflang="en" href="http://f3.example:80/p;jsessionid=abc">'),
+        # wrong rel / missing attrs / empty values -> nothing
+        ("http://f4.example/", '<link rel="stylesheet" hreflang="it" href="http://f4.example/css">'
+         '<link rel="alternate" hreflang="" href="http://f4.example/x">'
+         '<link rel="alternate" hreflang="pt">'),
+        # hazard: base-href resolution + relative links -> Python lane
+        ("http://h1.example/en/p", '<base href="http://h1.example/en/">'
+         '<link rel="alternate" hreflang="de" href="/de/p">'
+         '<link rel="alternate" hreflang="fr" href="fr/p">'),
+        # hazard: charrefs in href -> Python lane
+        ("http://h2.example/", '<link rel="alternate" hreflang="en" href="http://h2.example/p?a=1&amp;b=2">'),
+        # hazard: link inside a script CDATA block must NOT be extracted
+        ("http://h3.example/", '<script>var x = \'<link rel="alternate" hreflang="de" href="http://h3.example/de">\';</script>'
+         '<link rel="alternate" hreflang="en" href="http://h3.example/en">'),
+        # hazard: commented-out declaration must NOT be extracted
+        ("http://h4.example/", '<!-- <link rel="alternate" hreflang="de" href="http://h4.example/de"> -->'
+         '<link rel="alternate" hreflang="en" href="http://h4.example/en">'),
+        # hazard: quoted value with whitespace in a link tag
+        ("http://h5.example/", '<link rel="alternate" title="the en version" hreflang="en" href="http://h5.example/en">'),
+        # hazard: non-fast-class hrefs (uppercase host, userinfo, query)
+        ("http://h6.example/", '<link rel="alternate" hreflang="en" href="http://H6.example/EN">'
+         '<link rel="alternate" hreflang="de" href="http://u:p@h6.example/de">'
+         '<link rel="alternate" hreflang="fr" href="http://h6.example/fr?x=1">'),
+        # hazard: embedded tag inside another tag's attribute
+        ("http://h7.example/", '<img alt=\'<link rel="alternate" hreflang="de" href="http://h7.example/de">\'>'
+         '<link rel="alternate" hreflang="en" href="http://h7.example/en">'),
+        # hazard: slash-delimited attrs (html.parser tolerates them)
+        ("http://h8.example/", '<link/rel="alternate"/hreflang="de"/href="http://h8.example/de">'),
+        # hreflang substring only in text: no declarations either lane
+        ("http://n1.example/", "<p>what is hreflang?</p>"),
+        # no hreflang at all: dropped before any lane
+        ("http://n2.example/", "<p>plain page</p>"),
+    ]
+    rows = [(u, 200, "text/html; charset=utf-8", b) for u, b in pages]
+    # limiter classes: non-200 / wrong type / oversize
+    rows += [
+        ("http://l1.example/", 404, "text/html",
+         '<link rel="alternate" hreflang="de" href="http://l1.example/de">'),
+        ("http://l2.example/", 200, "application/json",
+         '<link rel="alternate" hreflang="de" href="http://l2.example/de">'),
+        ("http://l3.example/", 200, "text/html",
+         '<link rel="alternate" hreflang="de" href="http://l3.example/de">'
+         + "x" * 2_000_001),
+    ]
+    cfg = CrawlConfig()
+    fetched = spark.createDataFrame(
+        rows, ["url", "status_code", "content_type", "body"])
+    got = {(r["url"], r["lang"], r["alt_url"])
+           for r in extract_hreflang_declarations(fetched, cfg).collect()}
+    want = set()
+    for url, status, ctype, body in rows:
+        if _extraction_finished(status, ctype, body, cfg):
+            continue
+        for d in parse_document_hreflang(url, body, ctype):
+            want.add((url, d["lang"], d["href"]))
+    assert got == want
+    # sanity: the fixture set really produces declarations on both lanes
+    assert ("http://f1.example/", "de", "http://f1.example/de") in want
+    assert ("http://h1.example/en/p", "fr", "http://h1.example/en/fr/p") in want
+    assert not any(u.startswith("http://h3") and lg == "de" for u, lg, _ in want)
