@@ -75,6 +75,19 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(df: DataFrame, key: str) -> DataFrame:
+    """Spread a base table across the session's full width before heavy
+    per-row work. The test tables are single-row-group parquet files, so
+    a scan stage is ONE task and every expression fused into it (shingle
+    explosion, hashing, synthesis) runs on one core of a 32-core box.
+    One hash shuffle of the narrow base columns (deterministic key, so
+    task retries re-place rows identically — guide §2.5) unlocks full
+    parallelism for everything downstream. Applied only to queries whose
+    per-row compute dwarfs the exchange; the width tracks the session
+    (defaultParallelism), never a hard-coded core count."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, key)
+
 
 def _epoch_us(col) -> "F.Column":
     """Epoch microseconds of a (possibly NTZ) timestamp column; session
@@ -1018,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         )
+        dupped = _fan(dupped, "doc_id")
         kept = textops.dedup_corpus_canonical(
             dupped, num_perms=16, n=8, threshold=0.8, max_bucket_size=100,
             rows_per_band=4,
@@ -1724,7 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         after edits and chunk-level redundancy is found by ONE groupBy
         on the 32-byte digest — no pairwise comparison. Returns chunks
         appearing ≥2 times with copy/doc counts."""
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         return textops.cdc_duplicate_chunks(docs, k=8, divisor=64,
                                             min_copies=2)
 
@@ -1738,7 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         are indexed. Boilerplate fingerprints appearing in >50 docs are
         dropped before pairing (MOSS's own noise rule — a hash with
         df=f contributes f²/2 pairs, the plan's only quadratic term)."""
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         return textops.winnowing_pairs(docs, k=8, w=4, min_shared=2,
                                        max_postings=50)
 
@@ -2736,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         )
+        dupped = _fan(dupped, "doc_id")
         return textops.soft_dedup_weights(
             dupped, alpha=1.0, num_perms=16, n=8, threshold=0.8,
             max_bucket_size=100, rows_per_band=4,
@@ -3011,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         )
+        dupped = _fan(dupped, "doc_id")
         return textops.lsh_pr_eval(
             dupped, thresholds=(0.5, 0.8), num_perms=16, n=8,
             max_bucket_size=100, rows_per_band=4,

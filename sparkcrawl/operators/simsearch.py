@@ -624,6 +624,7 @@ def semantic_dedup(
     ``n_cells`` lowest-id vectors, reproducible in SQL); pass
     :func:`kmeans_fit` output for data-adaptive cells.
     """
+    centroids_pinned = centroids is None
     if centroids is None:
         centroids = (
             embeddings.orderBy(F.asc(id_col))
@@ -639,11 +640,43 @@ def semantic_dedup(
     # skip near-dup detection (kept as-is), they are never dropped from
     # the verdict table — every input id gets exactly one output row
     joinable = _cap_buckets(assigned, ["centroid_id"], max_cluster_size)
+    # Per-pair cosine used to re-fold BOTH norms inside the join (three
+    # 64-element aggregate folds per pair). Fold each vector's squared
+    # norm ONCE in the projection and divide by sqrt(nsq_a*nsq_b) in
+    # the pair — the identical expression tree below the sqrt, so the
+    # rounded value is bit-equal (guide §1.2: per-task work, after the
+    # join shape is right).
+    side = joinable.select(
+        "centroid_id", "id", "vec", norm_sq(F.col("vec")).alias("_nsq"))
+    # The self-join key is centroid_id — at the sandbox's pinned-K this
+    # is a handful of distinct keys, so the quadratic pair work lands on
+    # K tasks no matter how wide the session is (guide §2.5: synthetic
+    # keys with too few distinct values). Salt the pair space: side A
+    # keeps one deterministic salt (id mod S), side B replicates S ways,
+    # so each ordered pair still meets exactly once while the shuffle
+    # spreads over K*S partitions. Only the known-small pinned-centroid
+    # mode salts; a real kmeans centroid table has cells >> cores.
+    n_salt = 1
+    if centroids_pinned:
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        n_salt = max(1, par // max(1, n_cells))
+    if n_salt > 1:
+        a_side = side.withColumn("_salt", F.pmod(F.col("id"), F.lit(n_salt)))
+        b_side = side.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)])))
+        join_keys = ["centroid_id", "_salt"]
+    else:
+        a_side = b_side = side
+        join_keys = ["centroid_id"]
     pairs = (
-        joinable.alias("a")
-        .join(joinable.alias("b"), "centroid_id")
+        a_side.alias("a")
+        .join(b_side.alias("b"), join_keys)
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("sim", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / F.sqrt(F.col("a._nsq") * F.col("b._nsq")), 6))
         .filter(F.col("sim") >= threshold)
     )
     # per victim: best (highest-sim, then lowest-id) lower-id neighbor

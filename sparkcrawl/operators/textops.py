@@ -309,29 +309,56 @@ def winnowing_fingerprints(
     by document length (never corpus-skewed), and the distinct is a
     hash agg on (id, fp) — no self-joins until pairing.
     """
-    grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-                f" i -> substring({text_col}, i, {k}))"
-            )
-        ).alias("pos", "gram"),
-    ).filter(F.length("gram") == k)
-    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
-    comb = h * F.lit(_WINNOW_POS) + (F.lit(_WINNOW_POS - 1) - F.col("pos"))
-    win = W.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    sel = (
-        grams.withColumn("_comb", comb)
-        .withColumn("_sel", F.min("_comb").over(win))
-        .filter(F.col("pos") >= w - 1)  # full windows only
-    )
-    return sel.select(
+    packed = _winnow_packed(docs, k, w, text_col, id_col)
+    return packed.select(
+        "id", F.explode("_sels").alias("_sel")
+    ).select(
         "id",
         (F.lit(_WINNOW_POS - 1) - F.col("_sel") % F.lit(_WINNOW_POS))
         .cast("int").alias("fp_pos"),
         F.expr(f"_sel div {_WINNOW_POS}").cast("bigint").alias("fp_hash"),
-    ).distinct()
+    )
+
+
+def _winnow_packed(
+    docs: DataFrame, k: int, w: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, _sels) — per-doc array of DISTINCT packed winnowing
+    selections (``h * 2^20 + (2^20-1-pos)``), entirely inside per-row
+    array expressions.
+
+    The previous shape exploded EVERY k-gram of every document into
+    rows (|corpus chars| rows through md5), ran the sliding min as a
+    per-doc WINDOW (a full shuffle + sort of the gram table) and
+    deduped with a global ``distinct`` (a second shuffle). The window
+    min over a ROWS frame is just ``array_min(slice(...))`` per
+    position, and the distinct is per-doc by construction (the id is in
+    the key), so both shuffles disappear: one projection per document,
+    same selected fingerprints bit-for-bit (guide §2.4: remove shuffles
+    outright). Each stage passes through a Generate boundary
+    (explode(array(..))) so the expensive array is materialized once,
+    never re-evaluated inside a consumer lambda per element.
+    """
+    t = text_col
+    combs_sql = (
+        f"CASE WHEN length({t}) >= {k} THEN"
+        f" transform(sequence(1, length({t}) - {k - 1}),"
+        f" i -> cast(conv(substring(md5(substring({t}, i, {k})), 1, 8), 16, 10)"
+        f" as bigint) * {_WINNOW_POS} + ({_WINNOW_POS - 1} - (i - 1)))"
+        f" ELSE cast(array() as array<bigint>) END"
+    )
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(F.expr(combs_sql))).alias("_combs"),
+    )
+    sels_sql = (
+        f"CASE WHEN size(_combs) >= {w} THEN"
+        f" array_distinct(transform(sequence({w}, size(_combs)),"
+        f" idx -> array_min(slice(_combs, idx - {w - 1}, {w}))))"
+        f" ELSE cast(array() as array<bigint>) END"
+    )
+    return staged.select(
+        "id", F.explode(F.array(F.expr(sels_sql))).alias("_sels"))
 
 
 def winnowing_pairs(
@@ -357,9 +384,18 @@ def winnowing_pairs(
     At corpus scale this is MANDATORY: a boilerplate fingerprint's
     pair square is the only quadratic term in the plan. None = exact
     (verification / small-SF oracle mode)."""
-    fp = winnowing_fingerprints(docs, k, w, text_col, id_col).select(
-        "id", "fp_hash"
-    ).distinct()
+    # distinct (id, fp_hash) straight from the packed per-doc arrays:
+    # hash-level dedup is per-doc by construction, so no distinct
+    # shuffle; persisted because the pair self-join (and the postings
+    # cap) otherwise re-run the whole fingerprint computation per side.
+    fp = tracked_persist(
+        _winnow_packed(docs, k, w, text_col, id_col).select(
+            "id",
+            F.explode(F.expr(
+                f"array_distinct(transform(_sels, s -> s div {_WINNOW_POS}))"
+            )).alias("fp_hash"),
+        )
+    )
     if max_postings is not None:
         keep = (
             fp.groupBy("fp_hash")
@@ -401,46 +437,52 @@ def cdc_chunks(
     document length; the digest is one substr+md5 after a same-key
     join back to the doc table. No Python anywhere.
     """
-    grams = docs.select(
+    # Entirely per-document array expressions: the previous shape
+    # exploded EVERY k-gram into rows (|corpus chars| rows through
+    # md5), shuffled the boundary rows through a distinct, joined the
+    # doc table back and ran a per-doc lead() WINDOW — three exchanges
+    # plus a sort for what is a per-row computation. The cut positions,
+    # the chunk cover and the digests are all functions of one row's
+    # text, so they stay in one projection chain with zero shuffles
+    # (guide §2.4), the md5-per-position cost being the only
+    # fundamental term. Generate boundaries (explode(array(..)))
+    # materialize each expensive array once before reuse.
+    t = text_col
+    # cut AFTER the window's last byte e = i + k - 1 (i = 1-based gram
+    # start), so the next chunk starts at e + 1 = i + k
+    bounds_sql = (
+        f"CASE WHEN length({t}) >= {k} THEN"
+        f" filter(sequence(1, length({t}) - {k - 1}),"
+        f" i -> cast(conv(substring(md5(substring({t}, i, {k})), 1, 8), 16, 10)"
+        f" as bigint) % {divisor} = 0)"
+        f" ELSE cast(array() as array<int>) END"
+    )
+    staged = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-                f" i -> substring({text_col}, i, {k}))"
-            )
-        ).alias("pos0", "gram"),
-    ).filter(F.length("gram") == k)
-    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
-    # cut AFTER the window's last byte e = p + k - 1 (p 1-based gram
-    # start = pos0 + 1), so the next chunk starts at e + 1 = pos0+k+1
-    bounds = grams.filter(h % divisor == 0).select(
-        "id", (F.col("pos0") + F.lit(k + 1)).alias("start")
+        F.col(t).alias("_t"),
+        F.explode(F.array(F.expr(bounds_sql))).alias("_bounds"),
     )
-    starts = (
-        docs.select(F.col(id_col).alias("id"), F.lit(1).alias("start"))
-        .unionByName(bounds)
-        .distinct()
-        .join(
-            docs.select(
-                F.col(id_col).alias("id"),
-                F.length(text_col).alias("_len"),
-                F.col(text_col).alias("_t"),
-            ),
-            "id",
-        )
-        .filter(F.col("start") <= F.col("_len"))
+    starts_sql = (
+        f"filter(concat(array(1), transform(_bounds, b -> b + {k})),"
+        f" s -> s <= length(_t))"
     )
-    w = W.partitionBy("id").orderBy("start")
+    staged2 = staged.select(
+        "id", "_t", F.explode(F.array(F.expr(starts_sql))).alias("_starts"))
+    chunks_sql = (
+        "CASE WHEN size(_starts) >= 1 THEN"
+        " transform(sequence(1, size(_starts)), j -> named_struct("
+        "'start', element_at(_starts, j),"
+        "'length', coalesce(try_element_at(_starts, j + 1), length(_t) + 1)"
+        " - element_at(_starts, j),"
+        "'chunk_md5', md5(substring(_t, element_at(_starts, j),"
+        " coalesce(try_element_at(_starts, j + 1), length(_t) + 1)"
+        " - element_at(_starts, j)))))"
+        " ELSE cast(array() as"
+        " array<struct<start:int,length:int,chunk_md5:string>>) END"
+    )
     return (
-        starts.withColumn("_next", F.lead("start").over(w))
-        .withColumn(
-            "length",
-            F.coalesce(F.col("_next"), F.col("_len") + 1) - F.col("start"),
-        )
-        .select(
-            "id", "start", "length",
-            F.md5(F.expr("substring(_t, start, length)")).alias("chunk_md5"),
-        )
+        staged2.select("id", F.explode(F.expr(chunks_sql)).alias("_c"))
+        .select("id", "_c.start", "_c.length", "_c.chunk_md5")
     )
 
 
@@ -713,8 +755,29 @@ def verify_jaccard_pairs(
     consumers) and at 100 TB it duplicates what the runtime filter
     already does declaratively. Plan shape over plumbing.
     """
-    pairs = candidates.select("id_a", "id_b")
-    sh = char_shingles(docs, n, text_col, id_col)
+    # persisted: the pair list is read three times below (two join legs
+    # + the candidate-id prune) and re-deriving it replays the whole
+    # LSH candidate stage.
+    pairs = tracked_persist(candidates.select("id_a", "id_b"))
+    # Prune the shingle table to CANDIDATE documents before any join:
+    # only ids appearing in a candidate pair can survive the inner
+    # joins below, so the semi-join changes nothing about the result
+    # while shrinking the shuffled shingle volume from |corpus| to
+    # |candidate docs| — at bench scale a ~10x cut, at 100 TB the
+    # difference between shuffling the corpus and shuffling the dup
+    # neighborhoods (guide §3.2). The pruned table is persisted: THREE
+    # consumers (sizes, the id_a leg, the id_b leg) otherwise each
+    # replay the shingle explosion (guide §5). The earlier bloom-prune
+    # delegation note (r3) predates the explicit pair persist that now
+    # makes the prune side free.
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = tracked_persist(
+        char_shingles(docs, n, text_col, id_col).join(cand_ids, "id", "semi")
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         pairs.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
