@@ -567,7 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         empty-path '/'. Pure column expressions — no UDF."""
         from sparkcrawl.functions.surt import surt_urlkey
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         k = (F.col("user_id") % 7).cast("string")
         url = (
             F.when(F.col("user_id") % 5 == 0,
@@ -686,7 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         metadata classes. Pure regexp codegen, no UDF."""
         from sparkcrawl.operators.extract import sitemap_entries
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         k = (F.col("user_id") % 7).cast("string")
         p = F.col("user_id") % 3
         eid = F.col("event_id").cast("string")
@@ -746,7 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         is known), not by re-implementing the parser in SQL."""
         from sparkcrawl.functions.urlnorm import with_canonical_host
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         n = F.col("event_id")
         raw = F.when(
             n % 5 == 0,
@@ -1079,7 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         digit-exact (no float accumulation-order divergence)."""
         from sparkcrawl.operators.quantize import brute_force_topk_quantized
 
-        emb = _read(spark, sf, "embeddings")
+        emb = _fan(_read(spark, sf, "embeddings"), "vec_id")
         q = emb.filter(F.col("vec_id") < 3)
         out = brute_force_topk_quantized(q, emb, k=5)
         return _widen(
@@ -1146,7 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         salad, so paragraphs are materialized as 8-token chunks joined
         by blank lines — the small vocabulary makes chunks collide
         across docs, which is exactly the boilerplate shape."""
-        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        docs = _fan(_read(spark, sf, "documents").select("doc_id", "text"), "doc_id")
         toks = F.split(F.col("text"), " ")
         n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
         paras = F.transform(
@@ -1307,7 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         md5-derived noise, so the draw itself is oracle-checkable."""
         from sparkcrawl.operators import importance
 
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         lw = importance.dsir_log_weights(
             docs.select("doc_id", "text"),
             docs.filter(F.col("lang") == "en").select("doc_id", "text"),
@@ -1320,7 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         token spans whose every 8-token window occurs in the probe
         corpus (every 11th doc) — the cut-not-drop companion to
         decontaminate_eval_overlap."""
-        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        docs = _fan(_read(spark, sf, "documents").select("doc_id", "text"), "doc_id")
         probe = docs.filter(F.col("doc_id") % 11 == 0)
         return textops.contaminated_spans(docs, probe, k=8).select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -1362,7 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus trigram frequencies, score = per-doc avg ln P over
         trigram occurrences. DuckDB re-derives trigrams, model, join
         and the log-avg relationally."""
-        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        docs = _fan(_read(spark, sf, "documents").select("doc_id", "text"), "doc_id")
         return textops.trigram_lm_scores(docs)
 
     def text_normalize_unicode(spark, sf):
@@ -1398,7 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         query, deterministically from doc_id — the raw fixture corpus
         is PII-free word soup) with a synthetic email, phone and IPv4;
         oracle re-derives counts + the redacted string with RE2."""
-        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        docs = _fan(_read(spark, sf, "documents").select("doc_id", "text"), "doc_id")
         aug = docs.withColumn(
             "text",
             F.concat(
@@ -1453,7 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         training-data pipeline, built ONLY from the repo's operators:
         language-ID -> quality gate -> exact dedup (min-id survivor)
         -> reproducible salted-hash split assignment."""
-        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        docs = _fan(_read(spark, sf, "documents").select("doc_id", "text"), "doc_id")
         lang = textops.language_id(docs).select(
             F.col("id").alias("doc_id"), "pred_lang"
         )
@@ -2048,7 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hash aggs, no window/UDF (operators/repetition.py)."""
         from sparkcrawl.operators import repetition
 
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         return repetition.repetition_metrics(docs)
 
     def text_gopher_rules(spark, sf):
@@ -2091,7 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         head-of-distribution gram table."""
         from sparkcrawl.operators import repetition
 
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         return repetition.boilerplate_share(docs, n=3, min_docs=5)
 
     def corpus_domain_weights(spark, sf):
@@ -3040,7 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup actually bites."""
         from sparkcrawl.operators.graph import referring_domains
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         edges = ev.select(
             F.concat(F.lit("s"), (F.col("user_id") % 3).cast("string"),
                      F.lit(".dom"), (F.col("user_id") % 40).cast("string"),
@@ -3438,7 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         generating arithmetic, never from the regexes."""
         from sparkcrawl.operators.urlfilter import pagination_ranges
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         hk = (F.col("user_id") % 5).cast("string")
         m = F.col("event_id") % 4
         base = F.concat(F.lit("http://h"), hk, F.lit(".example"))
@@ -4240,7 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the gate's longest-match machinery is exercised engine-side."""
         from sparkcrawl.operators.robots import agent_policy_diff
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         e, u = F.col("event_id"), F.col("user_id")
         hn = u % 4
         path = F.when(e % 2 == 0, F.lit("/private/"))\

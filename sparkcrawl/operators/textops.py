@@ -888,35 +888,68 @@ STOPWORDS = {
 }
 
 
-def _count_occurrences(text_col, word: str):
-    """Occurrences of ' word ' via the replace-length trick (portable SQL)."""
-    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+def _padded_count(padded_col, word: str):
+    """Occurrences of ' word ' in a padded+lowercased text via the
+    replace-length trick (portable SQL). Callers pad+lower once and
+    pass the result; padding inside this helper re-copied the text per
+    stopword."""
     needle = f" {word} "
     return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        (F.length(padded_col)
+         - F.length(F.replace(padded_col, F.lit(needle), F.lit(""))))
         / len(needle)
     ).cast("bigint")
 
 
-def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID by stopword hit counts (argmax, ties -> lang asc)."""
-    scored = docs.select(
-        F.col(id_col).alias("id"),
-        *[
+def _lang_scores(df, text_col, keep_cols: list[str]):
+    """Materialized per-language stopword scores: (keep_cols..., _s
+    struct<score_<lang>...>).
+
+    Two Generate boundaries: (1) the padded+lowercased text is built
+    ONCE per row (each raw `_count_occurrences` call re-lowered and
+    re-padded the text, 15x per row); (2) the score struct is
+    materialized before any consumer, because the argmax/tie-break and
+    every downstream filter on pred_lang otherwise inline the full
+    15-replace scoring pipeline into each reference (the guide §4.4
+    duplication mechanism, here with expensive codegen expressions
+    instead of a UDF). Field access on a generated attribute is O(1)."""
+    padded = df.select(
+        *keep_cols,
+        F.explode(F.array(
+            F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+        )).alias("_padded"),
+    )
+    return padded.select(
+        *keep_cols,
+        F.explode(F.array(F.struct(*[
             sum(
-                [_count_occurrences(F.col(text_col), w) for w in words],
+                [_padded_count(F.col("_padded"), w) for w in words],
                 F.lit(0).cast("bigint"),
             ).alias(f"score_{lang}")
             for lang, words in STOPWORDS.items()
-        ],
+        ]))).alias("_s"),
     )
+
+
+def _lang_pred():
+    """(score columns, pred_lang) expressions over a materialized _s."""
     langs = list(STOPWORDS)
-    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    sc = {l: F.col(f"_s.score_{l}") for l in langs}
+    best = F.greatest(*sc.values())
     pred = F.coalesce(
-        *[F.when((F.col(f"score_{l}") == best) & (best > 0), F.lit(l)) for l in langs],
+        *[F.when((sc[l] == best) & (best > 0), F.lit(l)) for l in langs],
         F.lit("unknown"),
     )
-    return scored.select("id", *[f"score_{l}" for l in langs], pred.alias("pred_lang"))
+    return [sc[l].alias(f"score_{l}") for l in langs] + [pred.alias("pred_lang")]
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID by stopword hit counts (argmax, ties -> lang asc)."""
+    scored = _lang_scores(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)),
+        text_col, ["id"],
+    )
+    return scored.select("id", *_lang_pred())
 
 
 def paragraph_languages(
@@ -942,22 +975,8 @@ def paragraph_languages(
         )
         .filter(F.col("para") != "")
     )
-    scored = paras.select(
-        "id", "idx", "para",
-        *[
-            sum(
-                [_count_occurrences(F.col("para"), w) for w in words],
-                F.lit(0).cast("bigint"),
-            ).alias(f"_s_{lang}")
-            for lang, words in STOPWORDS.items()
-        ],
-    )
-    langs = list(STOPWORDS)
-    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
-    pred = F.coalesce(
-        *[F.when((F.col(f"_s_{l}") == best) & (best > 0), F.lit(l)) for l in langs],
-        F.lit("unknown"),
-    )
+    scored = _lang_scores(paras, "para", ["id", "idx", "para"])
+    pred = _lang_pred()[-1]
     return scored.select("id", "idx", "para", pred.alias("para_lang"))
 
 
@@ -1028,17 +1047,35 @@ def keep_majority_language(
 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Length/punct/stopword-ratio quality features + composite score."""
+    """Length/punct/stopword-ratio quality features + composite score.
+
+    The raw features are materialized through a Generate boundary
+    before the derived ratios: stop_hits alone is five replace scans of
+    the text and is referenced by two outputs (and by any downstream
+    filter on quality), which projection collapse would otherwise
+    duplicate per reference — the same §4.4 mechanism fixed in
+    :func:`_lang_scores`."""
     text = F.col(text_col)
-    n_chars = F.length(text)
-    n_words = F.size(F.split(text, " "))
-    stop_hits = sum(
-        [_count_occurrences(text, w) for w in STOPWORDS["en"]],
-        F.lit(0).cast("bigint"),
-    )
-    punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
-    return docs.select(
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    feats = docs.select(
         F.col(id_col).alias("id"),
+        F.explode(F.array(F.struct(
+            F.length(text).alias("n_chars"),
+            F.size(F.split(text, " ")).alias("n_words"),
+            sum(
+                [_padded_count(padded, w) for w in STOPWORDS["en"]],
+                F.lit(0).cast("bigint"),
+            ).alias("stop_hits"),
+            (F.length(text)
+             - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))).alias("punct"),
+        ))).alias("_f"),
+    )
+    n_chars = F.col("_f.n_chars")
+    n_words = F.col("_f.n_words")
+    stop_hits = F.col("_f.stop_hits")
+    punct = F.col("_f.punct")
+    return feats.select(
+        "id",
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         F.round(n_chars / n_words, 4).alias("avg_word_len"),
