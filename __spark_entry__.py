@@ -317,7 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fixture: |events| divisible by 5)."""
         from sparkcrawl.operators.redirects import resolve_redirect_chains
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         ids = ev.select(
             F.col("event_id").alias("id"),
             F.floor(F.col("event_id") / 5).alias("g"),
@@ -525,7 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sparkcrawl.functions.domains import registered_domain
         from sparkcrawl.functions.hashing import md5_bucket
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         host = (
             F.when(F.col("user_id") % 7 == 0,
                    F.concat(F.lit("a"), (F.col("user_id") % 5).cast("string"),
@@ -597,7 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         equi-join, no window (sources/warc.py::mark_revisits)."""
         from sparkcrawl.sources.warc import mark_revisits
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         url = F.concat(F.lit("http://h"),
                        (F.col("user_id") % 50).cast("string"),
                        F.lit(".example/p"))
@@ -616,7 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         patterns exercise after / before / fallback / no-caption."""
         from sparkcrawl.operators.multimodal import media_caption_pairs
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         p = F.col("user_id") % 4
         did = F.concat(F.lit("d"), F.col("event_id").cast("string"))
         mref = F.concat(F.lit("http://m.example/"),
@@ -660,7 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hash-projected full-outer join."""
         from sparkcrawl.operators.delta import crawl_delta
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         m = F.col("user_id") % 10
         url = F.concat(F.lit("http://h"),
                        (F.col("user_id") % 20).cast("string"),
@@ -717,7 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         join + min_by hash agg, no window."""
         from sparkcrawl.operators.extract import canonical_dedup
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         eid = F.col("event_id").cast("string")
         base = F.concat(F.lit("http://c.example/p"),
                         (F.col("event_id") % 997).cast("string"))
@@ -1050,7 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def dedup_simhash(spark, sf):
-        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        docs = _fan(_read(spark, sf, "documents").select("doc_id", "text"), "doc_id")
         return textops.simhash(docs, bits=32)
 
     def simsearch_bruteforce_topk(spark, sf):
@@ -1069,7 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def simsearch_ivf_topk(spark, sf):
-        emb = _read(spark, sf, "embeddings")
+        emb = _fan(_read(spark, sf, "embeddings"), "vec_id")
         q = emb.filter(F.col("vec_id") < 3)
         return _widen(simsearch.ivf_topk(emb, q, k=5, n_cells=8))
 
@@ -1104,7 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cosine to a lower-id member reaches the threshold. Threshold
         0.3 on the synthetic fixture (real corpora use ~0.95; the
         fixture's intra-cluster sims top out at ~0.49)."""
-        emb = _read(spark, sf, "embeddings")
+        emb = _fan(_read(spark, sf, "embeddings"), "vec_id")
         return _widen(simsearch.semantic_dedup(emb, threshold=0.3, n_cells=8))
 
     def dedup_semantic_canonical(spark, sf):
@@ -1113,7 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cosine near-dup pairs -> connected components -> keep min
         vec_id per cluster. Threshold 0.3 (fixture sims top out ~0.49)
         so components are non-trivial and transitivity is exercised."""
-        emb = _read(spark, sf, "embeddings")
+        emb = _fan(_read(spark, sf, "embeddings"), "vec_id")
         kept = simsearch.semantic_dedup_canonical(
             emb, threshold=0.3, n_planes=_ND_PLANES, dim=_EMB_DIM,
             seed=_LSH_SEED, n_bands=_LSH_BANDS, max_bucket_size=_ND_CAP,
@@ -1128,7 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         on %7, a curly brace on %11, 'javascript' on %13."""
         from sparkcrawl.operators.repetition import c4_quality_filters
 
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         d = F.col("doc_id")
         text2 = F.concat(
             F.col("text"),
@@ -1204,7 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (broadcast weights + one agg over hashed-BoW features — the
         DCLM/FineWeb-style scoring pass). Deterministic weight table:
         w[b] = (b % 13 - 6) * 0.05."""
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         weights = spark.range(64).select(
             F.col("id").cast("int").alias("bucket"),
             ((F.col("id") % 13 - 6) * 0.05).alias("weight"),
@@ -1219,7 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         distance scan over codes only."""
         from sparkcrawl.operators import quantize
 
-        emb = _read(spark, sf, "embeddings")
+        emb = _fan(_read(spark, sf, "embeddings"), "vec_id")
         cb = quantize.pq_codebooks(emb, m=8, n_codes=16, dim=_EMB_DIM)
         codes = quantize.pq_encode(emb, cb, m=8, dim=_EMB_DIM)
         q = emb.filter(F.col("vec_id") < 3)
@@ -1231,7 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         one-byte codes. Pinned centroids + codebooks (oracle mode)."""
         from sparkcrawl.operators import quantize
 
-        emb = _read(spark, sf, "embeddings")
+        emb = _fan(_read(spark, sf, "embeddings"), "vec_id")
         q = emb.filter(F.col("vec_id") < 3)
         return quantize.ivfpq_topk(
             emb, q, k=5, n_cells=8, m=8, n_codes=16, dim=_EMB_DIM, nprobe=2
@@ -1244,7 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         0.3-cosine ball (self included), clusters = connected
         components over core-core edges labeled by min id, borders
         take their minimum core neighbor's cluster, noise = -1."""
-        emb = _read(spark, sf, "embeddings")
+        emb = _fan(_read(spark, sf, "embeddings"), "vec_id")
         return simsearch.dbscan_lsh(
             emb, threshold=0.3, min_pts=4, n_planes=_ND_PLANES,
             dim=_EMB_DIM, seed=_LSH_SEED, n_bands=_LSH_BANDS,
@@ -1348,7 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_tfidf_topterms(spark, sf):
         """Top-3 characteristic terms per doc by smoothed TF-IDF
         (tokens, tf, df, idf all re-derived relationally in DuckDB)."""
-        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        docs = _fan(_read(spark, sf, "documents").select("doc_id", "text"), "doc_id")
         return textops.tfidf_top_terms(docs, k=3)
 
     def text_bm25_query(spark, sf):
@@ -1371,7 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spaces — each appended deterministically; untouched docs must
         come back changed=false. DuckDB twin: nfc_normalize + the same
         RE2/Java-shared regexes."""
-        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        docs = _fan(_read(spark, sf, "documents").select("doc_id", "text"), "doc_id")
         n = F.col("doc_id")
         aug = docs.select(
             "doc_id",
@@ -1687,7 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _bpe_tokens_sql (rank-order == best-rank-first equivalence)."""
         from sparkcrawl.operators import bpe as _bpe
 
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         merges = _bpe.bpe_train(docs, num_merges=16)
         return _bpe.bpe_encode(docs, merges).select("id", "n_tokens")
 
@@ -1723,7 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             count_min_estimate,
         )
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         items = ev.select(
             F.concat(F.lit("h"), (F.col("user_id") % 500).cast("string"))
             .alias("host")
@@ -1776,7 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testable."""
         from sparkcrawl.operators.sketches import heavy_hitters
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         items = ev.select(
             F.concat(
                 F.lit("h"),
@@ -1836,7 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rewrite a canonicalizer can apply)."""
         from sparkcrawl.operators.dust import mine_dust_rules
 
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         base = F.concat(
             F.lit("http://h"), (F.col("doc_id") % 25).cast("string"),
             F.lit(".example/p"), F.col("doc_id").cast("string"),
@@ -1936,7 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sparkcrawl.operators.invindex import (
             inverted_index, postings_size_estimate)
 
-        d = _read(spark, sf, "documents")
+        d = _fan(_read(spark, sf, "documents"), "doc_id")
         return _widen(postings_size_estimate(
             inverted_index(d, min_df=2, max_df=150)))
 
@@ -1983,7 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scale shape is threshold-then-filter (one |strata|-row agg
         broadcast back), never rank-then-cut (which would sort the
         corpus per language)."""
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         return textops.quality_top_fraction(docs, frac=0.3,
                                             strata_col="lang")
 
@@ -2022,7 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Token-level EXACT substring dedup (the suffix-array use case,
         relationally): maximal spans whose every 8-token window occurs
         >= 2x corpus-wide, merged per doc by gaps-and-islands."""
-        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        docs = _fan(_read(spark, sf, "documents").select("doc_id", "text"), "doc_id")
         return textops.duplicated_substring_spans(docs, k=8).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("span_start").cast("long").alias("span_start"),
@@ -2059,7 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         words, %5 gains #/ellipsis symbols, %7 gains bullet lines."""
         from sparkcrawl.operators import repetition
 
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         aug = docs.select(
             "doc_id",
             F.concat(
@@ -2136,7 +2136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (doc_id, spans: array<struct<kind,text,media_ref,offset>>):
         shared media refs (doc_id%50 -> heavy cross-doc sharing),
         media-first layout for %5==0, a second video span for %7==0."""
-        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        docs = _fan(_read(spark, sf, "documents").select("doc_id", "text"),
+                    "doc_id")
         id_str = F.col("doc_id").cast("string")
 
         def _span(kind, text, ref, off):
@@ -2205,7 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_anchor_texts,
         )
 
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         id_str = F.col("doc_id").cast("string")
         ws = F.split(F.col("text"), " ")
         anchor = F.concat_ws(
@@ -2478,7 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ok)."""
         from sparkcrawl.operators import health
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         log = ev.select(
             F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias(
                 "host"
@@ -2678,7 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         must be pruned by max_hosts_per_key before the pair square."""
         from sparkcrawl.operators.mirrors import mirror_host_pairs
 
-        d = _read(spark, sf, "documents")
+        d = _fan(_read(spark, sf, "documents"), "doc_id")
         site = (F.col("doc_id") % 20)
         pid = F.floor(F.col("doc_id") / 20).cast("long")
         s = site.cast("string")
@@ -2712,7 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comma-joined strings so the value-hash is list-order exact."""
         from sparkcrawl.operators.invindex import inverted_index
 
-        d = _read(spark, sf, "documents")
+        d = _fan(_read(spark, sf, "documents"), "doc_id")
         idx = inverted_index(d, min_df=2, max_df=150)
         return idx.select(
             "term", "df",
@@ -2729,7 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         included)."""
         from sparkcrawl.operators.invindex import phrase_search
 
-        d = _read(spark, sf, "documents")
+        d = _fan(_read(spark, sf, "documents"), "doc_id")
         return phrase_search(d, ["table", "value"]).select(
             F.col("id").alias("doc_id"), "n_matches")
 
@@ -2781,7 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         successor's, so majority/minority splits actually occur."""
         from sparkcrawl.operators.textops import language_segment_stats
 
-        d = _read(spark, sf, "documents")
+        d = _fan(_read(spark, sf, "documents"), "doc_id")
         a = d.select("doc_id", "text")
         b = d.select((F.col("doc_id") - 1).alias("doc_id"),
                      F.col("text").alias("text2"))
@@ -2889,7 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         prioritizing, trap-depth capping). One equi-join superstep per
         level with early stop; DuckDB mirrors with a depth-bounded
         recursive CTE + min(depth)."""
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         nodes = ev.select((F.col("user_id") % 128).alias("n")).distinct()
         edges = nodes.select(
             F.col("n").alias("src"), ((F.col("n") * 3 + 1) % 128).alias("dst")
@@ -2909,7 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the DuckDB twin computes the global argmin over the raw
         depth-bounded path set, pinning the level-wise min-propagation
         to the declarative definition."""
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         nodes = ev.select((F.col("user_id") % 128).alias("n")).distinct()
         edges = nodes.select(
             F.col("n").alias("src"), ((F.col("n") * 3 + 1) % 128).alias("dst")
@@ -2962,7 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         range) / zero / media-free coverage."""
         from sparkcrawl.operators.multimodal import caption_coverage
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         p = F.col("user_id") % 4
         did = F.concat(F.lit("d"), F.col("event_id").cast("string"))
         mref = F.concat(F.lit("http://m.example/"),
@@ -3380,7 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         score."""
         from sparkcrawl.operators.textops import domain_kl_profile
 
-        d = _read(spark, sf, "documents").select(
+        d = _fan(_read(spark, sf, "documents"), "doc_id").select(
             "doc_id",
             F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"),
                      F.lit(".example")).alias("domain"),
@@ -3485,7 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regex."""
         from sparkcrawl.operators.health import soft404_flags
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         hn = F.col("user_id") % 12
         m = F.col("event_id") % 5
         probe_len = (F.lit(1000) + hn * 10).cast("long")
@@ -3524,7 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         URL — and runs the identical two-level entropy agg."""
         from sparkcrawl.operators.dust import param_value_entropy
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         hn = F.col("user_id") % 6
         e = F.col("event_id")
         m = e % 3
@@ -3552,7 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the same arithmetic and runs the identical two-level agg."""
         from sparkcrawl.operators.mirrors import scheme_migration_report
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         hn = F.col("user_id") % 9
         cls = hn % 3
         e = F.col("event_id")
@@ -3765,7 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         VALUES list in their normalized form."""
         from sparkcrawl.operators.invindex import percolate
 
-        d = _read(spark, sf, "documents")
+        d = _fan(_read(spark, sf, "documents"), "doc_id")
         standing = spark.createDataFrame(
             [
                 ("q1", ["spark", "window"], "all"),
@@ -3998,7 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         config — the graded companion to simsearch_recall_eval: gains
         are the exact rounded cosines, so losing the rank-1 neighbor
         costs more than losing rank 5."""
-        emb = _read(spark, sf, "embeddings")
+        emb = _fan(_read(spark, sf, "embeddings"), "vec_id")
         q = emb.filter(F.col("vec_id") < 3)
         exact = simsearch.brute_force_topk(emb, q, k=5)
         approx = simsearch.lsh_bucketed_topk(
@@ -4101,7 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scores must agree value-for-value."""
         from sparkcrawl.operators.textops import flesch_reading_ease
 
-        return flesch_reading_ease(_read(spark, sf, "documents"))
+        return flesch_reading_ease(_fan(_read(spark, sf, "documents"), "doc_id"))
 
     def crawl_priority_drift(spark, sf):
         """PSI between two synthetic frontier snapshots (plans/
@@ -4188,7 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from sparkcrawl.operators.health import retry_after_schedule
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         e, u = F.col("event_id"), F.col("user_id")
         m = e % 4
         resp = ev.select(
@@ -4211,7 +4212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         drift between engines fails the value hash."""
         from sparkcrawl.operators.layout import shard_checksums
 
-        ev = _read(spark, sf, "events").select(
+        ev = _fan(_read(spark, sf, "events"), "event_id").select(
             "event_id", "user_id", "event_type")
         return shard_checksums(ev, n_shards=32)
 
@@ -4269,7 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         re-runs the identical two-median pipeline."""
         from sparkcrawl.operators.health import latency_anomalies
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         e, u = F.col("event_id"), F.col("user_id")
         log = ev.select(
             F.concat(F.lit("h"), (u % 6).cast("string"),
@@ -4321,7 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         distinct declared URL."""
         from sparkcrawl.plans.analytics import sitemap_gate_conflicts
 
-        ev = _read(spark, sf, "events")
+        ev = _fan(_read(spark, sf, "events"), "event_id")
         e, u = F.col("event_id"), F.col("user_id")
         hn = u % 12
         path = F.when(e % 3 == 0, F.lit("/secret/"))\

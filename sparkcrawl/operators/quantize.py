@@ -44,14 +44,22 @@ def quantize_embeddings(
     against — callers drop or special-case them, same as a zero-norm
     vector in exact cosine).
     """
-    scale = _maxabs(F.col(vec)) / F.lit(127.0)
-    scale = F.when(scale > 0, scale)  # NULL for all-zero vectors
+    raw = _maxabs(F.col(vec)) / F.lit(127.0)
+    # Generate boundary: the per-element division below references the
+    # scale, and projection collapse would inline the whole max-abs
+    # aggregate fold into the lambda — evaluated PER ELEMENT (O(dim^2)
+    # per vector). explode(array(..)) materializes the scalar once per
+    # row; a NULL element (all-zero vector) keeps its row.
+    staged = df.select(
+        "*", F.explode(F.array(F.when(raw > 0, raw))).alias("_qscale"))
     q = F.transform(
         F.col(vec),
-        lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"),
+        lambda x: F.round(x.cast("double") / F.col("_qscale")).cast("int"),
     )
-    return df.withColumn("scale", scale).withColumn(
-        out, F.when(F.col("scale").isNotNull(), q)
+    return (
+        staged.withColumn("scale", F.col("_qscale"))
+        .withColumn(out, F.when(F.col("_qscale").isNotNull(), q))
+        .drop("_qscale")
     )
 
 

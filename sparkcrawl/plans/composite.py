@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from sparkcrawl.config import CrawlConfig
-from sparkcrawl.plans.rank import host_ranks
+from sparkcrawl.plans.rank import host_percent_rank, host_ranks
 from sparkcrawl.plans.relevance import host_relevance
 from sparkcrawl.sources.store import FrontierTable
 
@@ -48,21 +48,23 @@ def refresh_composite_priorities(
             # desc(rank) ONLY, and the RAW percent_rank (no 1-x
             # inversion round-trip, whose ulp error flips floor() at
             # exact bucket boundaries) — so w_rank=1 reproduces
-            # plans/rank.py bucket-for-bucket
-            d = F.percent_rank().over(W.orderBy(F.desc("rank")))
-            sigs.append(
-                (w_rank, ranks.select("host", d.alias("_s")))
-            )
+            # plans/rank.py bucket-for-bucket; partitioned two-phase
+            # form, never a global window
+            sigs.append((
+                w_rank,
+                host_percent_rank(ranks, [F.desc("rank")]).select(
+                    "host", F.col("_pr").alias("_s")),
+            ))
     if w_relevance > 0 and query_terms:
         rel = host_relevance(spark, workdir, query_terms)
         if rel is not None:
             rel = rel.filter(F.col("relevance") > 0)
-            d = F.percent_rank().over(
-                W.orderBy(F.desc("relevance"), F.asc("host"))
-            )
-            sigs.append(
-                (w_relevance, rel.select("host", d.alias("_s")))
-            )
+            sigs.append((
+                w_relevance,
+                host_percent_rank(
+                    rel, [F.desc("relevance"), F.asc("host")]
+                ).select("host", F.col("_pr").alias("_s")),
+            ))
     if not sigs:
         return 0
     blended = None

@@ -58,6 +58,59 @@ def host_ranks(spark: SparkSession, workdir: str,
     return pagerank(flat, damping=damping, iters=iters).withColumnRenamed("id", "host")
 
 
+def host_percent_rank(df: DataFrame, order: list, out: str = "_pr") -> DataFrame:
+    """Exact ``percent_rank()`` over an unpartitioned order WITHOUT a
+    single-partition WindowExec.
+
+    ``percent_rank`` over ORDER BY k is (rank-1)/(N-1), ties sharing
+    their first peer's value. At sandbox scale the host table is small,
+    but a 100-TB crawl has O(10^8) hosts, and a global window is one
+    task (the "No Partition Defined for Window operation" warning).
+    Scale shape (the two-phase prefix pattern, sampling.py precedent):
+    range-partition by the sort key (equal keys co-locate, so tie
+    semantics are preserved), count rows per range (a collect bounded
+    by the session width — the repo's bounded-driver-data rule), and
+    rank WITHIN each range partition plus the broadcast prefix offset.
+    Every window that remains is partitioned. The ranged table is
+    localCheckpoint'd so the offset collect and the ranked output see
+    the same materialized placement.
+
+    Returns ``df``'s columns plus ``out`` (the percent_rank, double —
+    (rank-1+offset)/(N-1), arithmetically identical to Spark's
+    PercentRank).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(par, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        r["_pid"]: r["_n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    }
+    total = sum(sizes.values())
+    if total == 0:
+        return df.withColumn(out, F.lit(0.0))
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
+    w = W.partitionBy("_pid").orderBy(*order)
+    pr = (
+        F.when(
+            F.lit(total > 1),
+            (F.rank().over(w) - 1 + off).cast("double")
+            / F.lit(float(total - 1)),
+        ).otherwise(F.lit(0.0))
+    )
+    return ranged.withColumn(out, pr).drop("_pid")
+
+
 def refresh_frontier_priorities(
     spark: SparkSession, workdir: str, cfg: CrawlConfig,
     refresh_id: int = 0, method: str = "pagerank",
@@ -76,12 +129,12 @@ def refresh_frontier_priorities(
     if ranks is None:
         return 0
     # percent_rank over hosts -> priority buckets 1..num_priorities
-    # (1 = highest rank, matching the prioritizer's "lower is sooner")
-    w = W.orderBy(F.desc("rank"))
-    pri = ranks.select(
+    # (1 = highest rank, matching the prioritizer's "lower is sooner");
+    # computed via the partitioned two-phase form, never a global window
+    pri = host_percent_rank(ranks, [F.desc("rank")]).select(
         "host",
         (
-            F.floor(F.percent_rank().over(w) * (cfg.num_priorities - 1)) + 1
+            F.floor(F.col("_pr") * (cfg.num_priorities - 1)) + 1
         ).cast("int").alias("_rank_priority"),
     )
     frontier = FrontierTable(workdir)

@@ -72,12 +72,15 @@ def refresh_relevance_priorities(
     rel = host_relevance(spark, workdir, query_terms)
     if rel is None:
         return 0
+    from sparkcrawl.plans.rank import host_percent_rank
+
     ranked = rel.filter(F.col("relevance") > 0)
-    w = W.orderBy(F.desc("relevance"), F.asc("host"))
-    pri = ranked.select(
+    pri = host_percent_rank(
+        ranked, [F.desc("relevance"), F.asc("host")]
+    ).select(
         "host",
         (
-            F.floor(F.percent_rank().over(w) * (cfg.num_priorities - 1)) + 1
+            F.floor(F.col("_pr") * (cfg.num_priorities - 1)) + 1
         ).cast("int").alias("_rel_priority"),
     )
     frontier = FrontierTable(workdir)

@@ -67,3 +67,40 @@ def test_refresh_with_opic_signal(spark, mini_cfg, mini_web, tmp_path):
     after = run.frontier.read(spark).filter(F.col("state") == "pending")
     pr = [r["priority"] for r in after.collect()]
     assert all(1 <= p <= cfg.num_priorities for p in pr)
+
+
+def test_host_percent_rank_matches_window_and_stays_partitioned(spark):
+    """host_percent_rank must equal percent_rank() row-for-row (ties
+    included) AND plan only PARTITIONED windows — the 100-TB guard for
+    the three priority-refresh sites (an unpartitioned percent_rank is
+    a single-task sort over every host)."""
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sparkcrawl.plans.rank import host_percent_rank
+
+    df = spark.createDataFrame(
+        [(f"h{i:03d}", float(i % 7)) for i in range(197)], ["host", "rank"]
+    )
+    out = host_percent_rank(df, [F.desc("rank")])
+    exp = df.select(
+        "host", F.percent_rank().over(Window.orderBy(F.desc("rank"))).alias("_pr")
+    )
+    got = {(r["host"], r["_pr"]) for r in out.select("host", "_pr").collect()}
+    want = {(r["host"], r["_pr"]) for r in exp.collect()}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a window in the plan"
+    assert all("_pid" in s for s in specs), specs
+    # single-row and empty inputs: percent_rank degenerates to 0 / none
+    one = host_percent_rank(
+        spark.createDataFrame([("x", 1.0)], ["host", "rank"]), [F.desc("rank")]
+    ).collect()
+    assert [(r["host"], r["_pr"]) for r in one] == [("x", 0.0)]
+    empty = host_percent_rank(
+        spark.createDataFrame([], "host string, rank double"), [F.desc("rank")]
+    )
+    assert empty.count() == 0
