@@ -1274,10 +1274,17 @@ def connected_components(
     the plan doubles each iteration and round k replays rounds
     1..k-1).
     """
-    sym = (
+    # Materialize the edge list ONCE before symmetrizing: the two union
+    # legs are separate scans of the edge subtree, so without the
+    # checkpoint the whole upstream pair pipeline (LSH + verify joins)
+    # executes twice just to build sym.
+    base = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    sym = (
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .persist()
     )

@@ -187,17 +187,28 @@ def pagination_ranges(urls: DataFrame, url_col: str = "url",
     template key. No UDF, no window, no join.
     """
     u = F.col(url_col)
-    q_n = F.regexp_extract(u, r"[?&]page=(\d+)", 1)
-    p_n = F.regexp_extract(u, r"/page/(\d+)(/|$)", 1)
-    t_n = F.regexp_extract(u, r"/(\d+)/?$", 1)
+    # materialize the three counter extractions once per row (Generate
+    # boundary): the rule-precedence CASEs below reference each counter
+    # several times, and projection collapse would re-run every regex
+    # per reference (and again in the notNull filter)
+    staged = urls.select(
+        u.alias("_u"),
+        F.explode(F.array(F.struct(
+            F.regexp_extract(u, r"[?&]page=(\d+)", 1).alias("q"),
+            F.regexp_extract(u, r"/page/(\d+)(/|$)", 1).alias("p"),
+            F.regexp_extract(u, r"/(\d+)/?$", 1).alias("t"),
+        ))).alias("_n"),
+    )
+    u2 = F.col("_u")
+    q_n, p_n, t_n = F.col("_n.q"), F.col("_n.p"), F.col("_n.t")
     n = (F.when(q_n != "", q_n).when(p_n != "", p_n)
          .when(t_n != "", t_n).otherwise(F.lit(None))).cast("bigint")
     template = (
-        F.when(q_n != "", F.regexp_replace(u, r"([?&]page=)\d+", r"$1{}"))
-        .when(p_n != "", F.regexp_replace(u, r"(/page/)\d+", r"$1{}"))
-        .when(t_n != "", F.regexp_replace(u, r"/\d+(/?)$", r"/{}$1"))
+        F.when(q_n != "", F.regexp_replace(u2, r"([?&]page=)\d+", r"$1{}"))
+        .when(p_n != "", F.regexp_replace(u2, r"(/page/)\d+", r"$1{}"))
+        .when(t_n != "", F.regexp_replace(u2, r"/\d+(/?)$", r"/{}$1"))
     )
-    rows = urls.select(template.alias("template"), n.alias("n")) \
+    rows = staged.select(template.alias("template"), n.alias("n")) \
         .filter(F.col("n").isNotNull()).distinct()
     agg = rows.groupBy("template").agg(
         F.count(F.lit(1)).alias("pages"),
