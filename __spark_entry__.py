@@ -983,11 +983,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         candidate generation -> exact n-gram-Jaccard verify, only over
         candidate pairs."""
         docs = _read(spark, sf, "documents").select("doc_id", "text")
-        dupped = docs.unionByName(
+        dupped = _fan(docs.unionByName(
             docs.filter(F.col("doc_id") < 50).select(
                 (F.col("doc_id") + 10000).alias("doc_id"), "text"
             )
-        )
+        ), "doc_id")
         cand = textops.minhash_lsh_pairs(dupped, num_perms=8, n=8, max_bucket_size=100)
         return textops.verify_jaccard_pairs(cand, dupped, n=8, threshold=0.8)
 
@@ -1330,11 +1330,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def text_language_id(spark, sf):
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         return _widen(textops.language_id(docs))
 
     def text_quality_score(spark, sf):
-        docs = _read(spark, sf, "documents")
+        docs = _fan(_read(spark, sf, "documents"), "doc_id")
         return _widen(textops.quality_score(docs))
 
     def text_token_counts(spark, sf):

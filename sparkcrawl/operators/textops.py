@@ -759,38 +759,60 @@ def verify_jaccard_pairs(
     # + the candidate-id prune) and re-deriving it replays the whole
     # LSH candidate stage.
     pairs = tracked_persist(candidates.select("id_a", "id_b"))
-    # Prune the shingle table to CANDIDATE documents before any join:
-    # only ids appearing in a candidate pair can survive the inner
-    # joins below, so the semi-join changes nothing about the result
-    # while shrinking the shuffled shingle volume from |corpus| to
-    # |candidate docs| — at bench scale a ~10x cut, at 100 TB the
-    # difference between shuffling the corpus and shuffling the dup
-    # neighborhoods (guide §3.2). The pruned table is persisted: THREE
-    # consumers (sizes, the id_a leg, the id_b leg) otherwise each
-    # replay the shingle explosion (guide §5). The earlier bloom-prune
-    # delegation note (r3) predates the explicit pair persist that now
-    # makes the prune side free.
+    # Prune the shingle-ARRAY table to CANDIDATE documents before any
+    # join: only ids appearing in a candidate pair can survive the
+    # inner joins below, so the semi-join changes nothing about the
+    # result while shrinking the shuffled volume from |corpus| to
+    # |candidate docs| (guide §3.2). Intersections are then computed
+    # per pair with array_intersect over the two docs' DISTINCT
+    # shingle arrays: the previous exploded-row form shuffled
+    # |pairs| x |shingles per doc| rows (tens of millions) through a
+    # (id, shingle)-keyed join to count what is a per-pair set
+    # intersection — the arrays move once per pair instead (§2.3:
+    # shuffle keys and metadata, not exploded payloads). Zero-shingle
+    # docs are dropped exactly as the exploded form dropped them.
     cand_ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = tracked_persist(
-        char_shingles(docs, n, text_col, id_col).join(cand_ids, "id", "semi")
+    arr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+            f" i -> substring({text_col}, i, {n}))"
+        )
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    arrs = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(
+                F.filter(arr, lambda x: F.length(x) == n)
+            )).alias("sh_arr"),
+        )
+        .filter(F.size("sh_arr") > 0)
+        .join(cand_ids, "id", "semi")
+    )
     inter = (
-        pairs.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
-        # equi-join on (id_b, shingle): only SHARED shingles survive —
-        # never a per-pair sh_a × sh_b cross product
-        .join(sh.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+        pairs.join(
+            arrs.select(F.col("id").alias("id_a"), F.col("sh_arr").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("sh_arr").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter"),
+            F.size("_sa").cast("long").alias("n_a"),
+            F.size("_sb").cast("long").alias("n_b"),
+        )
+        # the exploded form emitted a pair only if it SHARED a shingle;
+        # keep that contract (threshold=0.0 callers count these rows)
+        .filter(F.col("inter") > 0)
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
