@@ -39,6 +39,19 @@ def norm(a: Column) -> Column:
     return F.sqrt(norm_sq(a))
 
 
+def _pair_dot(da: Column, db: Column, dim: int | None = None) -> Column:
+    """Dot of two pre-cast double arrays (same left-to-right fold as
+    :func:`dot`, minus the per-element casts). ``dim`` is accepted for
+    signature stability but an unrolled flat term sum was MEASURED 10x
+    SLOWER than this fold (64 GetArrayItems + a 190-node arithmetic
+    tree overflows codegen into the interpreted path), so the fold is
+    always used."""
+    return F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     # sqrt of the product (not product of sqrts): bit-matches the usual
     # cosine implementation (incl. DuckDB list_cosine_similarity)
@@ -600,6 +613,7 @@ def semantic_dedup(
     max_cluster_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540 — public method): cluster the embedding space,
@@ -646,8 +660,13 @@ def semantic_dedup(
     # the pair — the identical expression tree below the sqrt, so the
     # rounded value is bit-equal (guide §1.2: per-task work, after the
     # join shape is right).
+    # pre-cast to double once per side row: the per-pair fold then
+    # multiplies doubles directly instead of casting both elements per
+    # pair (cast-then-multiply == multiply-of-precast, bit-equal)
     side = joinable.select(
-        "centroid_id", "id", "vec", norm_sq(F.col("vec")).alias("_nsq"))
+        "centroid_id", "id", "vec",
+        F.transform(F.col("vec"), lambda x: x.cast("double")).alias("_dv"),
+        norm_sq(F.col("vec")).alias("_nsq"))
     # The self-join key is centroid_id — at the sandbox's pinned-K this
     # is a handful of distinct keys, so the quadratic pair work lands on
     # K tasks no matter how wide the session is (guide §2.5: synthetic
@@ -675,7 +694,7 @@ def semantic_dedup(
         .withColumn(
             "sim",
             F.round(
-                dot(F.col("a.vec"), F.col("b.vec"))
+                _pair_dot(F.col("a._dv"), F.col("b._dv"), dim)
                 / F.sqrt(F.col("a._nsq") * F.col("b._nsq")), 6))
         .filter(F.col("sim") >= threshold)
     )
