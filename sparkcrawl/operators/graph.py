@@ -668,11 +668,7 @@ def hop_depth(
         )
         if not new.take(1):
             break
-        # `new` is already checkpointed, so the running union's lineage
-        # stays FLAT (a d-way union of checkpointed nodes) — a second
-        # checkpoint per round only added a full materialization job
-        # per level (one third of the loop's job count)
-        visited = visited.unionByName(new)
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     e.unpersist()
     return visited
@@ -727,11 +723,7 @@ def seed_attribution(
         )
         if not new.take(1):
             break
-        # `new` is already checkpointed, so the running union's lineage
-        # stays FLAT (a d-way union of checkpointed nodes) — a second
-        # checkpoint per round only added a full materialization job
-        # per level (one third of the loop's job count)
-        visited = visited.unionByName(new)
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     e.unpersist()
     return visited

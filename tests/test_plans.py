@@ -214,11 +214,14 @@ def test_freshness_oracle_query_single_window_exchange(spark, queries):
 
 
 def test_surt_urlkey_is_pure_codegen(spark, queries):
-    """SURT urlkeys must never leave the JVM: no Python eval, no
-    exchange — a pure projection over the scan."""
+    """SURT urlkeys must never leave the JVM: no Python eval, and the
+    ONLY exchange is the deliberate input fan (_fan: single-row-group
+    test files give one-task scans, so the query spreads the narrow
+    key columns before the urlkey projection) — the urlkey computation
+    itself stays a pure projection."""
     p = plan_of(queries["cdx_urlkey"](spark, SF), "simple")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    assert "Exchange" not in p
+    assert p.count("Exchange") == 1, p
 
 
 def test_revisit_marks_is_agg_join_not_window(spark, queries):
